@@ -1,0 +1,247 @@
+"""Minimal stdlib-only PDF writer + text parser (public PDF 1.4 spec subset).
+
+Poppler (used by the reference via pdf2image/pdfinfo,
+/root/reference/app/jobs.py:375-390) is not available in this container, so:
+
+- :func:`build_pdf` writes small, valid, *uncompressed* PDF files for the
+  synthetic corpus and tests (one ``BT … Tj … ET`` text run per line, Helvetica,
+  12 pt, top-left origin at (72, 720), 14 pt leading — fixed fonts/text so
+  page count and per-page text are known by construction, FIXTURES.md §1).
+- :func:`page_count` is the U1 "PDF probe" (reference: ``pdfinfo_from_bytes``).
+- :func:`extract_pages` is the text half of the U2 page split: it returns
+  positioned text spans per page in /Kids order, which the rasterize stage
+  turns into PNGs and the layout stage (U8) orders by reading order.
+
+The parser handles the subset this writer emits plus simple variations
+(``TJ`` arrays, ``TD``/``Td`` moves, escaped strings). Real-world compressed
+PDFs would need poppler; that seam is isolated here on purpose.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Span:
+    """One positioned text run: PDF user-space coords (y grows upward)."""
+
+    x: float
+    y: float
+    text: str
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _unesc(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            mapped = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}.get(n)
+            if mapped is not None:
+                out.append(mapped)
+            elif n in "\\()":
+                out.append(n)
+            elif n.isdigit():  # octal escape \ddd
+                j = i + 1
+                oct_digits = ""
+                while j < len(s) and s[j].isdigit() and len(oct_digits) < 3:
+                    oct_digits += s[j]
+                    j += 1
+                out.append(chr(int(oct_digits, 8)))
+                i = j
+                continue
+            else:
+                out.append(n)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def build_pdf(pages: list[str]) -> bytes:
+    """Write a valid single-font uncompressed PDF, one string per page.
+
+    Newlines in a page string become separate 14pt-leading lines, mirroring
+    how a rendered page would stack them top-to-bottom.
+    """
+    objects: list[bytes] = []  # 1-indexed by position+1
+
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # obj 2
+    for i, page_text in enumerate(pages):
+        page_no = 3 + 2 * i
+        content_no = page_no + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {content_no} 0 R >>"
+            ).encode()
+        )
+        lines = page_text.split("\n")
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # font obj
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for idx, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % idx + body + b"\nendobj\n"
+    xref_off = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(buf)
+
+
+def is_pdf(data: bytes | None) -> bool:
+    """Magic-byte sniff — the content-trusting replacement for the reference's
+    extension allow-list (/root/reference/app/config.py:19,92-95)."""
+    return bool(data) and data[:5] == b"%PDF-"
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+# content-stream tokens we understand: x y Td|TD, (s) Tj, [(s) n (s)] TJ
+_TOK_RE = re.compile(
+    rb"(?P<td>(-?[\d.]+)\s+(-?[\d.]+)\s+T[dD])"
+    rb"|(?P<tj>\(((?:[^()\\]|\\.)*)\)\s*Tj)"
+    rb"|(?P<tja>\[((?:[^\]\\]|\\.)*)\]\s*TJ)",
+    re.S,
+)
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+
+
+def _objects(pdf: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf)}
+
+
+def page_count(pdf: bytes) -> int:
+    """U1 PDF probe: number of pages (reference analog: pdfinfo 'Pages')."""
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF")
+    objs = _objects(pdf)
+    for body in objs.values():
+        if _PAGES_TYPE_RE.search(body):
+            m = _KIDS_RE.search(body)
+            if m:
+                return len(re.findall(rb"\d+\s+0\s+R", m.group(1)))
+    # fallback: count page objects
+    return sum(1 for b in objs.values() if _PAGE_TYPE_RE.search(b))
+
+
+def extract_pages(
+    pdf: bytes, first_page: int = 1, last_page: int | None = None
+) -> list[list[Span]]:
+    """Return positioned text spans for pages [first_page, last_page] (1-based).
+
+    The page-range pushdown mirrors the reference's poppler call
+    (first_page/last_page, /root/reference/app/jobs.py:386-390) — only the
+    requested window is parsed, bounding memory exactly like its 10-page jobs.
+    """
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF")
+    objs = _objects(pdf)
+    kid_order: list[int] = []
+    for body in objs.values():
+        if _PAGES_TYPE_RE.search(body):
+            m = _KIDS_RE.search(body)
+            if m:
+                kid_order = [
+                    int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))
+                ]
+            break
+    if not kid_order:  # no page tree: take /Type /Page objects in file order
+        kid_order = sorted(
+            no for no, b in objs.items() if _PAGE_TYPE_RE.search(b)
+        )
+    if last_page is None:
+        last_page = len(kid_order)
+    pages: list[list[Span]] = []
+    for page_obj_no in kid_order[first_page - 1 : last_page]:
+        body = objs.get(page_obj_no, b"")
+        cm = _CONTENTS_RE.search(body)
+        spans: list[Span] = []
+        if cm:
+            content_body = objs.get(int(cm.group(1)), b"")
+            sm = _STREAM_RE.search(content_body)
+            if sm:
+                spans = _parse_content(sm.group(1))
+        pages.append(spans)
+    return pages
+
+
+def _parse_content(stream: bytes) -> list[Span]:
+    x = y = 0.0
+    spans: list[Span] = []
+    for m in _TOK_RE.finditer(stream):
+        if m.group("td"):
+            # Td/TD are relative moves of the text-line origin
+            x += float(m.group(2))
+            y += float(m.group(3))
+        elif m.group("tj"):
+            s = _unesc(m.group(5).decode("latin-1"))
+            spans.append(Span(x, y, s))
+        elif m.group("tja"):
+            parts = [
+                _unesc(sm.group(1).decode("latin-1"))
+                for sm in _STR_RE.finditer(m.group(7))
+            ]
+            spans.append(Span(x, y, "".join(parts)))
+    return spans
+
+
+def page_text(spans: list[Span], row_quantum: float = 4.0) -> str:
+    """Reading-order reconstruction of one page (U8 core, pure function).
+
+    Spans are grouped into rows by quantized ``y`` (PDF y grows upward, so
+    reading order is descending y), rows sorted top-to-bottom, spans within a
+    row left-to-right by ``x``; rows join with \\n, same-row spans with a space.
+    """
+    if not spans:
+        return ""
+    keyed = sorted(
+        spans, key=lambda s: (-round(s.y / row_quantum), s.x)
+    )
+    rows: list[list[Span]] = []
+    last_row_key: float | None = None
+    for s in keyed:
+        rk = round(s.y / row_quantum)
+        if last_row_key is None or rk != last_row_key:
+            rows.append([])
+            last_row_key = rk
+        rows[-1].append(s)
+    return "\n".join(" ".join(s.text for s in row) for row in rows)

@@ -1,0 +1,152 @@
+"""U7 — HTML main-content extraction (driver-mandated; absent from the
+reference, which handles PDFs/images only: /root/reference/app/config.py:19).
+
+A deterministic, pure-Python boilerplate stripper in the spirit of
+Readability / trafilatura's published heuristics: the DOM is segmented into
+text blocks; blocks under kill-list containers (nav/footer/aside/…) or with
+boilerplate-looking class/id names are dropped; surviving blocks are scored by
+text mass × (1 − link density) and kept above fixed thresholds. Whitespace is
+normalized per block (runs → single space) and blocks join with a blank line —
+the normalization contract the byte-identity goldens and DuckDB oracles rely
+on.
+
+Exposed to Spark as a vectorized ``pandas_udf`` over the ``html BINARY``
+column (Arrow batches; no per-row Python dispatch from the JVM).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# containers whose entire subtree is boilerplate
+_KILL_TAGS = frozenset(
+    "script style noscript template nav footer header aside form button svg iframe title".split()
+)
+# block-level boundaries that start a new text block
+_BLOCK_TAGS = frozenset(
+    "p div section article main h1 h2 h3 h4 h5 h6 li ul ol table tr td th "
+    "blockquote pre figure figcaption br body".split()
+)
+_BOILER_NAME_RE = re.compile(
+    r"(nav|footer|sidebar|menu|comment|advert|\bad\b|\bads\b|banner|related|"
+    r"share|social|promo|cookie|breadcrumb|widget|masthead)",
+    re.I,
+)
+_WS_RE = re.compile(r"\s+")
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 1.0 / 3.0
+MIN_HEADING_CHARS = 3
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+@dataclass
+class _Block:
+    tag: str = "p"
+    killed: bool = False
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+
+    def text(self) -> str:
+        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._kill_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._cur: _Block | None = None
+
+    def _new_block(self, tag: str) -> None:
+        self._cur = _Block(
+            tag=tag, killed=self._kill_depth > 0 or self._boiler_depth > 0
+        )
+        self.blocks.append(self._cur)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _KILL_TAGS:
+            self._kill_depth += 1
+        names = " ".join(v or "" for k, v in attrs if k in ("class", "id", "role"))
+        if _BOILER_NAME_RE.search(names):
+            self._boiler_depth += 1
+            # remember so the matching endtag decrements (approximate: track by depth)
+            self._boiler_tags = getattr(self, "_boiler_tags", [])
+            self._boiler_tags.append(tag)
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._new_block(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _KILL_TAGS and self._kill_depth > 0:
+            self._kill_depth -= 1
+        boiler_tags = getattr(self, "_boiler_tags", [])
+        if boiler_tags and boiler_tags[-1] == tag:
+            boiler_tags.pop()
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._cur = None  # close the block; next text opens an implicit one
+
+    def handle_data(self, data: str) -> None:
+        if not data.strip():
+            return
+        if self._cur is None:
+            self._new_block("p")
+        self._cur.parts.append(data)
+        if self._link_depth > 0:
+            self._cur.link_chars += len(data)
+
+
+def extract_main_text(html: bytes | str | None) -> str:
+    """Deterministic main-content extraction of one document (pure function)."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        raw = bytes(html).decode("utf-8", errors="replace")
+    else:
+        raw = html
+    parser = _Extractor()
+    try:
+        parser.feed(raw)
+        parser.close()
+    except Exception:
+        return ""
+    kept: list[str] = []
+    for blk in parser.blocks:
+        if blk.killed:
+            continue
+        text = blk.text()
+        if not text:
+            continue
+        total = len("".join(blk.parts))
+        link_density = blk.link_chars / total if total else 0.0
+        if link_density >= MAX_LINK_DENSITY:
+            continue
+        min_chars = MIN_HEADING_CHARS if blk.tag in _HEADINGS else MIN_BLOCK_CHARS
+        if len(text) < min_chars:
+            continue
+        kept.append(text)
+    return "\n\n".join(kept).strip()
+
+
+@pandas_udf(StringType())
+def extract_html_udf(html: pd.Series) -> pd.Series:
+    """Vectorized U7: html BINARY → extracted main text STRING."""
+    return html.map(extract_main_text)
+
+
+def with_extracted_html(df, html_col: str = "html", out_col: str = "extracted_text"):
+    """DataFrame helper: add the extracted-text column to HTML-routed rows."""
+    return df.withColumn(out_col, extract_html_udf(F.col(html_col)))

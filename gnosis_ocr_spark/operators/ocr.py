@@ -1,0 +1,120 @@
+"""U3/U4 — OCR inference as an iterator ``pandas_udf`` with an
+executor-singleton engine.
+
+Reference semantics being reproduced (SURVEY.md §2.8 U3): the model is loaded
+once per process (/root/reference/app/ocr_service.py:36-77), each page image
+becomes markdown-ish text (:160-215) with greedy decoding
+(``max_new_tokens=15000, do_sample=False``, :196) and a final ``.strip()``
+(:208) — the strip is replicated here because byte-identity of the final text
+depends on it.
+
+Two engines behind one seam:
+
+- :class:`DeterministicStubOCR` — CI/default engine, a pure function of the
+  PNG bytes (reads the ground-truth iTXt chunk written by the rasterizer).
+  Deterministic, GPU-free; this is what golden tests and benches run.
+- :class:`NanonetsOCR` — the real model path with the reference's exact
+  constants, import-gated on torch/transformers (absent in this container →
+  ``NotImplementedError`` at load, never at import).
+
+The UDF uses the ``Iterator[pd.Series] -> Iterator[pd.Series]`` form so the
+engine loads once per Python worker, not once per batch — the Spark analog of
+the reference's process-wide model singleton.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from gnosis_ocr_spark.functions.codec_png import decode_stub_text
+
+# exact reference constants (app/ocr_service.py:166,196) — used by NanonetsOCR
+NANONETS_MODEL_ID = "nanonets/Nanonets-OCR-s"
+NANONETS_MAX_NEW_TOKENS = 15000
+NANONETS_PROMPT = (
+    "Extract the text from the above document as if you were reading it naturally. "
+    "Return the tables in html format. Return the equations in LaTeX representation. "
+    "If there is an image in the document and image caption is not present, add a small "
+    "description of the image inside the <img></img> tag; otherwise, add the image "
+    "caption inside <img></img>. Watermarks should be wrapped in brackets. Ex: "
+    "<watermark>OFFICIAL COPY</watermark>. Page numbers should be wrapped in brackets. "
+    "Ex: <page_number>14</page_number> or <page_number>9/22</page_number>. Prefer "
+    "using ☐ and ☑ for check boxes."
+)
+
+
+class DeterministicStubOCR:
+    """Pure-function stand-in: PNG → embedded ground-truth text, stripped."""
+
+    name = "stub"
+
+    def ocr_batch(self, pngs: list[bytes | None]) -> list[str]:
+        out = []
+        for png in pngs:
+            if png is None:
+                out.append("")
+                continue
+            try:
+                out.append(decode_stub_text(bytes(png)).strip())
+            except Exception:
+                out.append("")
+        return out
+
+
+class NanonetsOCR:
+    """Real-model path; loads lazily, fails clearly when torch is absent."""
+
+    name = "nanonets"
+
+    def __init__(self) -> None:
+        try:
+            import torch  # noqa: F401
+            from transformers import (  # noqa: F401
+                AutoModelForImageTextToText,
+                AutoProcessor,
+                AutoTokenizer,
+            )
+        except ImportError as exc:  # pragma: no cover - env without torch
+            raise NotImplementedError(
+                "NanonetsOCR requires torch+transformers (not in this container); "
+                "use DeterministicStubOCR for CI. Reference semantics documented "
+                "in this module's constants."
+            ) from exc
+        raise NotImplementedError(
+            "real-model inference is environment-gated in this sandbox"
+        )
+
+    def ocr_batch(self, pngs: list[bytes | None]) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+
+_ENGINES = {"stub": DeterministicStubOCR, "nanonets": NanonetsOCR}
+_SINGLETON: object | None = None
+_SINGLETON_KIND: str | None = None
+
+
+def get_engine(kind: str = "stub"):
+    """Executor-local singleton (one engine per Python worker process)."""
+    global _SINGLETON, _SINGLETON_KIND
+    if _SINGLETON is None or _SINGLETON_KIND != kind:
+        _SINGLETON = _ENGINES[kind]()
+        _SINGLETON_KIND = kind
+    return _SINGLETON
+
+
+def make_ocr_udf(engine_kind: str = "stub"):
+    """Build the iterator-form OCR UDF bound to an engine kind."""
+
+    @pandas_udf(StringType())
+    def ocr_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        engine = get_engine(engine_kind)  # loads once per worker, not per batch
+        for pngs in batches:
+            yield pd.Series(
+                engine.ocr_batch(list(pngs)), index=pngs.index, dtype="object"
+            )
+
+    return ocr_udf

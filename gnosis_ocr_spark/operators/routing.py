@@ -1,0 +1,34 @@
+"""P2 — content-type routing on magic bytes.
+
+The reference routes by file extension (client: /root/reference/app/static/
+js/app.js:354-359; server allow-list: /root/reference/app/config.py:19,92-95).
+At web scale extensions lie, so we sniff content: ``%PDF-`` magic → PDF path,
+empty/null → empty path, everything else → HTML path. Pure Column
+expressions — stays inside whole-stage codegen, no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUTE_PDF = "pdf"
+ROUTE_HTML = "html"
+ROUTE_EMPTY = "empty"
+
+_PDF_MAGIC = b"%PDF-"
+
+
+def is_pdf_col(html: Column) -> Column:
+    return F.substring(html, 1, 5) == F.lit(_PDF_MAGIC)
+
+
+def route_col(html: Column) -> Column:
+    return (
+        F.when(html.isNull() | (F.length(html) == 0), F.lit(ROUTE_EMPTY))
+        .when(is_pdf_col(html), F.lit(ROUTE_PDF))
+        .otherwise(F.lit(ROUTE_HTML))
+    )
+
+
+def with_route(df: DataFrame, html_col: str = "html", out_col: str = "route") -> DataFrame:
+    return df.withColumn(out_col, route_col(F.col(html_col)))
