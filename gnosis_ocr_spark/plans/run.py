@@ -1,0 +1,147 @@
+"""Run orchestration: checkpointed idempotent resume + per-partition lineage.
+
+Spark restatement of the reference's restart-safety design (SURVEY.md §2.9):
+
+- the reference rebuilds status from the files themselves
+  (/root/reference/app/jobs.py:204-271) and chains continuation jobs every
+  10/5 pages (:349-356, :502-513); Cloud Tasks redelivers on failure
+  (/root/reference/app/main.py:366-370). The durable source of truth is
+  *what has been written*.
+- here: results append keyed ``(url, run_id)``; a ``done_manifest`` table
+  records finished urls; **resume = input LEFT ANTI JOIN done_manifest on
+  url** (the J2 missing-set pattern, reference analog
+  /root/reference/app/uploader.py:76-96). Re-running a completed run is a
+  no-op; a killed run re-processes only unfinished urls. Replayed tasks
+  cannot duplicate final state because the canonical view dedups on
+  (url, latest run) — at-least-once execution, exactly-once table semantics.
+- per-partition lineage + metrics (north rule): each task appends one row
+  (run_id, partition_id, url_count, page_count, char_count, elapsed_sec,
+  docs_per_sec, pages_per_sec) — the analog of the reference's per-page
+  status writes, but O(partitions) not O(pages).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.plans.pipeline import extract_corpus
+from gnosis_ocr_spark.sources import tables
+
+MANIFEST_SCHEMA = "run_id string, url string, status string, finished_at timestamp"
+METRICS_SCHEMA = (
+    "run_id string, partition_id int, url_count long, page_count long, "
+    "char_count long, elapsed_sec double, docs_per_sec double, "
+    "pages_per_sec double"
+)
+RESULTS_SCHEMA = (
+    "url string, extracted_text string, n_pages int, route string, run_id string"
+)
+
+
+def _with_partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
+    """Compute per-partition metrics in the same pass as the results
+    (mapInPandas with TaskContext), returning results + a metrics row tag."""
+    schema = (
+        "url string, extracted_text string, n_pages int, route string, "
+        "partition_id int, elapsed_sec double"
+    )
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        start = time.monotonic()
+        for b in batches:
+            b = b.copy()
+            b["partition_id"] = pid
+            b["elapsed_sec"] = time.monotonic() - start
+            yield b
+
+    return result.mapInPandas(tag, schema=schema)
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    ocr_engine: str = "stub",
+    resume: bool = True,
+) -> dict[str, int]:
+    """Execute one (resumable) extraction run.
+
+    Writes three tables under ``out_dir``: ``results/`` (keyed url+run_id),
+    ``done_manifest/``, ``metrics/``. Returns row counts for observability.
+    """
+    results_path = f"{out_dir}/results"
+    manifest_path = f"{out_dir}/done_manifest"
+    metrics_path = f"{out_dir}/metrics"
+
+    todo = docs
+    if resume:
+        done = tables.read_or_empty(spark, manifest_path, MANIFEST_SCHEMA).select("url")
+        # J2 anti-join: only unfinished urls are re-processed
+        todo = docs.join(done, "url", "left_anti")
+
+    n_todo = todo.count()
+    if n_todo == 0:
+        return {"processed": 0, "skipped_done": docs.count()}
+
+    tagged = _with_partition_metrics(extract_corpus(todo, ocr_engine=ocr_engine), run_id)
+    tagged = tagged.persist()
+    try:
+        results = tagged.select(
+            "url", "extracted_text", "n_pages", "route", F.lit(run_id).alias("run_id")
+        )
+        tables.append(results, results_path)
+
+        metrics = tagged.groupBy("partition_id").agg(
+            F.count("*").alias("url_count"),
+            F.sum("n_pages").alias("page_count"),
+            F.sum(F.length("extracted_text")).alias("char_count"),
+            F.max("elapsed_sec").alias("elapsed_sec"),
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.col("url_count").cast("long"),
+            F.col("page_count").cast("long"),
+            F.col("char_count").cast("long"),
+            "elapsed_sec",
+            (F.col("url_count") / F.greatest(F.col("elapsed_sec"), F.lit(1e-9))).alias(
+                "docs_per_sec"
+            ),
+            (F.col("page_count") / F.greatest(F.col("elapsed_sec"), F.lit(1e-9))).alias(
+                "pages_per_sec"
+            ),
+        )
+        tables.append(metrics, metrics_path)
+
+        manifest = tagged.select(
+            F.lit(run_id).alias("run_id"),
+            "url",
+            F.lit("complete").alias("status"),
+            F.current_timestamp().alias("finished_at"),
+        )
+        tables.append(manifest, manifest_path)
+    finally:
+        tagged.unpersist()
+    return {"processed": n_todo, "skipped_done": 0}
+
+
+def canonical_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest-wins view over possibly-replayed appends (A8 pattern):
+    exactly one row per url even after retries/overlapping runs."""
+    from pyspark.sql.window import Window
+
+    raw = tables.read_or_empty(spark, f"{out_dir}/results", RESULTS_SCHEMA)
+    w = Window.partitionBy("url").orderBy(F.desc("run_id"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

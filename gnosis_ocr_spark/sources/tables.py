@@ -1,0 +1,63 @@
+"""Table IO behind one seam (SURVEY.md §7 "hard part" (5)).
+
+The production design targets Iceberg (``spark.read.format("iceberg")``,
+``df.writeTo(tbl).append()``) — snapshot isolation makes the reference's GCS
+read-after-write retry loop (/root/reference/app/storage_service.py:485-506)
+moot. This container has no Iceberg catalog, so the same API runs on parquet
+paths; swapping the backend touches only this module.
+
+Replaces the reference's blob store verbs (SURVEY.md §2.1 S1–S9):
+get→read_table, put→append/overwrite, list→the manifest tables themselves,
+recursive delete→delete_run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S1 scan: the input corpus table. Columns per input_hint; parquet scan
+    gets predicate pushdown + column pruning from Catalyst for free."""
+    return spark.read.parquet(path)
+
+
+def append(df: DataFrame, path: str) -> None:
+    """S2 sink, append mode (Iceberg: writeTo(...).append())."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a manifest/metrics table that may not exist yet."""
+    if _exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema=schema)
+
+
+def delete_run(spark: SparkSession, path: str, run_id: str, schema: str) -> None:
+    """S6 drop-namespace analog: remove one run's rows (Iceberg: DELETE FROM
+    tbl WHERE run_id = ...). Parquet fallback rewrites the table."""
+    if not _exists(path):
+        return
+    remaining = spark.read.schema(schema).parquet(path).filter(
+        F.col("run_id") != run_id
+    )
+    tmp = path.rstrip("/") + ".tmp"
+    remaining.write.mode("overwrite").parquet(tmp)
+    spark.read.schema(schema).parquet(tmp).write.mode("overwrite").parquet(path)
+
+
+def _exists(path: str) -> bool:
+    if "://" in path:  # non-local FS: let spark try
+        return True
+    return os.path.exists(path) and any(
+        name.endswith(".parquet") or name == "_SUCCESS"
+        for name in os.listdir(path)
+    )

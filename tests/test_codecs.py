@@ -1,0 +1,77 @@
+"""Unit tests for the stdlib PDF/PNG codecs (pure functions, no Spark)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gnosis_ocr_spark.functions import codec_pdf as P
+from gnosis_ocr_spark.functions import codec_png as G
+
+printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=80
+)
+
+
+@given(st.lists(printable, min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_pdf_roundtrip_property(lines_per_page):
+    pages = ["\n".join([line]) for line in lines_per_page]
+    pdf = P.build_pdf(pages)
+    assert P.is_pdf(pdf)
+    assert P.page_count(pdf) == len(pages)
+    got = [P.page_text(pg) for pg in P.extract_pages(pdf)]
+    # page_text collapses a row's spans with single spaces; our writer puts one
+    # span per line, so the roundtrip is exact
+    assert got == pages
+
+
+def test_pdf_multiline_and_escapes():
+    pages = ["a(b)c \\ d\nsecond (line)", "page2\nwith\nthree lines"]
+    pdf = P.build_pdf(pages)
+    got = ["\n".join(s.text for s in pg) for pg in P.extract_pages(pdf)]
+    assert got == pages
+
+
+def test_pdf_page_range_pushdown():
+    pdf = P.build_pdf([f"page {i}" for i in range(1, 8)])
+    window = P.extract_pages(pdf, first_page=3, last_page=5)
+    assert [P.page_text(pg) for pg in window] == ["page 3", "page 4", "page 5"]
+
+
+def test_pdf_rejects_garbage():
+    for bad in (b"", b"hello", b"%PDF-1.4\ntruncated"):
+        if bad[:5] == b"%PDF-":
+            assert P.page_count(bad) == 0
+        else:
+            try:
+                P.page_count(bad)
+                raised = False
+            except ValueError:
+                raised = True
+            assert raised
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_png_text_roundtrip_property(text):
+    png = G.encode_page_png(text)
+    assert G.decode_stub_text(png) == text
+    w, h = G.decode_dimensions(png)
+    assert len(G.decode_pixels(png)) == w * h
+
+
+def test_png_pixels_differ_by_text():
+    a = G.decode_pixels(G.encode_page_png("alpha"))
+    b = G.decode_pixels(G.encode_page_png("beta"))
+    assert a != b
+
+
+def test_reading_order_reconstruction():
+    spans = [
+        P.Span(300, 700, "right-top"),
+        P.Span(72, 700, "left-top"),
+        P.Span(72, 650, "second-row"),
+        P.Span(72, 600, "third-row"),
+    ]
+    assert P.page_text(spans) == "left-top right-top\nsecond-row\nthird-row"

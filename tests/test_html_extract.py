@@ -1,0 +1,76 @@
+"""Unit tests for the U7 boilerplate stripper (pure function + UDF contract)."""
+
+from __future__ import annotations
+
+from gnosis_ocr_spark.operators.html_extract import extract_main_text
+
+ARTICLE = (
+    "<html><head><title>t</title></head><body>"
+    "<nav><a href='/x'>Home</a><a href='/y'>About</a></nav>"
+    "<article><h1>Headline Here</h1>"
+    "<p>This is the first real paragraph with enough characters to keep.</p>"
+    "<p>And a second paragraph, also comfortably above the length floor.</p>"
+    "</article>"
+    "<footer><p>copyright 2020 long enough footer text to test kill list</p></footer>"
+    "</body></html>"
+)
+
+
+def test_keeps_main_drops_boilerplate():
+    got = extract_main_text(ARTICLE.encode())
+    assert got == (
+        "Headline Here\n\n"
+        "This is the first real paragraph with enough characters to keep.\n\n"
+        "And a second paragraph, also comfortably above the length floor."
+    )
+
+
+def test_drops_high_link_density_blocks():
+    html = (
+        "<body><p>A real paragraph that is long enough to clear the floor.</p>"
+        "<ul><li><a href='/a'>related story one with lots of text</a></li>"
+        "<li><a href='/b'>related story two with lots of text</a></li></ul></body>"
+    )
+    assert extract_main_text(html) == (
+        "A real paragraph that is long enough to clear the floor."
+    )
+
+
+def test_drops_boilerplate_class_names():
+    html = (
+        "<body><div class='sidebar'><p>sidebar text long enough to matter here</p></div>"
+        "<div id='main'><p>kept paragraph body long enough to clear the floor.</p></div>"
+        "<div class='ad-banner'><p>advertisement body long enough to be dropped</p></div>"
+        "</body>"
+    )
+    assert extract_main_text(html) == (
+        "kept paragraph body long enough to clear the floor."
+    )
+
+
+def test_whitespace_normalization():
+    html = "<body><p>  spaced   \n\t out   words align to single   spaces now ok </p></body>"
+    assert extract_main_text(html) == "spaced out words align to single spaces now ok"
+
+
+def test_entities_decoded():
+    html = "<body><p>fish &amp; chips cost &lt;5 euros which is rather cheap</p></body>"
+    assert extract_main_text(html) == "fish & chips cost <5 euros which is rather cheap"
+
+
+def test_short_blocks_dropped_headings_kept():
+    html = "<body><h2>Hi there</h2><p>tiny</p><p>long enough paragraph to be kept by scoring</p></body>"
+    assert extract_main_text(html) == (
+        "Hi there\n\nlong enough paragraph to be kept by scoring"
+    )
+
+
+def test_degenerate_inputs():
+    assert extract_main_text(None) == ""
+    assert extract_main_text(b"") == ""
+    assert extract_main_text(b"\xff\xfe<body><p>valid part long enough to keep around</p></body>") == (
+        "valid part long enough to keep around"
+    )
+    assert extract_main_text(b"just plain text that is long enough to keep here") == (
+        "just plain text that is long enough to keep here"
+    )

@@ -1,0 +1,113 @@
+"""Spark-level unit tests: routing, PDF probe/split, OCR UDF, span assembly,
+salted skew repartition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.codec_pdf import build_pdf
+from gnosis_ocr_spark.functions.codec_png import encode_page_png
+from gnosis_ocr_spark.operators.layout import assemble_documents, assemble_spans
+from gnosis_ocr_spark.operators.ocr import make_ocr_udf
+from gnosis_ocr_spark.operators.pdf_split import pdf_page_count_udf, split_pdf_pages
+from gnosis_ocr_spark.operators.routing import with_route
+from gnosis_ocr_spark.operators.skew import salted_repartition
+
+
+def test_routing_trusts_magic_bytes(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", bytearray(b"%PDF-1.4 stuff")),
+            ("u2", bytearray(b"<html><body>x</body></html>")),
+            ("u3", bytearray(b"")),
+            ("u4", None),
+            ("u5.pdf", bytearray(b"<html>lies</html>")),  # extension lies
+        ],
+        schema="url string, html binary",
+    )
+    routes = dict(with_route(df).select("url", "route").collect())
+    assert routes == {"u1": "pdf", "u2": "html", "u3": "empty", "u4": "empty", "u5.pdf": "html"}
+
+
+def test_pdf_probe_udf(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(build_pdf(["x", "y", "z"]))),
+            ("b", bytearray(b"%PDF-1.4\nbroken")),
+        ],
+        schema="url string, html binary",
+    )
+    got = dict(
+        df.select("url", pdf_page_count_udf("html").alias("n")).collect()
+    )
+    assert got["a"] == 3
+    assert got["b"] == 0  # parseable header, zero page objects
+
+
+def test_split_emits_sentinel_for_garbage(spark):
+    df = spark.createDataFrame(
+        [("ok", bytearray(build_pdf(["p1", "p2"]))), ("bad", bytearray(b"%PDF-oops"))],
+        schema="url string, html binary",
+    )
+    pages = split_pdf_pages(df).collect()
+    by_url = {}
+    for r in pages:
+        by_url.setdefault(r["url"], []).append(r)
+    assert sorted(r["page_no"] for r in by_url["ok"]) == [1, 2]
+    assert [r["page_no"] for r in by_url["bad"]] == [None]
+    assert by_url["bad"][0]["png"] is None
+
+
+def test_ocr_stub_udf_strips(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_page_png("  hello  "))), (2, None)],
+        schema="id int, png binary",
+    )
+    got = dict(df.select("id", make_ocr_udf("stub")("png").alias("t")).collect())
+    assert got[1] == "hello"  # final .strip() per reference ocr_service.py:208
+    assert got[2] == ""
+
+
+def test_assembly_orders_pages_and_counts(spark):
+    df = spark.createDataFrame(
+        [("u", 2, "second"), ("u", 1, "first"), ("u", 3, "third"), ("v", None, "")],
+        schema="url string, page_no int, page_text string",
+    )
+    got = {
+        r["url"]: (r["extracted_text"], r["n_pages"])
+        for r in assemble_documents(df).collect()
+    }
+    assert got["u"] == ("first\n\nsecond\n\nthird", 3)
+    assert got["v"] == ("", 0)
+
+
+def test_span_assembly_reading_order(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", 1, 300.0, 700.0, "right"),
+            ("u", 1, 72.0, 700.0, "left"),
+            ("u", 1, 72.0, 650.0, "row2"),
+            ("u", 2, 72.0, 720.0, "pagetwo"),
+        ],
+        schema="url string, page_no int, x double, y double, span_text string",
+    )
+    row = assemble_spans(df).collect()[0]
+    assert row["extracted_text"] == "left right\nrow2\n\npagetwo"
+    assert row["n_pages"] == 2
+
+
+def test_salted_repartition_spreads_large_docs(spark):
+    # 8 giant docs with identical size + 80 small ones; salt must spread the
+    # giants over multiple partitions even though they share a size bucket
+    rows = [(f"big{i}", bytearray(b"%PDF-" + b"x" * 100_000)) for i in range(8)]
+    rows += [(f"small{i}", bytearray(b"<html>y</html>")) for i in range(80)]
+    df = spark.createDataFrame(rows, schema="url string, html binary")
+    parts = (
+        salted_repartition(df, num_partitions=8)
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("url").startswith("big"))
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 3
