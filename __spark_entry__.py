@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction end-to-end on sf0.001;
+``queries``/``oracle_sql`` expose every SQL-expressible operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
+multimodal plumbing) with value-identical DuckDB oracles. Implementations
+live in ``gnosis_ocr_spark.plans.driver_queries``.
 """
 
 from __future__ import annotations
@@ -15,24 +15,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (route → HTML strip ∪ PDF split →
+    stub OCR → assembly) over a corpus derived from sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.plans.driver_queries import q_html_extract, q_pdf_extract
+
+    sf_dir = "/root/testdata/sf0.001"
+    html = q_html_extract(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        "extracted_text",
+        F.lit(1).alias("n_pages"),
+        F.lit("html").alias("route"),
+    )
+    pdf = q_pdf_extract(spark, sf_dir).select(
+        "url", "extracted_text", "n_pages", F.lit("pdf").alias("route")
+    )
+    return html.unionByName(pdf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gnosis_ocr_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gnosis_ocr_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Workloads:
+- extract_pipeline: the flagship end-to-end extraction (route → HTML strip ∪
+  PDF split → stub OCR → assembly) over a deterministic synthetic corpus
+  sized by sf (includes 5% multi-hundred-page skew PDFs — the straggler test).
+- extract_docs_per_sec / extract_pages_per_sec are derived throughputs
+  (BASELINE.md target metric).
+- tpch_q1/q3/q5/q10, dedup + similarity + text queries from the driver
+  contract at the same sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.corpus import corpus_df, generate_rows
+    from gnosis_ocr_spark.plans.driver_queries import QUERIES
+    from gnosis_ocr_spark.plans.pipeline import extract_corpus
+    from gnosis_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gnosis-ocr-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- extraction pipeline over synthetic corpus (sized by sf)
+    n_docs = max(200, int(sf * 20_000))
+    rows = generate_rows(n_docs)  # generated once, outside the timed region
+    n_pages_total = sum(r.n_pages for r in rows)
+    docs = corpus_df(spark, n=n_docs, num_partitions=max(cpus * 2, 8))
+    docs = docs.persist()
+    docs.count()  # materialize input before timing
+
+    t0 = time.monotonic()
+    result = extract_corpus(docs, pdf_partitions=cpus * 2)
+    out = result.agg(
+        F.count("*").alias("docs"), F.sum("n_pages").alias("pages")
+    ).collect()[0]
+    t_extract = time.monotonic() - t0
+    assert out["docs"] == n_docs, (out["docs"], n_docs)
+    timings["extract_pipeline"] = round(t_extract, 3)
+    docs.unpersist()
+
+    # ---- driver-contract headline queries on the sf dir
+    bench_queries = [
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
+        "dedup_exact", "minhash_lsh", "simhash_dedup",
+        "cosine_topk", "text_stats", "quality",
+        "html_extract", "pdf_extract",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extract_docs_per_sec": round(n_docs / t_extract, 2),
+                "extract_pages_per_sec": round(n_pages_total / t_extract, 2),
+                "extract_n_docs": n_docs,
+                "extract_n_pages": int(n_pages_total),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

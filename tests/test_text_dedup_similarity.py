@@ -1,0 +1,160 @@
+"""Training-data pipeline ops: text analysis, dedup families, ANN search."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from gnosis_ocr_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_duplicates,
+    lsh_cosine_topk,
+)
+from gnosis_ocr_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = _docs(spark, [(1, "  Hello   world  "), (2, ""), (3, "a b c")])
+    got = {
+        r["doc_id"]: (r["tc"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("tc"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert got[1][0] == 2 and got[2][0] == 0 and got[3][0] == 3
+    # fingerprint normalizes case+whitespace
+    df2 = _docs(spark, [(1, "hello world"), (2, "HELLO   WORLD")])
+    fps = [r["fp"] for r in df2.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_bpe_ish_count(spark):
+    df = _docs(spark, [(1, "hello, world 42")])
+    got = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # hell, o, ',', worl, d, 4, 2 → 7 pieces
+    assert got == 7
+
+
+def test_lang_id(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is happy"),
+            (2, "der hund und die katze ist da"),
+            (3, "le chat et la souris est ici"),
+            (4, "xyzzy plugh"),
+        ],
+    )
+    got = dict(df.select("doc_id", lang_id(F.col("text")).alias("l")).collect())
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_metrics(spark):
+    df = _docs(spark, [(1, "Good text, clean and readable.")])
+    row = df.select("doc_id", *quality_metrics(F.col("text")),
+                    stopword_ratio(F.col("text")).alias("sw")).collect()[0]
+    assert row["n_chars"] == 30
+    assert row["n_tokens"] == 5
+    assert 0 < row["alpha_ratio"] < 1
+    assert row["punct_ratio"] > 0
+    assert row["sw"] == 0.2  # 'and' of 5 tokens
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, [(1, "same text"), (2, "Same   TEXT"), (3, "other")])
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in exact_duplicates(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden all afternoon long"
+)
+
+
+def test_minhash_near_duplicates(spark):
+    near = BASE.replace("warm", "cold")
+    far = "completely different content about spark query optimization and shuffles everywhere"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    pairs = {(r["a"], r["b"]) for r in minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    near = BASE.replace("warm", "cold")
+    far = "completely different content about spark query optimization and shuffles everywhere"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert len(set(sigs.values())) == 3
+    pairs = {(r["a"], r["b"]) for r in simhash_near_duplicates(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = _docs(spark, [(1, BASE), (2, BASE.replace("warm", "cold")), (3, "zz qq totally else")])
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.8
+
+
+def _vec(i, dim=8):
+    # unit-ish deterministic vectors; vec 0 and 1 nearly parallel
+    base = [math.sin(0.5 * d + i * 0.02) for d in range(dim)]
+    return [float(x) for x in base]
+
+
+def test_cosine_topk_bruteforce(spark):
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(50)], schema="vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, _vec(0))], schema="query_id long, embedding array<float>"
+    )
+    got = cosine_topk_bruteforce(corpus, queries, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got][0] == 0  # self is nearest
+    assert got[0]["cos"] == 1.0
+    assert len(got) == 3
+
+
+def test_lsh_topk_agrees_on_self(spark):
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(50)], schema="vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(25))], schema="query_id long, embedding array<float>"
+    )
+    got = lsh_cosine_topk(corpus, queries, k=3, dim=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert min(r["rank"] for r in by_q[0]) == 1
+    top0 = [r for r in by_q[0] if r["rank"] == 1][0]
+    assert top0["vec_id"] == 0 and top0["cos"] == 1.0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [(i, _vec(i)) for i in range(10)] + [(100, _vec(0))]  # 100 dups 0
+    corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["cos"] for r in embedding_near_duplicates(corpus, dim=8).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
