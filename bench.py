@@ -43,25 +43,68 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # ---- extraction pipeline over synthetic corpus (sized by sf)
-    n_docs = max(200, int(sf * 20_000))
-    rows = generate_rows(n_docs)  # generated once, outside the timed region
+    # ---- extraction pipeline over synthetic corpus (sized by sf).
+    # The corpus is materialized to parquet OUTSIDE the timed region (and
+    # reused across bench levels) so the measurement is a real distributed
+    # scan → extract → aggregate, not driver-side serialization.
+    n_docs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(200, int(sf * 20_000)))
+    )
+    rows = generate_rows(n_docs)
     n_pages_total = sum(r.n_pages for r in rows)
-    docs = corpus_df(spark, n=n_docs, num_partitions=max(cpus * 2, 8))
-    docs = docs.persist()
-    docs.count()  # materialize input before timing
+    corpus_dir = os.environ.get(
+        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/gnosis_bench_corpus_n{n_docs}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        corpus_df(spark, n=n_docs, num_partitions=max(cpus * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
 
     t0 = time.monotonic()
-    result = extract_corpus(docs, pdf_partitions=cpus * 2)
+    docs = spark.read.parquet(corpus_dir)
+    # raster spec (e.g. dpi150 in the scaling bench) applies to the pipeline
+    # measurement only; the driver-contract queries below use the default
+    result = extract_corpus(
+        docs,
+        pdf_partitions=cpus * 2,
+        raster=os.environ.get("SPARK_GRAFT_RASTER"),
+        ocr_engine=os.environ.get("SPARK_GRAFT_OCR_ENGINE", "stub"),
+    )
+    # sum(length(extracted_text)) forces the raster/OCR UDFs to execute —
+    # an agg on count/n_pages alone lets Catalyst prune the text column and
+    # with it the whole OCR stage (measured plans confirmed this)
     out = result.agg(
-        F.count("*").alias("docs"), F.sum("n_pages").alias("pages")
+        F.count("*").alias("docs"),
+        F.sum("n_pages").alias("pages"),
+        F.sum(F.length("extracted_text")).alias("chars"),
     ).collect()[0]
+    assert out["chars"] > 0
     t_extract = time.monotonic() - t0
     assert out["docs"] == n_docs, (out["docs"], n_docs)
     timings["extract_pipeline"] = round(t_extract, 3)
-    docs.unpersist()
 
     # ---- driver-contract headline queries on the sf dir
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "total_bench_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "cpus": cpus,
+                    "extract_docs_per_sec": round(n_docs / t_extract, 2),
+                    "extract_pages_per_sec": round(n_pages_total / t_extract, 2),
+                    "extract_n_docs": n_docs,
+                    "extract_n_pages": int(n_pages_total),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     bench_queries = [
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
         "dedup_exact", "minhash_lsh", "simhash_dedup",

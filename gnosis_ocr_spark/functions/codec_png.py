@@ -28,28 +28,59 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+# dpi=150 US-letter raster dimensions — the reference's poppler output shape
+# (/root/reference/app/jobs.py:386-390, dpi=150, fmt='PNG')
+DPI150_SIZE = (1275, 1650)
+
+
+def _pixels(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic grayscale pixels as filter-0 scanlines (numpy-vectorized;
+    pure-Python fallback keeps the codec stdlib-only)."""
+    seed = zlib.crc32(payload)
+    try:
+        import numpy as np
+
+        # low-byte identity: (seed ^ (31x+17y) ^ pat) & 0xFF works entirely in
+        # uint8/uint16 — avoids width*height int64 temporaries (the naive
+        # formulation is memory-bandwidth-bound and kills multi-core scaling)
+        x31 = (np.arange(width, dtype=np.uint16) * 31) & 0xFF
+        y17 = (np.arange(height, dtype=np.uint16) * 17) & 0xFF
+        grid = ((y17[:, None] + x31[None, :]) & 0xFF).astype(np.uint8)
+        grid ^= np.uint8(seed & 0xFF)
+        if payload:
+            pat = np.frombuffer(payload, dtype=np.uint8)
+            n = width * height
+            tiled = np.tile(pat, n // len(pat) + 1)[:n].reshape(height, width)
+            grid ^= tiled
+        rows = np.zeros((height, width + 1), dtype=np.uint8)
+        rows[:, 1:] = grid  # column 0 = filter type 0 (None)
+        return rows.tobytes()
+    except ImportError:  # pragma: no cover - numpy is in this container
+        rows = bytearray()
+        for y in range(height):
+            rows.append(0)
+            for x in range(width):
+                b = payload[(x + y * width) % len(payload)] if payload else 0
+                rows.append((seed ^ (x * 31 + y * 17) ^ b) & 0xFF)
+        return bytes(rows)
+
+
 def encode_page_png(text: str, width: int = 64, height: int = 64) -> bytes:
     """Render ``text`` to a deterministic grayscale PNG.
 
     Pixels are a seeded pattern of the text bytes (so distinct pages get
     distinct images); the exact text rides along in an iTXt chunk (UTF-8 per
-    the PNG spec — tEXt is Latin-1 only).
+    the PNG spec — tEXt is Latin-1 only). Pass ``width/height = DPI150_SIZE``
+    to produce pages with the reference's real raster cost/shape.
     """
     payload = text.encode("utf-8")
-    seed = zlib.crc32(payload)
-    rows = bytearray()
-    for y in range(height):
-        rows.append(0)  # filter type 0 (None)
-        for x in range(width):
-            b = payload[(x + y * width) % len(payload)] if payload else 0
-            rows.append((seed ^ (x * 31 + y * 17) ^ b) & 0xFF)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
     itxt = _KEYWORD + b"\x00" + b"\x00\x00" + b"\x00" + b"\x00" + payload
     return (
         _MAGIC
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"iTXt", itxt)
-        + _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + _chunk(b"IDAT", zlib.compress(_pixels(payload, width, height), 6))
         + _chunk(b"IEND", b"")
     )
 

@@ -65,6 +65,38 @@ class DeterministicStubOCR:
         return out
 
 
+class ComputeCalibratedStubOCR(DeterministicStubOCR):
+    """Stub with calibrated CPU cost per page — the scaling-evidence engine.
+
+    Identical output to :class:`DeterministicStubOCR`; additionally burns a
+    deterministic sha256 chain per page (default ~30 ms) so the OCR stage's
+    cost profile is compute-bound like real model inference (the reference
+    spends 5–20 s/page on GPU — see BASELINE.md). This exists ONLY to make
+    scaling measurements reflect the deployed regime; throughput numbers from
+    this engine are labeled as such, never presented as stub throughput.
+    Iterations: $SPARK_GRAFT_OCR_ITERS (0 disables the burn).
+    """
+
+    name = "stub_compute"
+
+    def __init__(self) -> None:
+        import os
+
+        self.iters = int(os.environ.get("SPARK_GRAFT_OCR_ITERS", "60000"))
+
+    def ocr_batch(self, pngs: list[bytes | None]) -> list[str]:
+        import hashlib
+
+        out = super().ocr_batch(pngs)
+        for png in pngs:
+            if png is None:
+                continue
+            h = bytes(png[:64])
+            for _ in range(self.iters):
+                h = hashlib.sha256(h).digest()
+        return out
+
+
 class NanonetsOCR:
     """Real-model path; loads lazily, fails clearly when torch is absent."""
 
@@ -92,7 +124,11 @@ class NanonetsOCR:
         raise NotImplementedError
 
 
-_ENGINES = {"stub": DeterministicStubOCR, "nanonets": NanonetsOCR}
+_ENGINES = {
+    "stub": DeterministicStubOCR,
+    "stub_compute": ComputeCalibratedStubOCR,
+    "nanonets": NanonetsOCR,
+}
 _SINGLETON: object | None = None
 _SINGLETON_KIND: str | None = None
 

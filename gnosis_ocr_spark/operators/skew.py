@@ -30,8 +30,12 @@ def salted_repartition(
     num_partitions: int | None = None,
     html_col: str = "html",
     url_col: str = "url",
-    salt_factor: int = 16,
+    salt_factor: int | None = None,
 ) -> DataFrame:
+    # salt cardinality must be ≥ the partition count, or a single hot size
+    # bucket (e.g. the giant-PDF bucket) can only reach salt_factor partitions
+    if salt_factor is None:
+        salt_factor = max(64, 4 * (num_partitions or 0))
     bucket = size_bucket_col(html_col)
     salt = (F.crc32(F.col(url_col).cast("string")) % salt_factor).alias("salt")
     if num_partitions:

@@ -135,9 +135,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _norm(F.col("text")).alias("norm")
     )
-    docs = docs.filter(F.length("norm") >= 120)
+    # small parquet inputs arrive as one split; spread before the per-doc
+    # build/split/raster work so the flat-map parallelizes
+    docs = docs.filter(F.length("norm") >= 120).repartition(32)
     pdfs = docs.mapInPandas(_build_pdf_batches, schema="url string, html binary")
-    pages = split_pdf_pages(pdfs)
+    # raster pinned so driver correctness runs are environment-independent
+    pages = split_pdf_pages(pdfs, raster="64x64")
     page_texts = pages.withColumn("page_text", make_ocr_udf("stub")(F.col("png")))
     return assemble_documents(page_texts.select("url", "page_no", "page_text"))
 

@@ -1,18 +1,31 @@
 """The end-to-end extraction plan (SURVEY.md §7 phases 1–4 composed).
 
     documents (url, warc_ts, html, text, lang)
-      ├─ route on magic bytes (P2, pure Column exprs)
-      ├─ HTML branch: vectorized boilerplate strip (U7)        — narrow, no shuffle
-      ├─ PDF branch : salted repartition (skew) → mapInPandas
-      │               page split+raster (U1/U2) → iterator-UDF
-      │               OCR (U3) → sort-aggregate assembly (A6/U8) — ONE shuffle
-      ├─ empty branch: '' / 0 pages                             — narrow
-      └─ unionByName (SO2) → (url, extracted_text, n_pages, route)
+      ├─ non-PDF branch (ONE scan): route on magic bytes → HTML rows get the
+      │    vectorized boilerplate strip (U7), empty rows get ('' , 0)
+      │    — narrow end-to-end, zero shuffles
+      └─ PDF branch (second scan): salted repartition (skew) → mapInPandas
+           page split (U2 parse, cheap) → page-level respread →
+           rasterize UDF (heavy) → iterator-UDF OCR (U3) →
+           sort-aggregate assembly (A6/U8)
+      unionByName (SO2) → (url, extracted_text, n_pages, route)
 
-Shuffle census at scale: the HTML and empty branches are shuffle-free end to
-end; the PDF branch shuffles exactly twice (the salted repartition that fixes
-page-count skew, then the groupBy(url) assembly). Nothing else moves data.
-The union is plan-level only (no exchange).
+Shuffle census at scale: non-PDF branch 0 exchanges; PDF branch 3 (salted
+repartition, page respread, groupBy(url) assembly) — or 2 with
+``page_level_parallelism=False``. The input is scanned twice, both scans
+column-pruned to (url, html); on an Iceberg deployment, partitioning the
+table by a routed flag at ingest lets each branch prune to its own
+partitions instead.
+
+Straggler control (north rule): the salted size-bucket repartition spreads
+*documents* for the cheap parse stage; the page-level respread (default ON)
+then spreads the HEAVY per-page work — rasterization (~100 ms/page at
+dpi=150) and OCR (seconds/page with the real model) — so one 500-page PDF
+fans out across the cluster instead of pinning a task, and the assembly
+groupBy brings pages back together. This is the Spark restatement of the
+reference's 10-page/5-page continuation windows
+(/root/reference/app/jobs.py:378,435), where each continuation job re-reads
+the PDF and processes only its window.
 """
 
 from __future__ import annotations
@@ -22,14 +35,11 @@ from pyspark.sql import functions as F
 
 from gnosis_ocr_spark.operators.html_extract import extract_html_udf
 from gnosis_ocr_spark.operators.layout import assemble_documents
-from gnosis_ocr_spark.operators.ocr import make_ocr_udf
-from gnosis_ocr_spark.operators.pdf_split import split_pdf_pages
-from gnosis_ocr_spark.operators.routing import (
-    ROUTE_EMPTY,
-    ROUTE_HTML,
-    ROUTE_PDF,
-    with_route,
+from gnosis_ocr_spark.operators.pdf_split import (
+    raster_ocr_pages,
+    split_pdf_text_pages,
 )
+from gnosis_ocr_spark.operators.routing import ROUTE_HTML, ROUTE_PDF, with_route
 from gnosis_ocr_spark.operators.skew import salted_repartition
 
 RESULT_COLS = ["url", "extracted_text", "n_pages", "route"]
@@ -39,37 +49,47 @@ def extract_corpus(
     docs: DataFrame,
     ocr_engine: str = "stub",
     pdf_partitions: int | None = None,
+    page_level_parallelism: bool = True,
+    raster: str | None = None,
 ) -> DataFrame:
     """documents → (url, extracted_text, n_pages, route).
 
-    ``pdf_partitions`` sizes the salted PDF repartition; default leaves it to
-    spark.sql.shuffle.partitions (AQE coalesces small outputs).
+    ``pdf_partitions`` sizes the salted PDF repartition (default:
+    spark.sql.shuffle.partitions; AQE coalesces small outputs).
+    ``page_level_parallelism`` spreads per-page raster/OCR cost across the
+    cluster (see module docstring); turn off only for tiny corpora where the
+    extra exchange outweighs the per-page work.
     """
+
     routed = with_route(docs)
 
-    html_branch = (
-        routed.filter(F.col("route") == ROUTE_HTML)
-        .select(
-            "url",
-            extract_html_udf(F.col("html")).alias("extracted_text"),
-            F.lit(1).cast("int").alias("n_pages"),
-            F.lit(ROUTE_HTML).alias("route"),
-        )
-    )
-
-    empty_branch = routed.filter(F.col("route") == ROUTE_EMPTY).select(
+    # one scan for both narrow routes: html → U7 UDF, empty → ('', 0)
+    non_pdf = routed.filter(F.col("route") != ROUTE_PDF).select(
         "url",
-        F.lit("").alias("extracted_text"),
-        F.lit(0).cast("int").alias("n_pages"),
-        F.lit(ROUTE_EMPTY).alias("route"),
+        F.when(
+            F.col("route") == ROUTE_HTML, extract_html_udf(F.col("html"))
+        )
+        .otherwise(F.lit(""))
+        .alias("extracted_text"),
+        F.when(F.col("route") == ROUTE_HTML, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_pages"),
+        F.col("route"),
     )
 
     pdf_rows = routed.filter(F.col("route") == ROUTE_PDF).select("url", "html")
     pdf_rows = salted_repartition(pdf_rows, pdf_partitions)
-    pages = split_pdf_pages(pdf_rows)
-    page_texts = pages.withColumn("page_text", make_ocr_udf(ocr_engine)(F.col("png")))
-    pdf_branch = assemble_documents(
-        page_texts.select("url", "page_no", "page_text")
-    ).withColumn("route", F.lit(ROUTE_PDF))
+    pages = split_pdf_text_pages(pdf_rows)
+    if page_level_parallelism:
+        # spread a giant document's pages across the cluster BEFORE the
+        # heavy per-page stages (raster + OCR)
+        pages = pages.repartition(
+            *([pdf_partitions] if pdf_partitions else []), "url", "page_no"
+        )
+    # fused raster+OCR: pixels never cross the Arrow boundary (see
+    # operators/pdf_split.raster_ocr_pages)
+    ocred = raster_ocr_pages(pages, ocr_engine=ocr_engine, raster=raster)
+    pdf_branch = assemble_documents(ocred).withColumn("route", F.lit(ROUTE_PDF))
 
-    return html_branch.unionByName(pdf_branch).unionByName(empty_branch)
+    return non_pdf.unionByName(pdf_branch)

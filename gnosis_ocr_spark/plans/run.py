@@ -72,6 +72,7 @@ def run_extraction(
     run_id: str,
     ocr_engine: str = "stub",
     resume: bool = True,
+    raster: str | None = None,
 ) -> dict[str, int]:
     """Execute one (resumable) extraction run.
 
@@ -92,7 +93,9 @@ def run_extraction(
     if n_todo == 0:
         return {"processed": 0, "skipped_done": docs.count()}
 
-    tagged = _with_partition_metrics(extract_corpus(todo, ocr_engine=ocr_engine), run_id)
+    tagged = _with_partition_metrics(
+        extract_corpus(todo, ocr_engine=ocr_engine, raster=raster), run_id
+    )
     tagged = tagged.persist()
     try:
         results = tagged.select(
