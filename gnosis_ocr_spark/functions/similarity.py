@@ -132,6 +132,84 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 4321,
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest deterministic
+    centroid (hash-derived, same everywhere — a production system would run
+    k-means once and broadcast the codebook; the assignment plan is
+    identical). Pure Column expressions — no UDF, no shuffle."""
+    cents = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    v = F.col(vec_col).cast("array<double>")
+    # one scores array + argmax — NOT a chained when(): each chained branch
+    # would re-embed every previous dot() subtree and the expression tree
+    # grows exponentially in n_centroids (observed: analysis never finishes
+    # at 16 centroids × 64 dims)
+    scores = F.array(
+        *[dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    centroid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("cv"), centroid.alias("centroid")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes its
+    ``n_probe`` nearest centroids and re-ranks exactly inside them.
+
+    Scale shape: the corpus side is partitioned once by centroid (in
+    production: written bucketed-by-centroid so repeated query batches join
+    with zero corpus shuffle); the query side explodes to n_probe rows and
+    equi-joins on centroid — never a cross join against the full corpus.
+    """
+    cents = [_hyperplane(dim, c, 4321) for c in range(n_centroids)]
+    assigned = ivf_assign(corpus, n_centroids, dim, id_col, vec_col)
+
+    qv = F.col(vec_col).cast("array<double>")
+    scores = F.array(
+        *[
+            dot(qv, F.array(*[F.lit(float(x)) for x in c]))
+            / F.greatest(l2_norm(qv), F.lit(1e-12))
+            for c in cents
+        ]
+    )
+    # indices of the n_probe best centroids: sort (score, idx) pairs desc
+    pairs = F.transform(
+        scores, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx"))
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(pairs), lambda p: p.getField("idx")), 1, n_probe
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(probes).alias("centroid"),
+    )
+    scored = q.join(assigned, "centroid").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -905,6 +905,23 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (centroid-bucketed) ANN top-5 (bucketing not SQL-expressible;
+    rows-only)."""
+    from gnosis_ocr_spark.functions.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64)
+    return out.select(
+        "query_id", "vec_id",
+        F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
+        "rank",
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at cos ≥ 0.999999 over embeddings ∪ verbatim copies:
     LSH always co-buckets identical vectors, so the result equals the exact
@@ -980,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_meta": q_multimodal_meta,
 }

@@ -19,10 +19,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_documents(spark: SparkSession, path: str) -> DataFrame:
-    """S1 scan: the input corpus table. Columns per input_hint; parquet scan
-    gets predicate pushdown + column pruning from Catalyst for free."""
-    return spark.read.parquet(path)
+_FORMATS = {"parquet", "json", "csv", "orc", "iceberg"}
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S1 scan: the input corpus table. Columns per input_hint; columnar
+    formats get predicate pushdown + column pruning from Catalyst for free.
+
+    Text formats (json/csv) carry the binary ``html`` payload base64-encoded
+    in a ``html_b64`` column (the WARC-sidecar convention); it is decoded
+    JVM-side here so downstream operators see the same BINARY schema.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if fmt in ("parquet", "orc"):
+        return spark.read.format(fmt).load(path)
+    text_schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
+    reader = spark.read.schema(text_schema)
+    if fmt == "csv":
+        # multiLine: the text column legitimately contains newlines
+        reader = reader.option("header", "true").option("multiLine", "true")
+    df = reader.format(fmt).load(path)
+    return df.select(
+        "url",
+        "warc_ts",
+        F.unbase64(F.col("html_b64")).alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def write_documents_as(df: DataFrame, path: str, fmt: str) -> None:
+    """Sink counterpart for text formats: binary → base64 sidecar column."""
+    if fmt in ("parquet", "orc"):
+        df.write.format(fmt).mode("overwrite").save(path)
+        return
+    out = df.select(
+        "url",
+        "warc_ts",
+        F.base64(F.col("html")).alias("html_b64"),
+        "text",
+        "lang",
+    )
+    writer = out.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
 
 
 def append(df: DataFrame, path: str) -> None:

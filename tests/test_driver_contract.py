@@ -45,7 +45,12 @@ def test_registry_consistency():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     # only the hash-seeded bucketing ops may lack an oracle
-    assert set(q) - set(o) == {"minhash_lsh", "simhash_dedup", "lsh_cosine_topk"}
+    assert set(q) - set(o) == {
+        "minhash_lsh",
+        "simhash_dedup",
+        "lsh_cosine_topk",
+        "ivf_cosine_topk",
+    }
 
 
 @pytest.mark.parametrize("name", SUBSET)

@@ -1,0 +1,70 @@
+"""Multi-format document sources (S1 variants) and IVF ANN."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.corpus import corpus_df
+from gnosis_ocr_spark.functions.similarity import ivf_assign, ivf_cosine_topk
+from gnosis_ocr_spark.plans.pipeline import extract_corpus
+from gnosis_ocr_spark.sources.tables import read_documents, write_documents_as
+
+
+def test_json_and_csv_sources_roundtrip(spark, tmp_path):
+    docs = corpus_df(spark, n=40, num_partitions=2)
+    baseline = {
+        r["url"]: r["extracted_text"]
+        for r in extract_corpus(docs).collect()
+    }
+    for fmt in ("json", "csv"):
+        path = str(tmp_path / fmt)
+        write_documents_as(docs, path, fmt)
+        back = read_documents(spark, path, fmt)
+        assert back.schema["html"].dataType.typeName() == "binary"
+        got = {
+            r["url"]: r["extracted_text"]
+            for r in extract_corpus(back).collect()
+        }
+        # binary payloads survive the base64 sidecar byte-for-byte
+        assert got == baseline, fmt
+
+
+def test_unknown_format_rejected(spark):
+    try:
+        read_documents(spark, "/tmp/x", "avro-ish")
+        raised = False
+    except ValueError as e:
+        raised = "unsupported format" in str(e)
+    assert raised
+
+
+def _vec(i, dim=8):
+    return [float(math.sin(0.5 * d + i * 0.02)) for d in range(dim)]
+
+
+def test_ivf_assignment_deterministic_and_total(spark):
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(100)], schema="vec_id long, embedding array<float>"
+    )
+    a1 = dict(ivf_assign(corpus, n_centroids=8, dim=8).select("vec_id", "centroid").collect())
+    a2 = dict(ivf_assign(corpus, n_centroids=8, dim=8).select("vec_id", "centroid").collect())
+    assert a1 == a2 and len(a1) == 100
+    assert all(0 <= c < 8 for c in a1.values())
+
+
+def test_ivf_topk_finds_self(spark):
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(100)], schema="vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(50))], schema="query_id long, embedding array<float>"
+    )
+    got = ivf_cosine_topk(corpus, queries, k=3, n_centroids=8, n_probe=3, dim=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r
+    # the probed buckets must contain the identical vector → rank 1, cos 1.0
+    assert by_q[0][1]["vec_id"] == 0 and by_q[0][1]["cos"] == 1.0
+    assert by_q[1][1]["vec_id"] == 50 and by_q[1][1]["cos"] == 1.0
