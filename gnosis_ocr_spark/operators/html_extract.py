@@ -102,7 +102,12 @@ class _Extractor(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data.strip():
             return
-        if self._cur is None:
+        # kill/boiler status must be checked at DATA time, not only at block
+        # creation: a <script> inside a still-open block-level element would
+        # otherwise append its text to that (unkilled) block
+        if self._kill_depth > 0 or self._boiler_depth > 0:
+            return
+        if self._cur is None or self._cur.killed:
             self._new_block("p")
         self._cur.parts.append(data)
         if self._link_depth > 0:

@@ -51,6 +51,7 @@ def extract_corpus(
     pdf_partitions: int | None = None,
     page_level_parallelism: bool = True,
     raster: str | None = None,
+    debug_pages_path: str | None = None,
 ) -> DataFrame:
     """documents → (url, extracted_text, n_pages, route).
 
@@ -87,9 +88,27 @@ def extract_corpus(
         pages = pages.repartition(
             *([pdf_partitions] if pdf_partitions else []), "url", "page_no"
         )
-    # fused raster+OCR: pixels never cross the Arrow boundary (see
-    # operators/pdf_split.raster_ocr_pages)
-    ocred = raster_ocr_pages(pages, ocr_engine=ocr_engine, raster=raster)
+    if debug_pages_path:
+        # debug mode mirrors the reference's materialized pages/ directory
+        # (/root/reference/app/jobs.py:395-401): page PNGs are written out
+        # and OCR reads the materialized column — slower (pixels cross the
+        # Arrow boundary) but inspectable. Production stays fused.
+        from gnosis_ocr_spark.operators.ocr import make_ocr_udf
+        from gnosis_ocr_spark.operators.pdf_split import make_rasterize_udf
+
+        rastered = pages.withColumn(
+            "png", make_rasterize_udf(raster)(F.col("page_text"))
+        )
+        rastered.write.mode("overwrite").parquet(debug_pages_path)
+        rastered = pages.sparkSession.read.parquet(debug_pages_path)
+        ocred = rastered.select(
+            "url", "page_no",
+            make_ocr_udf(ocr_engine)(F.col("png")).alias("page_text"),
+        )
+    else:
+        # fused raster+OCR: pixels never cross the Arrow boundary (see
+        # operators/pdf_split.raster_ocr_pages)
+        ocred = raster_ocr_pages(pages, ocr_engine=ocr_engine, raster=raster)
     pdf_branch = assemble_documents(ocred).withColumn("route", F.lit(ROUTE_PDF))
 
     return non_pdf.unionByName(pdf_branch)

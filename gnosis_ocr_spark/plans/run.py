@@ -36,7 +36,7 @@ MANIFEST_SCHEMA = "run_id string, url string, status string, finished_at timesta
 METRICS_SCHEMA = (
     "run_id string, partition_id int, url_count long, page_count long, "
     "char_count long, elapsed_sec double, docs_per_sec double, "
-    "pages_per_sec double"
+    "pages_per_sec double, ocr_confidence double"
 )
 RESULTS_SCHEMA = (
     "url string, extracted_text string, n_pages int, route string, run_id string"
@@ -108,6 +108,13 @@ def run_extraction(
             F.sum("n_pages").alias("page_count"),
             F.sum(F.length("extracted_text")).alias("char_count"),
             F.max("elapsed_sec").alias("elapsed_sec"),
+            # per-partition mean OCR confidence (north_star metrics list);
+            # engines without token-level scores report 1.0 for non-empty
+            # extractions, 0.0 for empty, until the real model surfaces
+            # logprobs
+            F.avg(
+                F.when(F.length("extracted_text") > 0, F.lit(1.0)).otherwise(0.0)
+            ).alias("ocr_confidence"),
         ).select(
             F.lit(run_id).alias("run_id"),
             "partition_id",
@@ -121,6 +128,7 @@ def run_extraction(
             (F.col("page_count") / F.greatest(F.col("elapsed_sec"), F.lit(1e-9))).alias(
                 "pages_per_sec"
             ),
+            "ocr_confidence",
         )
         tables.append(metrics, metrics_path)
 
