@@ -679,6 +679,41 @@ ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (engine completeness beyond the reference): event
+    counts and value cents at (type, lang-of-user-bucket), (type), and grand
+    total levels. NULL grouping levels are stringified so the oracle hash is
+    unambiguous."""
+    events = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).cast("int")
+    rolled = (
+        events.select(F.col("event_type"), bucket.alias("user_bucket"), "value")
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_CENTS(F.col("value"))).alias("value_c"),
+        )
+    )
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("user_bucket").cast("string"), F.lit("<all>")).alias(
+            "user_bucket"
+        ),
+        "n",
+        "value_c",
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_bucket AS VARCHAR), '<all>') AS user_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_c
+FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS user_bucket, value FROM events)
+GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
 def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time window aggregation (streaming metrics shape) on events."""
     events = _t(spark, sf_dir, "events").select(
@@ -989,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "windowed_throughput": q_windowed_throughput,
+    "rollup": q_rollup,
     "text_stats": q_text_stats,
     "quality": q_quality,
     "dedup_exact": q_dedup_exact,
@@ -1025,6 +1061,7 @@ ORACLES: dict[str, str] = {
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q10": ORACLE_TPCH_Q10,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
+    "rollup": ORACLE_ROLLUP,
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,

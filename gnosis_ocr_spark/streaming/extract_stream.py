@@ -62,6 +62,41 @@ def start_extract_stream(
     return writer.start()
 
 
+def start_full_extract_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ocr_engine: str = "stub",
+    available_now: bool = True,
+):
+    """Full-pipeline streaming via ``foreachBatch``: every micro-batch runs
+    the complete batch plan (routing, PDF split→raster→OCR, assembly) and
+    appends. The PDF branch's groupBy(url) is a plain batch aggregation
+    inside the micro-batch — exactly-once delivery comes from the streaming
+    checkpoint (a replayed batch overwrites its own epoch output), and
+    per-document completeness holds because file sources never split one row
+    across batches."""
+    from gnosis_ocr_spark.plans.pipeline import extract_corpus
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            extract_corpus(batch_df, ocr_engine=ocr_engine)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        read_document_stream(spark, in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_throughput(docs: DataFrame, window: str = "10 minutes",
                         watermark: str = "30 minutes") -> DataFrame:
     """Watermarked event-time throughput aggregation (late data beyond the
