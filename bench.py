@@ -83,6 +83,22 @@ def main() -> None:
     assert out["docs"] == n_docs, (out["docs"], n_docs)
     timings["extract_pipeline"] = round(t_extract, 3)
 
+    # byte-identical pass rate vs goldens (the BASELINE.json headline
+    # criterion) — verified on every bench run, untimed
+    from gnosis_ocr_spark.corpus import golden_df
+
+    golden = golden_df(spark, n=n_docs).alias("g")
+    matches = (
+        result.alias("o")
+        .join(golden, F.col("o.url") == F.col("g.url"), "inner")
+        .filter(
+            F.col("o.extracted_text").eqNullSafe(F.col("g.extracted_text"))
+            & F.col("o.n_pages").eqNullSafe(F.col("g.n_pages"))
+        )
+        .count()
+    )
+    byte_identical_rate = matches / n_docs
+
     # ---- driver-contract headline queries on the sf dir
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         total = round(sum(timings.values()), 3)
@@ -99,6 +115,7 @@ def main() -> None:
                     "extract_pages_per_sec": round(n_pages_total / t_extract, 2),
                     "extract_n_docs": n_docs,
                     "extract_n_pages": int(n_pages_total),
+                    "byte_identical_pass_rate": byte_identical_rate,
                 }
             )
         )
@@ -132,6 +149,7 @@ def main() -> None:
                 "extract_pages_per_sec": round(n_pages_total / t_extract, 2),
                 "extract_n_docs": n_docs,
                 "extract_n_pages": int(n_pages_total),
+                "byte_identical_pass_rate": byte_identical_rate,
             }
         )
     )
