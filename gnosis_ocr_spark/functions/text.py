@@ -92,6 +92,43 @@ def stopword_ratio(text: Column) -> Column:
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
+def winnowing_fingerprints(
+    text: Column, k: int = 8, window: int = 4, max_chars: int = 120
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    public algorithm): hash every k-gram of the normalized text, slide a
+    window of ``window`` consecutive hashes, keep each window's minimum;
+    the distinct survivors are the fingerprint set.
+
+    Hashes are md5 hex strings and the window minimum is their lexicographic
+    min — deliberately so the DuckDB oracle computes the identical set
+    (md5 and ASCII string ordering agree across engines; a bigint rolling
+    hash would not round-trip through SQL portably). Pure Column
+    expressions; ``max_chars`` bounds cost for the oracle-checked query —
+    pass None-like large values for production use."""
+    norm = F.substring(
+        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars
+    )
+    empty = F.array().cast("array<string>")
+    n_grams = F.length(norm) - (k - 1)
+    # guard: sequence(1, n) DESCENDS when n < 1 — short texts must yield []
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
+        ),
+    ).otherwise(empty)
+    n_windows = F.size(grams) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        ),
+    ).otherwise(empty)
+    return F.array_sort(F.array_distinct(mins))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key. (A content-defined rolling-hash variant lives in

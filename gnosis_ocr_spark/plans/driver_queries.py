@@ -830,6 +830,36 @@ def _docs_with_copies(spark: SparkSession, sf_dir: str, limit: int | None = None
     return docs.unionByName(copies)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows."""
+    from gnosis_ocr_spark.functions.text import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
+ORACLE_WINNOW_FINGERPRINTS = """
+WITH n AS (
+  SELECT doc_id,
+         substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 120) AS s
+  FROM documents
+), g AS (
+  SELECT doc_id, i, md5(substr(s, i, 8)) AS h
+  FROM n, generate_series(1, 113) t(i)
+  WHERE i <= length(s) - 7
+), w AS (
+  SELECT g.doc_id, j.j, MIN(g.h) AS fp
+  FROM g, generate_series(1, 110) j(j)
+  WHERE g.i BETWEEN j.j AND j.j + 3
+    AND j.j <= (SELECT MAX(i) FROM g g2 WHERE g2.doc_id = g.doc_id) - 3
+  GROUP BY g.doc_id, j.j
+)
+SELECT DISTINCT doc_id, fp FROM w
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents ∪ verbatim copies (known duplicate pairs)."""
     return exact_duplicates(_docs_with_copies(spark, sf_dir))
@@ -1028,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "quality": q_quality,
     "dedup_exact": q_dedup_exact,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dedup": q_simhash_dedup,
@@ -1065,6 +1096,7 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     # minhash_lsh / simhash_dedup / lsh_cosine_topk: hash-seeded bucketing is
     # not SQL-expressible → rows-only checks (documented in SURVEY.md §5)
