@@ -98,6 +98,35 @@ def delete_run(spark: SparkSession, path: str, run_id: str, schema: str) -> None
     spark.read.schema(schema).parquet(tmp).write.mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_col: str,
+    sort_col: str | None = None,
+) -> None:
+    """Write a bucketed (hash-clustered) managed table — the co-located-join
+    primitive: two tables bucketed on the same key with the same bucket
+    count equi-join WITHOUT a shuffle on either side (Iceberg analog:
+    ``bucket(N, col)`` partition transform + storage-partitioned joins).
+
+    At 100 TB this is how the documents table and its derived page/dedup
+    tables stay join-aligned across repeated pipeline stages."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session's orphaned location blocks managed-table creation
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = warehouse.removeprefix("file:")
+    if local.startswith("/"):
+        import shutil
+
+        shutil.rmtree(os.path.join(local, table.lower()), ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def _exists(path: str) -> bool:
     if "://" in path:  # non-local FS: let spark try
         return True
