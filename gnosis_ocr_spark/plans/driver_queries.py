@@ -71,6 +71,10 @@ from gnosis_ocr_spark.streaming.extract_stream import windowed_throughput
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver runs these queries in ITS OWN session; timestamp rendering
+    # (date_format) and string→timestamp casts follow the session timezone,
+    # so pin UTC here or the oracle comparison would depend on the host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
