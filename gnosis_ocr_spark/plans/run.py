@@ -101,7 +101,9 @@ def run_extraction(
         results = tagged.select(
             "url", "extracted_text", "n_pages", "route", F.lit(run_id).alias("run_id")
         )
-        tables.append(results, results_path)
+        # partition results by route: downstream readers that want only the
+        # HTML (or only the PDF) slice get partition pruning at the scan
+        results.write.mode("append").partitionBy("route").parquet(results_path)
 
         metrics = tagged.groupBy("partition_id").agg(
             F.count("*").alias("url_count"),
