@@ -92,41 +92,57 @@ def stopword_ratio(text: Column) -> Column:
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
-def winnowing_fingerprints(
-    text: Column, k: int = 8, window: int = 4, max_chars: int = 120
-) -> Column:
+def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 8, window: int = 4, max_chars: int = 120):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     public algorithm): hash every k-gram of the normalized text, slide a
     window of ``window`` consecutive hashes, keep each window's minimum;
-    the distinct survivors are the fingerprint set.
+    the distinct survivors are the fingerprint set. Returns exploded rows
+    ``(doc_id, fp)``.
 
     Hashes are md5 hex strings and the window minimum is their lexicographic
     min — deliberately so the DuckDB oracle computes the identical set
-    (md5 and ASCII string ordering agree across engines; a bigint rolling
-    hash would not round-trip through SQL portably). Pure Column
-    expressions; ``max_chars`` bounds cost for the oracle-checked query —
-    pass None-like large values for production use."""
+    (md5 and ASCII ordering agree across engines; a bigint rolling hash
+    would not round-trip through SQL portably).
+
+    Shape: posexplode the k-gram hashes, then a per-document sliding
+    ``min() OVER (rows BETWEEN CURRENT AND window-1 FOLLOWING)``. A pure
+    array-expression formulation is quadratic in practice — Spark re-evaluates
+    the captured grams array for every element of an outer ``transform``
+    lambda (no common-subexpression elimination inside higher-order
+    functions; measured: minutes for 5k docs vs seconds here).
+    """
+    from pyspark.sql.window import Window
+
     norm = F.substring(
-        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+        1,
+        max_chars,
     )
-    empty = F.array().cast("array<string>")
     n_grams = F.length(norm) - (k - 1)
-    # guard: sequence(1, n) DESCENDS when n < 1 — short texts must yield []
     grams = F.when(
         n_grams >= 1,
         F.transform(
-            F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
+            F.sequence(F.lit(1), n_grams),  # sequence(1,n) DESCENDS for n<1
+            lambda i: F.md5(F.substring(norm, i, k)),
         ),
-    ).otherwise(empty)
-    n_windows = F.size(grams) - (window - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams, j, window)),
-        ),
-    ).otherwise(empty)
-    return F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("i", "h"),
+        n_grams.alias("_n"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        exploded.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("i") <= F.col("_n") - window)  # full windows only (0-based i)
+        .select("doc_id", "fp")
+        .distinct()
+    )
 
 
 def fingerprint(text: Column) -> Column:

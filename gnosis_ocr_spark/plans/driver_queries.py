@@ -683,6 +683,29 @@ ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (value in integer cents so the
+    linear interpolation is float-identical between engines)."""
+    events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(round(value*100), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(round(value*100), 0.9)"), 4).alias("p90"),
+        F.round(F.min(cents), 4).alias("vmin"),
+        F.round(F.max(cents), 4).alias("vmax"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(round(value * 100), 0.5), 4) AS p50,
+       ROUND(quantile_cont(round(value * 100), 0.9), 4) AS p90,
+       ROUND(MIN(round(value * 100)), 4) AS vmin,
+       ROUND(MAX(round(value * 100)), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation (engine completeness beyond the reference): event
     counts and value cents at (type, lang-of-user-bucket), (type), and grand
@@ -839,9 +862,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnosis_ocr_spark.functions.text import winnowing_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
-    )
+    return winnowing_fingerprints(docs, "doc_id", "text")
 
 
 ORACLE_WINNOW_FINGERPRINTS = """
@@ -853,15 +874,18 @@ WITH n AS (
   SELECT doc_id, i, md5(substr(s, i, 8)) AS h
   FROM n, generate_series(1, 113) t(i)
   WHERE i <= length(s) - 7
+), m AS (
+  SELECT doc_id, MAX(i) AS max_i FROM g GROUP BY doc_id
 ), w AS (
   SELECT g.doc_id, j.j, MIN(g.h) AS fp
-  FROM g, generate_series(1, 110) j(j)
-  WHERE g.i BETWEEN j.j AND j.j + 3
-    AND j.j <= (SELECT MAX(i) FROM g g2 WHERE g2.doc_id = g.doc_id) - 3
+  FROM g JOIN m USING (doc_id), generate_series(1, 110) j(j)
+  WHERE g.i BETWEEN j.j AND j.j + 3 AND j.j <= m.max_i - 3
   GROUP BY g.doc_id, j.j
 )
 SELECT DISTINCT doc_id, fp FROM w
 """
+# (max_i precomputed in a CTE: a correlated MAX subquery re-scanned g per row
+# and turned the oracle O(n²) — stalled at sf0.1)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
+    "percentiles": q_percentiles,
     "text_stats": q_text_stats,
     "quality": q_quality,
     "dedup_exact": q_dedup_exact,
@@ -1097,6 +1122,7 @@ ORACLES: dict[str, str] = {
     "tpch_q10": ORACLE_TPCH_Q10,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
+    "percentiles": ORACLE_PERCENTILES,
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
