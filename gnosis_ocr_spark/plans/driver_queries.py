@@ -741,6 +741,46 @@ GROUP BY ROLLUP (event_type, user_bucket)
 """
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue: share of revenue from PROMO parts in one month
+    (broadcast dim join + conditional aggregate; ratio in basis points so
+    the oracle hash is integer-exact)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)).alias(
+            "promo_c"
+        ),
+        F.sum(rev).alias("total_c"),
+    ).select(
+        "promo_c",
+        "total_c",
+        F.round(F.col("promo_c") * 10000.0 / F.col("total_c")).cast("long").alias(
+            "promo_bp"
+        ),
+    )
+
+
+ORACLE_TPCH_Q14 = """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) AS promo_c,
+       SUM(rev_c) AS total_c,
+       CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) * 10000.0
+                  / SUM(rev_c)) AS BIGINT) AS promo_bp
+FROM j
+"""
+
+
 def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time window aggregation (streaming metrics shape) on events."""
     events = _t(spark, sf_dir, "events").select(
@@ -1081,6 +1121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
     "percentiles": q_percentiles,
@@ -1120,6 +1161,7 @@ ORACLES: dict[str, str] = {
     "tpch_q5": ORACLE_TPCH_Q5,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q14": ORACLE_TPCH_Q14,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
     "percentiles": ORACLE_PERCENTILES,
