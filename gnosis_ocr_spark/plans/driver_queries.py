@@ -64,8 +64,10 @@ from gnosis_ocr_spark.operators.chunks import (
 from gnosis_ocr_spark.operators.html_extract import extract_html_udf
 from gnosis_ocr_spark.operators.layout import assemble_documents, assemble_spans
 from gnosis_ocr_spark.operators.multimodal import media_metadata
-from gnosis_ocr_spark.operators.ocr import make_ocr_udf
-from gnosis_ocr_spark.operators.pdf_split import split_pdf_pages
+from gnosis_ocr_spark.operators.pdf_split import (
+    raster_ocr_pages,
+    split_pdf_text_pages,
+)
 from gnosis_ocr_spark.operators.routing import route_col
 from gnosis_ocr_spark.streaming.extract_stream import windowed_throughput
 
@@ -143,10 +145,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build/split/raster work so the flat-map parallelizes
     docs = docs.filter(F.length("norm") >= 120).repartition(32)
     pdfs = docs.mapInPandas(_build_pdf_batches, schema="url string, html binary")
-    # raster pinned so driver correctness runs are environment-independent
-    pages = split_pdf_pages(pdfs, raster="64x64")
-    page_texts = pages.withColumn("page_text", make_ocr_udf("stub")(F.col("png")))
-    return assemble_documents(page_texts.select("url", "page_no", "page_text"))
+    pages = split_pdf_text_pages(pdfs)
+    # fused raster+OCR (the production path); raster pinned so driver
+    # correctness runs are environment-independent
+    ocred = raster_ocr_pages(pages, ocr_engine="stub", raster="64x64")
+    return assemble_documents(ocred)
 
 
 ORACLE_PDF_EXTRACT = f"""
