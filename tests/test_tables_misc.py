@@ -1,0 +1,43 @@
+"""S5/S6 delete_run (drop-namespace analog) and F7 manifest JSON."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.scalar import to_json_manifest
+from gnosis_ocr_spark.plans.run import RESULTS_SCHEMA
+from gnosis_ocr_spark.sources import tables
+
+
+def test_delete_run_removes_only_that_run(spark, tmp_path):
+    path = str(tmp_path / "results")
+    rows = [
+        ("u1", "t", 1, "html", "r1"),
+        ("u2", "t", 1, "html", "r1"),
+        ("u3", "t", 1, "html", "r2"),
+    ]
+    df = spark.createDataFrame(rows, schema=RESULTS_SCHEMA)
+    tables.overwrite(df, path)
+
+    tables.delete_run(spark, path, "r1", RESULTS_SCHEMA)
+    left = tables.read_or_empty(spark, path, RESULTS_SCHEMA)
+    assert [r["url"] for r in left.collect()] == ["u3"]
+
+    # deleting a missing run is a no-op, and deleting from a missing path too
+    tables.delete_run(spark, path, "nope", RESULTS_SCHEMA)
+    assert tables.read_or_empty(spark, path, RESULTS_SCHEMA).count() == 1
+    tables.delete_run(spark, str(tmp_path / "absent"), "r1", RESULTS_SCHEMA)
+
+
+def test_manifest_json_roundtrip(spark):
+    df = spark.createDataFrame([("j1", "ocr")], "job_id string, job_type string")
+    out = df.select(
+        to_json_manifest(F.col("job_id"), F.col("job_type")).alias("j")
+    ).collect()[0]["j"]
+    assert out == '{"job_id":"j1","job_type":"ocr"}'
+    back = (
+        df.select(to_json_manifest(F.col("job_id"), F.col("job_type")).alias("j"))
+        .select(F.from_json("j", "job_id string, job_type string").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert back["job_id"] == "j1" and back["job_type"] == "ocr"
