@@ -686,6 +686,52 @@ ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    classic lag + cumulative-sum window program. Output: per (user, session)
+    event count and duration seconds."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = with_flag.withColumn("session_no", F.sum("new_sess").over(w_cum))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("duration_sec"),
+    )
+
+
+# floor(epoch(...)) everywhere: events carry microseconds, and Spark's
+# unix_timestamp() floors to whole seconds — the oracle must floor too or
+# gap comparisons at the 1800 s boundary diverge
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (value in integer cents so the
     linear interpolation is float-identical between engines)."""
@@ -1127,6 +1173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
+    "sessionize": q_sessionize,
     "percentiles": q_percentiles,
     "text_stats": q_text_stats,
     "quality": q_quality,
@@ -1167,6 +1214,7 @@ ORACLES: dict[str, str] = {
     "tpch_q14": ORACLE_TPCH_Q14,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
+    "sessionize": ORACLE_SESSIONIZE,
     "percentiles": ORACLE_PERCENTILES,
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
