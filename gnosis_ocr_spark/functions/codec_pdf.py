@@ -66,11 +66,13 @@ def _unesc(s: str) -> str:
     return "".join(out)
 
 
-def build_pdf(pages: list[str]) -> bytes:
-    """Write a valid single-font uncompressed PDF, one string per page.
+def build_pdf(pages: list[str], compress: bool = False) -> bytes:
+    """Write a valid single-font PDF, one string per page.
 
     Newlines in a page string become separate 14pt-leading lines, mirroring
-    how a rendered page would stack them top-to-bottom.
+    how a rendered page would stack them top-to-bottom. With ``compress``,
+    content streams are FlateDecode-compressed (the dominant real-world
+    encoding; zlib is stdlib).
     """
     objects: list[bytes] = []  # 1-indexed by position+1
 
@@ -99,9 +101,18 @@ def build_pdf(pages: list[str]) -> bytes:
             ops.append(f"({_esc(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1", "replace")
-        objects.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-        )
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream, 6)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(stream), stream)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+            )
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )  # font obj
@@ -197,11 +208,47 @@ def extract_pages(
         spans: list[Span] = []
         if cm:
             content_body = objs.get(int(cm.group(1)), b"")
-            sm = _STREAM_RE.search(content_body)
-            if sm:
-                spans = _parse_content(sm.group(1))
+            stream = _stream_bytes(content_body)
+            if stream is not None:
+                spans = _parse_content(stream)
         pages.append(spans)
     return pages
+
+
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+
+
+def _stream_bytes(content_body: bytes) -> bytes | None:
+    """Extract (and decode) one content stream.
+
+    Uses /Length to slice the exact byte span (compressed data can contain
+    the literal 'endstream'), falling back to the regex for writers that
+    omit a usable /Length; FlateDecode streams are zlib-inflated."""
+    marker = content_body.find(b"stream")
+    if marker < 0:
+        return None
+    start = marker + len(b"stream")
+    if content_body[start : start + 2] == b"\r\n":
+        start += 2
+    elif content_body[start : start + 1] == b"\n":
+        start += 1
+    lm = _LENGTH_RE.search(content_body[:marker])
+    if lm:
+        raw = content_body[start : start + int(lm.group(1))]
+    else:
+        sm = _STREAM_RE.search(content_body)
+        if not sm:
+            return None
+        raw = sm.group(1)
+    if _FLATE_RE.search(content_body[:marker]):
+        import zlib
+
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
 
 
 def _parse_content(stream: bytes) -> list[Span]:

@@ -75,3 +75,20 @@ def test_reading_order_reconstruction():
         P.Span(72, 600, "third-row"),
     ]
     assert P.page_text(spans) == "left-top right-top\nsecond-row\nthird-row"
+
+
+def test_flate_compressed_roundtrip():
+    pages = ["compressed page one\nsecond line", "page (two) \\ with escapes"]
+    pdf = P.build_pdf(pages, compress=True)
+    assert b"/FlateDecode" in pdf
+    assert P.page_count(pdf) == 2
+    assert [P.page_text(pg) for pg in P.extract_pages(pdf)] == pages
+    window = P.extract_pages(pdf, first_page=2, last_page=2)
+    assert P.page_text(window[0]) == pages[1]
+
+
+def test_flate_garbage_stream_is_sentinel_safe():
+    pdf = P.build_pdf(["x"], compress=True)
+    corrupted = pdf.replace(b"stream\n", b"stream\n\x00\x01", 1)
+    pages = P.extract_pages(corrupted)
+    assert pages == [[]]  # undecodable stream -> empty page, no crash
