@@ -13,11 +13,11 @@ printable = st.text(
 )
 
 
-@given(st.lists(printable, min_size=1, max_size=5))
-@settings(max_examples=50, deadline=None)
-def test_pdf_roundtrip_property(lines_per_page):
+@given(st.lists(printable, min_size=1, max_size=5), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(lines_per_page, compress):
     pages = ["\n".join([line]) for line in lines_per_page]
-    pdf = P.build_pdf(pages)
+    pdf = P.build_pdf(pages, compress=compress)
     assert P.is_pdf(pdf)
     assert P.page_count(pdf) == len(pages)
     got = [P.page_text(pg) for pg in P.extract_pages(pdf)]
