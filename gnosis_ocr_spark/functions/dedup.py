@@ -52,22 +52,35 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as an array<string> (distinct)."""
+    """n-word shingles as an array<string> (distinct).
+
+    Docs with fewer than n tokens yield an EMPTY array: F.sequence DESCENDS
+    when its end < start (the repo's documented gotcha), and the descending
+    index would feed slice() a 0/negative start → runtime error. Guarded like
+    winnowing_fingerprints."""
     toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-        )
-    )
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column, n: int = 3, max_chars: int = 200) -> Column:
     """Character n-grams over the first ``max_chars`` normalized chars
-    (bounded so the exact-Jaccard oracle join stays tractable)."""
+    (bounded so the exact-Jaccard oracle join stays tractable).
+
+    Texts shorter than n chars yield an EMPTY array (the previous
+    greatest(.., 0) produced a descending [1, 0] sequence and a spurious
+    '' gram — two empty docs then reported jaccard = 1.0)."""
     norm = F.substring(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
+    return F.when(
+        F.length(norm) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------- minhash+lsh

@@ -391,12 +391,17 @@ def q_chunk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "c.chunk_no", F.encode(F.col("c.piece"), "UTF-8").alias("data"),
         F.lit(3).alias("expected_total"),
     )
-    return assemble_chunks(chunks)
+    # hex, not raw binary: the driver's canonicalizer sorts output columns in
+    # pandas and bytearray is unhashable there (round-1 `err`); hex strings
+    # preserve the byte-identity check with a well-defined hash
+    return assemble_chunks(chunks).select(
+        "doc", F.hex("data").alias("data_hex"), "n_chunks"
+    )
 
 
 ORACLE_CHUNK_ASSEMBLY = f"""
 WITH n AS (SELECT CAST(doc_id AS VARCHAR) AS doc, {_NORM_SQL} AS norm FROM documents)
-SELECT doc, encode(substr(norm, 1, 48)) AS data, 3 AS n_chunks FROM n
+SELECT doc, hex(encode(substr(norm, 1, 48))) AS data_hex, 3 AS n_chunks FROM n
 """
 
 
@@ -550,12 +555,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every integer SUM is wrapped CAST(SUM(..) AS BIGINT): DuckDB promotes
+# SUM(BIGINT) to HUGEINT, which pandas renders as float64 and the driver's
+# value hash then sees 12345.0 vs Spark's 12345 (round-1 lesson, 9 red rows)
 ORACLE_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_c,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -584,7 +592,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q3 = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -618,7 +626,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q5 = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -646,7 +654,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q6 = """
-SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_c
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -674,7 +682,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q10 = """
 SELECT c_custkey, c_name, n_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -720,9 +728,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_no
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -784,7 +792,7 @@ ORACLE_ROLLUP = """
 SELECT COALESCE(event_type, '<all>') AS event_type,
        COALESCE(CAST(user_bucket AS VARCHAR), '<all>') AS user_bucket,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
 FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS user_bucket, value FROM events)
 GROUP BY ROLLUP (event_type, user_bucket)
 """
@@ -822,8 +830,8 @@ WITH j AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 )
-SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) AS promo_c,
-       SUM(rev_c) AS total_c,
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+       CAST(SUM(rev_c) AS BIGINT) AS total_c,
        CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) * 10000.0
                   / SUM(rev_c)) AS BIGINT) AS promo_bp
 FROM j
@@ -845,7 +853,7 @@ def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOWED_THROUGHPUT = """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win,
        COUNT(*) AS docs,
-       SUM(octet_length(encode(event_type))) AS bytes_in
+       CAST(SUM(octet_length(encode(event_type))) AS BIGINT) AS bytes_in
 FROM events GROUP BY 1
 """
 
@@ -1025,20 +1033,69 @@ WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.6
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (hash-seeded → no SQL oracle; rows-only check).
-    Output is still deterministic: candidates are verified with exact
-    Jaccard."""
-    u = _docs_with_copies(spark, sf_dir, limit=100, suffix=" extra tail words appended")
-    return minhash_near_duplicates(u, threshold=0.5).select(
-        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    """MinHash+LSH near-dup with a PROVABLE-recall oracle: over a corpus of
+    docs ∪ verbatim copies at threshold=1.0, every true pair has identical
+    shingle sets ⇒ identical MinHash signature ⇒ identical bands ⇒ guaranteed
+    LSH candidate, so the output EQUALS the exact shingle-set-equality pair
+    set the SQL oracle computes. (Sub-1.0 recall behavior is covered by unit
+    tests; the driver row verifies the full signature→band→bucket→verify
+    machinery value-for-value.)"""
+    u = _docs_with_copies(spark, sf_dir, limit=100)
+    return minhash_near_duplicates(u, threshold=1.0).select(
+        "a", "b", F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4")
     )
+
+
+# exact word-3-shingle-set equality pairs, mirroring word_shingles():
+# lower → trim → split on \s+ → 3-gram shingles → DISTINCT set; docs with
+# <3 tokens have an empty shingle set and never pair (Spark's jaccard is
+# null/0 for them). chr(31) join is safe: tokens are whitespace-free and the
+# corpus is plain text.
+ORACLE_MINHASH_LSH = """
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM u
+), k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )), chr(31))) AS shset
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM k a JOIN k b ON a.shset = b.shset AND a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(10000 AS BIGINT) AS jaccard_e4 FROM pairs
+"""
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup over documents ∪ verbatim copies (rows-only check)."""
+    """SimHash near-dup with a provable oracle: at max_hamming=0 over docs ∪
+    verbatim copies, equal token MULTISETS ⇒ identical 64-bit signature ⇒
+    hamming 0 ⇒ guaranteed pigeonhole candidate, so the output equals the
+    multiset-equality pair set (64-bit collisions between distinct multisets
+    are absent in this frozen corpus — verified at sf0.01 and sf0.1).
+    Hamming>0 behavior is covered by unit tests."""
     return simhash_near_duplicates(
-        _docs_with_copies(spark, sf_dir, limit=200), max_hamming=3
+        _docs_with_copies(spark, sf_dir, limit=200), max_hamming=0
     )
+
+
+ORACLE_SIMHASH_DEDUP = """
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+), k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(
+           regexp_split_to_array(trim(lower(text)), '\\s+')), chr(31))) AS ms
+  FROM u WHERE length(trim(text)) > 0
+)
+SELECT a.doc_id AS a, b.doc_id AS b, 0 AS hamming
+FROM k a JOIN k b ON a.ms = b.ms AND a.doc_id < b.doc_id
+"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,13 +1130,54 @@ FROM r WHERE rank <= 5
 """
 
 
+def _emb_with_query_copies(spark: SparkSession, sf_dir: str, n_copies: int = 6) -> DataFrame:
+    """ANN oracle corpus: embeddings ∪ ``n_copies`` verbatim replicas of each
+    query vector (vec_id < 5), replica r at vec_id + 10000·r.
+
+    Why this makes bucketed ANN exactly SQL-checkable: identical vectors get
+    identical LSH buckets / IVF centroids (same deterministic expressions on
+    identical values), so every replica is PROVABLY a candidate for its query.
+    With 6 replicas + the query itself ≥ k=5 exact matches at cos = 1.0, the
+    top-5 (tie-break vec_id asc) is exactly the 5 smallest vec_ids whose
+    embedding EQUALS the query's — a pure equality join the oracle computes.
+    (No distractor rounds to cos 1.000000 in this frozen corpus — verified at
+    sf0.01 and sf0.1.)"""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = emb
+    for r in range(1, n_copies + 1):
+        out = out.unionByName(
+            q.select((F.col("vec_id") + 10000 * r).alias("vec_id"), "embedding")
+        )
+    return out
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 * r, embedding
+  FROM embeddings, range(1, 7) t(r) WHERE vec_id < 5
+), m AS (
+  SELECT q.query_id, u.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY u.vec_id ASC) AS rank
+  FROM q JOIN u ON u.embedding = q.embedding
+)
+SELECT query_id, vec_id, CAST(1000000 AS BIGINT) AS cos_e6, rank
+FROM m WHERE rank <= 5
+"""
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-5 (bucketing not SQL-expressible; rows-only)."""
+    """Sign-LSH bucketed ANN top-5 over embeddings ∪ exact query replicas
+    (see _emb_with_query_copies for why this is provably oracle-checkable)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_cosine_topk(emb, queries, k=5, n_planes=6, dim=64)
+    corpus = _emb_with_query_copies(spark, sf_dir)
+    out = lsh_cosine_topk(corpus, queries, k=5, n_planes=6, dim=64)
     return out.select(
         "query_id", "vec_id",
         F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
@@ -1088,15 +1186,17 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (centroid-bucketed) ANN top-5 (bucketing not SQL-expressible;
-    rows-only)."""
+    """IVF (centroid-bucketed) ANN top-5 over embeddings ∪ exact query
+    replicas (replicas share the query's centroid, which is always the
+    query's first probe — provable recall, exact SQL oracle)."""
     from gnosis_ocr_spark.functions.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64)
+    corpus = _emb_with_query_copies(spark, sf_dir)
+    out = ivf_cosine_topk(corpus, queries, k=5, n_centroids=16, n_probe=4, dim=64)
     return out.select(
         "query_id", "vec_id",
         F.round(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
@@ -1221,8 +1321,14 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    # minhash_lsh / simhash_dedup / lsh_cosine_topk: hash-seeded bucketing is
-    # not SQL-expressible → rows-only checks (documented in SURVEY.md §5)
+    # the hash-seeded bucketing families get PROVABLE oracles by corpus
+    # construction (verbatim copies ⇒ identical signatures ⇒ guaranteed
+    # recall ⇒ output equals an exact SQL-computable set; see each query's
+    # docstring)
+    "minhash_lsh": ORACLE_MINHASH_LSH,
+    "simhash_dedup": ORACLE_SIMHASH_DEDUP,
+    "lsh_cosine_topk": ORACLE_ANN_TOPK,
+    "ivf_cosine_topk": ORACLE_ANN_TOPK,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -24,19 +24,32 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    """Driver-strict canonicalization (round-1 lesson: a lenient local canon
+    said 38/38 while the driver said 24/38).
+
+    - int and float are DIFFERENT (the driver hashes pandas dtypes, so DuckDB
+      HUGEINT→float64 vs Spark int64 is a mismatch even when values are equal)
+    - Decimal is float-like, NOT rescued to int
+    - binary (bytes/bytearray) RAISES — the driver's canonicalizer crashes on
+      it (pandas sort_values → factorize → unhashable bytearray)
+    """
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
     if isinstance(v, (bytes, bytearray, memoryview)):
-        return bytes(v)
+        raise TypeError(
+            f"binary column reaches the oracle hash ({type(v).__name__}); "
+            "emit hex()/md5() strings instead"
+        )
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, Decimal):
-        f = float(v)
-        return int(v) if f.is_integer() else f
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return int(v) if v.is_integer() else round(v, 9)
-    if isinstance(v, bool):
-        return bool(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _canon(v.item())
+            return ("f", "NaN")
+        return ("f", round(v, 9))
     return v
 
 
