@@ -61,13 +61,15 @@ def progress_percent(done: Column, total: Column) -> Column:
 
 
 def content_type_for(url: Column | str) -> Column:
-    """F12: extension → content type map (reference app/main.py:99-111)."""
+    """F12: extension → content type map (reference app/main.py:99-111;
+    .md → text/markdown is the reference's own OCR-result serving type)."""
     ext = url_extension(url)
     return (
         F.when(ext == ".pdf", "application/pdf")
         .when(ext == ".png", "image/png")
         .when((ext == ".jpg") | (ext == ".jpeg"), "image/jpeg")
         .when(ext == ".txt", "text/plain")
+        .when(ext == ".md", "text/markdown")
         .when((ext == ".html") | (ext == ".htm"), "text/html")
         .when(ext == ".json", "application/json")
         .otherwise("application/octet-stream")

@@ -40,6 +40,11 @@ _BOILER_NAME_RE = re.compile(
     re.I,
 )
 _WS_RE = re.compile(r"\s+")
+# void elements never get an end tag — keeping them off the element stack
+# stops a boiler-marked <img class="ad"> from poisoning the rest of the doc
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 1.0 / 3.0
@@ -66,6 +71,11 @@ class _Extractor(HTMLParser):
         self._boiler_depth = 0
         self._link_depth = 0
         self._cur: _Block | None = None
+        # stack of (tag, set_boiler_flag) for every open element: boilerplate
+        # state must clear with the ELEMENT that set it, not with the first
+        # same-named end tag (a nested plain <div> inside <div class="ad">
+        # previously cleared the flag early and leaked the rest of the ad)
+        self._elems: list[tuple[str, bool]] = []
 
     def _new_block(self, tag: str) -> None:
         self._cur = _Block(
@@ -77,11 +87,11 @@ class _Extractor(HTMLParser):
         if tag in _KILL_TAGS:
             self._kill_depth += 1
         names = " ".join(v or "" for k, v in attrs if k in ("class", "id", "role"))
-        if _BOILER_NAME_RE.search(names):
-            self._boiler_depth += 1
-            # remember so the matching endtag decrements (approximate: track by depth)
-            self._boiler_tags = getattr(self, "_boiler_tags", [])
-            self._boiler_tags.append(tag)
+        boiler = bool(_BOILER_NAME_RE.search(names))
+        if tag not in _VOID_TAGS:
+            self._elems.append((tag, boiler))
+            if boiler:
+                self._boiler_depth += 1
         if tag == "a":
             self._link_depth += 1
         if tag in _BLOCK_TAGS:
@@ -90,10 +100,17 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _KILL_TAGS and self._kill_depth > 0:
             self._kill_depth -= 1
-        boiler_tags = getattr(self, "_boiler_tags", [])
-        if boiler_tags and boiler_tags[-1] == tag:
-            boiler_tags.pop()
-            self._boiler_depth -= 1
+        # close the nearest matching open element; anything above it on the
+        # stack is implicitly auto-closed (sloppy-HTML semantics: <ul><li>a
+        # <li>b</ul>), releasing any boiler flags those elements set. A stray
+        # end tag with no open match is ignored.
+        for i in range(len(self._elems) - 1, -1, -1):
+            if self._elems[i][0] == tag:
+                for _, b in self._elems[i:]:
+                    if b:
+                        self._boiler_depth -= 1
+                del self._elems[i:]
+                break
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
         if tag in _BLOCK_TAGS:

@@ -142,8 +142,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _norm(F.col("text")).alias("norm")
     )
     # small parquet inputs arrive as one split; spread before the per-doc
-    # build/split/raster work so the flat-map parallelizes
-    docs = docs.filter(F.length("norm") >= 120).repartition(32)
+    # build/split/raster work so the flat-map parallelizes (width follows the
+    # session's shuffle parallelism — correct at any local[N]/cluster size)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.filter(F.length("norm") >= 120).repartition(n_part)
     pdfs = docs.mapInPandas(_build_pdf_batches, schema="url string, html binary")
     pages = split_pdf_text_pages(pdfs)
     # fused raster+OCR (the production path); raster pinned so driver
@@ -490,8 +492,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://ex.test/doc-"),
         F.col("doc_id").cast("string"),
-        F.when(F.col("doc_id") % 3 == 0, ".pdf")
-        .when(F.col("doc_id") % 3 == 1, ".HTML")
+        F.when(F.col("doc_id") % 4 == 0, ".pdf")
+        .when(F.col("doc_id") % 4 == 1, ".HTML")
+        .when(F.col("doc_id") % 4 == 2, ".md")
         .otherwise(".png"),
     )
     fname = page_filename((F.col("doc_id") % 500).cast("int"))
@@ -512,8 +515,8 @@ ORACLE_SCALAR_FUNCS = """
 WITH u AS (
   SELECT doc_id, source,
          'https://ex.test/doc-' || CAST(doc_id AS VARCHAR) ||
-         CASE WHEN doc_id % 3 = 0 THEN '.pdf' WHEN doc_id % 3 = 1 THEN '.HTML'
-              ELSE '.png' END AS url,
+         CASE WHEN doc_id % 4 = 0 THEN '.pdf' WHEN doc_id % 4 = 1 THEN '.HTML'
+              WHEN doc_id % 4 = 2 THEN '.md' ELSE '.png' END AS url,
          printf('page_%03d.png', CAST(doc_id % 500 AS INT)) AS fname
   FROM documents
 )
@@ -525,6 +528,7 @@ SELECT doc_id,
        CASE lower(regexp_extract(url, '(\\.[^./]+)$', 1))
             WHEN '.pdf' THEN 'application/pdf'
             WHEN '.png' THEN 'image/png'
+            WHEN '.md' THEN 'text/markdown'
             WHEN '.html' THEN 'text/html'
             ELSE 'application/octet-stream' END AS ctype,
        CAST(ROUND((doc_id % 7) * 100.0 / 7) AS INT) AS pct

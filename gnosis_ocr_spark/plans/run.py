@@ -89,15 +89,17 @@ def run_extraction(
         # J2 anti-join: only unfinished urls are re-processed
         todo = docs.join(done, "url", "left_anti")
 
-    n_todo = todo.count()
-    if n_todo == 0:
-        return {"processed": 0, "skipped_done": docs.count()}
-
     tagged = _with_partition_metrics(
         extract_corpus(todo, ocr_engine=ocr_engine, raster=raster), run_id
     )
     tagged = tagged.persist()
     try:
+        # count AFTER persist: this materializes the cache the three writes
+        # below reuse — no separate pre-count scan of the (100 TB) input
+        # (round-1 review flagged the extra job)
+        n_todo = tagged.count()
+        if n_todo == 0:
+            return {"processed": 0, "skipped_done": docs.count()}
         results = tagged.select(
             "url", "extracted_text", "n_pages", "route", F.lit(run_id).alias("run_id")
         )
@@ -148,13 +150,28 @@ def run_extraction(
 
 def canonical_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """Latest-wins view over possibly-replayed appends (A8 pattern):
-    exactly one row per url even after retries/overlapping runs."""
+    exactly one row per url even after retries/overlapping runs.
+
+    "Latest" is the run's real completion time from the done_manifest (a
+    lexicographic order on run_id would rank 'r9' above 'r10' and resurrect
+    stale extractions). The per-run timestamp table is tiny (one row per
+    run) and broadcast; results rows whose run died before writing a
+    manifest sort last (nulls last) and lose to any completed run."""
     from pyspark.sql.window import Window
 
     raw = tables.read_or_empty(spark, f"{out_dir}/results", RESULTS_SCHEMA)
-    w = Window.partitionBy("url").orderBy(F.desc("run_id"))
+    manifest = tables.read_or_empty(
+        spark, f"{out_dir}/done_manifest", MANIFEST_SCHEMA
+    )
+    run_times = manifest.groupBy("run_id").agg(
+        F.max("finished_at").alias("_run_ts")
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc_nulls_last("_run_ts"), F.desc("run_id")
+    )
     return (
-        raw.withColumn("_rn", F.row_number().over(w))
+        raw.join(F.broadcast(run_times), "run_id", "left")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_run_ts")
     )

@@ -71,11 +71,15 @@ def start_full_extract_stream(
     available_now: bool = True,
 ):
     """Full-pipeline streaming via ``foreachBatch``: every micro-batch runs
-    the complete batch plan (routing, PDF split→raster→OCR, assembly) and
-    appends. The PDF branch's groupBy(url) is a plain batch aggregation
-    inside the micro-batch — exactly-once delivery comes from the streaming
-    checkpoint (a replayed batch overwrites its own epoch output), and
-    per-document completeness holds because file sources never split one row
+    the complete batch plan (routing, PDF split→raster→OCR, assembly).
+
+    Exactly-once semantics require the foreachBatch sink write to be
+    IDEMPOTENT under batch replay (the checkpoint only guarantees
+    at-least-once delivery of each epoch): the output is partitioned by
+    ``epoch`` and written with dynamic partition overwrite, so a micro-batch
+    replayed after a crash between the write and the checkpoint commit
+    replaces its own epoch partition instead of appending duplicates.
+    Per-document completeness holds because file sources never split one row
     across batches."""
     from gnosis_ocr_spark.plans.pipeline import extract_corpus
 
@@ -83,7 +87,9 @@ def start_full_extract_stream(
         (
             extract_corpus(batch_df, ocr_engine=ocr_engine)
             .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(out_dir)
         )
 

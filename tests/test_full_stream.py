@@ -32,3 +32,35 @@ def test_full_stream_matches_goldens(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Regression (round-2 advice): foreachBatch is only exactly-once if the
+    sink write is idempotent. Simulate a crash between the sink write and the
+    checkpoint commit by deleting the newest commit file — the restarted
+    stream replays that epoch and must NOT duplicate rows (dynamic partition
+    overwrite on epoch)."""
+    import os
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    write_corpus(spark, in_dir, n=N, num_partitions=4)
+
+    q = start_full_extract_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    q.stop()  # fully deregister before reusing the checkpoint
+    assert spark.read.parquet(out_dir).count() == N
+
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # ChecksumFs sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start_full_extract_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    q2.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == N
+    assert got.select("url").distinct().count() == N

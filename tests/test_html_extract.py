@@ -74,3 +74,28 @@ def test_degenerate_inputs():
     assert extract_main_text(b"just plain text that is long enough to keep here") == (
         "just plain text that is long enough to keep here"
     )
+
+
+def test_nested_same_tag_inside_boilerplate_stays_dropped():
+    """Regression (round-2 advice): a nested plain <div> closing inside
+    <div class='ad'> must not clear the boilerplate flag early."""
+    html = (
+        "<body>"
+        "<div class='ad'><div>x</div>"
+        "<p>advertisement text that is long enough to pass the length floor</p></div>"
+        "<p>The real content paragraph which is comfortably long enough too.</p>"
+        "</body>"
+    )
+    got = extract_main_text(html.encode())
+    assert got == "The real content paragraph which is comfortably long enough too."
+
+
+def test_void_boiler_element_does_not_poison_document():
+    """A boiler-classed void element (<img class='ad'>) never gets an end tag
+    and must not suppress the rest of the document."""
+    html = (
+        "<body><img class='ad' src='x.png'>"
+        "<p>Real paragraph following a void ad image, long enough to keep.</p></body>"
+    )
+    got = extract_main_text(html.encode())
+    assert got == "Real paragraph following a void ad image, long enough to keep."

@@ -80,3 +80,23 @@ def test_metrics_lineage_written(spark, tmp_path):
     golden_pages = golden_df(spark, n=N).agg(F.sum("n_pages")).collect()[0][0]
     assert agg["pages"] == golden_pages
     assert metrics.filter(F.col("partition_id") < 0).count() == 0
+
+
+def test_canonical_latest_wins_by_time_not_lexicographic(spark, tmp_path):
+    """Regression (round-2 advice): run 'r10' finishing after 'r9' must win
+    the latest-wins dedup even though 'r9' > 'r10' lexicographically."""
+    out = str(tmp_path / "run")
+    docs = corpus_df(spark, n=10, num_partitions=2)
+    run_extraction(spark, docs, out, run_id="r9")
+    # wipe the manifest so r10 reprocesses everything (a later, full rerun)
+    import shutil
+
+    shutil.rmtree(f"{out}/done_manifest")
+    import time
+
+    time.sleep(1.1)  # ensure a strictly later finished_at (second precision)
+    run_extraction(spark, docs, out, run_id="r10")
+
+    canon = canonical_results(spark, out)
+    assert canon.count() == 10
+    assert canon.filter(F.col("run_id") != "r10").count() == 0

@@ -158,3 +158,34 @@ def test_embedding_near_duplicates(spark):
     corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
     pairs = {(r["a"], r["b"]): r["cos"] for r in embedding_near_duplicates(corpus, dim=8).collect()}
     assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """Regression (round-2 advice): docs with fewer than n tokens/chars made
+    F.sequence descend and slice()/substring() blow up or emit a spurious ''
+    gram — short and empty docs must yield empty shingle sets and no pairs."""
+    from gnosis_ocr_spark.functions.dedup import char_ngrams, word_shingles
+
+    df = _docs(
+        spark,
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three tokens here"),
+         (5, "now three tokens here")],
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["now three tokens", "three tokens here"]
+
+    ng = {
+        r["doc_id"]: r["ng"]
+        for r in df.select("doc_id", char_ngrams(F.col("text"), n=3).alias("ng")).collect()
+    }
+    assert ng[1] == [] and "" not in ng[2]
+
+    # the full pipelines run without error and pair only the real duplicates
+    pairs = minhash_near_duplicates(df, threshold=1.0).select("a", "b").collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(4, 5)}
+    jac = ngram_jaccard_pairs(df, threshold=0.99).select("a", "b").collect()
+    assert {(r["a"], r["b"]) for r in jac} == {(4, 5)}
