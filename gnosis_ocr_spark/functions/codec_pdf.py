@@ -134,30 +134,170 @@ def build_pdf(pages: list[str], compress: bool = False) -> bytes:
     return bytes(buf)
 
 
+def build_pdf_15(pages: list[str]) -> bytes:
+    """PDF 1.5-style fixture writer (public-spec features a real crawl hits
+    that the classic writer above does not emit):
+
+    - the page tree (catalog/pages/page dicts/font) lives compressed inside
+      an /ObjStm OBJECT STREAM — invisible to a naive obj..endobj scan;
+    - the cross-reference is an /XRef STREAM (no classic ``xref`` table);
+    - every page has TWO content streams (``/Contents [a 0 R b 0 R]``) whose
+      text state carries across the boundary;
+    - text is positioned with ``Tm`` + ``TL``/``'`` (next-line-show) instead
+      of ``Td`` chains.
+
+    Layout is identical to :func:`build_pdf` (72/720 origin, 14 pt leading),
+    so extracted text must be byte-identical between the two writers."""
+    import zlib
+
+    n = len(pages)
+    font_no = 3 + n
+    first_content = 4 + n
+    objstm_no = first_content + 2 * n
+    xref_no = objstm_no + 1
+
+    packed: list[tuple[int, bytes]] = [(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    packed.append((2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()))
+    for i in range(n):
+        c1 = first_content + 2 * i
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {font_no} 0 R >> >> "
+                    f"/Contents [{c1} 0 R {c1 + 1} 0 R] >>"
+                ).encode(),
+            )
+        )
+    packed.append((font_no, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit_stream(num: int, dict_extra: bytes, payload: bytes) -> None:
+        offsets[num] = len(buf)
+        data = zlib.compress(payload, 6)
+        buf.extend(
+            b"%d 0 obj\n<< %s /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (num, dict_extra, len(data))
+        )
+        buf.extend(data)
+        buf.extend(b"\nendstream\nendobj\n")
+
+    for i, page_text in enumerate(pages):
+        lines = page_text.split("\n")
+        half = (len(lines) + 1) // 2
+        ops1 = ["BT", "/F1 12 Tf", "14 TL", "1 0 0 1 72 720 Tm",
+                f"({_esc(lines[0])}) Tj"]
+        ops1 += [f"({_esc(ln)}) '" for ln in lines[1:half]]
+        ops2 = [f"({_esc(ln)}) '" for ln in lines[half:]] + ["ET"]
+        c1 = first_content + 2 * i
+        emit_stream(c1, b"", "\n".join(ops1).encode("latin-1", "replace"))
+        emit_stream(c1 + 1, b"", "\n".join(ops2).encode("latin-1", "replace"))
+
+    # object stream: "num off num off ...\n" header, bodies at /First
+    parts: list[bytes] = []
+    offs: list[tuple[int, int]] = []
+    pos = 0
+    for num, body in packed:
+        offs.append((num, pos))
+        parts.append(body + b"\n")
+        pos += len(body) + 1
+    header = " ".join(f"{num} {off}" for num, off in offs).encode() + b"\n"
+    emit_stream(
+        objstm_no,
+        b"/Type /ObjStm /N %d /First %d" % (len(packed), len(header)),
+        header + b"".join(parts),
+    )
+
+    # xref stream: W [1 4 2] = 1-byte type, 4-byte offset/objstm, 2-byte idx
+    xref_off = len(buf)
+    offsets[xref_no] = xref_off
+    packed_idx = {num: i for i, (num, _) in enumerate(packed)}
+    rows = bytearray()
+    for num in range(xref_no + 1):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in packed_idx:
+            rows += bytes([2]) + objstm_no.to_bytes(4, "big") + packed_idx[
+                num
+            ].to_bytes(2, "big")
+        else:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(
+                2, "big"
+            )
+    data = zlib.compress(bytes(rows), 6)
+    buf.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+        % (xref_no, xref_no + 1, len(data))
+    )
+    buf.extend(data)
+    buf.extend(b"\nendstream\nendobj\n")
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(buf)
+
+
 def is_pdf(data: bytes | None) -> bool:
     """Magic-byte sniff — the content-trusting replacement for the reference's
     extension allow-list (/root/reference/app/config.py:19,92-95)."""
     return bool(data) and data[:5] == b"%PDF-"
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b")
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
-_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+# /Contents: either one indirect ref or an ARRAY of refs (multiple content
+# streams per page — common in real-world files; they concatenate in order)
+_CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-# content-stream tokens we understand: x y Td|TD, (s) Tj, [(s) n (s)] TJ
+_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+# content-stream tokens we understand: x y Td|TD, a b c d e f Tm, n TL,
+# T*, (s) Tj, (s) ', [(s) n (s)] TJ, BT — operands in NAMED groups
 _TOK_RE = re.compile(
-    rb"(?P<td>(-?[\d.]+)\s+(-?[\d.]+)\s+T[dD])"
-    rb"|(?P<tj>\(((?:[^()\\]|\\.)*)\)\s*Tj)"
-    rb"|(?P<tja>\[((?:[^\]\\]|\\.)*)\]\s*TJ)",
+    rb"(?P<tm>(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+"
+    rb"(?P<tm_e>-?[\d.]+)\s+(?P<tm_f>-?[\d.]+)\s+Tm\b)"
+    rb"|(?P<td>(?P<td_x>-?[\d.]+)\s+(?P<td_y>-?[\d.]+)\s+(?P<td_op>T[dD]))"
+    rb"|(?P<tl>(?P<tl_v>-?[\d.]+)\s+TL\b)"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?P<tj>\((?P<tj_s>(?:[^()\\]|\\.)*)\)\s*Tj)"
+    rb"|(?P<quote>\((?P<quote_s>(?:[^()\\]|\\.)*)\)\s*')"
+    rb"|(?P<tja>\[(?P<tja_s>(?:[^\]\\]|\\.)*)\]\s*TJ)"
+    rb"|(?P<bt>BT\b)",
     re.S,
 )
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 
 
 def _objects(pdf: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf)}
+    """Scan all indirect objects, including those packed inside /ObjStm
+    object streams (PDF 1.5 xref-stream era: catalogs/page dicts routinely
+    live compressed inside object streams, invisible to a plain obj..endobj
+    scan). Top-level definitions win on number collisions."""
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+    for body in list(objs.values()):
+        if not _OBJSTM_RE.search(body):
+            continue
+        data = _stream_bytes(body)
+        nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+        if data is None or not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        nums = [int(x) for x in header[0 : 2 * n : 2]]
+        offs = [int(x) for x in header[1 : 2 * n : 2]]
+        bounds = offs[1:] + [len(data) - first]
+        for num, off, end in zip(nums, offs, bounds):
+            objs.setdefault(num, data[first + off : first + end])
+    return objs
 
 
 def page_count(pdf: bytes) -> int:
@@ -169,7 +309,7 @@ def page_count(pdf: bytes) -> int:
         if _PAGES_TYPE_RE.search(body):
             m = _KIDS_RE.search(body)
             if m:
-                return len(re.findall(rb"\d+\s+0\s+R", m.group(1)))
+                return len(re.findall(rb"\d+\s+\d+\s+R", m.group(1)))
     # fallback: count page objects
     return sum(1 for b in objs.values() if _PAGE_TYPE_RE.search(b))
 
@@ -192,7 +332,7 @@ def extract_pages(
             m = _KIDS_RE.search(body)
             if m:
                 kid_order = [
-                    int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))
+                    int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))
                 ]
             break
     if not kid_order:  # no page tree: take /Type /Page objects in file order
@@ -204,14 +344,24 @@ def extract_pages(
     pages: list[list[Span]] = []
     for page_obj_no in kid_order[first_page - 1 : last_page]:
         body = objs.get(page_obj_no, b"")
-        cm = _CONTENTS_RE.search(body)
-        spans: list[Span] = []
-        if cm:
-            content_body = objs.get(int(cm.group(1)), b"")
-            stream = _stream_bytes(content_body)
+        content_nos: list[int] = []
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            content_nos = [
+                int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))
+            ]
+        else:
+            cm = _CONTENTS_ONE_RE.search(body)
+            if cm:
+                content_nos = [int(cm.group(1))]
+        # multiple content streams concatenate in array order (PDF spec:
+        # they form ONE logical stream — graphics state carries across)
+        parts = []
+        for no in content_nos:
+            stream = _stream_bytes(objs.get(no, b""))
             if stream is not None:
-                spans = _parse_content(stream)
-        pages.append(spans)
+                parts.append(stream)
+        pages.append(_parse_content(b"\n".join(parts)) if parts else [])
     return pages
 
 
@@ -253,19 +403,39 @@ def _stream_bytes(content_body: bytes) -> bytes | None:
 
 def _parse_content(stream: bytes) -> list[Span]:
     x = y = 0.0
+    leading = 0.0
     spans: list[Span] = []
     for m in _TOK_RE.finditer(stream):
-        if m.group("td"):
-            # Td/TD are relative moves of the text-line origin
-            x += float(m.group(2))
-            y += float(m.group(3))
+        if m.group("bt"):
+            # BT resets the text matrix to identity
+            x = y = 0.0
+        elif m.group("tm"):
+            # a b c d e f Tm: absolute text matrix; for span positioning the
+            # translation (e, f) is the text origin (scale/rotation ignored —
+            # standard fidelity for text extraction)
+            x, y = float(m.group("tm_e")), float(m.group("tm_f"))
+        elif m.group("td"):
+            # Td/TD are relative moves of the text-line origin; TD also sets
+            # the leading to -ty
+            x += float(m.group("td_x"))
+            ty = float(m.group("td_y"))
+            y += ty
+            if m.group("td_op") == b"TD":
+                leading = -ty
+        elif m.group("tl"):
+            leading = float(m.group("tl_v"))
+        elif m.group("tstar"):
+            y -= leading
         elif m.group("tj"):
-            s = _unesc(m.group(5).decode("latin-1"))
-            spans.append(Span(x, y, s))
+            spans.append(Span(x, y, _unesc(m.group("tj_s").decode("latin-1"))))
+        elif m.group("quote"):
+            # ' = T* then show
+            y -= leading
+            spans.append(Span(x, y, _unesc(m.group("quote_s").decode("latin-1"))))
         elif m.group("tja"):
             parts = [
                 _unesc(sm.group(1).decode("latin-1"))
-                for sm in _STR_RE.finditer(m.group(7))
+                for sm in _STR_RE.finditer(m.group("tja_s"))
             ]
             spans.append(Span(x, y, "".join(parts)))
     return spans

@@ -92,3 +92,50 @@ def test_flate_garbage_stream_is_sentinel_safe():
     corrupted = pdf.replace(b"stream\n", b"stream\n\x00\x01", 1)
     pages = P.extract_pages(corrupted)
     assert pages == [[]]  # undecodable stream -> empty page, no crash
+
+
+# ---------------------------------------------------------------- PDF 1.5 era
+
+
+@given(st.lists(st.lists(printable, min_size=1, max_size=4), min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_pdf15_matches_classic_writer_property(pages_lines):
+    """ObjStm + xref-stream + split-content + Tm/TL/' files must extract
+    byte-identically to the classic Td-chain writer at the same layout."""
+    pages = ["\n".join(lines) for lines in pages_lines]
+    p14 = P.build_pdf(pages)
+    p15 = P.build_pdf_15(pages)
+    assert P.page_count(p15) == len(pages)
+    got14 = [P.page_text(pg) for pg in P.extract_pages(p14)]
+    got15 = [P.page_text(pg) for pg in P.extract_pages(p15)]
+    assert got15 == got14
+
+
+def test_pdf15_page_tree_really_lives_in_objstm():
+    """The 1.5 fixture is a genuinely different file class: no page object is
+    visible to a plain obj..endobj scan (they are flate-packed in /ObjStm) and
+    there is no classic xref table — the features the parser grew this round."""
+    pdf = P.build_pdf_15(["page one text", "page two text"])
+    assert b"/Type /Page" not in pdf  # compressed away inside the ObjStm
+    assert b"\nxref\n" not in pdf  # xref STREAM, not a classic table
+    assert b"/Type /ObjStm" in pdf and b"/Type /XRef" in pdf
+    assert P.page_count(pdf) == 2
+    texts = [P.page_text(pg) for pg in P.extract_pages(pdf)]
+    assert texts == ["page one text", "page two text"]
+
+
+def test_pdf15_page_range_pushdown():
+    pdf = P.build_pdf_15([f"page {i}\nsecond line {i}" for i in range(1, 6)])
+    window = P.extract_pages(pdf, first_page=2, last_page=3)
+    assert [P.page_text(pg) for pg in window] == [
+        "page 2\nsecond line 2", "page 3\nsecond line 3"
+    ]
+
+
+def test_contents_array_state_carries_across_streams():
+    """Graphics state (origin, leading) set in content stream A must apply in
+    stream B of the same page — the spec treats the array as ONE stream."""
+    pdf = P.build_pdf_15(["l1\nl2\nl3\nl4"])  # splits 2+2 across streams
+    (spans,) = P.extract_pages(pdf)
+    ys = [s.y for s in spans]
+    assert ys == [720.0, 706.0, 692.0, 678.0]  # 14pt leading throughout
