@@ -99,6 +99,32 @@ def main() -> None:
     )
     byte_identical_rate = matches / n_docs
 
+    # ---- compute-calibrated extraction (the inference-like regime the
+    # scaling claim rests on: dpi150 rasters + ~30 ms CPU/page OCR stub,
+    # identical output to the plain stub — see BENCH/BASELINE.md). Tracked
+    # per round alongside the plain-stub number; disable with
+    # SPARK_GRAFT_BENCH_CALIBRATED=0.
+    calibrated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CALIBRATED", "1") == "1":
+        t0 = time.monotonic()
+        cal = extract_corpus(
+            spark.read.parquet(corpus_dir),
+            pdf_partitions=cpus * 2,
+            raster="dpi150",
+            ocr_engine="stub_compute",
+        )
+        cal_out = cal.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+        ).collect()[0]
+        t_cal = time.monotonic() - t0
+        assert cal_out["docs"] == n_docs and cal_out["chars"] > 0
+        timings["extract_calibrated"] = round(t_cal, 3)
+        calibrated = {
+            "calibrated_docs_per_sec": round(n_docs / t_cal, 2),
+            "calibrated_pages_per_sec": round(n_pages_total / t_cal, 2),
+        }
+
     # ---- driver-contract headline queries on the sf dir
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         total = round(sum(timings.values()), 3)
@@ -116,6 +142,7 @@ def main() -> None:
                     "extract_n_docs": n_docs,
                     "extract_n_pages": int(n_pages_total),
                     "byte_identical_pass_rate": byte_identical_rate,
+                    **calibrated,
                 }
             )
         )
@@ -150,6 +177,7 @@ def main() -> None:
                 "extract_n_docs": n_docs,
                 "extract_n_pages": int(n_pages_total),
                 "byte_identical_pass_rate": byte_identical_rate,
+                **calibrated,
             }
         )
     )

@@ -60,6 +60,21 @@ def progress_percent(done: Column, total: Column) -> Column:
     )
 
 
+def human_size(nbytes: Column | str) -> Column:
+    """F11: human-readable size, exact reference semantics (app/config.py:
+    98-104 — first unit where the scaled value is < 1024, 2 decimals).
+    Unit-verified (Java vs Python %.2f tie-breaking differs at exact .005
+    boundaries, so this display-only helper carries no DuckDB oracle)."""
+    b = (F.col(nbytes) if isinstance(nbytes, str) else nbytes).cast("double")
+    return (
+        F.when(b < 1024, F.format_string("%.2f B", b))
+        .when(b / 1024.0 < 1024, F.format_string("%.2f KB", b / 1024.0))
+        .when(b / 1024.0**2 < 1024, F.format_string("%.2f MB", b / 1024.0**2))
+        .when(b / 1024.0**3 < 1024, F.format_string("%.2f GB", b / 1024.0**3))
+        .otherwise(F.format_string("%.2f TB", b / 1024.0**4))
+    )
+
+
 def content_type_for(url: Column | str) -> Column:
     """F12: extension → content type map (reference app/main.py:99-111;
     .md → text/markdown is the reference's own OCR-result serving type)."""

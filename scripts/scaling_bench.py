@@ -62,6 +62,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_BENCH_ONLY"] = "extract"
     env.setdefault("SPARK_GRAFT_RASTER", "dpi150")
     env.setdefault("SPARK_GRAFT_OCR_ENGINE", "stub_compute")
+    # the main extract IS the calibrated run here — skip bench.py's extra
+    # calibrated pass (it would double the measured work per level)
+    env.setdefault("SPARK_GRAFT_BENCH_CALIBRATED", "0")
     env.setdefault("SPARK_GRAFT_CORPUS_DIR", "/tmp/gnosis_scaling_corpus")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

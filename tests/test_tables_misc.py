@@ -41,3 +41,25 @@ def test_manifest_json_roundtrip(spark):
         .collect()[0]["s"]
     )
     assert back["job_id"] == "j1" and back["job_type"] == "ocr"
+
+
+def test_human_size_matches_reference_semantics(spark):
+    """F11: first unit where the scaled value is < 1024, 2 decimals
+    (reference app/config.py:98-104)."""
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.functions.scalar import human_size
+
+    def ref(size_bytes: float) -> str:  # the reference's loop, verbatim logic
+        for unit in ["B", "KB", "MB", "GB"]:
+            if size_bytes < 1024.0:
+                return f"{size_bytes:.2f} {unit}"
+            size_bytes /= 1024.0
+        return f"{size_bytes:.2f} TB"
+
+    vals = [0, 1, 512, 1023, 1024, 1536, 10_000, 1024**2 - 1, 5 * 1024**2,
+            3 * 1024**3, 2 * 1024**4, 999 * 1024**4]
+    df = spark.createDataFrame([(v,) for v in vals], schema="n long")
+    got = {r["n"]: r["h"] for r in df.select("n", human_size("n").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == ref(float(v)), (v, got[v], ref(float(v)))
