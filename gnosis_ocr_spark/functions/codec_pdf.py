@@ -267,12 +267,23 @@ _TOK_RE = re.compile(
     rb"|(?P<tl>(?P<tl_v>-?[\d.]+)\s+TL\b)"
     rb"|(?P<tstar>T\*)"
     rb"|(?P<tj>\((?P<tj_s>(?:[^()\\]|\\.)*)\)\s*Tj)"
+    rb"|(?P<tjx><(?P<tjx_s>[0-9A-Fa-f\s]*)>\s*Tj)"
     rb"|(?P<quote>\((?P<quote_s>(?:[^()\\]|\\.)*)\)\s*')"
     rb"|(?P<tja>\[(?P<tja_s>(?:[^\]\\]|\\.)*)\]\s*TJ)"
     rb"|(?P<bt>BT\b)",
     re.S,
 )
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+# literal OR hex string (both legal inside TJ arrays and as Tj operands)
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+
+
+def _unhex_str(h: bytes) -> str:
+    """PDF hex string <48656C6C6F> → text; whitespace ignored, odd length
+    padded with trailing 0 (PDF 32000-1 §7.3.4.3)."""
+    hx = re.sub(rb"\s+", b"", h)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
 
 
 def _objects(pdf: bytes) -> dict[int, bytes]:
@@ -428,6 +439,8 @@ def _parse_content(stream: bytes) -> list[Span]:
             y -= leading
         elif m.group("tj"):
             spans.append(Span(x, y, _unesc(m.group("tj_s").decode("latin-1"))))
+        elif m.group("tjx"):
+            spans.append(Span(x, y, _unhex_str(m.group("tjx_s"))))
         elif m.group("quote"):
             # ' = T* then show
             y -= leading
@@ -435,6 +448,8 @@ def _parse_content(stream: bytes) -> list[Span]:
         elif m.group("tja"):
             parts = [
                 _unesc(sm.group(1).decode("latin-1"))
+                if sm.group(1) is not None
+                else _unhex_str(sm.group(2))
                 for sm in _STR_RE.finditer(m.group("tja_s"))
             ]
             spans.append(Span(x, y, "".join(parts)))

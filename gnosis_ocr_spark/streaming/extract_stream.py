@@ -103,6 +103,47 @@ def start_full_extract_stream(
     return writer.start()
 
 
+def start_dedup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact deduplication — the training-pipeline analog of
+    ``functions.dedup.exact_duplicates`` for continuous ingest.
+
+    Documents are keyed by the normalized content fingerprint (md5 of
+    case/whitespace-normalized text — the same key the batch dedup uses;
+    binary-payload rows with no text column, e.g. PDFs, key on the raw blob
+    md5 so they don't all collapse into one null-fingerprint group) and
+    deduplicated with ``dropDuplicatesWithinWatermark``: the FIRST arrival of
+    each fingerprint within the watermark bound survives, and per-key state
+    is evicted once the event-time watermark passes — bounded memory at
+    crawl-scale ingest, unlike an unbounded dropDuplicates."""
+    from gnosis_ocr_spark.functions.text import fingerprint
+
+    docs = read_document_stream(spark, in_dir)
+    fp = F.when(
+        F.col("text").isNotNull(), fingerprint(F.col("text"))
+    ).otherwise(F.md5(F.col("html")))
+    deduped = (
+        docs.withColumn("fp", fp)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_throughput(docs: DataFrame, window: str = "10 minutes",
                         watermark: str = "30 minutes") -> DataFrame:
     """Watermarked event-time throughput aggregation (late data beyond the

@@ -139,3 +139,27 @@ def test_contents_array_state_carries_across_streams():
     (spans,) = P.extract_pages(pdf)
     ys = [s.y for s in spans]
     assert ys == [720.0, 706.0, 692.0, 678.0]  # 14pt leading throughout
+
+
+def test_hex_strings_in_content_streams():
+    """<hex> string operands for Tj and inside TJ arrays (PDF §7.3.4.3):
+    whitespace-tolerant, odd length pads a trailing zero nibble."""
+    base = P.build_pdf(["placeholder"])
+    content = (
+        b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj "
+        b"0 -14 Td [(mi) -120 <78 65 64> (!)] TJ "
+        b"0 -14 Td <4A7> Tj ET"  # odd length -> 0x4A 0x70 = 'Jp'
+    )
+    # patch the fixture's content object wholesale with the hex-string ops
+    import re as _re
+
+    pdf = _re.sub(
+        rb"<< /Length \d+ >>\nstream\n.*?\nendstream",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        base,
+        count=1,
+        flags=_re.S,
+    )
+    (spans,) = P.extract_pages(pdf)
+    assert [s.text for s in spans] == ["Hello", "mixed!", "Jp"]
+    assert P.page_text(spans) == "Hello\nmixed!\nJp"

@@ -64,3 +64,24 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == N
     assert got.select("url").distinct().count() == N
+
+
+def test_streaming_dedup_keeps_one_per_fingerprint(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the batch dedup's fingerprint key:
+    re-crawled duplicates (same text, different url) collapse to one row."""
+    from gnosis_ocr_spark.streaming.extract_stream import start_dedup_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    write_corpus(spark, in_dir, n=20, num_partitions=2)
+    # duplicate every doc under a different url (a re-crawl)
+    base = spark.read.parquet(in_dir)
+    dup = base.withColumn("url", F.concat(F.col("url"), F.lit("-recrawl")))
+    dup.write.mode("append").parquet(in_dir)
+
+    q = start_dedup_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 20  # one survivor per fingerprint
+    assert got.select("fp").distinct().count() == 20
