@@ -151,8 +151,11 @@ def main() -> None:
 
     bench_queries = [
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
-        "dedup_exact", "minhash_lsh", "simhash_dedup",
-        "cosine_topk", "text_stats", "quality",
+        "sessionize", "rollup",
+        "dedup_exact", "minhash_lsh", "simhash_dedup", "ngram_jaccard",
+        "winnow_fingerprints", "embedding_near_dup",
+        "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
+        "text_stats", "quality",
         "html_extract", "pdf_extract",
     ]
     for name in bench_queries:

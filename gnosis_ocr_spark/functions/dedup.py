@@ -192,7 +192,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     One explode + one groupBy with 64 conditional-sum partial aggregates; the
     signature is assembled JVM-side with bit arithmetic (shiftleft/bitwise-or
-    via sum of powers), no UDF."""
+    via sum of powers), no UDF.
+
+    Cost profile (profiled round 2): the 64-agg/63-term expression costs a
+    ONE-TIME ~5-8 s whole-stage-codegen compile per session (the round-1
+    bench's 32.9 s outlier was this compile on a cold JVM; warm runs are
+    2-3 s at sf0.1). Per-row runtime cost is linear and the topology
+    (explode → partial-agg groupBy → pigeonhole equi-joins) is unchanged at
+    100 TB, where a fixed compile cost is irrelevant."""
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
