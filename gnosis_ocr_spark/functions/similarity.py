@@ -143,7 +143,13 @@ def ivf_assign(
     """IVF coarse quantizer: assign each vector to its nearest deterministic
     centroid (hash-derived, same everywhere — a production system would run
     k-means once and broadcast the codebook; the assignment plan is
-    identical). Pure Column expressions — no UDF, no shuffle."""
+    identical). Pure Column expressions — no UDF, no shuffle.
+
+    The n_centroids inlined dot-product folds carry a one-time
+    whole-stage-codegen compile cost (seconds, like dedup.simhash — see its
+    cost-profile note); the alternative (explode corpus × centroids, argmax
+    via groupBy) would add a full shuffle of the corpus, which is the wrong
+    trade at 10^12 rows."""
     cents = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
     v = F.col(vec_col).cast("array<double>")
     # one scores array + argmax — NOT a chained when(): each chained branch

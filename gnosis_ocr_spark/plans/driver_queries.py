@@ -1147,13 +1147,18 @@ def _emb_with_query_copies(spark: SparkSession, sf_dir: str, n_copies: int = 6) 
     (No distractor rounds to cos 1.000000 in this frozen corpus — verified at
     sf0.01 and sf0.1.)"""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = emb
-    for r in range(1, n_copies + 1):
-        out = out.unionByName(
-            q.select((F.col("vec_id") + 10000 * r).alias("vec_id"), "embedding")
+    replicas = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_copies))).alias("r"),
+            "vec_id",
+            "embedding",
         )
-    return out
+        .select(
+            (F.col("vec_id") + 10000 * F.col("r")).alias("vec_id"), "embedding"
+        )
+    )  # explode, not n union branches: ONE extra scan instead of n
+    return emb.unionByName(replicas)
 
 
 ORACLE_ANN_TOPK = """
