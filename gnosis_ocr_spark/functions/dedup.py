@@ -268,6 +268,76 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------------- clustering
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node in ``edges`` (a, b): component = the
+    smallest node id reachable through the pair graph — the canonical-doc
+    assignment step after near-dup pair generation (pairs alone don't tell a
+    100 TB pipeline WHICH copy to keep; the min-id of each duplicate cluster
+    does).
+
+    Min-label propagation: each round joins current labels across the
+    symmetrized edge set and keeps the per-node minimum; converges in
+    O(graph diameter) rounds (duplicate clusters from LSH are near-cliques,
+    so 1-2 rounds typical; a pathological chain of length d needs d).
+    Lineage is truncated every round with localCheckpoint — without it the
+    iterative plan nests one join deeper per round and analysis cost grows
+    without bound. The per-round convergence check is one count() on the
+    (small) label table, not the input."""
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 1.0,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full dedup-clustering pipeline: MinHash+LSH pairs → connected
+    components → (id, component) with component = the cluster's canonical
+    (smallest) doc id. Singleton documents (no duplicate) are not emitted."""
+    pairs = minhash_near_duplicates(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        **minhash_kwargs,
+    ).select("a", "b")
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------- jaccard (exact)
 
 

@@ -1102,6 +1102,40 @@ FROM k a JOIN k b ON a.ms = b.ms AND a.doc_id < b.doc_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: MinHash+LSH pairs → connected components →
+    (id, component = canonical min doc id). At threshold=1.0 over verbatim
+    copies the pair graph is a union of shingle-set-equality CLIQUES, so
+    each node's component is provably the min doc_id sharing its shingle
+    set — exactly what the SQL oracle computes (multi-hop/chain convergence
+    of the iterative algorithm is exercised by unit tests on path graphs)."""
+    from gnosis_ocr_spark.functions.dedup import duplicate_clusters
+
+    u = _docs_with_copies(spark, sf_dir, limit=100)
+    return duplicate_clusters(u, threshold=1.0)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM u
+), k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )), chr(31))) AS shset
+  FROM t WHERE len(toks) >= 3
+), g AS (
+  SELECT doc_id, shset, COUNT(*) OVER (PARTITION BY shset) AS n,
+         MIN(doc_id) OVER (PARTITION BY shset) AS component
+  FROM k
+)
+SELECT doc_id AS id, component FROM g WHERE n >= 2
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors (broadcast NL join)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1291,6 +1325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dedup": q_simhash_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
@@ -1336,6 +1371,7 @@ ORACLES: dict[str, str] = {
     # docstring)
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash_dedup": ORACLE_SIMHASH_DEDUP,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "lsh_cosine_topk": ORACLE_ANN_TOPK,
     "ivf_cosine_topk": ORACLE_ANN_TOPK,
     "cosine_topk": ORACLE_COSINE_TOPK,

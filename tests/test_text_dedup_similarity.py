@@ -189,3 +189,35 @@ def test_shingles_short_docs_do_not_crash(spark):
     assert {(r["a"], r["b"]) for r in pairs} == {(4, 5)}
     jac = ngram_jaccard_pairs(df, threshold=0.99).select("a", "b").collect()
     assert {(r["a"], r["b"]) for r in jac} == {(4, 5)}
+
+
+def test_connected_components_path_graph(spark):
+    """Multi-hop convergence: a path 0-1-2-...-9 needs the min label to walk
+    the full diameter (one hop per round), plus a disjoint pair and triangle."""
+    from gnosis_ocr_spark.functions.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(9)]  # path 0..9
+    edges += [(100, 101), (200, 201), (201, 202), (200, 202)]  # pair + triangle
+    df = spark.createDataFrame(edges, schema="a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == got[202] == 200
+
+
+def test_duplicate_clusters_end_to_end(spark):
+    """Three verbatim copies of one doc + two of another → two clusters
+    keyed by the smallest doc_id; the unique doc emits nothing."""
+    from gnosis_ocr_spark.functions.dedup import duplicate_clusters
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (10, "one two three four five six"),
+        (11, "one two three four five six"),
+        (99, "completely unique document text here"),
+    ]
+    df = _docs(spark, rows)
+    got = {r["id"]: r["component"] for r in duplicate_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
