@@ -77,3 +77,45 @@ def test_page_level_parallelism_preserves_results(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_ann_topk_limits_before_exchange(spark):
+    """The per-query top-k must apply map-side (WindowGroupLimit below the
+    rank exchange) so only k candidates per partition shuffle — the property
+    that keeps bucketed ANN viable at huge corpus sizes."""
+    import re
+
+    from gnosis_ocr_spark.plans.driver_queries import (
+        q_ivf_cosine_topk,
+        q_lsh_cosine_topk,
+    )
+
+    for q in (q_lsh_cosine_topk, q_ivf_cosine_topk):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan  # tiny query side broadcasts
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        # two WindowGroupLimit nodes: partial (map-side) and final
+        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M)) >= 2
+
+
+def test_ann_replica_corpus_is_single_extra_scan(spark):
+    """The replica corpus builds with ONE extra embeddings scan (explode over
+    sequence), not one scan per replica."""
+    import re
+
+    from gnosis_ocr_spark.plans.driver_queries import _emb_with_query_copies
+
+    plan = _plan(_emb_with_query_copies(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+
+
+def test_canonical_results_broadcasts_run_times(spark, tmp_path):
+    """canonical_results joins the tiny per-run timestamp table by broadcast,
+    never shuffling the (large) results side for it."""
+    from gnosis_ocr_spark.plans.run import canonical_results, run_extraction
+
+    out = str(tmp_path / "run")
+    run_extraction(spark, corpus_df(spark, n=10, num_partitions=2), out, run_id="r1")
+    plan = _plan(canonical_results(spark, out))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
