@@ -311,18 +311,54 @@ def _objects(pdf: bytes) -> dict[int, bytes]:
     return objs
 
 
+_CATALOG_PAGES_RE = re.compile(rb"/Type\s*/Catalog\b.*?/Pages\s+(\d+)\s+\d+\s+R", re.S)
+
+
+def _leaf_page_order(objs: dict[int, bytes]) -> list[int]:
+    """Ordered leaf /Page object numbers via a DFS of the page TREE — real
+    PDFs nest intermediate /Pages nodes (balanced trees for large docs), so
+    a flat read of the root /Kids would return internal nodes, not pages.
+    Cycle-guarded; root = the catalog's /Pages ref, falling back to the
+    first /Pages object, then to bare /Type /Page objects in number order."""
+    root = None
+    for body in objs.values():
+        m = _CATALOG_PAGES_RE.search(body)
+        if m:
+            root = int(m.group(1))
+            break
+    if root is None:
+        for no, body in objs.items():
+            if _PAGES_TYPE_RE.search(body):
+                root = no
+                break
+    leaves: list[int] = []
+    seen: set[int] = set()
+
+    def walk(no: int) -> None:
+        if no in seen:
+            return
+        seen.add(no)
+        body = objs.get(no, b"")
+        if _PAGES_TYPE_RE.search(body):
+            m = _KIDS_RE.search(body)
+            if m:
+                for kid in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1)):
+                    walk(int(kid))
+        elif _PAGE_TYPE_RE.search(body):
+            leaves.append(no)
+
+    if root is not None:
+        walk(root)
+    if not leaves:  # no usable tree: /Type /Page objects in file order
+        leaves = sorted(no for no, b in objs.items() if _PAGE_TYPE_RE.search(b))
+    return leaves
+
+
 def page_count(pdf: bytes) -> int:
     """U1 PDF probe: number of pages (reference analog: pdfinfo 'Pages')."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF")
-    objs = _objects(pdf)
-    for body in objs.values():
-        if _PAGES_TYPE_RE.search(body):
-            m = _KIDS_RE.search(body)
-            if m:
-                return len(re.findall(rb"\d+\s+\d+\s+R", m.group(1)))
-    # fallback: count page objects
-    return sum(1 for b in objs.values() if _PAGE_TYPE_RE.search(b))
+    return len(_leaf_page_order(_objects(pdf)))
 
 
 def extract_pages(
@@ -337,19 +373,7 @@ def extract_pages(
     if not is_pdf(pdf):
         raise ValueError("not a PDF")
     objs = _objects(pdf)
-    kid_order: list[int] = []
-    for body in objs.values():
-        if _PAGES_TYPE_RE.search(body):
-            m = _KIDS_RE.search(body)
-            if m:
-                kid_order = [
-                    int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))
-                ]
-            break
-    if not kid_order:  # no page tree: take /Type /Page objects in file order
-        kid_order = sorted(
-            no for no, b in objs.items() if _PAGE_TYPE_RE.search(b)
-        )
+    kid_order = _leaf_page_order(objs)
     if last_page is None:
         last_page = len(kid_order)
     pages: list[list[Span]] = []

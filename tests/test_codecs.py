@@ -163,3 +163,42 @@ def test_hex_strings_in_content_streams():
     (spans,) = P.extract_pages(pdf)
     assert [s.text for s in spans] == ["Hello", "mixed!", "Jp"]
     assert P.page_text(spans) == "Hello\nmixed!\nJp"
+
+
+def test_nested_page_tree_walked_in_order():
+    """Real large PDFs balance the page tree with intermediate /Pages nodes;
+    page order and count must come from a DFS of the leaves, not the root's
+    immediate /Kids (which here are internal nodes, not pages)."""
+
+    def obj(n: int, body: bytes) -> bytes:
+        return b"%d 0 obj\n" % n + body + b"\nendobj\n"
+
+    def content(n: int, text: bytes) -> bytes:
+        s = b"BT /F1 12 Tf 72 720 Td (" + text + b") Tj ET"
+        return obj(n, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s), s))
+
+    def page(n: int, parent: int, contents: int) -> bytes:
+        return obj(
+            n,
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 11 0 R >> >> /Contents %d 0 R >>"
+            % (parent, contents),
+        )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    buf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    buf += obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 3 >>")
+    buf += obj(3, b"<< /Type /Pages /Parent 2 0 R /Kids [5 0 R 6 0 R] /Count 2 >>")
+    buf += obj(4, b"<< /Type /Pages /Parent 2 0 R /Kids [7 0 R] /Count 1 >>")
+    buf += page(5, 3, 8) + page(6, 3, 9) + page(7, 4, 10)
+    buf += content(8, b"page one") + content(9, b"page two") + content(10, b"page three")
+    buf += obj(11, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    buf += b"trailer\n<< /Size 12 /Root 1 0 R >>\n%%EOF\n"
+    pdf = bytes(buf)
+
+    assert P.page_count(pdf) == 3  # leaves, not the root's 2 internal kids
+    texts = [P.page_text(pg) for pg in P.extract_pages(pdf)]
+    assert texts == ["page one", "page two", "page three"]
+    # page-range pushdown still 1-based over the LEAF order
+    (mid,) = P.extract_pages(pdf, first_page=2, last_page=2)
+    assert P.page_text(mid) == "page two"
