@@ -85,6 +85,24 @@ def encode_page_png(text: str, width: int = 64, height: int = 64) -> bytes:
     )
 
 
+def encode_gray_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw 8-bit grayscale pixels (row-major, len == width*height)
+    as a valid PNG — the re-encode half of real image transforms (resize)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)  # filter type 0
+        rows += pixels[y * width : (y + 1) * width]
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def iter_chunks(png: bytes):
     """Yield ``(tag, data)`` for each chunk of a PNG byte string."""
     if png[:8] != _MAGIC:

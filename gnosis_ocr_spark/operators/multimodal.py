@@ -142,3 +142,99 @@ def media_features(df: DataFrame, dim: int = 16, url_col: str = "url",
     inner loop). Output feeds functions.similarity for cross-modal dedup."""
     slim = df.select(F.col(url_col).alias("url"), F.col(data_col).alias("data"))
     return slim.mapInPandas(_feature_batches(dim), schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "url string, media_type string, width int, height int, data binary"
+FRAME_SCHEMA = "url string, frame_no int, ts_sec double, frame binary"
+
+
+def _resize_gray_nn(px: bytes, w: int, h: int, max_dim: int) -> tuple[bytes, int, int]:
+    """Nearest-neighbor downsample of raw grayscale pixels so the longest
+    side is ≤ max_dim (numpy strided indexing; uint8 throughout)."""
+    if max(w, h) <= max_dim:
+        return px, w, h
+    scale = max(w, h) / max_dim
+    nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return arr[ys][:, xs].tobytes(), nw, nh
+
+
+def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
+                  data_col: str = "data") -> DataFrame:
+    """Bound every image's longest side to ``max_dim`` — the standard
+    pre-inference normalization step of a multimodal training pipeline.
+
+    PNG path is REAL: stdlib decode → nearest-neighbor downsample →
+    re-encode. Other formats pass through unchanged with a claimed size from
+    the stub metadata decoder (STUB: PIL/ffmpeg absent from this container;
+    swapping real decoders in changes only the inner branch, not the plan)."""
+    from gnosis_ocr_spark.functions.codec_png import encode_gray_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = {k: [] for k in ("url", "media_type", "width", "height", "data")}
+            for url, blob in zip(b["url"], b["data"]):
+                data = bytes(blob) if blob is not None else b""
+                mtype = sniff_media_type(data)
+                w = h = None
+                out = data
+                if mtype == "image/png":
+                    try:
+                        w, h = decode_dimensions(data)
+                        px, w2, h2 = _resize_gray_nn(decode_pixels(data), w, h, max_dim)
+                        if (w2, h2) != (w, h):
+                            out = encode_gray_png(px, w2, h2)
+                        w, h = w2, h2
+                    except Exception:
+                        pass
+                elif mtype in DECODERS:
+                    sw, sh, _ = _decode_stub_meta(data)
+                    scale = max(sw, sh) / max_dim if max(sw, sh) > max_dim else 1.0
+                    w, h = max(1, int(sw / scale)), max(1, int(sh / scale))
+                rows["url"].append(url)
+                rows["media_type"].append(mtype)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["data"].append(out)
+            yield pd.DataFrame(rows)
+
+    slim = df.select(F.col(url_col).alias("url"), F.col(data_col).alias("data"))
+    return slim.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
+                  url_col: str = "url", data_col: str = "data") -> DataFrame:
+    """Video → sampled frames, one output ROW per frame (the flat-map shape a
+    real ffmpeg-backed sampler uses: rows multiply inside the partition, no
+    driver involvement, downstream image ops consume the frame column).
+
+    STUB decode: frames are deterministic real PNGs derived from the video
+    bytes + timestamp (no ffmpeg in this container); duration comes from the
+    stub metadata decoder. Non-video rows emit nothing."""
+    from gnosis_ocr_spark.functions.codec_png import encode_page_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for b in it:
+            rows = {k: [] for k in ("url", "frame_no", "ts_sec", "frame")}
+            for url, blob in zip(b["url"], b["data"]):
+                data = bytes(blob) if blob is not None else b""
+                if sniff_media_type(data) != "video/mp4":
+                    continue
+                _, _, dur = _decode_stub_meta(data)
+                n = min(max_frames, max(1, int((dur or 0) / every_sec)))
+                sig = zlib.crc32(data)
+                for i in range(n):
+                    ts = round(i * every_sec, 3)
+                    rows["url"].append(url)
+                    rows["frame_no"].append(i)
+                    rows["ts_sec"].append(ts)
+                    # STUB frame: deterministic, decodable PNG
+                    rows["frame"].append(encode_page_png(f"frame:{sig}:{i}", 32, 32))
+            yield pd.DataFrame(rows)
+
+    slim = df.select(F.col(url_col).alias("url"), F.col(data_col).alias("data"))
+    return slim.mapInPandas(batches, schema=FRAME_SCHEMA)

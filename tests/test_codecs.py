@@ -202,3 +202,16 @@ def test_nested_page_tree_walked_in_order():
     # page-range pushdown still 1-based over the LEAF order
     (mid,) = P.extract_pages(pdf, first_page=2, last_page=2)
     assert P.page_text(mid) == "page two"
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_gray_png_roundtrip_property(w, h, seed):
+    import zlib as _z
+
+    px = bytes((seed * 2654435761 + i * 40503) % 251 for i in range(w * h))
+    png = G.encode_gray_png(px, w, h)
+    assert G.decode_dimensions(png) == (w, h)
+    assert G.decode_pixels(png) == px
+    assert _z.crc32(png) is not None  # valid container end-to-end

@@ -95,3 +95,43 @@ def test_windowed_throughput(spark):
     rows = got.collect()
     assert sum(r["docs"] for r in rows) == 40
     assert all(r["bytes_in"] > 0 for r in rows)
+
+
+def test_resize_images_png_real_path(spark):
+    """PNG resize is real: decode → nearest-neighbor downsample → re-encode;
+    output PNGs are valid and within max_dim; small images pass through."""
+    from gnosis_ocr_spark.functions.codec_png import (
+        decode_dimensions,
+        encode_page_png,
+    )
+    from gnosis_ocr_spark.operators.multimodal import resize_images
+
+    big = encode_page_png("big page", width=300, height=200)
+    small = encode_page_png("small", width=40, height=30)
+    df = spark.createDataFrame(
+        [("b", bytearray(big)), ("s", bytearray(small))],
+        schema="url string, data binary",
+    )
+    got = {r["url"]: r for r in resize_images(df, max_dim=64).collect()}
+    assert (got["b"]["width"], got["b"]["height"]) == (64, 42)
+    assert decode_dimensions(bytes(got["b"]["data"])) == (64, 42)
+    assert (got["s"]["width"], got["s"]["height"]) == (40, 30)
+    assert bytes(got["s"]["data"]) == small  # untouched below the bound
+
+
+def test_sample_frames_flatmap_shape(spark):
+    """Video rows explode to one row per sampled frame (stub decode, real
+    PNG frames); non-video rows emit nothing."""
+    from gnosis_ocr_spark.functions.codec_png import decode_dimensions
+    from gnosis_ocr_spark.operators.multimodal import sample_frames
+
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = spark.createDataFrame(
+        [("v", bytearray(mp4)), ("t", bytearray(b"not a video"))],
+        schema="url string, data binary",
+    )
+    rows = sample_frames(df, every_sec=1.0, max_frames=4).collect()
+    assert rows and all(r["url"] == "v" for r in rows)
+    assert [r["frame_no"] for r in rows] == list(range(len(rows)))
+    assert all(r["ts_sec"] == float(r["frame_no"]) for r in rows)
+    assert all(decode_dimensions(bytes(r["frame"])) == (32, 32) for r in rows)
