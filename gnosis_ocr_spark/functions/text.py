@@ -145,6 +145,67 @@ def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# training-data curation (Gopher-style rules, Rae et al. 2021 §A1.1 — public
+# heuristics): bounds on document/word shape that cheaply filter crawl junk.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def repetition_bp(text: Column, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction in basis points: round((1 − distinct/
+    total) · 10⁴). High values flag boilerplate/spam (the Gopher repetition
+    family). 0 for docs with < n+1 tokens. Pure Column expressions."""
+    toks = tokens(F.lower(text))
+    total = F.size(toks) - (n - 1)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total >= 1, F.round((1 - distinct / total) * 10000).cast("int")
+    ).otherwise(F.lit(0))
+
+
+def gopher_flags(text: Column) -> list[Column]:
+    """Boolean quality gates (aliased columns): word-count bounds and
+    mean-word-length bounds from the published Gopher rules."""
+    nt = token_count(text)
+    mwl = F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.greatest(
+        nt, F.lit(1)
+    )
+    return [
+        ((nt >= GOPHER_MIN_WORDS) & (nt <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        ((mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)).alias("ok_mean_word_len"),
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs then e-mail addresses with typed placeholders — the
+    standard pre-training scrub. URL first: an address inside a URL must
+    redact as part of the URL, not leave a dangling '<EMAIL>' fragment."""
+    no_url = F.regexp_replace(text, _URL_RE, "<URL>")
+    return F.regexp_replace(no_url, _EMAIL_RE, "<EMAIL>")
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_urls, n_emails) found by the same patterns redact_pii replaces
+    (emails counted after URL removal, mirroring the redaction order)."""
+    no_url = F.regexp_replace(text, _URL_RE, "<URL>")
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(no_url, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+    ]
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key. (A content-defined rolling-hash variant lives in

@@ -946,6 +946,79 @@ FROM t
 """
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation surface: Gopher-style quality gates, word-2-gram
+    repetition ratio, and PII redaction. Every doc gets a deterministic
+    contact-info suffix so the e-mail/URL redaction provably fires (and an
+    address inside a URL must disappear INTO the <URL> token — order
+    matters)."""
+    from gnosis_ocr_spark.functions.text import (
+        gopher_flags,
+        pii_counts,
+        redact_pii,
+        repetition_bp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@site.example/p"),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return salted.select(
+        "doc_id",
+        repetition_bp(t).alias("rep_bp"),
+        *gopher_flags(t),
+        *pii_counts(t),
+        redact_pii(t).alias("redacted"),
+    )
+
+
+ORACLE_CURATION = """
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or https://u' || CAST(doc_id AS VARCHAR) ||
+         '@site.example/p' AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS no_url
+  FROM s
+), g AS (
+  SELECT doc_id, text, toks, nonws, no_url,
+         len(toks) AS nt,
+         len(toks) - 1 AS total,
+         len(list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in range(1, len(toks))])) AS dist
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN total >= 1
+            THEN CAST(ROUND((1 - dist * 1.0 / total) * 10000) AS INT)
+            ELSE 0 END AS rep_bp,
+       nt >= 50 AND nt <= 100000 AS ok_word_count,
+       nonws * 1.0 / GREATEST(nt, 1) >= 3.0
+         AND nonws * 1.0 / GREATEST(nt, 1) <= 10.0 AS ok_mean_word_len,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       len(regexp_extract_all(no_url,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       regexp_replace(no_url,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         AS redacted
+FROM g
+"""
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str, limit: int | None = None,
                       suffix: str = "") -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1320,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "text_stats": q_text_stats,
     "quality": q_quality,
+    "curation": q_curation,
     "dedup_exact": q_dedup_exact,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1362,6 +1436,7 @@ ORACLES: dict[str, str] = {
     "percentiles": ORACLE_PERCENTILES,
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
+    "curation": ORACLE_CURATION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

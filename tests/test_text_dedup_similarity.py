@@ -221,3 +221,41 @@ def test_duplicate_clusters_end_to_end(spark):
     df = _docs(spark, rows)
     got = {r["id"]: r["component"] for r in duplicate_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pii_redaction_order_and_counts(spark):
+    """A URL containing an @ must redact as one <URL> token (no dangling
+    <EMAIL> fragment); standalone addresses redact separately."""
+    from gnosis_ocr_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@x.org or see https://u@host.example/path ok"),
+        (2, "no contact info in this one"),
+        (3, "two mails p@q.io and r@s.co plus http://plain.example"),
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+        ).collect()
+    }
+    assert got[1]["red"] == "mail me at <EMAIL> or see <URL> ok"
+    assert (got[1]["n_urls"], got[1]["n_emails"]) == (1, 1)
+    assert got[2]["red"] == rows[1][1] and got[2]["n_emails"] == 0
+    assert (got[3]["n_urls"], got[3]["n_emails"]) == (1, 2)
+
+
+def test_repetition_ratio(spark):
+    """2-gram repetition: 'spam spam spam spam' has 3 bigrams, 1 distinct →
+    rep = 2/3 → 6667 bp; fully distinct text → 0; short docs → 0."""
+    from gnosis_ocr_spark.functions.text import repetition_bp
+
+    rows = [(1, "spam spam spam spam"), (2, "all words are different here"), (3, "one")]
+    got = {
+        r["doc_id"]: r["bp"]
+        for r in _docs(spark, rows).select(
+            "doc_id", repetition_bp(F.col("text")).alias("bp")
+        ).collect()
+    }
+    assert got == {1: 6667, 2: 0, 3: 0}
