@@ -698,6 +698,196 @@ ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped order-priority check: orders in one quarter having at least
+    one line shipped AFTER the order date (late-shipment proxy — the
+    synthetic lineitem lacks commit/receipt dates), counted per priority.
+    Exercises the correlated-EXISTS → semi-join-with-condition shape."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional aggregate: per return flag (standing in for
+    ship mode, absent from the synthetic schema), how many 1996-shipped
+    lines belong to high- vs lower-priority orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: orders whose total quantity exceeds 250,
+    with customer attribution — the groupBy-HAVING-then-join shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_CENTS(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > 250 * 100)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            _CENTS(F.col("o_totalprice")).alias("totalprice_c"),
+            "qty_c",
+        )
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       qty_c
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_c DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-market-pulse shape: customers with above-average (positive)
+    balance and NO orders, grouped by nation (standing in for the phone
+    country code). Exercises the scalar-subquery + NOT-EXISTS combination;
+    the scalar average joins in as a broadcast, keeping the plan fully
+    distributed."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_CENTS(F.col("c_acctbal"))).alias("totacctbal_c"),
+        )
+    )
+
+
+ORACLE_TPCH_Q22 = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl host analytics: synthesize per-doc urls, extract host and path
+    depth with the same regexes on both sides, aggregate per host — the
+    per-site rollup every crawl pipeline runs first."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/a/b"),
+        F.when(F.col("doc_id") % 3 == 0, "/c").otherwise(""),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1)
+    path = F.regexp_replace(url, r"^[a-z]+://[^/]+", "")
+    depth = F.size(F.split(path, "/")) - 1
+    return (
+        docs.select(
+            host.alias("host"), depth.alias("depth"), F.length("text").alias("nb")
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("nb").cast("long")).alias("text_bytes"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
+ORACLE_HOST_STATS = """
+WITH u AS (
+  SELECT doc_id, length(text) AS nb,
+         'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/a/b' ||
+         CASE WHEN doc_id % 3 = 0 THEN '/c' ELSE '' END ||
+         '/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), p AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         len(regexp_split_to_array(regexp_replace(url, '^[a-z]+://[^/]+', ''), '/')) - 1
+           AS depth,
+         nb
+  FROM u
+)
+SELECT host, COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS text_bytes,
+       MAX(depth) AS max_depth
+FROM p GROUP BY host
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session): the
     classic lag + cumulative-sum window program. Output: per (user, session)
@@ -1387,6 +1577,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
+    "host_stats": q_host_stats,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
     "sessionize": q_sessionize,
@@ -1430,6 +1625,11 @@ ORACLES: dict[str, str] = {
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q10": ORACLE_TPCH_Q10,
     "tpch_q14": ORACLE_TPCH_Q14,
+    "tpch_q4": ORACLE_TPCH_Q4,
+    "tpch_q12": ORACLE_TPCH_Q12,
+    "tpch_q18": ORACLE_TPCH_Q18,
+    "tpch_q22": ORACLE_TPCH_Q22,
+    "host_stats": ORACLE_HOST_STATS,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
