@@ -26,8 +26,13 @@ SUBSET = [
     "missing_chunks",
     "tpch_q1",
     "tpch_q5",
+    "tpch_q18",
+    "tpch_q22",
     "text_stats",
     "dedup_exact",
+    "dedup_clusters",
+    "curation",
+    "host_stats",
     "cosine_topk",
     "embedding_near_dup",
 ]
