@@ -168,11 +168,17 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
 
 
-def repetition_bp(text: Column, n: int = 2) -> Column:
+def repetition_bp(text: Column, n: int = 2, toks: Column | None = None) -> Column:
     """Duplicate word-n-gram fraction in basis points: round((1 − distinct/
     total) · 10⁴). High values flag boilerplate/spam (the Gopher repetition
-    family). 0 for docs with < n+1 tokens. Pure Column expressions."""
-    toks = tokens(F.lower(text))
+    family). 0 for docs with < n+1 tokens. Pure Column expressions.
+
+    Pass ``toks`` as a MATERIALIZED column (``withColumn("_toks",
+    tokens(...))``) on hot paths: the transform lambda below re-evaluates a
+    captured token EXPRESSION once per gram (no CSE in HOF lambdas — the
+    repo's documented quadratic gotcha), while an aliased attribute
+    referenced ≥2 times survives CollapseProject and reads the row value."""
+    toks = tokens(F.lower(text)) if toks is None else toks
     total = F.size(toks) - (n - 1)
     grams = F.when(
         F.size(toks) >= n,

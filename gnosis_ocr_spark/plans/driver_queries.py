@@ -1161,10 +1161,15 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@site.example/p"),
         ).alias("text"),
     )
+    from gnosis_ocr_spark.functions.text import tokens
+
     t = F.col("text")
-    return salted.select(
+    # materialized token column: repetition_bp's gram lambda would otherwise
+    # re-run the tokenizer once per gram (quadratic HOF gotcha)
+    with_toks = salted.withColumn("_toks", tokens(F.lower(t)))
+    return with_toks.select(
         "doc_id",
-        repetition_bp(t).alias("rep_bp"),
+        repetition_bp(t, toks=F.col("_toks")).alias("rep_bp"),
         *gopher_flags(t),
         *pii_counts(t),
         redact_pii(t).alias("redacted"),
