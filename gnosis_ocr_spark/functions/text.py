@@ -224,6 +224,58 @@ def pii_counts(text: Column) -> list[Column]:
     ]
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token windows — the context-window
+    packing step of a training-data pipeline. Returns
+    ``(doc_id, chunk_no, chunk_text, n_tokens)`` rows.
+
+    Canonical sliding-window semantics: stride = chunk_tokens − overlap;
+    chunk i covers tokens [i·stride+1, i·stride+chunk_tokens];
+    n_chunks = 1 if the doc fits in one window else
+    1 + ceil((n − chunk_tokens)/stride) (integer arithmetic — exact in any
+    engine). Empty docs emit nothing.
+
+    Plan shape: tokens materialize once per document, a posexplode Generate
+    emits the chunk indices, and each row slices the token array — linear,
+    never the quadratic transform-lambda formulation."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        1 + F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride).cast("int")
+    )
+    exploded = (
+        toked.filter(F.col("_n") >= 1)
+        .withColumn("_nc", n_chunks)
+        .select(
+            "doc_id",
+            "_toks",
+            "_n",
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+                "_p", "chunk_no"
+            ),
+        )
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_no") * stride + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_no",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key. (A content-defined rolling-hash variant lives in

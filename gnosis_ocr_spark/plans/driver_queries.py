@@ -1214,6 +1214,38 @@ FROM g
 """
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: documents split into overlapping 32-token
+    windows with stride 24 (overlap 8) — one output row per chunk."""
+    from gnosis_ocr_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+ORACLE_CHUNKING = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nc
+  FROM t WHERE len(toks) >= 1
+), e AS (
+  SELECT doc_id, toks, CAST(unnest(range(0, nc)) AS INT) AS chunk_no FROM g
+)
+SELECT doc_id, chunk_no,
+       array_to_string(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32]) AS INT)
+         AS n_tokens
+FROM e
+"""
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str, limit: int | None = None,
                       suffix: str = "") -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1594,6 +1626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "quality": q_quality,
     "curation": q_curation,
+    "chunking": q_chunking,
     "dedup_exact": q_dedup_exact,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1642,6 +1675,7 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
     "curation": ORACLE_CURATION,
+    "chunking": ORACLE_CHUNKING,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

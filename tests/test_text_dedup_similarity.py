@@ -259,3 +259,27 @@ def test_repetition_ratio(spark):
         ).collect()
     }
     assert got == {1: 6667, 2: 0, 3: 0}
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: stride = chunk − overlap, last chunk short,
+    single-window docs emit one chunk, empty docs emit nothing."""
+    from gnosis_ocr_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks, chunk 4 ov 1
+        (2, "a b c"),                                # fits one window
+        (3, ""),                                     # nothing
+    ]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: stride 3 → starts 0,3,6,9 → nc = 1+ceil(6/3)=3 → starts 0,3,6
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "a b c", 3),
+    ]
