@@ -1246,6 +1246,60 @@ FROM e
 """
 
 
+def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting + per-host quota: every doc gets a
+    hash bucket and a train/val/test split (pure function of its key — no
+    rand(), reproducible at any cluster size), and at most 3 docs per
+    synthesized host survive the crawl-balancing cap."""
+    from gnosis_ocr_spark.functions.sampling import (
+        cap_per_group,
+        hash_bucket,
+        split_assign,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat(F.lit("host"), (F.col("doc_id") % 50).cast("string")).alias("host"),
+    )
+    capped = cap_per_group(docs, "host", "key", max_rows=3).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return (
+        docs.join(capped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            hash_bucket(F.col("key")).alias("bucket"),
+            split_assign(F.col("key")).alias("split"),
+            F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+        )
+    )
+
+
+ORACLE_SAMPLING_SPLIT = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
+         'host' || CAST(doc_id % 50 AS VARCHAR) AS host
+  FROM documents
+), h AS (
+  SELECT doc_id, host,
+         CAST(CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT) % 1000
+              AS INT) AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT), key
+         ) AS rk
+  FROM d
+)
+SELECT doc_id, host, bucket,
+       CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+       rk <= 3 AS kept
+FROM h
+"""
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str, limit: int | None = None,
                       suffix: str = "") -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1627,6 +1681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "curation": q_curation,
     "chunking": q_chunking,
+    "sampling_split": q_sampling_split,
     "dedup_exact": q_dedup_exact,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1676,6 +1731,7 @@ ORACLES: dict[str, str] = {
     "quality": ORACLE_QUALITY,
     "curation": ORACLE_CURATION,
     "chunking": ORACLE_CHUNKING,
+    "sampling_split": ORACLE_SAMPLING_SPLIT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

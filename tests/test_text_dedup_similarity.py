@@ -283,3 +283,39 @@ def test_chunk_documents_window_semantics(spark):
         (1, 2, "w6 w7 w8 w9", 4),
         (2, 0, "a b c", 3),
     ]
+
+
+def test_sampling_determinism_and_caps(spark):
+    """Hash splits are pure functions of the key (stable across runs and
+    dataset growth); per-group caps keep exactly max_rows deterministically."""
+    from gnosis_ocr_spark.functions.sampling import (
+        cap_per_group,
+        sample_fraction,
+        split_assign,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") % 7).cast("string").alias("host"),
+    )
+    s1 = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_assign(F.col("key")).alias("s")).collect()}
+    s2 = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_assign(F.col("key")).alias("s")).collect()}
+    assert s1 == s2
+    counts = {v: list(s1.values()).count(v) for v in set(s1.values())}
+    assert counts["train"] > 900 and 0 < counts["val"] < 50 and 0 < counts["test"] < 50
+    # growing the dataset never moves an existing key's split
+    half = {k: v for k, v in s1.items() if k < 500}
+    s_half = {
+        r["doc_id"]: r["s"]
+        for r in df.filter(F.col("doc_id") < 500)
+        .select("doc_id", split_assign(F.col("key")).alias("s")).collect()
+    }
+    assert s_half == half
+
+    capped = cap_per_group(df, "host", "key", max_rows=5)
+    per_host = {r["host"]: r["n"] for r in capped.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per_host.values())
+
+    frac = sample_fraction(df, "key", keep_pm=100).count()
+    assert 50 < frac < 200  # ~10% of 1000
