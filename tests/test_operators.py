@@ -111,3 +111,30 @@ def test_salted_repartition_spreads_large_docs(spark):
         .count()
     )
     assert parts >= 3
+
+
+def test_pdf15_files_flow_through_spark_pipeline(spark):
+    """A PDF 1.5-class file (ObjStm page tree, xref stream, split content
+    streams, Tm/TL/' positioning) must extract byte-identically to the
+    classic writer THROUGH the Spark split → raster+OCR → assemble path,
+    not just the pure-Python parser."""
+    from gnosis_ocr_spark.functions.codec_pdf import build_pdf, build_pdf_15
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+    from gnosis_ocr_spark.operators.pdf_split import (
+        raster_ocr_pages,
+        split_pdf_text_pages,
+    )
+
+    pages = [["one alpha", "two beta\nsecond line"], ["solo page"]]
+    rows = []
+    for i, pg in enumerate(pages):
+        rows.append((f"u{i}-14", bytearray(build_pdf(pg))))
+        rows.append((f"u{i}-15", bytearray(build_pdf_15(pg))))
+    df = spark.createDataFrame(rows, schema="url string, html binary")
+    out = assemble_documents(
+        raster_ocr_pages(split_pdf_text_pages(df), ocr_engine="stub", raster="64x64")
+    )
+    got = {r["url"]: (r["extracted_text"], r["n_pages"]) for r in out.collect()}
+    for i, pg in enumerate(pages):
+        assert got[f"u{i}-15"] == got[f"u{i}-14"]
+        assert got[f"u{i}-14"][1] == len(pg)
