@@ -82,12 +82,19 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
     return html.encode("utf-8"), expected
 
 
-def _pdf_doc(rng: random.Random, n_pages: int, compress: bool = False) -> tuple[bytes, str]:
+def _pdf_doc(rng: random.Random, n_pages: int, compress: bool = False,
+             writer: str = "classic") -> tuple[bytes, str]:
     pages = []
     for _ in range(n_pages):
         lines = [_sentence(rng, rng.randint(4, 8)) for _ in range(rng.randint(3, 8))]
         pages.append("\n".join(lines))
-    # document golden: pages joined by a blank line (layout-assembly contract)
+    # document golden: pages joined by a blank line (layout-assembly contract);
+    # the golden depends only on `pages`, never on the writer class — both
+    # writers emit the same 72/720 14-pt layout (property-tested byte-equal)
+    if writer == "pdf15":
+        from gnosis_ocr_spark.functions.codec_pdf import build_pdf_15
+
+        return build_pdf_15(pages), "\n\n".join(pages).strip()
     return build_pdf(pages, compress=compress), "\n\n".join(pages).strip()
 
 
@@ -105,14 +112,21 @@ def generate_rows(n: int = 200, seed: int = 42, skew_max_pages: int = 120) -> li
             rows.append(CorpusRow(url, ts, html, raw_text, lang, expected, 1))
         elif slot < 18:
             n_pages = rng.randint(1, 3)
-            # every other PDF FlateDecode-compressed (index parity, not an
-            # rng draw, so the text stream — and thus goldens — is unchanged)
-            pdf, expected = _pdf_doc(rng, n_pages, compress=(i % 2 == 0))
+            # rotate the PDF file class by index parity (not an rng draw, so
+            # goldens are unchanged): FlateDecode classic / plain classic /
+            # PDF 1.5 era (ObjStm + xref stream + split content streams + Tm)
+            writer = "pdf15" if i % 3 == 2 else "classic"
+            pdf, expected = _pdf_doc(
+                rng, n_pages, compress=(i % 2 == 0), writer=writer
+            )
             url = f"https://example-{i:06d}.test/paper-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         elif slot == 18:  # skew document
             n_pages = rng.randint(50, skew_max_pages)
-            pdf, expected = _pdf_doc(rng, n_pages, compress=(i % 2 == 0))
+            pdf, expected = _pdf_doc(
+                rng, n_pages, compress=(i % 2 == 0),
+                writer="pdf15" if i % 3 == 2 else "classic",
+            )
             url = f"https://example-{i:06d}.test/opus-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         else:  # adversarial, rotating
