@@ -193,16 +193,32 @@ def repetition_bp(text: Column, n: int = 2, toks: Column | None = None) -> Colum
     ).otherwise(F.lit(0))
 
 
-def gopher_flags(text: Column) -> list[Column]:
-    """Boolean quality gates (aliased columns): word-count bounds and
-    mean-word-length bounds from the published Gopher rules."""
-    nt = token_count(text)
-    mwl = F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.greatest(
-        nt, F.lit(1)
+def gopher_flags(text: Column, toks: Column | None = None) -> list[Column]:
+    """Boolean quality gates (aliased columns) from the published Gopher
+    rules: word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and …), bullet-line and ellipsis-line fractions, and the
+    alphabetic-word fraction. Each gate is a pure Column expression; pass a
+    materialized ``toks`` on hot paths (see repetition_bp)."""
+    toks = tokens(F.lower(text)) if toks is None else toks
+    nt = F.size(toks)
+    denom_w = F.greatest(nt, F.lit(1))
+    mwl = F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / denom_w
+    n_hash = F.length(F.regexp_replace(text, r"[^#]", ""))
+    n_ell = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
     )
+    ell_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     return [
         ((nt >= GOPHER_MIN_WORDS) & (nt <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
         ((mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)).alias("ok_mean_word_len"),
+        ((n_hash + n_ell) / denom_w <= 0.1).alias("ok_symbol_ratio"),
+        (bullet_lines / n_lines <= 0.9).alias("ok_bullet_lines"),
+        (ell_lines / n_lines <= 0.3).alias("ok_ellipsis_lines"),
+        (alpha_words / denom_w >= 0.8).alias("ok_alpha_words"),
     ]
 
 

@@ -1170,7 +1170,7 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_toks.select(
         "doc_id",
         repetition_bp(t, toks=F.col("_toks")).alias("rep_bp"),
-        *gopher_flags(t),
+        *gopher_flags(t, toks=F.col("_toks")),
         *pii_counts(t),
         redact_pii(t).alias("redacted"),
     )
@@ -1186,15 +1186,24 @@ WITH s AS (
 ), t AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws,
+         length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
          regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS no_url
   FROM s
 ), g AS (
-  SELECT doc_id, text, toks, nonws, no_url,
+  SELECT doc_id, text, toks, nonws, no_url, n_hash, n_ell,
          len(toks) AS nt,
          len(toks) - 1 AS total,
          len(list_distinct([toks[i] || ' ' || toks[i+1]
-                            for i in range(1, len(toks))])) AS dist
+                            for i in range(1, len(toks))])) AS dist,
+         GREATEST(len(lines), 1) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+           AS bullet_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+           AS ell_lines,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words
   FROM t
 )
 SELECT doc_id,
@@ -1204,6 +1213,10 @@ SELECT doc_id,
        nt >= 50 AND nt <= 100000 AS ok_word_count,
        nonws * 1.0 / GREATEST(nt, 1) >= 3.0
          AND nonws * 1.0 / GREATEST(nt, 1) <= 10.0 AS ok_mean_word_len,
+       (n_hash + n_ell) * 1.0 / GREATEST(nt, 1) <= 0.1 AS ok_symbol_ratio,
+       bullet_lines * 1.0 / n_lines <= 0.9 AS ok_bullet_lines,
+       ell_lines * 1.0 / n_lines <= 0.3 AS ok_ellipsis_lines,
+       alpha_words * 1.0 / GREATEST(nt, 1) >= 0.8 AS ok_alpha_words,
        len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
        len(regexp_extract_all(no_url,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,

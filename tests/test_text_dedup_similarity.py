@@ -319,3 +319,25 @@ def test_sampling_determinism_and_caps(spark):
 
     frac = sample_fraction(df, "key", keep_pm=100).count()
     assert 50 < frac < 200  # ~10% of 1000
+
+
+def test_gopher_gate_boundaries(spark):
+    """The extended Gopher gates fire on their published conditions:
+    symbol-heavy, bullet-list, ellipsis-line, and non-alphabetic docs."""
+    from gnosis_ocr_spark.functions.text import gopher_flags
+
+    good = " ".join(["word"] * 60)
+    rows = [
+        (1, good),
+        (2, " ".join(["word #"] * 60)),                 # symbol ratio > 0.1
+        (3, "\n".join(["- item one two"] * 10)),        # all lines bulleted
+        (4, "\n".join(["trailing line..."] * 10)),      # all lines ellipsis
+        (5, " ".join(["12345"] * 60)),                  # no alphabetic words
+    ]
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: r.asDict() for r in df.select("doc_id", *gopher_flags(F.col("text"))).collect()}
+    assert all(got[1][k] for k in got[1] if k.startswith("ok_"))
+    assert not got[2]["ok_symbol_ratio"] and got[2]["ok_word_count"]
+    assert not got[3]["ok_bullet_lines"]
+    assert not got[4]["ok_ellipsis_lines"]
+    assert not got[5]["ok_alpha_words"]
