@@ -316,14 +316,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     100 TB pipeline WHICH copy to keep; the min-id of each duplicate cluster
     does).
 
-    Min-label propagation: each round joins current labels across the
-    symmetrized edge set and keeps the per-node minimum; converges in
-    O(graph diameter) rounds (duplicate clusters from LSH are near-cliques,
-    so 1-2 rounds typical; a pathological chain of length d needs d).
-    Lineage is truncated every round with localCheckpoint — without it the
-    iterative plan nests one join deeper per round and analysis cost grows
-    without bound. The per-round convergence check is one count() on the
-    (small) label table, not the input."""
+    Each round does (1) min-label propagation across the symmetrized edge
+    set, then (2) a POINTER-JUMPING step (comp ← comp[comp]) that halves the
+    remaining label-chain length — together they converge in O(log diameter)
+    rounds, so max_iter=25 covers any graph a dedup pipeline can produce
+    (duplicate clusters from LSH are near-cliques: 1-2 rounds typical).
+    Raises RuntimeError instead of silently returning partial components if
+    the budget is somehow exhausted. Lineage is truncated every round with
+    localCheckpoint — without it the iterative plan nests one join deeper per
+    round and analysis cost grows without bound. The per-round convergence
+    check is one count() on the (small) label table, not the input."""
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -337,12 +339,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            labels["id"],
+            F.least(
+                labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+            ).alias("comp"),
+        )
+        # pointer jumping: follow the label's own label (comp[comp]) — the
+        # doubling step that turns O(diameter) convergence into O(log d)
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            stepped.join(parent, stepped["comp"] == parent["pid"], "left")
             .select(
-                labels["id"],
+                stepped["id"],
                 F.least(
-                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+                    stepped["comp"], F.coalesce(F.col("pcomp"), stepped["comp"])
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
@@ -356,6 +369,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pointer-jumping covers diameter ~2^rounds — this indicates a bug "
+            "or an adversarial graph, not normal dedup input)"
+        )
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -204,13 +204,16 @@ def gopher_flags(text: Column, toks: Column | None = None) -> list[Column]:
     denom_w = F.greatest(nt, F.lit(1))
     mwl = F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / denom_w
     n_hash = F.length(F.regexp_replace(text, r"[^#]", ""))
-    n_ell = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    # both ellipsis spellings: ASCII '...' and the typographic '…' (U+2026)
+    n_ell = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
     lines = F.split(text, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_lines = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
     )
-    ell_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    ell_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     return [
         ((nt >= GOPHER_MIN_WORDS) & (nt <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
@@ -222,18 +225,25 @@ def gopher_flags(text: Column, toks: Column | None = None) -> list[Column]:
     ]
 
 
-def redact_pii(text: Column) -> Column:
+def strip_urls(text: Column) -> Column:
+    """URLs → '<URL>'. Materialize this once (withColumn) when combining
+    redact_pii and pii_counts — each would otherwise run the full-document
+    URL regex independently per row."""
+    return F.regexp_replace(text, _URL_RE, "<URL>")
+
+
+def redact_pii(text: Column, no_url: Column | None = None) -> Column:
     """Replace URLs then e-mail addresses with typed placeholders — the
     standard pre-training scrub. URL first: an address inside a URL must
     redact as part of the URL, not leave a dangling '<EMAIL>' fragment."""
-    no_url = F.regexp_replace(text, _URL_RE, "<URL>")
+    no_url = strip_urls(text) if no_url is None else no_url
     return F.regexp_replace(no_url, _EMAIL_RE, "<EMAIL>")
 
 
-def pii_counts(text: Column) -> list[Column]:
+def pii_counts(text: Column, no_url: Column | None = None) -> list[Column]:
     """(n_urls, n_emails) found by the same patterns redact_pii replaces
     (emails counted after URL removal, mirroring the redaction order)."""
-    no_url = F.regexp_replace(text, _URL_RE, "<URL>")
+    no_url = strip_urls(text) if no_url is None else no_url
     return [
         F.size(F.regexp_extract_all(text, F.lit(_URL_RE), 0)).alias("n_urls"),
         F.size(F.regexp_extract_all(no_url, F.lit(_EMAIL_RE), 0)).alias("n_emails"),

@@ -71,11 +71,16 @@ class _Extractor(HTMLParser):
         self._boiler_depth = 0
         self._link_depth = 0
         self._cur: _Block | None = None
-        # stack of (tag, set_boiler_flag) for every open element: boilerplate
-        # state must clear with the ELEMENT that set it, not with the first
-        # same-named end tag (a nested plain <div> inside <div class="ad">
-        # previously cleared the flag early and leaked the rest of the ad)
-        self._elems: list[tuple[str, bool]] = []
+        # stack of (tag, boiler, kill, link) for every open element: ALL
+        # depth-like state must clear with the ELEMENT that set it, not with
+        # the first same-named end tag — and elements auto-closed by an outer
+        # end tag (sloppy HTML: <div><a>menu</div>) must release their link/
+        # kill flags too, or the rest of the document inherits them.
+        self._elems: list[tuple[str, bool, bool, bool]] = []
+        # per-tag stacks of _elems indices so an end tag finds its open
+        # element in O(1) instead of scanning the stack (quadratic on crawl
+        # pages with thousands of unclosed opens + stray closes)
+        self._open_idx: dict[str, list[int]] = {}
 
     def _new_block(self, tag: str) -> None:
         self._cur = _Block(
@@ -84,35 +89,38 @@ class _Extractor(HTMLParser):
         self.blocks.append(self._cur)
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _KILL_TAGS:
-            self._kill_depth += 1
         names = " ".join(v or "" for k, v in attrs if k in ("class", "id", "role"))
         boiler = bool(_BOILER_NAME_RE.search(names))
+        kill = tag in _KILL_TAGS
+        link = tag == "a"
         if tag not in _VOID_TAGS:
-            self._elems.append((tag, boiler))
-            if boiler:
-                self._boiler_depth += 1
-        if tag == "a":
-            self._link_depth += 1
+            self._open_idx.setdefault(tag, []).append(len(self._elems))
+            self._elems.append((tag, boiler, kill, link))
+            self._boiler_depth += boiler
+            self._kill_depth += kill
+            self._link_depth += link
         if tag in _BLOCK_TAGS:
             self._new_block(tag)
 
+    def _pop_from(self, i: int) -> None:
+        """Close element i and everything above it (implicit auto-close),
+        releasing every flag those elements set."""
+        for tag_p, b, k, ln in self._elems[i:]:
+            self._boiler_depth -= b
+            self._kill_depth -= k
+            self._link_depth -= ln
+            idxs = self._open_idx.get(tag_p)
+            while idxs and idxs[-1] >= i:
+                idxs.pop()
+        del self._elems[i:]
+
     def handle_endtag(self, tag: str) -> None:
-        if tag in _KILL_TAGS and self._kill_depth > 0:
-            self._kill_depth -= 1
         # close the nearest matching open element; anything above it on the
         # stack is implicitly auto-closed (sloppy-HTML semantics: <ul><li>a
-        # <li>b</ul>), releasing any boiler flags those elements set. A stray
-        # end tag with no open match is ignored.
-        for i in range(len(self._elems) - 1, -1, -1):
-            if self._elems[i][0] == tag:
-                for _, b in self._elems[i:]:
-                    if b:
-                        self._boiler_depth -= 1
-                del self._elems[i:]
-                break
-        if tag == "a" and self._link_depth > 0:
-            self._link_depth -= 1
+        # <li>b</ul>). A stray end tag with no open match is ignored.
+        idxs = self._open_idx.get(tag)
+        if idxs:
+            self._pop_from(idxs[-1])
         if tag in _BLOCK_TAGS:
             self._cur = None  # close the block; next text opens an implicit one
 

@@ -182,13 +182,19 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                 out = data
                 if mtype == "image/png":
                     try:
-                        w, h = decode_dimensions(data)
-                        px, w2, h2 = _resize_gray_nn(decode_pixels(data), w, h, max_dim)
-                        if (w2, h2) != (w, h):
+                        dw, dh = decode_dimensions(data)
+                        px, w2, h2 = _resize_gray_nn(
+                            decode_pixels(data), dw, dh, max_dim
+                        )
+                        if (w2, h2) != (dw, dh):
                             out = encode_gray_png(px, w2, h2)
                         w, h = w2, h2
                     except Exception:
-                        pass
+                        # undecodable PNG (non-grayscale / multi-IDAT / other
+                        # filters — real codecs go here): report UNKNOWN size
+                        # rather than the unclamped original, so the output
+                        # contract (width/height ≤ max_dim when set) holds
+                        w = h = None
                 elif mtype in DECODERS:
                     sw, sh, _ = _decode_stub_meta(data)
                     scale = max(sw, sh) / max_dim if max(sw, sh) > max_dim else 1.0

@@ -809,17 +809,21 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global-market-pulse shape: customers with above-average (positive)
     balance and NO orders, grouped by nation (standing in for the phone
     country code). Exercises the scalar-subquery + NOT-EXISTS combination;
-    the scalar average joins in as a broadcast, keeping the plan fully
-    distributed."""
+    the scalar joins in as a broadcast, keeping the plan fully distributed.
+
+    The above-average comparison is EXACT integer arithmetic on both sides:
+    cents·count > total_cents (cross-multiplied) instead of a float AVG —
+    a balance one ULP from a float mean must not flip the driver hash."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    pos_stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_CENTS(F.col("c_acctbal"))).alias("pos_total_c"),
+        F.count("*").alias("pos_n"),
     )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(pos_stats))
+        .filter(_CENTS(F.col("c_acctbal")) * F.col("pos_n") > F.col("pos_total_c"))
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
@@ -829,10 +833,15 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q22 = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
 SELECT c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
-FROM customer c
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+FROM customer c, pos
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.total_c
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 """
@@ -1161,18 +1170,21 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@site.example/p"),
         ).alias("text"),
     )
-    from gnosis_ocr_spark.functions.text import tokens
+    from gnosis_ocr_spark.functions.text import strip_urls, tokens
 
     t = F.col("text")
     # materialized token column: repetition_bp's gram lambda would otherwise
-    # re-run the tokenizer once per gram (quadratic HOF gotcha)
-    with_toks = salted.withColumn("_toks", tokens(F.lower(t)))
-    return with_toks.select(
+    # re-run the tokenizer once per gram (quadratic HOF gotcha); _no_url is
+    # shared by pii_counts and redact_pii so the URL regex runs once per row
+    with_cols = salted.withColumn("_toks", tokens(F.lower(t))).withColumn(
+        "_no_url", strip_urls(t)
+    )
+    return with_cols.select(
         "doc_id",
         repetition_bp(t, toks=F.col("_toks")).alias("rep_bp"),
         *gopher_flags(t, toks=F.col("_toks")),
-        *pii_counts(t),
-        redact_pii(t).alias("redacted"),
+        *pii_counts(t, no_url=F.col("_no_url")),
+        redact_pii(t, no_url=F.col("_no_url")).alias("redacted"),
     )
 
 
@@ -1189,7 +1201,7 @@ WITH s AS (
          string_split(text, chr(10)) AS lines,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws,
          length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
-         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+         len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell,
          regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS no_url
   FROM s
 ), g AS (
@@ -1201,7 +1213,7 @@ WITH s AS (
          GREATEST(len(lines), 1) AS n_lines,
          len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
            AS bullet_lines,
-         len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
            AS ell_lines,
          len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words
   FROM t

@@ -99,3 +99,43 @@ def test_void_boiler_element_does_not_poison_document():
     )
     got = extract_main_text(html.encode())
     assert got == "Real paragraph following a void ad image, long enough to keep."
+
+
+def test_autoclosed_link_does_not_poison_document():
+    """An unclosed <a> auto-closed by its parent's end tag must release the
+    link flag — the rest of the document is not link text."""
+    html = (
+        "<body><div><a href='/x'>menu</a></div>"
+        "<div><a href='/y'>unclosed menu link</div>"
+        "<p>The real content paragraph which is comfortably long enough.</p>"
+        "</body>"
+    )
+    got = extract_main_text(html.encode())
+    assert got == "The real content paragraph which is comfortably long enough."
+
+
+def test_autoclosed_kill_container_does_not_poison_document():
+    """An unclosed <nav> auto-closed by an outer end tag must release the
+    kill flag."""
+    html = (
+        "<body><div><nav><a href='/x'>home</a></div>"
+        "<p>Real paragraph content that clears the minimum length floor.</p>"
+        "</body>"
+    )
+    got = extract_main_text(html.encode())
+    assert got == "Real paragraph content that clears the minimum length floor."
+
+
+def test_many_unclosed_and_stray_tags_parse_quickly():
+    """Per-tag index stacks keep sloppy-HTML parsing linear: thousands of
+    unclosed opens plus thousands of stray closes must finish instantly."""
+    import time
+
+    html = (
+        "<body>" + "<p>start" * 5000 + "</span>" * 5000
+        + "<p>The surviving content paragraph, long enough to keep.</p></body>"
+    )
+    t0 = time.time()
+    got = extract_main_text(html.encode())
+    assert time.time() - t0 < 2.0
+    assert "The surviving content paragraph, long enough to keep." in got
