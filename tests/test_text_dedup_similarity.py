@@ -341,3 +341,15 @@ def test_gopher_gate_boundaries(spark):
     assert not got[3]["ok_bullet_lines"]
     assert not got[4]["ok_ellipsis_lines"]
     assert not got[5]["ok_alpha_words"]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 100-node path has diameter 99 — naive min-propagation needs ~99
+    rounds, far over the 25-round budget; the pointer-jumping step must
+    converge it (O(log d)) and label every node with the chain head."""
+    from gnosis_ocr_spark.functions.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(99)]
+    df = spark.createDataFrame(edges, schema="a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert len(got) == 100 and set(got.values()) == {0}
