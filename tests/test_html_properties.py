@@ -61,3 +61,39 @@ def test_extraction_recovers_main_content(paras, before, after, messy_ws):
 def test_never_crashes_on_garbage(junk):
     out = extract_main_text(junk)
     assert isinstance(out, str)
+
+
+_TAGS = ["div", "p", "a", "nav", "span", "li", "ul", "footer", "img", "br"]
+
+
+@given(
+    soup=st.lists(
+        st.tuples(st.sampled_from(["open", "close", "text"]), st.sampled_from(_TAGS)),
+        max_size=60,
+    ),
+    paras=st.lists(_SENTENCE, min_size=1, max_size=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_tag_soup_never_poisons_following_content(soup, paras):
+    """ANY sequence of unmatched opens/closes/text (tag soup) followed by a
+    clean, fully-closed article must still extract the article: auto-close
+    releases every kill/link/boiler flag, depths never go negative, and the
+    parser never raises."""
+    frags = []
+    for kind, tag in soup:
+        if kind == "open":
+            frags.append(f"<{tag} class='x'>")
+        elif kind == "close":
+            frags.append(f"</{tag}>")
+        else:
+            frags.append("zz ")
+    # wrap the soup in a tag the soup itself never uses: its end tag
+    # auto-closes EVERY dangling soup element (incl. unclosed <a>/<nav>),
+    # which must release all their flags
+    html = (
+        "<body><section>" + "".join(frags) + "</section>"
+        + "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article></body>"
+    )
+    got = extract_main_text(html.encode())
+    expected = "\n\n".join(re.sub(r"\s+", " ", p).strip() for p in paras)
+    assert got.endswith(expected) or got == expected
