@@ -339,11 +339,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
-            labels["id"],
-            F.least(
-                labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
-            ).alias("comp"),
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+                ).alias("comp"),
+            )
+            # materialize before the self-join below: both sides of the
+            # pointer-jump reference this plan and would execute the
+            # propagation join twice per round otherwise
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: follow the label's own label (comp[comp]) — the
         # doubling step that turns O(diameter) convergence into O(log d)

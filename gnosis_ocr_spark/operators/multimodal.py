@@ -183,12 +183,16 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                 if mtype == "image/png":
                     try:
                         dw, dh = decode_dimensions(data)
-                        px, w2, h2 = _resize_gray_nn(
-                            decode_pixels(data), dw, dh, max_dim
-                        )
-                        if (w2, h2) != (dw, dh):
+                        if max(dw, dh) <= max_dim:
+                            # already in bounds: header check only, skip the
+                            # full inflate+unfilter pixel decode
+                            w, h = dw, dh
+                        else:
+                            px, w2, h2 = _resize_gray_nn(
+                                decode_pixels(data), dw, dh, max_dim
+                            )
                             out = encode_gray_png(px, w2, h2)
-                        w, h = w2, h2
+                            w, h = w2, h2
                     except Exception:
                         # undecodable PNG (non-grayscale / multi-IDAT / other
                         # filters — real codecs go here): report UNKNOWN size

@@ -815,13 +815,19 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents·count > total_cents (cross-multiplied) instead of a float AVG —
     a balance one ULP from a float mean must not flip the driver hash."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # "no RECENT orders" (from 1998 on): in the synthetic data every customer
+    # has SOME order, so an all-time NOT EXISTS returns zero rows and the
+    # oracle row would be vacuous — the date window keeps the correlated
+    # anti-join shape AND a non-empty, value-checked result
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01")
+    )
     pos_stats = cust.filter(F.col("c_acctbal") > 0).agg(
         F.sum(_CENTS(F.col("c_acctbal"))).alias("pos_total_c"),
         F.count("*").alias("pos_n"),
     )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .join(F.broadcast(pos_stats))
         .filter(_CENTS(F.col("c_acctbal")) * F.col("pos_n") > F.col("pos_total_c"))
         .groupBy("c_nationkey")
@@ -842,7 +848,9 @@ SELECT c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
 FROM customer c, pos
 WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.total_c
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY c_nationkey
 """
 
@@ -1168,6 +1176,11 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com or https://u"),
             F.col("doc_id").cast("string"),
             F.lit("@site.example/p"),
+            # exercise BOTH ellipsis spellings through the gates (the '…'
+            # branch would otherwise be dead on this corpus)
+            F.when(F.col("doc_id") % 5 == 0, "\nto be continued…")
+            .when(F.col("doc_id") % 5 == 1, "\nto be continued...")
+            .otherwise(""),
         ).alias("text"),
     )
     from gnosis_ocr_spark.functions.text import strip_urls, tokens
@@ -1193,7 +1206,10 @@ WITH s AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
          '@example.com or https://u' || CAST(doc_id AS VARCHAR) ||
-         '@site.example/p' AS text
+         '@site.example/p' ||
+         CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued…'
+              WHEN doc_id % 5 = 1 THEN chr(10) || 'to be continued...'
+              ELSE '' END AS text
   FROM documents
 ), t AS (
   SELECT doc_id, text,

@@ -333,6 +333,7 @@ def test_gopher_gate_boundaries(spark):
         (3, "\n".join(["- item one two"] * 10)),        # all lines bulleted
         (4, "\n".join(["trailing line..."] * 10)),      # all lines ellipsis
         (5, " ".join(["12345"] * 60)),                  # no alphabetic words
+        (6, "\n".join(["unicode trailing\u2026"] * 10)),  # typographic ellipsis
     ]
     df = _docs(spark, rows)
     got = {r["doc_id"]: r.asDict() for r in df.select("doc_id", *gopher_flags(F.col("text"))).collect()}
@@ -341,6 +342,7 @@ def test_gopher_gate_boundaries(spark):
     assert not got[3]["ok_bullet_lines"]
     assert not got[4]["ok_ellipsis_lines"]
     assert not got[5]["ok_alpha_words"]
+    assert not got[6]["ok_ellipsis_lines"] and not got[6]["ok_symbol_ratio"]
 
 
 def test_connected_components_long_chain_converges(spark):
