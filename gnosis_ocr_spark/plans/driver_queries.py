@@ -855,6 +855,101 @@ GROUP BY c_nationkey
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: revenue between two nations in either direction,
+    per (supplier nation, customer nation, ship year) — the two-sided
+    dimension-pair filter + year bucketing shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_c"))
+    )
+
+
+ORACLE_TPCH_Q7 = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under OR'd multi-attribute predicates
+    (brand × size × quantity bands) — the disjunctive-pushdown shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("revenue_c"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl host analytics: synthesize per-doc urls, extract host and path
     depth with the same regexes on both sides, aggregate per host — the
@@ -1713,6 +1808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q19": q_tpch_q19,
     "host_stats": q_host_stats,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
@@ -1763,6 +1860,8 @@ ORACLES: dict[str, str] = {
     "tpch_q12": ORACLE_TPCH_Q12,
     "tpch_q18": ORACLE_TPCH_Q18,
     "tpch_q22": ORACLE_TPCH_Q22,
+    "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q19": ORACLE_TPCH_Q19,
     "host_stats": ORACLE_HOST_STATS,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
