@@ -9,11 +9,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny, fixed stopword sets — the lang-id heuristic counts hits per language
+# tiny, fixed stopword sets — the lang-id heuristic counts hits per language.
+# DICT ORDER IS THE TIE-BREAK PRIORITY; the DuckDB oracle CASE is GENERATED
+# from this table (lang_case_sql) so the two sides cannot drift.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "und", "die", "das", "ist"],
     "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "las", "una", "está"],
+    "it": ["il", "gli", "della", "che", "è"],
 }
 
 STOPWORDS_EN = (
@@ -50,17 +54,38 @@ def _marker_hits(text: Column, words: list[str]) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """n-gram/stopword heuristic language ID over {en,de,fr}, 'und' for
-    undetermined. Deterministic tie-break: en > de > fr (>= comparisons)."""
-    en = _marker_hits(text, LANG_MARKERS["en"])
-    de = _marker_hits(text, LANG_MARKERS["de"])
-    fr = _marker_hits(text, LANG_MARKERS["fr"])
-    return (
-        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de > 0), F.lit("de"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    """Stopword-marker language ID over LANG_MARKERS, 'und' for undetermined.
+    Deterministic tie-break = LANG_MARKERS insertion order (>= comparisons),
+    generalized so adding a language is one dict entry on both engine sides."""
+    order = list(LANG_MARKERS)
+    hits = {lang: _marker_hits(text, LANG_MARKERS[lang]) for lang in order}
+    expr = None
+    for i, lang in enumerate(order):
+        cond = hits[lang] > 0
+        for later in order[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[later])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(
+            cond, F.lit(lang)
+        )
+    return expr.otherwise(F.lit("und"))
+
+
+def lang_case_sql(ltoks_expr: str = "ltoks") -> str:
+    """The DuckDB CASE expression equivalent to :func:`lang_id`, generated
+    from the SAME marker table and priority order (oracle parity by
+    construction)."""
+
+    def cnt(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter({ltoks_expr}, x -> x IN ({words})))"
+
+    order = list(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(order):
+        conds = [f"{cnt(lang)} >= {cnt(later)}" for later in order[i + 1 :]]
+        conds.append(f"{cnt(lang)} > 0")
+        clauses.append("WHEN " + "\n          AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + "\n         ".join(clauses) + " ELSE 'und' END"
 
 
 def quality_metrics(text: Column) -> list[Column]:

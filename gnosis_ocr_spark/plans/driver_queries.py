@@ -1180,7 +1180,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_STATS = f"""
+def _oracle_text_stats() -> str:
+    from gnosis_ocr_spark.functions.text import lang_case_sql
+
+    return f"""
 WITH t AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\\s+') AS toks,
@@ -1190,23 +1193,13 @@ WITH t AS (
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe,
-       CASE
-         WHEN len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) >=
-              len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist')))
-          AND len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) >=
-              len(list_filter(ltoks, x -> x IN ('le','la','et','les','est')))
-          AND len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) > 0
-         THEN 'en'
-         WHEN len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist'))) >=
-              len(list_filter(ltoks, x -> x IN ('le','la','et','les','est')))
-          AND len(list_filter(ltoks, x -> x IN ('der','und','die','das','ist'))) > 0
-         THEN 'de'
-         WHEN len(list_filter(ltoks, x -> x IN ('le','la','et','les','est'))) > 0
-         THEN 'fr'
-         ELSE 'und' END AS lang_guess,
+       {lang_case_sql("ltoks")} AS lang_guess,
        md5(lower({_NORM_SQL})) AS fp
 FROM t
 """
+
+
+ORACLE_TEXT_STATS = _oracle_text_stats()
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,6 +1372,39 @@ SELECT doc_id, chunk_no,
        CAST(len(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32]) AS INT)
          AS n_tokens
 FROM e
+"""
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 lower-cased whitespace tokens by frequency
+    with document frequency — the vocab-building pass of a training pipeline.
+    One explode + one groupBy (partial counts map-side); total-order
+    tie-break (count desc, token asc) keeps top-k deterministic."""
+    from gnosis_ocr_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        exploded.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+ORACLE_VOCABULARY = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM t GROUP BY tok
+ORDER BY tf DESC, tok ASC LIMIT 100
 """
 
 
@@ -1820,6 +1846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation": q_curation,
     "chunking": q_chunking,
     "sampling_split": q_sampling_split,
+    "vocabulary": q_vocabulary,
     "dedup_exact": q_dedup_exact,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1872,6 +1899,7 @@ ORACLES: dict[str, str] = {
     "curation": ORACLE_CURATION,
     "chunking": ORACLE_CHUNKING,
     "sampling_split": ORACLE_SAMPLING_SPLIT,
+    "vocabulary": ORACLE_VOCABULARY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -355,3 +355,14 @@ def test_connected_components_long_chain_converges(spark):
     df = spark.createDataFrame(edges, schema="a long, b long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert len(got) == 100 and set(got.values()) == {0}
+
+
+def test_lang_id_extended_languages(spark):
+    """es/it markers added round 2; generated oracle CASE shares the table."""
+    rows = [
+        (1, "el tiempo está bien y los días son largos con una brisa"),
+        (2, "il tempo è bello e gli amici della città sono qui"),
+    ]
+    got = {r["doc_id"]: r["lg"] for r in _docs(spark, rows).select(
+        "doc_id", lang_id(F.col("text")).alias("lg")).collect()}
+    assert got == {1: "es", 2: "it"}
