@@ -950,6 +950,77 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier(s): suppliers whose quarterly revenue EQUALS the
+    maximum (ties kept) — the aggregate-then-compare-to-global-max shape;
+    the single-row max joins back as a broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("total_rev_c"))
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("max_rev_c"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_c")
+    )
+
+
+ORACLE_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_c
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: lines whose quantity is below 20%
+    of their part's average quantity — the correlated per-group scalar
+    shape. The comparison is integer-exact by cross-multiplication
+    (qty_c · 5 · n < total_c · ... avoids a float 0.2·avg boundary):
+    qty < 0.2 · (total/n)  ⟺  qty · 5 · n < total · 100-scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_CENTS(F.col("l_quantity"))).alias("part_qty_c"),
+        F.count("*").alias("part_n"),
+    )
+    j = li.join(per_part, li.l_partkey == F.col("pk"))
+    small = _CENTS(F.col("l_quantity")) * 5 * F.col("part_n") < F.col("part_qty_c")
+    return j.filter(small).agg(
+        F.sum(_CENTS(F.col("l_extendedprice"))).alias("small_rev_c"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q17 = """
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS part_qty_c,
+         COUNT(*) AS part_n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_rev_c,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN pp ON l_partkey = pk
+WHERE CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * part_n < part_qty_c
+"""
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl host analytics: synthesize per-doc urls, extract host and path
     depth with the same regexes on both sides, aggregate per host — the
@@ -1836,6 +1907,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "tpch_q19": q_tpch_q19,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "host_stats": q_host_stats,
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
@@ -1889,6 +1962,8 @@ ORACLES: dict[str, str] = {
     "tpch_q22": ORACLE_TPCH_Q22,
     "tpch_q7": ORACLE_TPCH_Q7,
     "tpch_q19": ORACLE_TPCH_Q19,
+    "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q17": ORACLE_TPCH_Q17,
     "host_stats": ORACLE_HOST_STATS,
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
