@@ -55,19 +55,19 @@ def _marker_hits(text: Column, words: list[str]) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Stopword-marker language ID over LANG_MARKERS, 'und' for undetermined.
-    Deterministic tie-break = LANG_MARKERS insertion order (>= comparisons),
-    generalized so adding a language is one dict entry on both engine sides."""
+    Deterministic tie-break = LANG_MARKERS insertion order.
+
+    Implemented as a scores array + array_position(array_max) — first-argmax,
+    provably equivalent to the earlier chained ``when`` cascade (the first
+    index whose count ≥ every later count IS the first global argmax) but
+    with one marker-hit expression per language instead of O(n²) duplicated
+    subtrees (the repo's documented chained-when gotcha)."""
     order = list(LANG_MARKERS)
-    hits = {lang: _marker_hits(text, LANG_MARKERS[lang]) for lang in order}
-    expr = None
-    for i, lang in enumerate(order):
-        cond = hits[lang] > 0
-        for later in order[i + 1 :]:
-            cond = cond & (hits[lang] >= hits[later])
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(
-            cond, F.lit(lang)
-        )
-    return expr.otherwise(F.lit("und"))
+    hits = F.array(*[_marker_hits(text, LANG_MARKERS[lang]) for lang in order])
+    langs = F.array(*[F.lit(lang) for lang in order])
+    best = F.array_max(hits)
+    idx = F.array_position(hits, best).cast("int")  # 1-based FIRST max
+    return F.when(best > 0, F.element_at(langs, idx)).otherwise(F.lit("und"))
 
 
 def lang_case_sql(ltoks_expr: str = "ltoks") -> str:
@@ -76,7 +76,8 @@ def lang_case_sql(ltoks_expr: str = "ltoks") -> str:
     construction)."""
 
     def cnt(lang: str) -> str:
-        words = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        # SQL-escape quotes so elision markers ("l'", "c'è") stay valid
+        words = ",".join("'" + w.replace("'", "''") + "'" for w in LANG_MARKERS[lang])
         return f"len(list_filter({ltoks_expr}, x -> x IN ({words})))"
 
     order = list(LANG_MARKERS)

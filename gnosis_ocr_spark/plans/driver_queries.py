@@ -51,6 +51,7 @@ from gnosis_ocr_spark.functions.similarity import (
 from gnosis_ocr_spark.functions.text import (
     bpe_ish_token_count,
     fingerprint,
+    lang_case_sql,
     lang_id,
     quality_metrics,
     stopword_ratio,
@@ -867,10 +868,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
-                                   F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
-                                   F.col("n_name").alias("cust_nation")))
+    # pre-filter the dims to the two named nations BEFORE the joins: the
+    # OR-of-ANDs pair predicate can't be derived by Catalyst, so without this
+    # 23/25 of nations flow through all five joins first
+    two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = F.broadcast(two.select(F.col("n_nationkey").alias("s_nk"),
+                                F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(two.select(F.col("n_nationkey").alias("c_nk"),
+                                F.col("n_name").alias("cust_nation")))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | (
@@ -927,7 +932,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(10, 30)
         )
         | (
-            (F.col("p_brand") == "Brand#34")
+            (F.col("p_brand") == "Brand#24")
             & F.col("p_size").between(1, 35)
             & F.col("l_quantity").between(20, 40)
         )
@@ -946,7 +951,7 @@ SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
 """
 
 
@@ -991,9 +996,9 @@ WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: lines whose quantity is below 20%
     of their part's average quantity — the correlated per-group scalar
-    shape. The comparison is integer-exact by cross-multiplication
-    (qty_c · 5 · n < total_c · ... avoids a float 0.2·avg boundary):
-    qty < 0.2 · (total/n)  ⟺  qty · 5 · n < total · 100-scale."""
+    shape. The comparison is integer-exact by cross-multiplication, both
+    sides in the same cents scale (no float 0.2·avg boundary):
+    qty_c < 0.2 · (total_c / n)  ⟺  qty_c · 5 · n < total_c."""
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(_CENTS(F.col("l_quantity"))).alias("part_qty_c"),
@@ -1251,10 +1256,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_text_stats() -> str:
-    from gnosis_ocr_spark.functions.text import lang_case_sql
-
-    return f"""
+ORACLE_TEXT_STATS = f"""
 WITH t AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\\s+') AS toks,
@@ -1268,9 +1270,6 @@ SELECT doc_id,
        md5(lower({_NORM_SQL})) AS fp
 FROM t
 """
-
-
-ORACLE_TEXT_STATS = _oracle_text_stats()
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

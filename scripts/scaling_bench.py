@@ -41,17 +41,32 @@ def _cpu_work(n: int) -> None:
 
 
 def hardware_probe() -> dict[int, float]:
-    """Throughput speedup of pure-CPU work at 1/2/4/8/16/32 processes."""
+    """Throughput speedup of pure-CPU work at 1/2/4/8/16/32 processes.
+
+    Best-of-3 at every level (including the single-process baseline): a
+    one-shot baseline is noise-prone on a shared host — one slow base run
+    once produced a physically impossible superlinear 4.4× probe row, which
+    poisons the 'hardware ceiling' attribution. Ratios are also capped at
+    nproc (superlinear readings are measurement noise by definition)."""
     n = 1_200_000
-    t0 = time.monotonic()
-    _cpu_work(n)
-    base = time.monotonic() - t0
+
+    def best_of(runs: int, fn) -> float:
+        return min(_timed(fn) for _ in range(runs))
+
+    def _timed(fn) -> float:
+        t0 = time.monotonic()
+        fn()
+        return time.monotonic() - t0
+
+    base = best_of(3, lambda: _cpu_work(n))
     out: dict[int, float] = {1: 1.0}
     for nproc in (2, 4, 8, 16, 32):
-        t0 = time.monotonic()
-        with mp.Pool(nproc) as p:
-            p.map(_cpu_work, [n] * nproc)
-        out[nproc] = round(nproc * base / (time.monotonic() - t0), 1)
+        def level() -> None:
+            with mp.Pool(nproc) as p:
+                p.map(_cpu_work, [n] * nproc)
+
+        t = best_of(3 if nproc <= 8 else 2, level)
+        out[nproc] = round(min(nproc * base / t, float(nproc)), 1)
     return out
 
 
