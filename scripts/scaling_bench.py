@@ -162,11 +162,14 @@ attribution.
 
 - extraction speedup {n}→{4 * n} cores: **{speedup:.2f}×**
 - **scaling efficiency = ({t_lo:.1f}/{t_hi:.1f}) / 4 = {efficiency:.2f}** (target ≥ 0.8)
-- hardware ceiling for the same {n}→{4 * n} step (probe above): {hw_speedup:.2f}×,
-  so **engine efficiency relative to what this box can deliver =
-  {speedup:.2f}/{hw_speedup:.2f} = {rel_efficiency:.2f}** — on a real 4×-machine
-  cluster (where 4N executors mean 4× hardware, not 4× threads on one shared
-  host) the absolute number tracks this one.
+- hardware attribution: the bare-multiprocessing probe scales
+  {hw_speedup:.2f}× for the same {n}→{4 * n} step, so the engine achieves
+  {rel_efficiency:.2f}× of the probe's scaling (values near or above 1.0 mean
+  the Spark job parallelizes at least as well as raw CPU work does on this
+  shared box — the probe is an attribution reference for host saturation,
+  not a strict upper bound, since its fork/IPC overheads differ from a
+  JVM thread pool). On a real 4×-machine cluster (4N executors = 4×
+  hardware, not 4× threads on one shared host) the raw number tracks this.
 - corpus: {lo['extract_n_docs']} docs / {lo['extract_n_pages']} pages at sf={lo['sf']}
   (deterministic synthetic Common-Crawl-style corpus incl. 5% 50-120-page
   skew PDFs — the salted size-bucket repartition + page-level respread keep
