@@ -366,3 +366,35 @@ def test_lang_id_extended_languages(spark):
     got = {r["doc_id"]: r["lg"] for r in _docs(spark, rows).select(
         "doc_id", lang_id(F.col("text")).alias("lg")).collect()}
     assert got == {1: "es", 2: "it"}
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Property: chunking agrees with a direct Python restatement of the
+    sliding-window spec over varied token counts and window shapes."""
+    from gnosis_ocr_spark.functions.text import chunk_documents
+
+    def ref(text, chunk, overlap):
+        toks = text.split()
+        if not toks:
+            return []
+        stride = chunk - overlap
+        n = len(toks)
+        nc = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+        return [
+            (i, " ".join(toks[i * stride : i * stride + chunk]),
+             len(toks[i * stride : i * stride + chunk]))
+            for i in range(nc)
+        ]
+
+    cases = [(i, " ".join(f"t{j}" for j in range(i * 7 % 60))) for i in range(30)]
+    for chunk, overlap in [(8, 2), (5, 0), (16, 15)]:
+        df = _docs(spark, cases)
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_no"], r["chunk_text"], r["n_tokens"])
+            )
+        for doc_id, text in cases:
+            assert sorted(got.get(doc_id, [])) == ref(text, chunk, overlap), (
+                doc_id, chunk, overlap
+            )
