@@ -398,3 +398,18 @@ def test_chunk_documents_matches_python_reference(spark):
             assert sorted(got.get(doc_id, [])) == ref(text, chunk, overlap), (
                 doc_id, chunk, overlap
             )
+
+
+def test_stable_hash_matches_python_md5_reference(spark):
+    """The sampling hash must equal int(md5(key)[:15], 16) — the engine-
+    portable contract the DuckDB oracle reproduces."""
+    import hashlib
+
+    from gnosis_ocr_spark.functions.sampling import stable_hash
+
+    keys = [str(i) for i in range(50)] + ["", "a b", "ünïcode"]
+    df = spark.createDataFrame([(k,) for k in keys], schema="k string")
+    got = {r["k"]: r["h"] for r in df.select("k", stable_hash(F.col("k")).alias("h")).collect()}
+    for k in keys:
+        expect = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[k] == expect, k
