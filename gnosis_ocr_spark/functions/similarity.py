@@ -223,16 +223,50 @@ def embedding_near_duplicates(
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    log_truncation: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via the same
-    sign-LSH bucketing — self-join within buckets only."""
+    sign-LSH bucketing — self-join within buckets only.
+
+    Hot-bucket handling (the 100 TB fix): BYTE-IDENTICAL vectors are first
+    collapsed to one representative per distinct embedding — each member
+    attaches by a star edge (rep, member, cos=1) instead of participating in
+    the bucket self-join, so a cluster of B identical embeddings emits B−1
+    edges and ONE bucket row, not B(B−1)/2 pairs. Near-identical (but not
+    byte-equal) hot buckets can additionally be bounded with
+    ``max_bucket_size`` (deterministic smallest-id truncation, logged loudly
+    — see dedup.cap_bucket_members). Within an identical-vector group the
+    output is star-compressed; the clustering consumer gets identical
+    connected components."""
+    from gnosis_ocr_spark.functions.dedup import cap_bucket_members
+
     planes = [_hyperplane(dim, b) for b in range(n_planes)]
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    rep_w = F.min("vec_id").over(Window.partitionBy("v"))
+    with_rep = c.select("vec_id", "v", rep_w.alias("rep"))
+    star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
+        F.col("rep").alias("a"),
+        F.col("vec_id").alias("b"),
+        F.lit(1.0).alias("cos"),
+    )
+    reps = with_rep.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "v"
     ).withColumn("bucket", signs_col(F.col("v"), planes))
-    l, r = c.alias("l"), c.alias("r")
-    return (
+    if max_bucket_size is not None:
+        reps = cap_bucket_members(
+            reps,
+            ["bucket"],
+            "vec_id",
+            max_bucket_size,
+            log_truncation,
+            context="embedding_near_duplicates",
+        )
+    l, r = reps.alias("l"), reps.alias("r")
+    rep_pairs = (
         l.join(
             r,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -245,3 +279,4 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+    return rep_pairs.unionByName(star)

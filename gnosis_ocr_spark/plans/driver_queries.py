@@ -1658,9 +1658,11 @@ SELECT a, b, CAST(10000 AS BIGINT) AS jaccard_e4 FROM pairs
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with a provable oracle: at max_hamming=0 over docs ∪
     verbatim copies, equal token MULTISETS ⇒ identical 64-bit signature ⇒
-    hamming 0 ⇒ guaranteed pigeonhole candidate, so the output equals the
-    multiset-equality pair set (64-bit collisions between distinct multisets
-    are absent in this frozen corpus — verified at sf0.01 and sf0.1).
+    same signature group, so the STAR-compressed output (round 3: identical
+    signatures collapse to rep→member edges, the hot-bucket O(B²) fix) equals
+    the per-multiset star edge set min(group)→member the SQL computes
+    (64-bit collisions between distinct multisets are absent in this frozen
+    corpus — asserted by scripts/validate_oracles.py --preconditions).
     Hamming>0 behavior is covered by unit tests."""
     return simhash_near_duplicates(
         _docs_with_copies(spark, sf_dir, limit=200), max_hamming=0
@@ -1676,9 +1678,10 @@ WITH u AS (
          md5(array_to_string(list_sort(
            regexp_split_to_array(trim(lower(text)), '\\s+')), chr(31))) AS ms
   FROM u WHERE length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ms) AS rep FROM k
 )
-SELECT a.doc_id AS a, b.doc_id AS b, 0 AS hamming
-FROM k a JOIN k b ON a.ms = b.ms AND a.doc_id < b.doc_id
+SELECT rep AS a, doc_id AS b, 0 AS hamming FROM g WHERE doc_id != rep
 """
 
 
@@ -1828,9 +1831,13 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup at cos ≥ 0.999999 over embeddings ∪ verbatim copies:
-    LSH always co-buckets identical vectors, so the result equals the exact
-    equality self-join the oracle computes."""
+    """Embedding near-dup at cos ≥ 0.999999 over embeddings ∪ verbatim
+    copies. Round 3: byte-identical vectors collapse to rep→member STAR
+    edges (the hot-bucket O(B²) fix), so the result equals the per-embedding
+    star edge set min(group)→member the oracle computes; remaining rep pairs
+    contribute nothing (no two distinct embeddings reach cos 0.999999 in the
+    frozen corpus — asserted by scripts/validate_oracles.py
+    --preconditions)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     u = emb.unionByName(copies)
@@ -1844,9 +1851,11 @@ ORACLE_EMBEDDING_NEAR_DUP = """
 WITH u AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
+), g AS (
+  SELECT vec_id, MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM u
 )
-SELECT a.vec_id AS a, b.vec_id AS b, CAST(1000000 AS BIGINT) AS cos_e6
-FROM u a JOIN u b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+SELECT rep AS a, vec_id AS b, CAST(1000000 AS BIGINT) AS cos_e6
+FROM g WHERE vec_id != rep
 """
 
 
