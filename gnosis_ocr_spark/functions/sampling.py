@@ -46,15 +46,23 @@ def sample_fraction(df: DataFrame, key_col: str, keep_pm: int) -> DataFrame:
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, key_col: str, max_rows: int
+    df: DataFrame, group_col: str, key_col: str, max_rows: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """At most ``max_rows`` rows per group, chosen deterministically by key
     hash (tie-break on the key itself) — the crawl-balancing quota that stops
     mega-hosts from dominating a corpus. One shuffle on the group key; AQE
-    handles skewed groups."""
-    w = Window.partitionBy(group_col).orderBy(
-        stable_hash(F.col(key_col)), F.col(key_col)
-    )
+    handles skewed groups.
+
+    DETERMINISM CONTRACT: (stable_hash(key), key) is a total order only when
+    ``key_col`` is unique within each group. If keys can repeat (e.g. capping
+    page rows keyed by url), pass a ``tiebreak_col`` that IS unique per row —
+    it is appended as the final sort key; otherwise which duplicate survives
+    varies run to run."""
+    order = [stable_hash(F.col(key_col)), F.col(key_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_rows)

@@ -144,7 +144,10 @@ def media_features(df: DataFrame, dim: int = 16, url_col: str = "url",
     return slim.mapInPandas(_feature_batches(dim), schema=FEATURE_SCHEMA)
 
 
-RESIZED_SCHEMA = "url string, media_type string, width int, height int, data binary"
+RESIZED_SCHEMA = (
+    "url string, media_type string, width int, height int, data binary, "
+    "status string"
+)
 FRAME_SCHEMA = "url string, frame_no int, ts_sec double, frame binary"
 
 
@@ -169,17 +172,30 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
     PNG path is REAL: stdlib decode → nearest-neighbor downsample →
     re-encode. Other formats pass through unchanged with a claimed size from
     the stub metadata decoder (STUB: PIL/ffmpeg absent from this container;
-    swapping real decoders in changes only the inner branch, not the plan)."""
+    swapping real decoders in changes only the inner branch, not the plan).
+
+    The ``status`` column makes passthrough rows explicit (round-3 advice:
+    a consumer trusting ``data`` must not silently receive oversized bytes):
+
+    - ``resized`` — pixels really were downsampled and re-encoded
+    - ``in_bounds`` — already ≤ max_dim, bytes unchanged
+    - ``passthrough`` — ORIGINAL bytes, possibly > max_dim (undecodable PNG
+      or a format whose real decoder isn't in this container); consumers that
+      require the bound must filter ``status != 'passthrough'``."""
     from gnosis_ocr_spark.functions.codec_png import encode_gray_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in it:
-            rows = {k: [] for k in ("url", "media_type", "width", "height", "data")}
+            rows = {
+                k: []
+                for k in ("url", "media_type", "width", "height", "data", "status")
+            }
             for url, blob in zip(b["url"], b["data"]):
                 data = bytes(blob) if blob is not None else b""
                 mtype = sniff_media_type(data)
                 w = h = None
                 out = data
+                status = "passthrough"
                 if mtype == "image/png":
                     try:
                         dw, dh = decode_dimensions(data)
@@ -187,12 +203,14 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                             # already in bounds: header check only, skip the
                             # full inflate+unfilter pixel decode
                             w, h = dw, dh
+                            status = "in_bounds"
                         else:
                             px, w2, h2 = _resize_gray_nn(
                                 decode_pixels(data), dw, dh, max_dim
                             )
                             out = encode_gray_png(px, w2, h2)
                             w, h = w2, h2
+                            status = "resized"
                     except Exception:
                         # undecodable PNG (non-grayscale / multi-IDAT / other
                         # filters — real codecs go here): report UNKNOWN size
@@ -208,6 +226,7 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["data"].append(out)
+                rows["status"].append(status)
             yield pd.DataFrame(rows)
 
     slim = df.select(F.col(url_col).alias("url"), F.col(data_col).alias("data"))

@@ -215,3 +215,83 @@ def test_gray_png_roundtrip_property(w, h, seed):
     assert G.decode_dimensions(png) == (w, h)
     assert G.decode_pixels(png) == px
     assert _z.crc32(png) is not None  # valid container end-to-end
+
+
+# ------------------------------------------------------ round 3: font tables
+
+
+def test_tounicode_cmap_byte_identity():
+    """Non-WinAnsi text must extract byte-identically THROUGH the /ToUnicode
+    CMap (the content stream carries custom byte codes, so a latin-1 parse
+    CANNOT produce this text — the mapping is genuinely exercised)."""
+    pages = ["héllo wörld — café\nnaïve ψυχη résumé",
+             "second pagé\nwith ümlauts ß and π"]
+    pdf = P.build_pdf_tounicode(pages, mode="tounicode")
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+    # the custom code bytes really are in the file (not the utf-8 text)
+    assert "é".encode() not in pdf.split(b"beginbfchar")[0].split(b"stream")[0]
+
+
+def test_encoding_differences_byte_identity():
+    pages = ["héllo wörld café\nnaïve ψυχη résumé"]
+    pdf = P.build_pdf_tounicode(pages, mode="differences")
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+
+
+def test_inline_images_do_not_corrupt_text():
+    """BI…ID…EI binary payloads contain fake Tj/Td operators — the tokenizer
+    must skip the whole inline image."""
+    pages = ["line one\nline two\nline three", "päge twö\nlast löne"]
+    pdf = P.build_pdf_tounicode(pages, mode="tounicode", inline_images=True)
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+
+
+@given(st.lists(st.text(
+    alphabet="aä bc…é—ψπß√ñ€°", min_size=1, max_size=40), min_size=1, max_size=4))
+@settings(max_examples=25, deadline=None)
+def test_tounicode_property(lines):
+    """Any unicode text (arbitrary planes via uniXXXX-free CMap path) round-
+    trips byte-identically through encode → ToUnicode-decode."""
+    pages = ["\n".join(lines)]
+    pdf = P.build_pdf_tounicode(pages, mode="tounicode")
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+
+
+def test_winansi_base_encoding_applies():
+    """A font declaring /Encoding /WinAnsiEncoding must decode 0x80-0x9F via
+    cp1252 (e.g. 0x93/0x94 are curly quotes), not latin-1 control chars."""
+    def obj(n, body):
+        return b"%d 0 obj\n" % n + body + b"\nendobj\n"
+
+    stream = b"BT /F1 12 Tf 72 720 Td (\x93quoted\x94 \x85) Tj ET"
+    buf = bytearray(b"%PDF-1.4\n")
+    buf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    buf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    buf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                  b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    buf += obj(4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+    buf += obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                  b"/Encoding /WinAnsiEncoding >>")
+    buf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    (page,) = P.extract_pages(bytes(buf))
+    assert P.page_text(page) == "“quoted” …"
+
+
+def test_page_count_partial_tree_uses_root_count():
+    """Damaged file: /Kids reference objects missing from the body — the DFS
+    finds fewer leaves, but the root /Count floors the probe (round-3
+    advice: partial trees must not silently under-report)."""
+    def obj(n, body):
+        return b"%d 0 obj\n" % n + body + b"\nendobj\n"
+
+    buf = bytearray(b"%PDF-1.4\n")
+    buf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    # declares 3 pages but objects 6 and 7 are missing (truncated file)
+    buf += obj(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R 7 0 R] /Count 3 >>")
+    buf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                  b"/Contents 4 0 R >>")
+    buf += obj(4, b"<< /Length 30 >>\nstream\nBT 72 720 Td (only page) Tj ET\nendstream")
+    buf += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    assert P.page_count(bytes(buf)) == 3
+    # extraction still yields the one parseable page
+    assert [P.page_text(s) for s in P.extract_pages(bytes(buf))] == ["only page"]

@@ -115,8 +115,30 @@ def test_resize_images_png_real_path(spark):
     got = {r["url"]: r for r in resize_images(df, max_dim=64).collect()}
     assert (got["b"]["width"], got["b"]["height"]) == (64, 42)
     assert decode_dimensions(bytes(got["b"]["data"])) == (64, 42)
+    assert got["b"]["status"] == "resized"
     assert (got["s"]["width"], got["s"]["height"]) == (40, 30)
     assert bytes(got["s"]["data"]) == small  # untouched below the bound
+    assert got["s"]["status"] == "in_bounds"
+
+
+def test_resize_images_passthrough_is_flagged(spark):
+    """Round-3 advice: rows whose bytes could NOT be bounded (undecodable or
+    no real decoder in this container) must be explicitly distinguishable —
+    consumers that need the bound filter status != 'passthrough'."""
+    from gnosis_ocr_spark.operators.multimodal import resize_images
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"corrupt" * 10
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    df = spark.createDataFrame(
+        [("bad", bytearray(bad_png)), ("j", bytearray(jpeg))],
+        schema="url string, data binary",
+    )
+    got = {r["url"]: r for r in resize_images(df, max_dim=64).collect()}
+    assert got["bad"]["status"] == "passthrough"
+    assert got["bad"]["width"] is None
+    assert bytes(got["bad"]["data"]) == bad_png
+    assert got["j"]["status"] == "passthrough"  # stub decoder: bytes unchanged
+    assert bytes(got["j"]["data"]) == jpeg
 
 
 def test_sample_frames_flatmap_shape(spark):
