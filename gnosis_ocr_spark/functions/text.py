@@ -9,15 +9,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny, fixed stopword sets — the lang-id heuristic counts hits per language.
-# DICT ORDER IS THE TIE-BREAK PRIORITY; the DuckDB oracle CASE is GENERATED
-# from this table (lang_case_sql) so the two sides cannot drift.
+# fixed stopword-marker sets (drawn from published stopword lists) — the
+# lang-id heuristic counts token-exact hits per language. Ten languages;
+# still a marker heuristic, not fastText-class lang-ID (scope documented in
+# lang_id's docstring). DICT ORDER IS THE TIE-BREAK PRIORITY; the DuckDB
+# oracle CASE is GENERATED from this table (lang_case_sql) so the two sides
+# cannot drift. Markers are chosen to avoid high-frequency cross-language
+# collisions (e.g. 'de' is dominant in French AND the Dutch article — Dutch
+# uses het/een/niet/ook/maar instead).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "und", "die", "das", "ist"],
     "fr": ["le", "la", "et", "les", "est"],
     "es": ["el", "los", "las", "una", "está"],
     "it": ["il", "gli", "della", "che", "è"],
+    "pt": ["os", "uma", "não", "são", "como"],
+    "nl": ["het", "een", "niet", "ook", "maar"],
+    "sv": ["och", "att", "det", "som", "för"],
+    "pl": ["nie", "się", "jest", "oraz", "przez"],
+    "tr": ["ve", "bir", "bu", "için", "ile"],
 }
 
 STOPWORDS_EN = (
@@ -54,8 +64,13 @@ def _marker_hits(text: Column, words: list[str]) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Stopword-marker language ID over LANG_MARKERS, 'und' for undetermined.
-    Deterministic tie-break = LANG_MARKERS insertion order.
+    """Stopword-marker language ID over LANG_MARKERS (10 languages), 'und'
+    for undetermined. Deterministic tie-break = LANG_MARKERS insertion order.
+
+    SCOPE: a marker-count heuristic — cheap, exact-SQL-expressible, and
+    reliable on clean running prose in the covered languages; it is NOT a
+    fastText-class classifier (no character n-gram model, no coverage beyond
+    the 10 marker sets, confusable on very short or code-mixed text).
 
     Implemented as a scores array + array_position(array_max) — first-argmax,
     provably equivalent to the earlier chained ``when`` cascade (the first

@@ -42,12 +42,16 @@ def assemble_documents(
     text aggregate (collect_list skips NULL elements) and the page count
     (count(col) skips NULLs), so broken documents yield ('', 0) without a
     reconciliation join.
+
+    If the input carries a per-page ``ocr_conf`` column (the scored OCR
+    protocol), the document gets its page-average as ``ocr_confidence`` in
+    the SAME sort-aggregate — no second shuffle; sentinel docs get 0.0.
     """
     entry = F.when(
         F.col(page_col).isNotNull(),
         F.struct(F.col(page_col).alias("p"), F.col(text_col).alias("t")),
     )
-    return page_texts.groupBy(F.col(url_col).alias("url")).agg(
+    aggs = [
         F.trim(
             F.array_join(
                 F.transform(
@@ -57,7 +61,12 @@ def assemble_documents(
             )
         ).alias(out_col),
         F.count(F.col(page_col)).cast("int").alias("n_pages"),
-    )
+    ]
+    if "ocr_conf" in page_texts.columns:
+        aggs.append(
+            F.coalesce(F.avg("ocr_conf"), F.lit(0.0)).alias("ocr_confidence")
+        )
+    return page_texts.groupBy(F.col(url_col).alias("url")).agg(*aggs)
 
 
 SPAN_DOC_SCHEMA = "url string, extracted_text string, n_pages int"

@@ -64,6 +64,26 @@ class DeterministicStubOCR:
                 out.append("")
         return out
 
+    def ocr_batch_scored(
+        self, pngs: list[bytes | None]
+    ) -> tuple[list[str], list[float]]:
+        """(texts, per-page confidences). The engine protocol's scored form
+        (round-3 task: metrics carried a hardcoded 1.0/0.0 'until the real
+        model surfaces logprobs'). The real-model analog averages token
+        logprobs over the greedy decode; the stub derives a deterministic
+        confidence in [0.5, 1.0) from the page pixels (crc32) so every page
+        gets a distinct, reproducible score — 0.0 for failed/empty pages."""
+        import zlib
+
+        texts = self.ocr_batch(pngs)
+        confs = []
+        for png, text in zip(pngs, texts):
+            if png is None or not text:
+                confs.append(0.0)
+            else:
+                confs.append(0.5 + (zlib.crc32(bytes(png)) % 5000) / 10000.0)
+        return texts, confs
+
 
 class ComputeCalibratedStubOCR(DeterministicStubOCR):
     """Stub with calibrated CPU cost per page — the scaling-evidence engine.

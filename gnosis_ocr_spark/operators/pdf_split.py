@@ -130,10 +130,14 @@ rasterize_udf = make_rasterize_udf()
 
 
 OCR_PAGE_SCHEMA = "url string, page_no int, page_text string"
+OCR_PAGE_CONF_SCHEMA = OCR_PAGE_SCHEMA + ", ocr_conf double"
 
 
 def raster_ocr_pages(
-    pages: DataFrame, ocr_engine: str = "stub", raster: str | None = None
+    pages: DataFrame,
+    ocr_engine: str = "stub",
+    raster: str | None = None,
+    with_confidence: bool = False,
 ) -> DataFrame:
     """Fused U2-raster + U3-OCR: (url, page_no, page_text) → (url, page_no,
     page_text=ocr output) in ONE Python stage.
@@ -145,6 +149,10 @@ def raster_ocr_pages(
     SURVEY.md §4 "operator fusion"). The unfused operators remain available
     (make_rasterize_udf + make_ocr_udf) for debug page dumps and multimodal
     reuse of the PNG column.
+
+    ``with_confidence`` adds a per-page ``ocr_conf`` column from the engine's
+    scored protocol (real model: mean token logprob; stub: deterministic
+    function of the page pixels) — the metrics-table input.
     """
     w, h = _raster_size(raster)
 
@@ -157,16 +165,17 @@ def raster_ocr_pages(
                 None if t is None else encode_page_png(t, w, h)
                 for t in b["page_text"]
             ]
-            yield pd.DataFrame(
-                {
-                    "url": b["url"],
-                    "page_no": b["page_no"],
-                    "page_text": engine.ocr_batch(pngs),
-                }
-            )
+            cols = {"url": b["url"], "page_no": b["page_no"]}
+            if with_confidence:
+                texts, confs = engine.ocr_batch_scored(pngs)
+                cols["page_text"] = texts
+                cols["ocr_conf"] = confs
+            else:
+                cols["page_text"] = engine.ocr_batch(pngs)
+            yield pd.DataFrame(cols)
 
     return pages.select("url", "page_no", "page_text").mapInPandas(
-        fused, schema=OCR_PAGE_SCHEMA
+        fused, schema=OCR_PAGE_CONF_SCHEMA if with_confidence else OCR_PAGE_SCHEMA
     )
 
 

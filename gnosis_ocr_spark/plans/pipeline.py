@@ -52,20 +52,26 @@ def extract_corpus(
     page_level_parallelism: bool = True,
     raster: str | None = None,
     debug_pages_path: str | None = None,
+    with_confidence: bool = False,
 ) -> DataFrame:
-    """documents → (url, extracted_text, n_pages, route).
+    """documents → (url, extracted_text, n_pages, route[, ocr_confidence]).
 
     ``pdf_partitions`` sizes the salted PDF repartition (default:
     spark.sql.shuffle.partitions; AQE coalesces small outputs).
     ``page_level_parallelism`` spreads per-page raster/OCR cost across the
     cluster (see module docstring); turn off only for tiny corpora where the
     extra exchange outweighs the per-page work.
+    ``with_confidence`` adds a per-document ``ocr_confidence`` column: the
+    page-average of the OCR engine's per-page score on the PDF branch
+    (aggregated inside the existing assembly groupBy — no extra shuffle);
+    HTML extraction is not model inference, so that branch reports 1.0 for
+    non-empty text and 0.0 for empty/unparseable rows.
     """
 
     routed = with_route(docs)
 
     # one scan for both narrow routes: html → U7 UDF, empty → ('', 0)
-    non_pdf = routed.filter(F.col("route") != ROUTE_PDF).select(
+    non_pdf_cols = [
         "url",
         F.when(
             F.col("route") == ROUTE_HTML, extract_html_udf(F.col("html"))
@@ -77,7 +83,13 @@ def extract_corpus(
         .cast("int")
         .alias("n_pages"),
         F.col("route"),
-    )
+    ]
+    non_pdf = routed.filter(F.col("route") != ROUTE_PDF).select(*non_pdf_cols)
+    if with_confidence:
+        non_pdf = non_pdf.withColumn(
+            "ocr_confidence",
+            F.when(F.length("extracted_text") > 0, F.lit(1.0)).otherwise(0.0),
+        )
 
     pdf_rows = routed.filter(F.col("route") == ROUTE_PDF).select("url", "html")
     pdf_rows = salted_repartition(pdf_rows, pdf_partitions)
@@ -105,10 +117,18 @@ def extract_corpus(
             "url", "page_no",
             make_ocr_udf(ocr_engine)(F.col("png")).alias("page_text"),
         )
+        if with_confidence:  # debug path uses the unscored UDF: flat 1.0/0.0
+            ocred = ocred.withColumn(
+                "ocr_conf",
+                F.when(F.length("page_text") > 0, F.lit(1.0)).otherwise(0.0),
+            )
     else:
         # fused raster+OCR: pixels never cross the Arrow boundary (see
         # operators/pdf_split.raster_ocr_pages)
-        ocred = raster_ocr_pages(pages, ocr_engine=ocr_engine, raster=raster)
+        ocred = raster_ocr_pages(
+            pages, ocr_engine=ocr_engine, raster=raster,
+            with_confidence=with_confidence,
+        )
     pdf_branch = assemble_documents(ocred).withColumn("route", F.lit(ROUTE_PDF))
 
     return non_pdf.unionByName(pdf_branch)

@@ -48,7 +48,7 @@ def _with_partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
     (mapInPandas with TaskContext), returning results + a metrics row tag."""
     schema = (
         "url string, extracted_text string, n_pages int, route string, "
-        "partition_id int, elapsed_sec double"
+        "ocr_confidence double, partition_id int, elapsed_sec double"
     )
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,7 +90,10 @@ def run_extraction(
         todo = docs.join(done, "url", "left_anti")
 
     tagged = _with_partition_metrics(
-        extract_corpus(todo, ocr_engine=ocr_engine, raster=raster), run_id
+        extract_corpus(
+            todo, ocr_engine=ocr_engine, raster=raster, with_confidence=True
+        ),
+        run_id,
     )
     tagged = tagged.persist()
     try:
@@ -112,13 +115,11 @@ def run_extraction(
             F.sum("n_pages").alias("page_count"),
             F.sum(F.length("extracted_text")).alias("char_count"),
             F.max("elapsed_sec").alias("elapsed_sec"),
-            # per-partition mean OCR confidence (north_star metrics list);
-            # engines without token-level scores report 1.0 for non-empty
-            # extractions, 0.0 for empty, until the real model surfaces
-            # logprobs
-            F.avg(
-                F.when(F.length("extracted_text") > 0, F.lit(1.0)).otherwise(0.0)
-            ).alias("ocr_confidence"),
+            # per-partition mean OCR confidence (north_star metrics list):
+            # the document-level page-average from the engine's scored
+            # protocol (real model: mean token logprob; stub: deterministic
+            # per-page score — NON-constant, round-3 task #7)
+            F.avg("ocr_confidence").alias("ocr_confidence"),
         ).select(
             F.lit(run_id).alias("run_id"),
             "partition_id",

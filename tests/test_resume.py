@@ -100,3 +100,23 @@ def test_canonical_latest_wins_by_time_not_lexicographic(spark, tmp_path):
     canon = canonical_results(spark, out)
     assert canon.count() == 10
     assert canon.filter(F.col("run_id") != "r10").count() == 0
+
+
+def test_metrics_carry_nonconstant_ocr_confidence(spark, tmp_path):
+    """Round-3 task #7: ocr_confidence in the metrics table comes from the
+    engine's scored protocol (per-page, deterministic), not a hardcoded
+    1.0/0.0 — partition averages must be non-constant and within (0, 1]."""
+    out = str(tmp_path / "run")
+    docs = corpus_df(spark, n=N, num_partitions=4)
+    run_extraction(spark, docs, out, run_id="r1")
+    metrics = spark.read.parquet(f"{out}/metrics")
+    vals = [r["ocr_confidence"] for r in metrics.collect()]
+    assert all(0.0 < v <= 1.0 for v in vals)
+    # PDF pages score 0.5..1.0 from pixels while HTML rows score exactly 1.0;
+    # with both routes present the averages cannot all be 1.0
+    assert any(v != 1.0 for v in vals)
+    # deterministic: a second run over a fresh dir reproduces the values
+    out2 = str(tmp_path / "run2")
+    run_extraction(spark, docs, out2, run_id="r1")
+    vals2 = sorted(r["ocr_confidence"] for r in spark.read.parquet(f"{out2}/metrics").collect())
+    assert vals2 == sorted(vals)

@@ -358,14 +358,21 @@ def test_connected_components_long_chain_converges(spark):
 
 
 def test_lang_id_extended_languages(spark):
-    """es/it markers added round 2; generated oracle CASE shares the table."""
+    """es/it markers added round 2, pt/nl/sv/pl/tr round 3; the generated
+    oracle CASE shares the marker table, so one sample sentence per language
+    pins both sides."""
     rows = [
         (1, "el tiempo está bien y los días son largos con una brisa"),
         (2, "il tempo è bello e gli amici della città sono qui"),
+        (3, "os livros não são caros e uma leitura vale como sempre"),
+        (4, "het weer is mooi maar een wandeling is ook niet verkeerd"),
+        (5, "solen skiner och det är varmt som att sommaren är här för oss"),
+        (6, "to nie jest trudne bo przez praktykę oraz pracę się uczymy"),
+        (7, "bu kitap çok güzel ve bir gün için ile okunabilir"),
     ]
     got = {r["doc_id"]: r["lg"] for r in _docs(spark, rows).select(
         "doc_id", lang_id(F.col("text")).alias("lg")).collect()}
-    assert got == {1: "es", 2: "it"}
+    assert got == {1: "es", 2: "it", 3: "pt", 4: "nl", 5: "sv", 6: "pl", 7: "tr"}
 
 
 def test_chunk_documents_matches_python_reference(spark):
