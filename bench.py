@@ -151,11 +151,12 @@ def main() -> None:
 
     bench_queries = [
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
-        "sessionize", "rollup",
+        "sessionize", "rollup", "host_stats",
         "dedup_exact", "minhash_lsh", "simhash_dedup", "ngram_jaccard",
-        "winnow_fingerprints", "embedding_near_dup",
+        "winnow_fingerprints", "embedding_near_dup", "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
-        "text_stats", "quality",
+        "text_stats", "quality", "curation", "chunking",
+        "sampling_split", "vocabulary", "multimodal_meta",
         "html_extract", "pdf_extract",
     ]
     for name in bench_queries:

@@ -139,18 +139,21 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 4321,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest deterministic
-    centroid (hash-derived, same everywhere — a production system would run
-    k-means once and broadcast the codebook; the assignment plan is
-    identical). Pure Column expressions — no UDF, no shuffle.
+    """IVF coarse quantizer: assign each vector to its nearest centroid.
+    Default codebook is hash-derived (deterministic, same everywhere);
+    pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to use a learned
+    codebook — the assignment plan is identical either way: the tiny
+    codebook is inlined as literals (the Spark analog of broadcasting it)
+    and assignment is pure Column expressions — no UDF, no shuffle.
 
     The n_centroids inlined dot-product folds carry a one-time
     whole-stage-codegen compile cost (seconds, like dedup.simhash — see its
     cost-profile note); the alternative (explode corpus × centroids, argmax
     via groupBy) would add a full shuffle of the corpus, which is the wrong
     trade at 10^12 rows."""
-    cents = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    cents = centroids or [_hyperplane(dim, c, seed) for c in range(n_centroids)]
     v = F.col(vec_col).cast("array<double>")
     # one scores array + argmax — NOT a chained when(): each chained branch
     # would re-embed every previous dot() subtree and the expression tree
@@ -165,6 +168,52 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 4321,
+) -> list[list[float]]:
+    """Learn an IVF codebook with a few DataFrame-native Lloyd iterations —
+    the k-means the hash-centroid seam promised (VERDICT r2 task #6).
+
+    Per iteration: (1) assign every vector to its nearest current centroid
+    (the same inlined-literal argmax plan as :func:`ivf_assign` — one corpus
+    scan, no shuffle); (2) recompute each centroid as the per-dimension mean
+    of its members via ``posexplode(vec) → groupBy(centroid, dim).avg`` —
+    ONE shuffle of (centroid, dim, val) triples with map-side partial
+    aggregation, the scalable mean at any corpus size. Only the
+    n_centroids × dim codebook (a few KB) is collected to the driver per
+    iteration — the legitimate tiny-result collect, exactly like
+    connected_components' convergence count. Init is the deterministic
+    hash-derived codebook, so the whole fit is reproducible across runs and
+    cluster sizes; empty clusters keep their previous centroid."""
+    cents = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    slim = corpus.select(F.col(id_col).alias("vec_id"),
+                         F.col(vec_col).cast("array<double>").alias("cv"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(slim, n_centroids, dim, "vec_id", "cv",
+                              centroids=cents)
+        means = (
+            assigned.select(
+                "centroid", F.posexplode("cv").alias("d", "val")
+            )
+            .groupBy("centroid", "d")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        touched = set()
+        for r in means:
+            new[r["centroid"]][r["d"]] = float(r["m"])
+            touched.add(r["centroid"])
+        cents = [new[i] if i in touched else cents[i] for i in range(n_centroids)]
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,6 +224,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid; each query probes its
     ``n_probe`` nearest centroids and re-ranks exactly inside them.
@@ -183,9 +233,15 @@ def ivf_cosine_topk(
     production: written bucketed-by-centroid so repeated query batches join
     with zero corpus shuffle); the query side explodes to n_probe rows and
     equi-joins on centroid — never a cross join against the full corpus.
-    """
-    cents = [_hyperplane(dim, c, 4321) for c in range(n_centroids)]
-    assigned = ivf_assign(corpus, n_centroids, dim, id_col, vec_col)
+
+    ``centroids``: optional learned codebook from :func:`kmeans_centroids`
+    (default: the deterministic hash-derived codebook). Corpus assignment
+    and query probes always share the same codebook, so an exact replica of
+    a query is always in the query's first probe — the provable-recall
+    property the driver oracle relies on holds for any codebook."""
+    cents = centroids or [_hyperplane(dim, c, 4321) for c in range(n_centroids)]
+    assigned = ivf_assign(corpus, n_centroids, dim, id_col, vec_col,
+                          centroids=cents)
 
     qv = F.col(vec_col).cast("array<double>")
     scores = F.array(

@@ -1661,9 +1661,13 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same signature group, so the STAR-compressed output (round 3: identical
     signatures collapse to rep→member edges, the hot-bucket O(B²) fix) equals
     the per-multiset star edge set min(group)→member the SQL computes
-    (64-bit collisions between distinct multisets are absent in this frozen
-    corpus — asserted by scripts/validate_oracles.py --preconditions).
-    Hamming>0 behavior is covered by unit tests."""
+    (64-bit collisions between distinct multisets are absent at the driver's
+    gate scales — asserted by scripts/validate_oracles.py --preconditions:
+    OK at sf0.01 and sf0.1; sf0.001 is KNOWN to carry 2 collisions among its
+    tiny-vocabulary docs, where ANY simhash formulation — pairs or star —
+    diverges from the multiset oracle, which is precisely what the loud
+    precondition check is for). Hamming>0 behavior is covered by unit
+    tests."""
     return simhash_near_duplicates(
         _docs_with_copies(spark, sf_dir, limit=200), max_hamming=0
     )

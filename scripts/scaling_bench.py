@@ -116,6 +116,21 @@ def main() -> None:
     t_hi = hi["queries"]["extract_pipeline"]
     speedup = t_lo / t_hi
     efficiency = speedup / 4.0
+    # TYPICAL number alongside the capability number (round-3 advice:
+    # min-of-reps can pair a lucky low-N run with a lucky high-N run from
+    # different drift windows). Per-rep efficiency pairs run i of N with run
+    # i of 4N — adjacent in the interleaved order, so each pair shares one
+    # drift window — and the median of those is the typical efficiency.
+    import statistics
+
+    per_rep_eff = [
+        (runs_lo[i]["queries"]["extract_pipeline"]
+         / runs_hi[i]["queries"]["extract_pipeline"]) / 4.0
+        for i in range(reps)
+    ]
+    med_efficiency = statistics.median(per_rep_eff)
+    med_t_lo = statistics.median(r["queries"]["extract_pipeline"] for r in runs_lo)
+    med_t_hi = statistics.median(r["queries"]["extract_pipeline"] for r in runs_hi)
     # hardware-relative: what fraction of the BOX's own N→4N scaling
     # (bare multiprocessing, no Spark) the engine achieves
     hw_speedup = probe.get(4 * n, 4.0) / probe.get(n, 1.0)
@@ -162,6 +177,13 @@ attribution.
 
 - extraction speedup {n}→{4 * n} cores: **{speedup:.2f}×**
 - **scaling efficiency = ({t_lo:.1f}/{t_hi:.1f}) / 4 = {efficiency:.2f}** (target ≥ 0.8)
+  — this is the best-of-{reps} CAPABILITY number (engine under least host
+  interference)
+- **median (typical) efficiency = {med_efficiency:.2f}** over per-rep
+  same-drift-window pairs (median level times: local[{n}] {med_t_lo:.1f} s,
+  local[{4 * n}] {med_t_hi:.1f} s) — published alongside the capability
+  number so both are visible; per-rep efficiencies: {
+      ", ".join(f"{e:.2f}" for e in per_rep_eff)}
 - hardware attribution: the bare-multiprocessing probe scales
   {hw_speedup:.2f}× for the same {n}→{4 * n} step, so the engine achieves
   {rel_efficiency:.2f}× of the probe's scaling (values near or above 1.0 mean

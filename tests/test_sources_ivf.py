@@ -68,3 +68,67 @@ def test_ivf_topk_finds_self(spark):
     # the probed buckets must contain the identical vector → rank 1, cos 1.0
     assert by_q[0][1]["vec_id"] == 0 and by_q[0][1]["cos"] == 1.0
     assert by_q[1][1]["vec_id"] == 50 and by_q[1][1]["cos"] == 1.0
+
+
+def test_kmeans_centroids_beat_hash_codebook(spark):
+    """Round-3 task #6: the learned codebook must fit a clustered synthetic
+    better than the hash-derived init — measured as mean cosine between each
+    vector and its assigned centroid (higher = tighter quantization)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.functions.similarity import (
+        _hyperplane,
+        cosine,
+        kmeans_centroids,
+    )
+
+    dim, k = 8, 4
+    # 4 well-separated cluster centers with small deterministic jitter
+    centers = [[math.sin(0.9 * c + d * 1.7) for d in range(dim)] for c in range(k)]
+    rows = []
+    for i in range(400):
+        c = i % k
+        jit = [((i * 2654435761 + d * 40503) % 1000) / 10000.0 for d in range(dim)]
+        rows.append((i, [centers[c][d] + jit[d] for d in range(dim)]))
+    corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+    learned = kmeans_centroids(corpus, n_centroids=k, dim=dim, n_iter=3)
+    # fit is deterministic: same corpus → identical codebook
+    again = kmeans_centroids(corpus, n_centroids=k, dim=dim, n_iter=3)
+    assert learned == again
+
+    def mean_cos(centroids):
+        assigned = ivf_assign(corpus, n_centroids=k, dim=dim, centroids=centroids)
+        cent_col = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        return assigned.select(
+            cosine(
+                F.col("cv"), F.element_at(cent_col, F.col("centroid") + 1)
+            ).alias("cs")
+        ).agg(F.avg("cs")).first()[0]
+
+    q_hash = mean_cos([_hyperplane(dim, c, 4321) for c in range(k)])
+    q_learn = mean_cos(learned)
+    assert q_learn > q_hash
+    assert q_learn > 0.95  # tight fit on a genuinely clustered corpus
+
+
+def test_ivf_topk_with_learned_codebook_finds_self(spark):
+    """ivf_cosine_topk accepts a learned codebook; exact replicas still land
+    in the query's first probe (shared codebook ⇒ provable recall)."""
+    from gnosis_ocr_spark.functions.similarity import kmeans_centroids
+
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(60)], schema="vec_id long, embedding array<float>"
+    )
+    cents = kmeans_centroids(corpus, n_centroids=4, dim=8, n_iter=2)
+    queries = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(30))], schema="query_id long, embedding array<float>"
+    )
+    got = ivf_cosine_topk(corpus, queries, k=3, n_centroids=4, n_probe=2, dim=8,
+                          centroids=cents).collect()
+    top = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert top[0] == 0 and top[1] == 30
