@@ -86,8 +86,14 @@ def main() -> None:
             q_minhash_lsh(spark, SF),
             "Candidate generation is an equi-join on (band_id, band_hash)\n"
             "buckets — never an O(n²) cross join. The k min-hashes compute in\n"
-            "ONE explode + ONE groupBy (k partial mins), and verification\n"
-            "re-joins only the candidate pairs.",
+            "ONE explode + ONE groupBy (k partial mins). Verification re-joins\n"
+            "only the candidate pairs, carrying bottom-s SKETCHES (row width\n"
+            "bounded at sketch_size bigints — round 3; the full collect_set\n"
+            "was unbounded in document length); the sketch builds with a\n"
+            "row_number window whose doc_id hash partitioning the following\n"
+            "collect_list groupBy REUSES (one shuffle, no unbounded agg\n"
+            "buffer). The clustering consumer uses minhash_star_edges (O(B)\n"
+            "edges per identical-content cluster) instead of this pair API.",
         ),
         (
             "SimHash near-dup (dedup.simhash_near_duplicates)",
@@ -95,9 +101,13 @@ def main() -> None:
             "Pigeonhole bucketing: the 64-bit signature splits into 4×16-bit\n"
             "quarters and candidates come from equi-joins on (q_id, q_val) —\n"
             "Hamming ≤ 3 guarantees a shared quarter, so no all-pairs compare.\n"
-            "The 64 conditional-sum aggregates are partial (map-side combine);\n"
-            "their ~5-8 s whole-stage-codegen compile is once per session\n"
-            "(round-1's 32.9 s bench outlier was this compile, not data cost).",
+            "Round 3: the quarter joins see ONE representative per distinct\n"
+            "signature (identical-signature members attach via the window-min\n"
+            "star branch of the union — hamming 0 by construction), so a\n"
+            "boilerplate mega-cluster contributes one bucket row, not B rows\n"
+            "and B² pairs. The 64 conditional-sum aggregates are partial\n"
+            "(map-side combine); their ~5-8 s whole-stage-codegen compile is\n"
+            "once per session (round-1's 32.9 s outlier was this compile).",
         ),
         (
             "Sign-LSH bucketed ANN top-k (similarity.lsh_cosine_topk)",
