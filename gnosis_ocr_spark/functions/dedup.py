@@ -470,6 +470,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     log_truncation: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """(a, b, hamming): pairs within ``max_hamming`` bits.
 
@@ -488,20 +489,27 @@ def simhash_near_duplicates(
 
     Note the output is star-compressed within identical-signature groups:
     consumers that need every within-group pair explicitly can expand a
-    group's star (all members share one rep), but the clustering consumer —
-    the only one that scales anyway — gets identical connected components.
+    group's star (all members share one rep) or pass
+    ``collapse_identical=False`` for the legacy all-pairs form (ONLY safe on
+    corpora without boilerplate mega-clusters — B² within-group pairs), but
+    the clustering consumer — the only one that scales anyway — gets
+    identical connected components from the star form.
     """
     sigs = simhash(docs, id_col, text_col)
-    rep_w = F.min("doc_id").over(Window.partitionBy("simhash"))
-    with_rep = sigs.select("doc_id", "simhash", rep_w.alias("rep"))
-    star = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
-        F.col("rep").alias("a"),
-        F.col("doc_id").alias("b"),
-        F.lit(0).cast("int").alias("hamming"),
-    )
-    reps_only = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "simhash"
-    )
+    if collapse_identical:
+        rep_w = F.min("doc_id").over(Window.partitionBy("simhash"))
+        with_rep = sigs.select("doc_id", "simhash", rep_w.alias("rep"))
+        star = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        reps_only = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+            "doc_id", "simhash"
+        )
+    else:
+        star = None
+        reps_only = sigs
     quarters = reps_only.select(
         "doc_id",
         "simhash",
@@ -540,7 +548,7 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    return rep_pairs.unionByName(star)
+    return rep_pairs if star is None else rep_pairs.unionByName(star)
 
 
 # ---------------------------------------------------------------- clustering

@@ -281,6 +281,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     log_truncation: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via the same
     sign-LSH bucketing — self-join within buckets only.
@@ -293,8 +294,9 @@ def embedding_near_duplicates(
     byte-equal) hot buckets can additionally be bounded with
     ``max_bucket_size`` (deterministic smallest-id truncation, logged loudly
     — see dedup.cap_bucket_members). Within an identical-vector group the
-    output is star-compressed; the clustering consumer gets identical
-    connected components."""
+    output is star-compressed (``collapse_identical=False`` restores legacy
+    all-pairs — only safe without mega-clusters); the clustering consumer
+    gets identical connected components."""
     from gnosis_ocr_spark.functions.dedup import cap_bucket_members
 
     planes = [_hyperplane(dim, b) for b in range(n_planes)]
@@ -302,16 +304,20 @@ def embedding_near_duplicates(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    rep_w = F.min("vec_id").over(Window.partitionBy("v"))
-    with_rep = c.select("vec_id", "v", rep_w.alias("rep"))
-    star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
-        F.col("rep").alias("a"),
-        F.col("vec_id").alias("b"),
-        F.lit(1.0).alias("cos"),
-    )
-    reps = with_rep.filter(F.col("vec_id") == F.col("rep")).select(
-        "vec_id", "v"
-    ).withColumn("bucket", signs_col(F.col("v"), planes))
+    if collapse_identical:
+        rep_w = F.min("vec_id").over(Window.partitionBy("v"))
+        with_rep = c.select("vec_id", "v", rep_w.alias("rep"))
+        star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
+            F.col("rep").alias("a"),
+            F.col("vec_id").alias("b"),
+            F.lit(1.0).alias("cos"),
+        )
+        reps = with_rep.filter(F.col("vec_id") == F.col("rep")).select(
+            "vec_id", "v"
+        ).withColumn("bucket", signs_col(F.col("v"), planes))
+    else:
+        star = None
+        reps = c.withColumn("bucket", signs_col(F.col("v"), planes))
     if max_bucket_size is not None:
         reps = cap_bucket_members(
             reps,
@@ -335,4 +341,4 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
-    return rep_pairs.unionByName(star)
+    return rep_pairs if star is None else rep_pairs.unionByName(star)

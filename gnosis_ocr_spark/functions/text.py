@@ -57,13 +57,12 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces).cast("int")
 
 
-def _marker_hits(text: Column, words: list[str]) -> Column:
+def _marker_hits(toks: Column, words: list[str]) -> Column:
     # token-exact hits (no overlap/consumption ambiguity — portable to SQL)
-    toks = tokens(F.lower(text))
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Stopword-marker language ID over LANG_MARKERS (10 languages), 'und'
     for undetermined. Deterministic tie-break = LANG_MARKERS insertion order.
 
@@ -76,9 +75,17 @@ def lang_id(text: Column) -> Column:
     provably equivalent to the earlier chained ``when`` cascade (the first
     index whose count ≥ every later count IS the first global argmax) but
     with one marker-hit expression per language instead of O(n²) duplicated
-    subtrees (the repo's documented chained-when gotcha)."""
+    subtrees (the repo's documented chained-when gotcha).
+
+    Pass ``toks`` as a MATERIALIZED lowercase-token column on hot paths: the
+    10 per-language filter() lambdas each re-evaluate a captured tokenizer
+    EXPRESSION (no CSE in HOF lambdas — the repo's documented gotcha), i.e.
+    10 regex tokenizations per row; an aliased column referenced 10 times
+    survives CollapseProject and tokenizes once (measured −0.9 s on
+    text_stats at sf0.1 when the marker table grew 5 → 10 languages)."""
+    toks = tokens(F.lower(text)) if toks is None else toks
     order = list(LANG_MARKERS)
-    hits = F.array(*[_marker_hits(text, LANG_MARKERS[lang]) for lang in order])
+    hits = F.array(*[_marker_hits(toks, LANG_MARKERS[lang]) for lang in order])
     langs = F.array(*[F.lit(lang) for lang in order])
     best = F.array_max(hits)
     idx = F.array_position(hits, best).cast("int")  # 1-based FIRST max

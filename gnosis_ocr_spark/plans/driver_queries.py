@@ -1241,11 +1241,16 @@ FROM events GROUP BY 1
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # materialize the lowercase tokens ONCE: lang_id's 10 per-language
+    # filter lambdas would otherwise each re-run the tokenizer (no CSE in
+    # HOF lambdas); the alias is referenced 10× so CollapseProject keeps it
+    from gnosis_ocr_spark.functions.text import tokens
+
+    return docs.withColumn("_ltoks", tokens(F.lower(F.col("text")))).select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe"),
-        lang_id(F.col("text")).alias("lang_guess"),
+        lang_id(F.col("text"), toks=F.col("_ltoks")).alias("lang_guess"),
         fingerprint(F.col("text")).alias("fp"),
     )
 

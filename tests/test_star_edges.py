@@ -189,3 +189,22 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got[100] == got[101] == 100
     # the reliable checkpoint actually wrote to the requested directory
     assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_collapse_identical_false_restores_all_pairs(spark):
+    """Consumers that genuinely need every within-group pair can opt out of
+    star compression (documented as unsafe for mega-clusters)."""
+    df = _identical_docs(spark, 4)
+    got = {(r["a"], r["b"]) for r in
+           simhash_near_duplicates(df, max_hamming=0,
+                                   collapse_identical=False).collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    edf = spark.createDataFrame(
+        [(i, vec) for i in range(4)], schema="vec_id long, embedding array<float>"
+    )
+    pairs = {(r["a"], r["b"]) for r in
+             embedding_near_duplicates(edf, dim=4,
+                                       collapse_identical=False).collect()}
+    assert pairs == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
