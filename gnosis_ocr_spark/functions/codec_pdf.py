@@ -259,6 +259,66 @@ def _utf16be_hex(ch: str) -> str:
     return ch.encode("utf-16-be").hex().upper()
 
 
+def build_pdf_type0(pages: list[str]) -> bytes:
+    """Fixture writer for COMPOSITE fonts — /Subtype /Type0 with
+    /Encoding /Identity-H and a 2-byte-CID /ToUnicode CMap, the embedded-
+    subset-TrueType shape that dominates modern real-world PDFs. Every
+    distinct character (ASCII included) gets a CID from 1 up, so the show
+    strings are hex 2-byte-CID sequences recoverable ONLY through the CMap —
+    a latin-1 or 1-byte-table parse produces garbage, proving the composite
+    path is genuinely exercised. Layout matches :func:`build_pdf`."""
+    charset = sorted({c for p in pages for c in p if c != "\n"})
+    if len(charset) > 0xFFFE:
+        raise ValueError("too many distinct chars")
+    cid_of = {c: i + 1 for i, c in enumerate(charset)}
+
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    cmap_no = font_obj_no + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops: list[bytes] = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            hexstr = "".join(f"{cid_of[c]:04X}" for c in line)
+            ops.append(b"<" + hexstr.encode("ascii") + b"> Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Subset-Font "
+            f"/Encoding /Identity-H /ToUnicode {cmap_no} 0 R >>"
+        ).encode()
+    )
+    bfchars = "\n".join(
+        f"<{cid:04X}> <{_utf16be_hex(ch)}>" for ch, cid in cid_of.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(cid_of)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nend\n"
+    ).encode("ascii")
+    objects.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap))
+    return _assemble_classic(objects)
+
+
 def build_pdf_15(pages: list[str]) -> bytes:
     """PDF 1.5-style fixture writer (public-spec features a real crawl hits
     that the classic writer above does not emit):
@@ -497,10 +557,10 @@ def _utf16be_hex_to_str(h: bytes) -> str:
 
 
 def _parse_cmap(data: bytes) -> dict[int, str]:
-    """/ToUnicode CMap → {byte code: unicode string}. Handles bfchar pairs
-    and bfrange (both the contiguous-destination and array-destination
-    forms). Only 1-byte source codes apply to simple fonts; 2-byte (CID)
-    sources are parsed but used only when they fit a single byte."""
+    """/ToUnicode CMap → {code: unicode string}. Handles bfchar pairs and
+    bfrange (both the contiguous-destination and array-destination forms).
+    Codes up to 0xFFFF are kept: 1-byte simple fonts use the ≤ 0xFF slice,
+    composite (Type0/Identity-H) fonts consume the full 2-byte space."""
     table: dict[int, str] = {}
     for block in _BFRANGE_RE.finditer(data):
         for m in _HEXRANGE_RE.finditer(block.group(1)):
@@ -510,18 +570,17 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
                 if dst:
                     base = ord(dst[-1])
                     prefix = dst[:-1]
-                    for c in range(lo, hi + 1):
-                        if c <= 0xFF:
-                            table[c] = prefix + chr(base + (c - lo))
+                    for c in range(lo, min(hi, 0xFFFF) + 1):
+                        table[c] = prefix + chr(base + (c - lo))
             else:
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
                 for c, d in zip(range(lo, hi + 1), dsts):
-                    if c <= 0xFF:
+                    if c <= 0xFFFF:
                         table[c] = _utf16be_hex_to_str(d)
     for block in _BFCHAR_RE.finditer(data):
         for m in _HEXPAIR_RE.finditer(block.group(1)):
             code = int(m.group(1), 16)
-            if code <= 0xFF:
+            if code <= 0xFFFF:
                 table[code] = _utf16be_hex_to_str(m.group(2))
     return table
 
@@ -550,12 +609,34 @@ def _base_encoding_table(name: bytes | None) -> list[str]:
     return table
 
 
-def _font_decode_table(objs: dict[int, bytes], font_body: bytes) -> list[str] | None:
-    """Per-font byte→text table, or None when the font carries no encoding
-    info at all (the fast path: strings decode latin-1 exactly as before).
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 
-    Precedence (highest wins): /ToUnicode CMap > /Encoding /Differences
-    glyph names > /BaseEncoding (WinAnsi/MacRoman) > latin-1 identity."""
+
+def _font_decode_table(
+    objs: dict[int, bytes], font_body: bytes
+) -> tuple[int, list[str] | dict[int, str]] | None:
+    """Per-font decode spec ``(code_width_bytes, mapping)``, or None when the
+    font carries no encoding info at all (the fast path: strings decode
+    latin-1 exactly as before).
+
+    Simple fonts → (1, 256-entry list). Precedence (highest wins):
+    /ToUnicode CMap > /Encoding /Differences glyph names > /BaseEncoding
+    (WinAnsi/MacRoman) > latin-1 identity.
+
+    Composite fonts (/Subtype /Type0 with /Encoding /Identity-H|V — the
+    embedded-subset TrueType norm in modern crawls) → (2, cmap dict): show
+    strings are sequences of 2-byte CIDs meaningful ONLY through the
+    /ToUnicode CMap; unmapped CIDs decode to U+FFFD (same stance poppler
+    takes when a subset font ships no usable map)."""
+    if _TYPE0_RE.search(font_body) and _IDENTITY_H_RE.search(font_body):
+        tm = _TOUNICODE_REF_RE.search(font_body)
+        cmap: dict[int, str] = {}
+        if tm:
+            stream = _stream_bytes(objs.get(int(tm.group(1)), b""))
+            if stream is not None:
+                cmap = _parse_cmap(stream)
+        return (2, cmap)
     enc_body = font_body
     em = _ENCODING_REF_RE.search(font_body)
     if em:
@@ -580,8 +661,9 @@ def _font_decode_table(objs: dict[int, bytes], font_body: bytes) -> list[str] | 
         stream = _stream_bytes(objs.get(int(tm.group(1)), b""))
         if stream is not None:
             for code, dst in _parse_cmap(stream).items():
-                table[code] = dst
-    return table
+                if code <= 0xFF:
+                    table[code] = dst
+    return (1, table)
 
 
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
@@ -589,20 +671,23 @@ _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 
 
-def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, list[str]]:
-    """Font name → decode table for one page's /Resources (inline dict or
-    indirect ref). Fonts with no encoding info are omitted (latin-1 path)."""
+def _page_fonts(
+    objs: dict[int, bytes], page_body: bytes
+) -> dict[bytes, tuple[int, list[str] | dict[int, str]]]:
+    """Font name → (code width, decode mapping) for one page's /Resources
+    (inline dict or indirect ref). Fonts with no encoding info are omitted
+    (latin-1 path)."""
     res = page_body
     rm = _RESOURCES_REF_RE.search(page_body)
     if rm:
         res = objs.get(int(rm.group(1)), b"")
     fm = _FONT_DICT_RE.search(res)
-    fonts: dict[bytes, list[str]] = {}
+    fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] = {}
     if fm:
         for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
-            table = _font_decode_table(objs, objs.get(int(ref), b""))
-            if table is not None:
-                fonts[name] = table
+            spec = _font_decode_table(objs, objs.get(int(ref), b""))
+            if spec is not None:
+                fonts[name] = spec
     return fonts
 
 
@@ -742,6 +827,48 @@ def extract_pages(
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)\b")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)\b")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)\b")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)\b")
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Undo PNG row predictors (PDF 32000-1 §7.4.4.4, /Predictor ≥ 10): each
+    row is one filter-type byte + filtered bytes; filters 0-4 = None, Sub,
+    Up, Average, Paeth. Xref streams are near-universally Predictor-12-coded
+    in the wild; ObjStm/content streams occasionally too."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ftype == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _stream_bytes(content_body: bytes) -> bytes | None:
@@ -749,7 +876,8 @@ def _stream_bytes(content_body: bytes) -> bytes | None:
 
     Uses /Length to slice the exact byte span (compressed data can contain
     the literal 'endstream'), falling back to the regex for writers that
-    omit a usable /Length; FlateDecode streams are zlib-inflated."""
+    omit a usable /Length; FlateDecode streams are zlib-inflated and PNG
+    row predictors (/DecodeParms /Predictor ≥ 10) are undone."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -766,27 +894,48 @@ def _stream_bytes(content_body: bytes) -> bytes | None:
         if not sm:
             return None
         raw = sm.group(1)
-    if _FLATE_RE.search(content_body[:marker]):
+    head = content_body[:marker]
+    if _FLATE_RE.search(head):
         import zlib
 
         try:
             raw = zlib.decompress(raw)
         except zlib.error:
             return None
+        pm = _PREDICTOR_RE.search(head)
+        if pm and int(pm.group(1)) >= 10:
+            cm = _COLUMNS_RE.search(head)
+            clm = _COLORS_RE.search(head)
+            bm = _BPC_RE.search(head)
+            raw = _png_unpredict(
+                raw,
+                int(cm.group(1)) if cm else 1,
+                int(clm.group(1)) if clm else 1,
+                int(bm.group(1)) if bm else 8,
+            )
     return raw
 
 
 def _parse_content(
-    stream: bytes, fonts: dict[bytes, list[str]] | None = None
+    stream: bytes,
+    fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] | None = None,
 ) -> list[Span]:
     stream = _INLINE_IMG_RE.sub(b" ", stream)
     fonts = fonts or {}
-    cur: list[str] | None = None  # current font's decode table (Tf-selected)
+    cur: tuple[int, list[str] | dict[int, str]] | None = None  # Tf-selected
 
     def dec(s: str) -> str:
         if cur is None:
             return s
-        return "".join(cur[ord(c)] if ord(c) < 256 else c for c in s)
+        width, mapping = cur
+        if width == 2:
+            # composite Identity-H: consume 2-byte CIDs (odd tail ignored)
+            out = []
+            for i in range(0, len(s) - 1, 2):
+                cid = (ord(s[i]) << 8) | ord(s[i + 1])
+                out.append(mapping.get(cid, "�"))
+            return "".join(out)
+        return "".join(mapping[ord(c)] if ord(c) < 256 else c for c in s)
 
     x = y = 0.0
     leading = 0.0

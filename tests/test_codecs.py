@@ -295,3 +295,80 @@ def test_page_count_partial_tree_uses_root_count():
     assert P.page_count(bytes(buf)) == 3
     # extraction still yields the one parseable page
     assert [P.page_text(s) for s in P.extract_pages(bytes(buf))] == ["only page"]
+
+
+def test_type0_identity_h_cid_font_byte_identity():
+    """Composite /Type0 /Identity-H fonts (the embedded-subset-TrueType norm
+    in modern crawls): show strings are 2-byte CID sequences meaningful only
+    through the /ToUnicode CMap — text must round-trip byte-identically and
+    the raw text bytes must NOT be present in the file."""
+    pages = ["héllo CID wörld — ψ\nsecond line ümlaut", "page twö\nlast"]
+    pdf = P.build_pdf_type0(pages)
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+    assert "héllo".encode() not in pdf and b"hello" not in pdf
+
+
+@given(st.lists(st.text(alphabet="abλπ …é—z9", min_size=1, max_size=30),
+                min_size=1, max_size=3))
+@settings(max_examples=20, deadline=None)
+def test_type0_property(lines):
+    pages = ["\n".join(lines)]
+    assert [P.page_text(s) for s in P.extract_pages(P.build_pdf_type0(pages))] == pages
+
+
+def test_png_predictor_coded_stream_decodes():
+    """FlateDecode + /DecodeParms /Predictor 12 (PNG Up row predictor — the
+    near-universal xref-stream coding in the wild) must inflate AND
+    un-predict before tokenizing."""
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf 72 720 Td (predicted text) Tj ET"
+    cols = 16
+    padded = content + b" " * ((-len(content)) % cols)
+    rows, prev, out = [padded[i:i + cols] for i in range(0, len(padded), cols)], bytes(cols), bytearray()
+    for r in rows:
+        out += bytes([2]) + bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    payload = _z.compress(bytes(out))
+    body = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns %d >> >>\nstream\n" % (len(payload), cols)
+    ) + payload + b"\nendstream"
+    decoded = P._stream_bytes(body)
+    assert decoded.rstrip(b" ") == content
+    assert P.page_text(P._parse_content(decoded)) == "predicted text"
+
+
+def test_png_unpredict_all_filter_types():
+    """Round-trip every PNG filter type (None/Sub/Up/Average/Paeth) through
+    the un-predictor against a reference forward implementation."""
+    cols, bpp = 8, 1
+    data = bytes((i * 37 + 11) % 256 for i in range(cols * 5))
+    rows = [data[i:i + cols] for i in range(0, len(data), cols)]
+
+    def fwd(ftype):
+        prev, enc = bytes(cols), bytearray()
+        for r in rows:
+            enc.append(ftype)
+            for i in range(cols):
+                a = r[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((r[i] - pred) & 0xFF)
+            prev = r
+        return bytes(enc)
+
+    for ftype in range(5):
+        assert P._png_unpredict(fwd(ftype), cols, 1, 8) == data, ftype
