@@ -120,7 +120,7 @@ def build_pdf(pages: list[str], compress: bool = False) -> bytes:
     return _assemble_classic(objects)
 
 
-def _assemble_classic(objects: list[bytes]) -> bytes:
+def _assemble_classic(objects: list[bytes], trailer_extra: bytes = b"") -> bytes:
     """Serialize 1-indexed object bodies + classic xref table + trailer."""
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -133,10 +133,99 @@ def _assemble_classic(objects: list[bytes]) -> bytes:
     for off in offsets[1:]:
         buf += b"%010d 00000 n \n" % off
     buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_off)
+        b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, trailer_extra, xref_off)
     )
     return bytes(buf)
+
+
+def build_pdf_encrypted(
+    pages: list[str], owner_password: bytes = b"owner", revision: int = 3
+) -> bytes:
+    """Fixture writer for ENCRYPTED PDFs — standard security handler, RC4,
+    owner password set, EMPTY user password (the dominant crawl shape: files
+    any reader opens silently but whose streams are byte-encrypted). All
+    content streams are RC4-encrypted with per-object keys; the trailer
+    carries /Encrypt + /ID. revision 2 = 40-bit /V 1, revision 3 = 128-bit
+    /V 2. Layout matches :func:`build_pdf`, so expected text is known by
+    construction and a parser without the security handler sees only
+    ciphertext."""
+    import hashlib
+
+    assert revision in (2, 3)
+    keylen = 5 if revision == 2 else 16
+    v = 1 if revision == 2 else 2
+    p = -4  # all permissions denied except viewing — typical owner-lock
+    file_id = hashlib.md5("\n\n".join(pages).encode()).digest()
+
+    # Algorithm 3: /O from the owner password (user pw empty)
+    opad = (owner_password + _PAD)[:32]
+    h = hashlib.md5(opad).digest()
+    if revision == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    okey = h[:keylen]
+    o = _rc4(okey, _PAD)  # padded EMPTY user password == _PAD
+    if revision == 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    key = _std_file_key(b"", o, p, file_id, revision, keylen)
+
+    # Algorithms 4/5: /U for the empty user password
+    if revision == 2:
+        u = _rc4(key, _PAD)
+    else:
+        x = _rc4(key, hashlib.md5(_PAD + file_id).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        u = x + b"\x00" * 16
+
+    def enc_obj(num: int, data: bytes) -> bytes:
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(keylen + 5, 16)]
+        return _rc4(ok, data)
+
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    encrypt_no = font_obj_no + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        payload = enc_obj(page_no + 1, "\n".join(ops).encode("latin-1", "replace"))
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(payload), payload)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.append(
+        (
+            f"<< /Filter /Standard /V {v} /R {revision} /Length {keylen * 8} "
+            f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+        ).encode()
+    )
+    trailer_extra = (
+        f"/Encrypt {encrypt_no} 0 R /ID [<{file_id.hex().upper()}> "
+        f"<{file_id.hex().upper()}>] "
+    ).encode()
+    return _assemble_classic(objects, trailer_extra)
 
 
 # a tiny 4×4 inline image (BI…ID…EI) whose binary payload deliberately
@@ -479,6 +568,120 @@ def _unhex_str(h: bytes) -> str:
     return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
 
 
+# ------------------------------------------------------------- encryption
+# Standard security handler (PDF 32000-1 §7.6.3), RC4 V1/V2, revisions 2-3,
+# EMPTY user password — the dominant "encrypted" shape in web crawls is
+# owner-password-only files that any reader opens silently. MD5 via hashlib,
+# RC4 implemented inline (stdlib-only constraint). AES (/V 4+) is out of
+# scope and reported as such.
+
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_R_RE = re.compile(rb"/R\s+(\d+)\b")
+_V_RE = re.compile(rb"/V\s+(\d+)\b")
+_P_RE = re.compile(rb"/P\s+(-?\d+)\b")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+_O_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
+_U_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_file_key(
+    user_pw: bytes, o: bytes, p: int, file_id: bytes, r: int, keylen: int
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (possibly empty) user
+    password."""
+    import hashlib
+
+    padded = (user_pw + _PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+class _StdDecryptor:
+    """Per-object RC4 decryption for the standard handler (empty user pw)."""
+
+    def __init__(self, enc_body: bytes, file_id: bytes):
+        import hashlib
+
+        self.ok = False
+        v = int(m.group(1)) if (m := _V_RE.search(enc_body)) else 0
+        self.r = int(m.group(1)) if (m := _R_RE.search(enc_body)) else 2
+        if v not in (1, 2):  # AES (/V 4+) or unknown → refuse loudly
+            self.reason = f"unsupported /V {v} (only RC4 V1/V2 implemented)"
+            return
+        o = bytes.fromhex(m.group(1).decode()) if (m := _O_RE.search(enc_body)) else b""
+        u = bytes.fromhex(m.group(1).decode()) if (m := _U_RE.search(enc_body)) else b""
+        p = int(m.group(1)) if (m := _P_RE.search(enc_body)) else -1
+        bits = int(m.group(1)) if (m := _KEYLEN_RE.search(enc_body)) else 40
+        self.keylen = max(5, min(16, bits // 8))
+        self.key = _std_file_key(b"", o, p, file_id, self.r, self.keylen)
+        # verify the EMPTY user password against /U (algorithms 4/5)
+        if self.r == 2:
+            expect = _rc4(self.key, _PAD)
+            self.ok = expect == u[:32]
+        else:
+            h = hashlib.md5(_PAD + file_id).digest()
+            x = _rc4(self.key, h)
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            self.ok = x == u[:16]
+        if not self.ok:
+            self.reason = "user password required (empty password rejected)"
+
+    def decrypt_obj(self, num: int, data: bytes, gen: int = 0) -> bytes:
+        import hashlib
+
+        ok = hashlib.md5(
+            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(self.keylen + 5, 16)]
+        return _rc4(ok, data)
+
+
+def _decryptor_for(pdf: bytes) -> "_StdDecryptor | None":
+    """Build a decryptor if the trailer references /Encrypt; None for
+    unencrypted files. Raises ValueError for unsupported/locked encryption
+    (callers surface that as the standard parse-failure sentinel)."""
+    em = _ENCRYPT_REF_RE.search(pdf)
+    if not em:
+        return None
+    enc_no = int(em.group(1))
+    enc_body = b""
+    for m in _OBJ_RE.finditer(pdf):
+        if int(m.group(1)) == enc_no:
+            enc_body = m.group(3)
+            break
+    idm = _ID_RE.search(pdf)
+    file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+    dec = _StdDecryptor(enc_body, file_id)
+    if not dec.ok:
+        raise ValueError(f"encrypted PDF: {dec.reason}")
+    return dec
+
+
 # ------------------------------------------------------------------ fonts
 # Simple-font byte decoding: /ToUnicode CMaps and /Encoding /Differences.
 # Real crawls hit non-WinAnsi text constantly (ref extracts via poppler,
@@ -614,7 +817,7 @@ _IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 
 
 def _font_decode_table(
-    objs: dict[int, bytes], font_body: bytes
+    objs: dict[int, bytes], font_body: bytes, dec=None
 ) -> tuple[int, list[str] | dict[int, str]] | None:
     """Per-font decode spec ``(code_width_bytes, mapping)``, or None when the
     font carries no encoding info at all (the fast path: strings decode
@@ -633,7 +836,9 @@ def _font_decode_table(
         tm = _TOUNICODE_REF_RE.search(font_body)
         cmap: dict[int, str] = {}
         if tm:
-            stream = _stream_bytes(objs.get(int(tm.group(1)), b""))
+            stream = _stream_bytes(
+                objs.get(int(tm.group(1)), b""), _obj_dec(dec, int(tm.group(1)))
+            )
             if stream is not None:
                 cmap = _parse_cmap(stream)
         return (2, cmap)
@@ -658,7 +863,9 @@ def _font_decode_table(
                     table[code] = ch
                 code += 1
     if tm:
-        stream = _stream_bytes(objs.get(int(tm.group(1)), b""))
+        stream = _stream_bytes(
+            objs.get(int(tm.group(1)), b""), _obj_dec(dec, int(tm.group(1)))
+        )
         if stream is not None:
             for code, dst in _parse_cmap(stream).items():
                 if code <= 0xFF:
@@ -671,8 +878,13 @@ _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 
 
+def _obj_dec(dec, num: int):
+    """Per-object decrypt closure for _stream_bytes, or None."""
+    return (lambda raw: dec.decrypt_obj(num, raw)) if dec else None
+
+
 def _page_fonts(
-    objs: dict[int, bytes], page_body: bytes
+    objs: dict[int, bytes], page_body: bytes, dec=None
 ) -> dict[bytes, tuple[int, list[str] | dict[int, str]]]:
     """Font name → (code width, decode mapping) for one page's /Resources
     (inline dict or indirect ref). Fonts with no encoding info are omitted
@@ -685,22 +897,26 @@ def _page_fonts(
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] = {}
     if fm:
         for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
-            spec = _font_decode_table(objs, objs.get(int(ref), b""))
+            spec = _font_decode_table(objs, objs.get(int(ref), b""), dec)
             if spec is not None:
                 fonts[name] = spec
     return fonts
 
 
-def _objects(pdf: bytes) -> dict[int, bytes]:
+def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]:
     """Scan all indirect objects, including those packed inside /ObjStm
     object streams (PDF 1.5 xref-stream era: catalogs/page dicts routinely
     live compressed inside object streams, invisible to a plain obj..endobj
-    scan). Top-level definitions win on number collisions."""
+    scan). Top-level definitions win on number collisions. ``dec`` decrypts
+    ObjStm payloads on encrypted files (objects INSIDE an object stream are
+    not separately encrypted, per spec)."""
     objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
-    for body in list(objs.values()):
+    for num, body in list(objs.items()):
         if not _OBJSTM_RE.search(body):
             continue
-        data = _stream_bytes(body)
+        data = _stream_bytes(
+            body, (lambda raw, n=num: dec.decrypt_obj(n, raw)) if dec else None
+        )
         nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
         if data is None or not nm or not fm:
             continue
@@ -772,7 +988,7 @@ def page_count(pdf: bytes) -> int:
     (round-3 advice)."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF")
-    objs = _objects(pdf)
+    objs = _objects(pdf, _decryptor_for(pdf))
     leaves = len(_leaf_page_order(objs))
     root_count = 0
     for body in objs.values():
@@ -796,7 +1012,8 @@ def extract_pages(
     """
     if not is_pdf(pdf):
         raise ValueError("not a PDF")
-    objs = _objects(pdf)
+    dec = _decryptor_for(pdf)
+    objs = _objects(pdf, dec)
     kid_order = _leaf_page_order(objs)
     if last_page is None:
         last_page = len(kid_order)
@@ -817,10 +1034,13 @@ def extract_pages(
         # they form ONE logical stream — graphics state carries across)
         parts = []
         for no in content_nos:
-            stream = _stream_bytes(objs.get(no, b""))
+            stream = _stream_bytes(
+                objs.get(no, b""),
+                (lambda raw, n=no: dec.decrypt_obj(n, raw)) if dec else None,
+            )
             if stream is not None:
                 parts.append(stream)
-        fonts = _page_fonts(objs, body)
+        fonts = _page_fonts(objs, body, dec)
         pages.append(_parse_content(b"\n".join(parts), fonts) if parts else [])
     return pages
 
@@ -871,13 +1091,15 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
-def _stream_bytes(content_body: bytes) -> bytes | None:
+def _stream_bytes(content_body: bytes, decrypt=None) -> bytes | None:
     """Extract (and decode) one content stream.
 
     Uses /Length to slice the exact byte span (compressed data can contain
     the literal 'endstream'), falling back to the regex for writers that
-    omit a usable /Length; FlateDecode streams are zlib-inflated and PNG
-    row predictors (/DecodeParms /Predictor ≥ 10) are undone."""
+    omit a usable /Length; ``decrypt`` (per-object RC4, encrypted files)
+    applies to the raw span BEFORE filters; FlateDecode streams are
+    zlib-inflated and PNG row predictors (/DecodeParms /Predictor ≥ 10) are
+    undone."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -894,6 +1116,8 @@ def _stream_bytes(content_body: bytes) -> bytes | None:
         if not sm:
             return None
         raw = sm.group(1)
+    if decrypt is not None:
+        raw = decrypt(raw)
     head = content_body[:marker]
     if _FLATE_RE.search(head):
         import zlib

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -372,3 +373,47 @@ def test_png_unpredict_all_filter_types():
 
     for ftype in range(5):
         assert P._png_unpredict(fwd(ftype), cols, 1, 8) == data, ftype
+
+
+def test_encrypted_pdf_empty_user_password_decrypts():
+    """Standard security handler (RC4, owner-locked, EMPTY user password —
+    the dominant encrypted shape in crawls): streams are byte-encrypted in
+    the file yet text extracts byte-identically through the handler."""
+    pages = ["secret page one\nline two", "page two content"]
+    for rev in (2, 3):  # 40-bit /V1 and 128-bit /V2
+        pdf = P.build_pdf_encrypted(pages, revision=rev)
+        assert b"secret page one" not in pdf
+        assert P.page_count(pdf) == 2
+        assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+
+
+def test_encrypted_pdf_with_real_user_password_is_rejected_loudly():
+    import re as _re
+
+    pdf = P.build_pdf_encrypted(["x"], revision=3)
+    bad = _re.sub(rb"/U <([0-9A-F]{8})", rb"/U <00000000", pdf)
+    with pytest.raises(ValueError, match="password required"):
+        P.extract_pages(bad)
+    with pytest.raises(ValueError, match="password required"):
+        P.page_count(bad)
+
+
+def test_locked_pdf_flows_to_sentinel_in_pipeline(spark):
+    """A password-locked (or AES) PDF must not kill the job: the split stage
+    catches the ValueError and emits the standard parse-failure sentinel
+    (url survives with extracted_text='', n_pages=0)."""
+    import re as _re
+
+    from gnosis_ocr_spark.operators.pdf_split import split_pdf_text_pages
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+
+    ok = P.build_pdf_encrypted(["readable page"])
+    locked = _re.sub(rb"/U <([0-9A-F]{8})", rb"/U <00000000", ok)
+    df = spark.createDataFrame(
+        [("ok", bytearray(ok)), ("locked", bytearray(locked))],
+        schema="url string, html binary",
+    )
+    out = {r["url"]: r for r in
+           assemble_documents(split_pdf_text_pages(df)).collect()}
+    assert out["ok"]["extracted_text"] == "readable page"
+    assert out["locked"]["extracted_text"] == "" and out["locked"]["n_pages"] == 0
