@@ -208,3 +208,33 @@ def test_collapse_identical_false_restores_all_pairs(spark):
              embedding_near_duplicates(edf, dim=4,
                                        collapse_identical=False).collect()}
     assert pairs == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_sketch_jaccard_equals_python_reference_in_exact_regime(spark):
+    """Every verified pair's jaccard must equal a direct Python computation
+    of shingle-set Jaccard while docs are under the sketch size (the exact
+    regime) — pinning the bottom-s estimator's wiring, not just its 1.0
+    fixpoint. bands=32/rows=1 maximizes recall so candidates surface."""
+
+    def py_jaccard(t1, t2, n=3):
+        def sh(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        a, b = sh(t1), sh(t2)
+        return len(a & b) / len(a | b) if a | b else 0.0
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(60)),
+        2: " ".join(f"w{i}" for i in range(40)) + " " + " ".join(
+            f"z{i}" for i in range(20)),
+        3: " ".join(f"w{i}" for i in range(60)),
+        4: " ".join(f"w{i}" for i in range(30, 90)),
+    }
+    df = spark.createDataFrame(list(texts.items()), schema="doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           minhash_near_duplicates(df, threshold=0.01, bands=32, rows=1,
+                                   k=32).collect()}
+    assert got, "no candidates surfaced at maximal recall"
+    for (a, b), j in got.items():
+        assert abs(j - py_jaccard(texts[a], texts[b])) < 1e-9, (a, b)
+    assert got[(1, 3)] == 1.0
