@@ -514,6 +514,188 @@ def build_pdf_15(pages: list[str]) -> bytes:
     return bytes(buf)
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Forward /LZWDecode coder (test fixtures only): MSB-first 9→12-bit
+    codes, leading clear code, EOD terminator, table reset near 4094 —
+    bit-compatible with :func:`_lzw_decode`'s width schedule."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Forward /RunLengthDecode coder (fixtures only): repeat runs ≥ 3 as
+    (257−n, byte), the rest as ≤128-byte literal runs, EOD 128."""
+    out = bytearray()
+    i = 0
+    lit_start = i
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            while lit_start < i:
+                n = min(128, i - lit_start)
+                out += bytes([n - 1]) + data[lit_start : lit_start + n]
+                lit_start += n
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < len(data):
+        n = min(128, len(data) - lit_start)
+        out += bytes([n - 1]) + data[lit_start : lit_start + n]
+        lit_start += n
+    out.append(128)
+    return bytes(out)
+
+
+_ENCODERS = {
+    "FlateDecode": lambda d: __import__("zlib").compress(d, 6),
+    "LZWDecode": _lzw_encode,
+    "ASCIIHexDecode": lambda d: d.hex().upper().encode("ascii") + b">",
+    "ASCII85Decode": lambda d: __import__("base64").a85encode(d) + b"~>",
+    "RunLengthDecode": _rle_encode,
+}
+
+
+def build_pdf_filtered(
+    pages: list[str],
+    filters: tuple[str, ...] = ("ASCII85Decode", "FlateDecode"),
+    indirect_length: bool = False,
+) -> bytes:
+    """Fixture writer exercising the full /Filter pipeline: content streams
+    encoded through ``filters`` — the array as a DECODE chain (left-to-right),
+    so encoding applies right-to-left — optionally with the /Length written
+    as an indirect reference (``/Length n 0 R``), the extremely common
+    generator shape where the length object follows the stream. Layout
+    matches :func:`build_pdf`, so expected text is known by construction."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    first_len_no = font_obj_no + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    filter_spec = (
+        f"/{filters[0]}" if len(filters) == 1
+        else "[ " + " ".join(f"/{f}" for f in filters) + " ]"
+    )
+    length_objs: list[bytes] = []
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        payload = "\n".join(ops).encode("latin-1", "replace")
+        for name in reversed(filters):
+            payload = _ENCODERS[name](payload)
+        if indirect_length:
+            length_ref = f"{first_len_no + i} 0 R"
+            length_objs.append(b"%d" % len(payload))
+        else:
+            length_ref = str(len(payload))
+        objects.append(
+            b"<< /Length %s /Filter %s >>\nstream\n%s\nendstream"
+            % (length_ref.encode(), filter_spec.encode(), payload)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.extend(length_objs)
+    return _assemble_classic(objects)
+
+
+def build_pdf_tj_kerned(pages: list[str]) -> bytes:
+    """Fixture writer for kerning-only word breaks: every line is shown as
+    ONE ``TJ`` array whose words are separate strings joined by a −250
+    adjustment and whose intra-word letters split on a −20 adjustment —
+    no space character appears anywhere in the content stream, so the
+    original text (with spaces) is recoverable ONLY through the
+    TJ_SPACE_KERN gap heuristic. Layout matches :func:`build_pdf`."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append("0 -14 Td")
+            items: list[str] = []
+            for wi, word in enumerate(line.split(" ")):
+                if wi > 0:
+                    items.append("-250")
+                if len(word) > 1:
+                    items.append(f"({_esc(word[:1])}) -20 ({_esc(word[1:])})")
+                elif word:
+                    items.append(f"({_esc(word)})")
+            ops.append("[" + " ".join(items) + "] TJ")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def is_pdf(data: bytes | None) -> bool:
     """Magic-byte sniff — the content-trusting replacement for the reference's
     extension allow-list (/root/reference/app/config.py:19,92-95)."""
@@ -555,8 +737,15 @@ _TOK_RE = re.compile(
 # decoders; poppler does the same scan, ref app/jobs.py:386-390 relies on
 # poppler here).
 _INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID[ \t\r\n].*?\s+EI(?=\s|$)", re.S)
-# literal OR hex string (both legal inside TJ arrays and as Tj operands)
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+# TJ array items: literal string, hex string, or a numeric kern adjustment
+_TJA_ITEM_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[\d.]+)"
+)
+# a negative TJ adjustment at least this large (thousandths of text space)
+# reads as an inter-word gap and becomes one space — the poppler/pdfminer
+# heuristic for PDFs that encode word breaks purely as kerning. Typical
+# space glyphs are 200-600/1000 wide; intra-word kerns are tens.
+TJ_SPACE_KERN = 180.0
 
 
 def _unhex_str(h: bytes) -> str:
@@ -837,7 +1026,9 @@ def _font_decode_table(
         cmap: dict[int, str] = {}
         if tm:
             stream = _stream_bytes(
-                objs.get(int(tm.group(1)), b""), _obj_dec(dec, int(tm.group(1)))
+                objs.get(int(tm.group(1)), b""),
+                _obj_dec(dec, int(tm.group(1))),
+                objs,
             )
             if stream is not None:
                 cmap = _parse_cmap(stream)
@@ -864,7 +1055,9 @@ def _font_decode_table(
                 code += 1
     if tm:
         stream = _stream_bytes(
-            objs.get(int(tm.group(1)), b""), _obj_dec(dec, int(tm.group(1)))
+            objs.get(int(tm.group(1)), b""),
+            _obj_dec(dec, int(tm.group(1))),
+            objs,
         )
         if stream is not None:
             for code, dst in _parse_cmap(stream).items():
@@ -915,7 +1108,9 @@ def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]
         if not _OBJSTM_RE.search(body):
             continue
         data = _stream_bytes(
-            body, (lambda raw, n=num: dec.decrypt_obj(n, raw)) if dec else None
+            body,
+            (lambda raw, n=num: dec.decrypt_obj(n, raw)) if dec else None,
+            objs,
         )
         nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
         if data is None or not nm or not fm:
@@ -1037,6 +1232,7 @@ def extract_pages(
             stream = _stream_bytes(
                 objs.get(no, b""),
                 (lambda raw, n=no: dec.decrypt_obj(n, raw)) if dec else None,
+                objs,
             )
             if stream is not None:
                 parts.append(stream)
@@ -1045,12 +1241,21 @@ def extract_pages(
     return pages
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
+_LENGTH_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+# /Filter: one name or an array of names (chains apply left-to-right);
+# /DecodeParms: one dict, or an array of dicts/nulls parallel to the chain
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_DECODEPARMS_RE = re.compile(
+    rb"/DecodeParms\s*(\[(?:[^\[\]]|<<[^>]*>>)*\]|<<[^>]*>>|null)", re.S
+)
+_PARMS_ENTRY_RE = re.compile(rb"<<[^>]*>>|null")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)\b")
 _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)\b")
 _COLORS_RE = re.compile(rb"/Colors\s+(\d+)\b")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)\b")
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)\b")
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
@@ -1091,15 +1296,188 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
-def _stream_bytes(content_body: bytes, decrypt=None) -> bytes | None:
-    """Extract (and decode) one content stream.
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs up to the '>' EOD,
+    whitespace ignored, odd final digit padded with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hx = re.sub(rb"\s+", b"", data)
+    if re.search(rb"[^0-9A-Fa-f]", hx):
+        raise ValueError("non-hex byte in ASCIIHexDecode data")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
 
-    Uses /Length to slice the exact byte span (compressed data can contain
-    the literal 'endstream'), falling back to the regex for writers that
-    omit a usable /Length; ``decrypt`` (per-object RC4, encrypted files)
-    applies to the raw span BEFORE filters; FlateDecode streams are
-    zlib-inflated and PNG row predictors (/DecodeParms /Predictor ≥ 10) are
-    undone."""
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): base-85 groups of 5 chars → 4 bytes, 'z' =
+    four zero bytes, '~>' EOD, partial final group allowed, optional '<~'
+    lead-in (Adobe framing)."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = re.sub(rb"\s+", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= b <= 0x75):
+            raise ValueError(f"byte {b:#x} out of ASCII85 range")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("1-char final ASCII85 group")
+        pad = 5 - len(group)
+        n = 0
+        for d in group + [84] * pad:  # pad with 'u' (84)
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: 4 - pad]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (§7.4.5): length byte L — L ≤ 127 copies the next
+    L+1 bytes literally; L ≥ 129 repeats the next byte 257−L times; 128 =
+    EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            break
+        if length <= 127:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """/LZWDecode (§7.4.4): MSB-first variable-width codes 9→12 bits,
+    256 = clear table, 257 = EOD; PDF's /EarlyChange (default 1) widens the
+    code size one entry before the table fills (TIFF-style)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_predictor(parms: bytes, data: bytes) -> bytes:
+    """Undo /DecodeParms predictors after Flate/LZW: PNG filters
+    (/Predictor ≥ 10, the xref-stream norm) via :func:`_png_unpredict`;
+    TIFF horizontal differencing (/Predictor 2, 8-bit components only —
+    other depths are vanishingly rare in crawl PDFs and raise)."""
+    pm = _PREDICTOR_RE.search(parms)
+    if not pm:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    cm = _COLUMNS_RE.search(parms)
+    clm = _COLORS_RE.search(parms)
+    bm = _BPC_RE.search(parms)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(clm.group(1)) if clm else 1
+    bpc = int(bm.group(1)) if bm else 8
+    if pred >= 10:
+        return _png_unpredict(data, columns, colors, bpc)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError(f"TIFF predictor with {bpc}-bit components")
+        rowlen = columns * colors
+        row_buf = bytearray(data)
+        for r0 in range(0, len(row_buf), rowlen):
+            row_end = min(r0 + rowlen, len(row_buf))
+            for i in range(r0 + colors, row_end):
+                row_buf[i] = (row_buf[i] + row_buf[i - colors]) & 0xFF
+        return bytes(row_buf)
+    raise ValueError(f"unknown /Predictor {pred}")
+
+
+def _filter_chain(head: bytes) -> tuple[list[bytes], list[bytes]]:
+    """Parse the stream dict head: ordered /Filter names + parallel
+    /DecodeParms entries ('' where the entry is null/absent)."""
+    fm = _FILTER_RE.search(head)
+    if not fm:
+        return [], []
+    spec = fm.group(1)
+    names = [m.group(1) for m in _FILTER_NAME_RE.finditer(spec)]
+    parms: list[bytes] = []
+    pmatch = _DECODEPARMS_RE.search(head)
+    if pmatch:
+        pspec = pmatch.group(1)
+        if pspec.startswith(b"["):
+            parms = [
+                b"" if e == b"null" else e
+                for e in _PARMS_ENTRY_RE.findall(pspec)
+            ]
+        elif pspec != b"null":
+            parms = [pspec]
+    parms += [b""] * (len(names) - len(parms))
+    return names, parms
+
+
+def _stream_bytes(
+    content_body: bytes, decrypt=None, objs: dict[int, bytes] | None = None
+) -> bytes | None:
+    """Extract and decode one stream through its full /Filter chain.
+
+    /Length slices the exact byte span (compressed data can contain the
+    literal 'endstream'); indirect /Length refs (``/Length 5 0 R`` — very
+    common in generator output) resolve through ``objs`` when provided,
+    else fall back to the endstream regex. ``decrypt`` (per-object RC4,
+    encrypted files) applies to the raw span BEFORE filters. Filters apply
+    in declaration order — FlateDecode, LZWDecode (with /EarlyChange),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode — each with its parallel
+    /DecodeParms entry (PNG + TIFF predictors). Unknown filters (DCTDecode,
+    CCITTFaxDecode … = image codecs that never carry text operators) and any
+    decode failure return None, the standard parse-failure sentinel."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -1108,35 +1486,48 @@ def _stream_bytes(content_body: bytes, decrypt=None) -> bytes | None:
         start += 2
     elif content_body[start : start + 1] == b"\n":
         start += 1
-    lm = _LENGTH_RE.search(content_body[:marker])
+    head = content_body[:marker]
+    raw: bytes | None = None
+    lm = _LENGTH_DIRECT_RE.search(head)
     if lm:
         raw = content_body[start : start + int(lm.group(1))]
     else:
+        im = _LENGTH_INDIRECT_RE.search(head)
+        if im and objs is not None:
+            ref_body = objs.get(int(im.group(1)), b"")
+            nm = re.match(rb"\s*(\d+)\s*$", ref_body)
+            if nm:
+                raw = content_body[start : start + int(nm.group(1))]
+    if raw is None:
         sm = _STREAM_RE.search(content_body)
         if not sm:
             return None
         raw = sm.group(1)
     if decrypt is not None:
         raw = decrypt(raw)
-    head = content_body[:marker]
-    if _FLATE_RE.search(head):
-        import zlib
-
+    names, parms = _filter_chain(head)
+    for name, parm in zip(names, parms):
         try:
-            raw = zlib.decompress(raw)
-        except zlib.error:
+            if name == b"FlateDecode":
+                import zlib
+
+                raw = zlib.decompress(raw)
+            elif name == b"LZWDecode":
+                em = _EARLYCHANGE_RE.search(parm)
+                raw = _lzw_decode(raw, int(em.group(1)) if em else 1)
+            elif name == b"ASCIIHexDecode":
+                raw = _ascii_hex_decode(raw)
+            elif name == b"ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif name == b"RunLengthDecode":
+                raw = _rle_decode(raw)
+            elif name in (b"Crypt",):  # identity /Crypt only; else unknown
+                pass
+            else:
+                return None
+            raw = _apply_predictor(parm, raw)
+        except Exception:
             return None
-        pm = _PREDICTOR_RE.search(head)
-        if pm and int(pm.group(1)) >= 10:
-            cm = _COLUMNS_RE.search(head)
-            clm = _COLORS_RE.search(head)
-            bm = _BPC_RE.search(head)
-            raw = _png_unpredict(
-                raw,
-                int(cm.group(1)) if cm else 1,
-                int(clm.group(1)) if clm else 1,
-                int(bm.group(1)) if bm else 8,
-            )
     return raw
 
 
@@ -1198,13 +1589,17 @@ def _parse_content(
                 Span(x, y, dec(_unesc(m.group("quote_s").decode("latin-1"))))
             )
         elif m.group("tja"):
-            parts = [
-                _unesc(sm.group(1).decode("latin-1"))
-                if sm.group(1) is not None
-                else _unhex_str(sm.group(2))
-                for sm in _STR_RE.finditer(m.group("tja_s"))
-            ]
-            spans.append(Span(x, y, dec("".join(parts))))
+            # strings decode per-item (2-byte CID alignment is per string);
+            # numeric adjustments ≤ -TJ_SPACE_KERN read as word gaps
+            parts = []
+            for sm in _TJA_ITEM_RE.finditer(m.group("tja_s")):
+                if sm.group(1) is not None:
+                    parts.append(dec(_unesc(sm.group(1).decode("latin-1"))))
+                elif sm.group(2) is not None:
+                    parts.append(dec(_unhex_str(sm.group(2))))
+                elif float(sm.group(3)) <= -TJ_SPACE_KERN:
+                    parts.append(" ")
+            spans.append(Span(x, y, "".join(parts)))
     return spans
 
 

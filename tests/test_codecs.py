@@ -417,3 +417,101 @@ def test_locked_pdf_flows_to_sentinel_in_pipeline(spark):
            assemble_documents(split_pdf_text_pages(df)).collect()}
     assert out["ok"]["extracted_text"] == "readable page"
     assert out["locked"]["extracted_text"] == "" and out["locked"]["n_pages"] == 0
+
+
+# ---------------------------------------------------------------- filters
+
+
+@given(st.lists(printable, min_size=1, max_size=3), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_filter_chain_property(pages, indirect):
+    """Every supported /Filter chain — singles and stacked chains — must
+    extract byte-identically to the uncompressed writer, with both direct
+    and indirect (/Length n 0 R) stream lengths."""
+    chains = [
+        ("ASCIIHexDecode",),
+        ("ASCII85Decode",),
+        ("RunLengthDecode",),
+        ("LZWDecode",),
+        ("ASCII85Decode", "FlateDecode"),
+        ("ASCIIHexDecode", "LZWDecode"),
+        ("ASCII85Decode", "RunLengthDecode"),
+    ]
+    for chain in chains:
+        pdf = P.build_pdf_filtered(pages, filters=chain, indirect_length=indirect)
+        assert P.page_count(pdf) == len(pages), chain
+        got = [P.page_text(s) for s in P.extract_pages(pdf)]
+        assert got == pages, chain
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    """Encoder/decoder bit-compatibility across the 9→10→11→12-bit width
+    transitions and a mid-stream table reset (>4k table entries)."""
+    data = bytes((i * 7 + (i >> 3) * 131 + (i >> 7) * 17) % 256
+                 for i in range(60_000))
+    assert P._lzw_decode(P._lzw_encode(data)) == data
+
+
+def test_lzw_early_change_zero():
+    """/EarlyChange 0 shifts the width schedule by one entry; both coder
+    sides must honor it (PDF default is 1)."""
+    data = bytes((i * 13 + 5) % 251 for i in range(20_000))
+    assert P._lzw_decode(P._lzw_encode(data, early_change=0), early_change=0) == data
+
+
+def test_rle_decode_spec_vectors():
+    # literal run, repeat run, EOD mid-stream (trailing bytes ignored)
+    assert P._rle_decode(bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128]) + b"IGNORED") == b"abcxxx"
+    assert P._rle_decode(P._rle_encode(b"aaaaabcdefffffff" * 40)) == b"aaaaabcdefffffff" * 40
+
+
+def test_ascii85_decode_z_shortcut_and_partial_group():
+    assert P._ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    import base64
+    msg = b"hello world!"
+    assert P._ascii85_decode(base64.a85encode(msg) + b"~>") == msg
+    # Adobe <~ framing tolerated
+    assert P._ascii85_decode(b"<~" + base64.a85encode(msg) + b"~>") == msg
+
+
+def test_unknown_image_filter_is_sentinel_safe():
+    """/DCTDecode (JPEG XObjects) carries no text operators; the stream must
+    decode to None (sentinel) instead of raising or emitting garbage."""
+    body = b"<< /Length 4 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\xe0\nendstream"
+    assert P._stream_bytes(body) is None
+
+
+def test_indirect_length_with_endstream_bytes_in_payload():
+    """An indirect /Length must slice the exact span even when the
+    compressed payload happens to contain the literal 'endstream'."""
+    import zlib
+    # craft a payload containing b"endstream" after compression is hopeless;
+    # instead use an UNFILTERED stream whose text contains it
+    content = b"BT /F1 12 Tf 72 720 Td (fake endstream inside) Tj ET"
+    objs = {9: b" %d " % len(content)}
+    body = b"<< /Length 9 0 R >>\nstream\n" + content + b"\nendstream"
+    assert P._stream_bytes(body, None, objs) == content
+
+
+def test_tj_kerned_word_gaps_recover_spaces():
+    """Kerning-only word breaks: no 0x20 appears in any show string, yet the
+    extracted text matches the original (TJ_SPACE_KERN heuristic); small
+    intra-word kerns must NOT introduce spaces."""
+    pages = ["hello kerned world\nsecond line here", "one two"]
+    pdf = P.build_pdf_tj_kerned(pages)
+    # the space character never appears inside a literal show string
+    import re as _re
+    for m in _re.finditer(rb"\(((?:[^()\\]|\\.)*)\)", pdf):
+        assert b" " not in m.group(1)
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                                               exclude_characters="[]<>"),
+                        min_size=1, max_size=12),
+                min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_tj_kerned_property(words):
+    line = " ".join(words)
+    pdf = P.build_pdf_tj_kerned([line])
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == [line]
