@@ -82,20 +82,48 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
     return html.encode("utf-8"), expected
 
 
-def _pdf_doc(rng: random.Random, n_pages: int, compress: bool = False,
-             writer: str = "classic") -> tuple[bytes, str]:
+# PDF file classes rotated by INDEX PARITY (never an rng draw, so goldens
+# are untouched by rotation changes): every writer emits the identical
+# 72/720 14-pt layout (property-tested byte-equal), so the golden depends
+# only on `pages`, never on the writer class. The rotation covers the
+# real-crawl file shapes the codec supports: plain / FlateDecode classic,
+# PDF 1.5 (ObjStm + xref stream + split content streams + Tm/TL/'),
+# LZWDecode, chained ASCII85+Flate with indirect /Length, kerning-only
+# word breaks (TJ adjustments, zero 0x20 bytes in show strings), and
+# RC4-encrypted (standard handler, empty user password).
+_PDF_WRITERS = (
+    "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
+)
+
+
+def _pdf_doc(rng: random.Random, n_pages: int,
+             writer: str = "plain") -> tuple[bytes, str]:
+    from gnosis_ocr_spark.functions import codec_pdf as _cp
+
     pages = []
     for _ in range(n_pages):
         lines = [_sentence(rng, rng.randint(4, 8)) for _ in range(rng.randint(3, 8))]
         pages.append("\n".join(lines))
-    # document golden: pages joined by a blank line (layout-assembly contract);
-    # the golden depends only on `pages`, never on the writer class — both
-    # writers emit the same 72/720 14-pt layout (property-tested byte-equal)
+    expected = "\n\n".join(pages).strip()
     if writer == "pdf15":
-        from gnosis_ocr_spark.functions.codec_pdf import build_pdf_15
-
-        return build_pdf_15(pages), "\n\n".join(pages).strip()
-    return build_pdf(pages, compress=compress), "\n\n".join(pages).strip()
+        return _cp.build_pdf_15(pages), expected
+    if writer == "flate":
+        return build_pdf(pages, compress=True), expected
+    if writer == "lzw":
+        return _cp.build_pdf_filtered(pages, filters=("LZWDecode",)), expected
+    if writer == "a85flate":
+        return (
+            _cp.build_pdf_filtered(
+                pages, filters=("ASCII85Decode", "FlateDecode"),
+                indirect_length=True,
+            ),
+            expected,
+        )
+    if writer == "tj_kerned":
+        return _cp.build_pdf_tj_kerned(pages), expected
+    if writer == "rc4":
+        return _cp.build_pdf_encrypted(pages, revision=3), expected
+    return build_pdf(pages), expected
 
 
 def generate_rows(n: int = 200, seed: int = 42, skew_max_pages: int = 120) -> list[CorpusRow]:
@@ -107,26 +135,24 @@ def generate_rows(n: int = 200, seed: int = 42, skew_max_pages: int = 120) -> li
         slot = i % 20  # 12 html, 6 pdf, 1 skew, 1 adversarial per 20 rows
         if slot < 12:
             html, expected = _html_doc(rng, i)
+            # index-parity UTF-16 re-encoding (ASCII content, so the decoded
+            # text — and the golden — is identical): exercises the BOM
+            # charset path end-to-end, not just in units
+            if i % 12 == 7:
+                html = b"\xff\xfe" + html.decode("utf-8").encode("utf-16-le")
+            elif i % 12 == 3:
+                html = b"\xfe\xff" + html.decode("utf-8").encode("utf-16-be")
             url = f"https://example-{i:06d}.test/doc-{i}.html"
             raw_text = expected.replace("\n\n", "\n")  # WARC-ish rendering
             rows.append(CorpusRow(url, ts, html, raw_text, lang, expected, 1))
         elif slot < 18:
             n_pages = rng.randint(1, 3)
-            # rotate the PDF file class by index parity (not an rng draw, so
-            # goldens are unchanged): FlateDecode classic / plain classic /
-            # PDF 1.5 era (ObjStm + xref stream + split content streams + Tm)
-            writer = "pdf15" if i % 3 == 2 else "classic"
-            pdf, expected = _pdf_doc(
-                rng, n_pages, compress=(i % 2 == 0), writer=writer
-            )
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 7])
             url = f"https://example-{i:06d}.test/paper-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         elif slot == 18:  # skew document
             n_pages = rng.randint(50, skew_max_pages)
-            pdf, expected = _pdf_doc(
-                rng, n_pages, compress=(i % 2 == 0),
-                writer="pdf15" if i % 3 == 2 else "classic",
-            )
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 7])
             url = f"https://example-{i:06d}.test/opus-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         else:  # adversarial, rotating

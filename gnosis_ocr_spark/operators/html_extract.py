@@ -16,6 +16,7 @@ column (Arrow batches; no per-row Python dispatch from the JVM).
 
 from __future__ import annotations
 
+import codecs
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -139,12 +140,65 @@ class _Extractor(HTMLParser):
             self._cur.link_chars += len(data)
 
 
+# charset label inside the first 1024 bytes — matches both
+# <meta charset="x"> and <meta http-equiv="Content-Type"
+# content="text/html; charset=x"> (the label follows "charset=" in both)
+_CHARSET_META_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-:.]+)""", re.I
+)
+_PRESCAN_BYTES = 1024
+
+
+def decode_html_bytes(raw: bytes) -> str:
+    """Charset-sniffing decode of one crawl page (HTML5 §13.2.3 in spirit).
+
+    Precedence: byte-order mark (UTF-8/16LE/16BE) > declared charset from a
+    meta prescan of the first 1024 bytes > strict UTF-8 > cp1252. A real
+    crawl is ~10-20%% non-UTF-8 (cp1252/latin, shift_jis, gbk, …); a blind
+    ``decode('utf-8', 'replace')`` turns all of it into U+FFFD mojibake.
+    The cp1252 terminal fallback mirrors the WHATWG rule that windows-1252
+    is the default for unlabeled non-UTF-8 content. Deterministic: the same
+    bytes always decode the same way."""
+    if raw.startswith(codecs.BOM_UTF8):
+        return raw[3:].decode("utf-8", "replace")
+    for bom, enc in ((codecs.BOM_UTF16_LE, "utf-16-le"),
+                     (codecs.BOM_UTF16_BE, "utf-16-be")):
+        if raw.startswith(bom):
+            # trust the BOM only if the payload is plausibly UTF-16: real
+            # UTF-16 HTML always has abundant NUL bytes (its ASCII markup
+            # zero-fills one byte of every code unit). Crawls also contain
+            # single-byte pages behind a garbage \xff\xfe prefix; decoding
+            # those as UTF-16 destroys recoverable content, so a (near-)
+            # NUL-free payload strips the lying BOM and falls through to
+            # the normal sniff.
+            sample = raw[len(bom):_PRESCAN_BYTES]
+            if sample and sample.count(0) / len(sample) >= 0.05:
+                return raw[len(bom):].decode(enc, "replace")
+            raw = raw[len(bom):]
+            break
+    m = _CHARSET_META_RE.search(raw[:_PRESCAN_BYTES])
+    if m:
+        label = m.group(1).decode("ascii", "ignore").strip().lower()
+        # WHATWG: a BOM-less utf-16 label (and x-user-defined) reads utf-8 —
+        # the prescan only finds ASCII-compatible byte streams anyway
+        if label in ("utf-16", "utf-16le", "utf-16be", "x-user-defined"):
+            label = "utf-8"
+        try:
+            return raw.decode(codecs.lookup(label).name, "replace")
+        except LookupError:
+            pass  # unknown label → sniff like an unlabeled page
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", "replace")
+
+
 def extract_main_text(html: bytes | str | None) -> str:
     """Deterministic main-content extraction of one document (pure function)."""
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray)):
-        raw = bytes(html).decode("utf-8", errors="replace")
+        raw = decode_html_bytes(bytes(html))
     else:
         raw = html
     parser = _Extractor()

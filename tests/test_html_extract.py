@@ -68,6 +68,9 @@ def test_short_blocks_dropped_headings_kept():
 def test_degenerate_inputs():
     assert extract_main_text(None) == ""
     assert extract_main_text(b"") == ""
+    # a \xff\xfe prefix on single-byte content is a LYING UTF-16LE BOM
+    # (the payload has no NUL bytes, so it cannot be UTF-16): the BOM is
+    # stripped as a garbage prefix and the content stays recoverable
     assert extract_main_text(b"\xff\xfe<body><p>valid part long enough to keep around</p></body>") == (
         "valid part long enough to keep around"
     )
@@ -139,3 +142,64 @@ def test_many_unclosed_and_stray_tags_parse_quickly():
     got = extract_main_text(html.encode())
     assert time.time() - t0 < 2.0
     assert "The surviving content paragraph, long enough to keep." in got
+
+
+# ------------------------------------------------------------- charsets
+
+
+def _page(body: str) -> str:
+    return f"<html><head></head><body><p>{body}</p></body></html>"
+
+
+def test_charset_unlabeled_cp1252_fallback():
+    """Unlabeled non-UTF-8 bytes decode as windows-1252 (the WHATWG default
+    for unlabeled legacy content), not as U+FFFD mojibake."""
+    body = "caf\xe9 au lait — cr\xe8me br\xfbl\xe9e, d\xe9j\xe0 vu again"
+    raw = _page(body).encode("cp1252")
+    assert extract_main_text(raw) == body
+    assert "�" not in extract_main_text(raw)
+
+
+def test_charset_meta_declared_shift_jis():
+    body = "日本語のテキストです。 Japanese text sample here."
+    html = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=Shift_JIS"></head>'
+        f"<body><p>{body}</p></body></html>"
+    )
+    assert extract_main_text(html.encode("shift_jis")) == body
+
+
+def test_charset_meta_declared_iso_8859_2():
+    body = "Zkřehl\xe9 žluťoučk\xe9 koně \xfapěly ďx"
+    html = f'<html><head><meta charset="iso-8859-2"></head><body><p>{body}</p></body></html>'
+    assert extract_main_text(html.encode("iso-8859-2")) == body
+
+
+def test_charset_utf16_boms():
+    body = "utf sixteen text with enough characters to keep the block"
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        raw = bom + _page(body).encode(enc)
+        assert extract_main_text(raw) == body
+    raw = b"\xef\xbb\xbf" + _page(body).encode("utf-8")
+    assert extract_main_text(raw) == body
+
+
+def test_charset_unknown_label_falls_back_to_sniff():
+    body = "unknown charset label page but valid utf-8 bytes throughout"
+    html = f'<html><head><meta charset="x-bogus-9"></head><body><p>{body}</p></body></html>'
+    assert extract_main_text(html.encode("utf-8")) == body
+
+
+def test_charset_utf8_bytes_identical_to_str_input():
+    html = _page("plain utf-8 content stays byte-identical through sniffing \xe9中")
+    assert extract_main_text(html.encode("utf-8")) == extract_main_text(html)
+
+
+def test_charset_declared_lie_does_not_crash():
+    """A page declaring utf-8 but containing invalid utf-8 bytes must still
+    extract deterministically (errors=replace on the declared path)."""
+    raw = ('<html><head><meta charset="utf-8"></head><body><p>'
+           "broken byte here: ").encode() + b"\xff\xfe\xfd" + " and plenty of text after it to keep the block</p></body></html>".encode()
+    out = extract_main_text(raw)
+    assert "plenty of text after" in out
