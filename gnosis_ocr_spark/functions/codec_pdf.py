@@ -682,10 +682,14 @@ def build_pdf_tj_kerned(pages: list[str]) -> bytes:
             for wi, word in enumerate(line.split(" ")):
                 if wi > 0:
                     items.append("-250")
+                # inside a TJ array the tokenizer treats an unescaped ']' as
+                # the array terminator, so escape it too (PDF: a backslash
+                # before an unrecognized char is simply dropped on decode)
+                esc_tj = lambda s: _esc(s).replace("]", "\\]")  # noqa: E731
                 if len(word) > 1:
-                    items.append(f"({_esc(word[:1])}) -20 ({_esc(word[1:])})")
+                    items.append(f"({esc_tj(word[:1])}) -20 ({esc_tj(word[1:])})")
                 elif word:
-                    items.append(f"({_esc(word)})")
+                    items.append(f"({esc_tj(word)})")
             ops.append("[" + " ".join(items) + "] TJ")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1", "replace")

@@ -115,9 +115,25 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</body></html>"
         ),
     )
+    # transfer encoding rotates on doc_id % 4 (utf-8 / BOM+utf-16le /
+    # BOM+utf-16be / Java "UTF-16" which emits its own BE BOM), so the
+    # GREEN html_extract row also certifies the charset-sniffing decode —
+    # the decoded text is identical in all four, the oracle is unchanged
+    payload = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(bytearray(b"\xff\xfe")), F.encode(html, "UTF-16LE")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(bytearray(b"\xfe\xff")), F.encode(html, "UTF-16BE")),
+        )
+        .when(F.col("doc_id") % 4 == 3, F.encode(html, "UTF-16"))
+        .otherwise(F.encode(html, "UTF-8"))
+    )
     return docs.select(
         "doc_id",
-        extract_html_udf(F.encode(html, "UTF-8")).alias("extracted_text"),
+        extract_html_udf(payload).alias("extracted_text"),
     )
 
 
@@ -125,14 +141,31 @@ ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM docume
 
 
 def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from gnosis_ocr_spark.functions.codec_pdf import build_pdf
+    from gnosis_ocr_spark.functions import codec_pdf as _cp
 
+    # writer class rotates on doc_id % 7 (deterministic, no rng) so the
+    # GREEN pdf_extract driver row certifies every codec path the engine
+    # supports — plain/Flate classic, PDF 1.5 ObjStm+xref-stream, LZW,
+    # chained ASCII85+Flate with indirect /Length, kerning-only word
+    # breaks, RC4-encrypted. All writers emit the identical 72/720 layout,
+    # so the oracle stays a pure SQL function of `text`.
+    writers = (
+        lambda p: _cp.build_pdf(p),
+        lambda p: _cp.build_pdf(p, compress=True),
+        lambda p: _cp.build_pdf_15(p),
+        lambda p: _cp.build_pdf_filtered(p, filters=("LZWDecode",)),
+        lambda p: _cp.build_pdf_filtered(
+            p, filters=("ASCII85Decode", "FlateDecode"), indirect_length=True
+        ),
+        lambda p: _cp.build_pdf_tj_kerned(p),
+        lambda p: _cp.build_pdf_encrypted(p, revision=3),
+    )
     for b in batches:
         out = {"url": [], "html": []}
         for doc_id, norm in zip(b["doc_id"], b["norm"]):
             p1, p2 = norm[:60], norm[60:120]
             out["url"].append(str(doc_id))
-            out["html"].append(build_pdf([p1, p2]))
+            out["html"].append(writers[int(doc_id) % 7]([p1, p2]))
         yield pd.DataFrame(out)
 
 
