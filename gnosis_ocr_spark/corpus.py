@@ -89,10 +89,13 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
 # real-crawl file shapes the codec supports: plain / FlateDecode classic,
 # PDF 1.5 (ObjStm + xref stream + split content streams + Tm/TL/'),
 # LZWDecode, chained ASCII85+Flate with indirect /Length, kerning-only
-# word breaks (TJ adjustments, zero 0x20 bytes in show strings), and
-# RC4-encrypted (standard handler, empty user password).
+# word breaks (TJ adjustments, zero 0x20 bytes in show strings),
+# RC4-encrypted (standard handler, empty user password), and composite
+# Type0/Identity-H (every char a 2-byte CID through a /ToUnicode CMap —
+# meaningful even for ASCII text).
 _PDF_WRITERS = (
     "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
+    "type0",
 )
 
 
@@ -123,6 +126,8 @@ def _pdf_doc(rng: random.Random, n_pages: int,
         return _cp.build_pdf_tj_kerned(pages), expected
     if writer == "rc4":
         return _cp.build_pdf_encrypted(pages, revision=3), expected
+    if writer == "type0":
+        return _cp.build_pdf_type0(pages), expected
     return build_pdf(pages), expected
 
 
@@ -147,12 +152,12 @@ def generate_rows(n: int = 200, seed: int = 42, skew_max_pages: int = 120) -> li
             rows.append(CorpusRow(url, ts, html, raw_text, lang, expected, 1))
         elif slot < 18:
             n_pages = rng.randint(1, 3)
-            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 7])
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 8])
             url = f"https://example-{i:06d}.test/paper-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         elif slot == 18:  # skew document
             n_pages = rng.randint(50, skew_max_pages)
-            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 7])
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 8])
             url = f"https://example-{i:06d}.test/opus-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         else:  # adversarial, rotating

@@ -143,12 +143,13 @@ ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM docume
 def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from gnosis_ocr_spark.functions import codec_pdf as _cp
 
-    # writer class rotates on doc_id % 7 (deterministic, no rng) so the
+    # writer class rotates on doc_id % 8 (deterministic, no rng) so the
     # GREEN pdf_extract driver row certifies every codec path the engine
     # supports — plain/Flate classic, PDF 1.5 ObjStm+xref-stream, LZW,
     # chained ASCII85+Flate with indirect /Length, kerning-only word
-    # breaks, RC4-encrypted. All writers emit the identical 72/720 layout,
-    # so the oracle stays a pure SQL function of `text`.
+    # breaks, RC4-encrypted, composite Type0/Identity-H CIDs. All writers
+    # emit the identical 72/720 layout, so the oracle stays a pure SQL
+    # function of `text`.
     writers = (
         lambda p: _cp.build_pdf(p),
         lambda p: _cp.build_pdf(p, compress=True),
@@ -159,13 +160,14 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         ),
         lambda p: _cp.build_pdf_tj_kerned(p),
         lambda p: _cp.build_pdf_encrypted(p, revision=3),
+        lambda p: _cp.build_pdf_type0(p),
     )
     for b in batches:
         out = {"url": [], "html": []}
         for doc_id, norm in zip(b["doc_id"], b["norm"]):
             p1, p2 = norm[:60], norm[60:120]
             out["url"].append(str(doc_id))
-            out["html"].append(writers[int(doc_id) % 7]([p1, p2]))
+            out["html"].append(writers[int(doc_id) % 8]([p1, p2]))
         yield pd.DataFrame(out)
 
 

@@ -515,3 +515,24 @@ def test_tj_kerned_property(words):
     line = " ".join(words)
     pdf = P.build_pdf_tj_kerned([line])
     assert [P.page_text(s) for s in P.extract_pages(pdf)] == [line]
+
+
+def test_incremental_update_latest_definition_wins():
+    """PDFs saved with incremental updates append redefined objects at the
+    end of the file (older bodies remain); the scan must honor the LATEST
+    definition — here the update rewrites page 1's content stream."""
+    pdf = P.build_pdf(["original first page", "second page"])
+    # find page 1's /Contents object number, then append a new definition
+    import re as _re
+    m = _re.search(rb"/Type /Page .*?/Contents (\d+) 0 R", pdf, _re.S)
+    content_no = int(m.group(1))
+    new_stream = b"BT /F1 12 Tf 72 720 Td (updated first page) Tj ET"
+    update = b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        content_no, len(new_stream), new_stream
+    )
+    updated = pdf + update  # (no new xref section needed for a scan parser)
+    assert [P.page_text(s) for s in P.extract_pages(updated)] == [
+        "updated first page", "second page"
+    ]
+    # the original, un-updated file is untouched semantics
+    assert P.page_text(P.extract_pages(pdf)[0]) == "original first page"
