@@ -1056,53 +1056,84 @@ WHERE CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * part_n < part_qty_c
 
 
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl host analytics: synthesize per-doc urls, extract host and path
-    depth with the same regexes on both sides, aggregate per host — the
-    per-site rollup every crawl pipeline runs first."""
-    docs = _t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://host"),
-        (F.col("doc_id") % 50).cast("string"),
-        F.lit(".example.org/a/b"),
-        F.when(F.col("doc_id") % 3 == 0, "/c").otherwise(""),
-        F.lit("/p"),
-        F.col("doc_id").cast("string"),
+    """Crawl host analytics over CANONICALIZED urls: synthesize per-doc urls
+    decorated with the real-crawl mess (WWW./uppercase host, :443 default
+    port, tracking params, unsorted query, fragments, trailing slash),
+    canonicalize (functions/urls.py, pure JVM expressions), and aggregate
+    per host — n_docs counts raw rows, n_pages counts DISTINCT canonical
+    urls, so the row certifies that the decorations collapse."""
+    from gnosis_ocr_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+        url_path_depth,
     )
-    host = F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1)
-    path = F.regexp_replace(url, r"^[a-z]+://[^/]+", "")
-    depth = F.size(F.split(path, "/")) - 1
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, "WWW.").otherwise(""),
+        F.lit("host"), (d % 50).cast("string"),
+        F.lit(".Example.org"),
+        F.when(d % 5 == 0, ":443").otherwise(""),
+        F.lit("/a/b"),
+        F.when(d % 3 == 0, "/c").otherwise(""),
+        F.lit("/p"), (d % 25).cast("string"),
+        F.when(d % 11 == 0, "/").otherwise(""),
+        F.when(d % 2 == 0, "?utm_source=x&b=2&a=1").otherwise("?a=1&b=2"),
+        F.when(d % 7 == 0, "#frag").otherwise(""),
+    )
+    curl = canonicalize_url(url)
     return (
         docs.select(
-            host.alias("host"), depth.alias("depth"), F.length("text").alias("nb")
+            url_host(curl).alias("host"),
+            curl.alias("curl"),
+            url_path_depth(curl).alias("depth"),
+            F.length("text").alias("nb"),
         )
         .groupBy("host")
         .agg(
             F.count("*").alias("n_docs"),
+            F.countDistinct("curl").alias("n_pages"),
             F.sum(F.col("nb").cast("long")).alias("text_bytes"),
             F.max("depth").alias("max_depth"),
         )
     )
 
 
-ORACLE_HOST_STATS = """
-WITH u AS (
-  SELECT doc_id, length(text) AS nb,
-         'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/a/b' ||
-         CASE WHEN doc_id % 3 = 0 THEN '/c' ELSE '' END ||
-         '/p' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-), p AS (
-  SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
-         len(regexp_split_to_array(regexp_replace(url, '^[a-z]+://[^/]+', ''), '/')) - 1
-           AS depth,
-         nb
-  FROM u
+def _oracle_host_stats() -> str:
+    from gnosis_ocr_spark.functions.urls import canon_cte_sql
+
+    messy = (
+        "'https://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END"
+        " || 'host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.org'"
+        " || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+        " || '/a/b' || CASE WHEN doc_id % 3 = 0 THEN '/c' ELSE '' END"
+        " || '/p' || CAST(doc_id % 25 AS VARCHAR)"
+        " || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'"
+        "         ELSE '?a=1&b=2' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+    )
+    ctes = canon_cte_sql(messy, "doc_id, nb", "u")
+    return f"""
+WITH u AS (SELECT doc_id, length(text) AS nb FROM documents),
+{ctes.lstrip()},
+p AS (
+  SELECT regexp_extract(curl, '^[a-z]+://([^/:?#]+)', 1) AS host, curl, nb,
+         len(regexp_split_to_array(
+             regexp_extract(curl, '^[A-Za-z]+://[^/?#]*([^?]*)', 1), '/')) - 1
+           AS depth
+  FROM _u3
 )
-SELECT host, COUNT(*) AS n_docs,
+SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT curl) AS n_pages,
        CAST(SUM(nb) AS BIGINT) AS text_bytes,
        MAX(depth) AS max_depth
 FROM p GROUP BY host
 """
+
+
+ORACLE_HOST_STATS = _oracle_host_stats()
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,113 @@
+"""URL canonicalization: Spark JVM expression ≡ Python reference, and the
+DuckDB CTE mirror ≡ both (the three-way agreement the host_stats oracle
+relies on)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.urls import (
+    canon_cte_sql,
+    canonicalize_url,
+    canonicalize_url_py,
+    url_host,
+    url_path_depth,
+)
+
+URLS = [
+    "https://example.com/a/b",
+    "https://WWW.Example.COM/a/b",
+    "https://example.com:443/a/b",
+    "http://example.com:80/a",
+    "http://example.com:8080/a",
+    "https://example.com/a/b/",
+    "https://example.com/a//b///c",
+    "https://example.com",
+    "https://example.com/",
+    "https://example.com/a?utm_source=x&q=1&utm_medium=y",
+    "https://example.com/a?fbclid=abc",
+    "https://example.com/a?b=2&a=1",
+    "https://example.com/a?z=9&utm_campaign=c&a=1#frag",
+    "https://example.com/a#sec-2",
+    "https://user@example.com/a",
+    "HTTPS://example.com/CaseKeptInPath",
+    "https://sub.www-like.example.com/x",
+    "https://www.example.com/?gclid=1&msclkid=2",
+    "https://example.com/a?empty=&q=1",
+    "https://example.com/search?q=a+b&lang=en&utm_term=t",
+]
+
+EXPECTED = {
+    "https://example.com/a/b": "https://example.com/a/b",
+    "https://WWW.Example.COM/a/b": "https://example.com/a/b",
+    "https://example.com:443/a/b": "https://example.com/a/b",
+    "http://example.com:80/a": "http://example.com/a",
+    "http://example.com:8080/a": "http://example.com:8080/a",
+    "https://example.com/a/b/": "https://example.com/a/b",
+    "https://example.com/a//b///c": "https://example.com/a/b/c",
+    "https://example.com": "https://example.com/",
+    "https://example.com/": "https://example.com/",
+    "https://example.com/a?utm_source=x&q=1&utm_medium=y":
+        "https://example.com/a?q=1",
+    "https://example.com/a?fbclid=abc": "https://example.com/a",
+    "https://example.com/a?b=2&a=1": "https://example.com/a?a=1&b=2",
+    "https://example.com/a?z=9&utm_campaign=c&a=1#frag":
+        "https://example.com/a?a=1&z=9",
+    "https://example.com/a#sec-2": "https://example.com/a",
+    "https://user@example.com/a": "https://user@example.com/a",
+    "HTTPS://example.com/CaseKeptInPath":
+        "https://example.com/CaseKeptInPath",
+    "https://www.example.com/?gclid=1&msclkid=2": "https://example.com/",
+    "https://example.com/a?empty=&q=1": "https://example.com/a?empty=&q=1",
+    "https://example.com/search?q=a+b&lang=en&utm_term=t":
+        "https://example.com/search?lang=en&q=a+b",
+}
+
+
+def test_python_reference_expected_values():
+    for url, want in EXPECTED.items():
+        assert canonicalize_url_py(url) == want, url
+
+
+def test_spark_matches_python_reference(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], schema="url string")
+    got = {
+        r["url"]: r["curl"]
+        for r in df.select("url", canonicalize_url("url").alias("curl")).collect()
+    }
+    for u in URLS:
+        assert got[u] == canonicalize_url_py(u), u
+
+
+def test_duckdb_cte_matches_python_reference():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls AS SELECT * FROM (VALUES "
+        + ", ".join("(?)" for _ in URLS)
+        + ") t(url)",
+        URLS,
+    )
+    sql = "WITH " + canon_cte_sql("url", "url", "urls") + " SELECT url, curl FROM _u3"
+    for u, c in con.execute(sql).fetchall():
+        assert c == canonicalize_url_py(u), u
+
+
+def test_url_host_and_depth(spark):
+    rows = [
+        ("https://User@WWW.Example.com:8443/a/b/c?x=1", "www.example.com", 3),
+        ("https://example.com", "example.com", 0),
+        ("https://example.com/", "example.com", 0),
+        ("https://example.com/a//b/", "example.com", 2),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], schema="url string")
+    got = {
+        r["url"]: (r["h"], r["d"])
+        for r in df.select(
+            "url",
+            url_host("url").alias("h"),
+            url_path_depth("url").alias("d"),
+        ).collect()
+    }
+    for u, h, d in rows:
+        assert got[u] == (h, d), u
