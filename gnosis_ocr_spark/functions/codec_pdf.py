@@ -729,6 +729,7 @@ _TOK_RE = re.compile(
     rb"|(?P<tj>\((?P<tj_s>(?:[^()\\]|\\.)*)\)\s*Tj)"
     rb"|(?P<tjx><(?P<tjx_s>[0-9A-Fa-f\s]*)>\s*Tj)"
     rb"|(?P<quote>\((?P<quote_s>(?:[^()\\]|\\.)*)\)\s*')"
+    rb"|(?P<dquote>(-?[\d.]+)\s+(-?[\d.]+)\s+\((?P<dquote_s>(?:[^()\\]|\\.)*)\)\s*\")"
     rb"|(?P<tja>\[(?P<tja_s>(?:[^\]\\]|\\.)*)\]\s*TJ)"
     rb"|(?P<bt>BT\b)"
     rb"|(?P<tf>/(?P<tf_f>[^\s/<>\[\]()]+)\s+-?[\d.]+\s+Tf\b)",
@@ -1591,6 +1592,13 @@ def _parse_content(
             y -= leading
             spans.append(
                 Span(x, y, dec(_unesc(m.group("quote_s").decode("latin-1"))))
+            )
+        elif m.group("dquote"):
+            # aw ac (s) " = set word/char spacing (no positional effect on
+            # span extraction), T*, then show
+            y -= leading
+            spans.append(
+                Span(x, y, dec(_unesc(m.group("dquote_s").decode("latin-1"))))
             )
         elif m.group("tja"):
             # strings decode per-item (2-byte CID alignment is per string);

@@ -536,3 +536,14 @@ def test_incremental_update_latest_definition_wins():
     ]
     # the original, un-updated file is untouched semantics
     assert P.page_text(P.extract_pages(pdf)[0]) == "original first page"
+
+
+def test_dquote_show_operator():
+    """The '"' operator (aw ac (s) \") sets word/char spacing, advances one
+    leading, and shows — poppler treats it as T* + show; spacing operands
+    have no effect on span extraction."""
+    content = (b"BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (first line) Tj "
+               b"0.5 0 (second via dquote) \" (third) ' ET")
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    spans = P._parse_content(P._stream_bytes(body))
+    assert P.page_text(spans) == "first line\nsecond via dquote\nthird"
