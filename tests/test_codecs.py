@@ -547,3 +547,42 @@ def test_dquote_show_operator():
     body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
     spans = P._parse_content(P._stream_bytes(body))
     assert P.page_text(spans) == "first line\nsecond via dquote\nthird"
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 255)),
+             min_size=1, max_size=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
+    """Crawl-grade robustness: ANY byte-mutated PDF must either parse (to
+    some spans) or raise an ordinary exception that pdf_split's broad
+    except flows into the parse-failure sentinel — never a RecursionError
+    or MemoryError (the classes that would take down an executor rather
+    than one row) and never a hang. Mutations hit every writer class."""
+    import random as _rnd
+
+    rng = _rnd.Random(seed)
+    pages = ["some page text\nsecond line", "two"]
+    builders = [
+        lambda: P.build_pdf(pages, compress=True),
+        lambda: P.build_pdf_15(pages),
+        lambda: P.build_pdf_filtered(pages, filters=("LZWDecode",)),
+        lambda: P.build_pdf_encrypted(pages),
+        lambda: P.build_pdf_type0(pages),
+        lambda: P.build_pdf_tj_kerned(pages),
+    ]
+    pdf = bytearray(builders[seed % len(builders)]())
+    for pos, val in flips:
+        pdf[pos % len(pdf)] = val
+    try:
+        pgs = P.extract_pages(bytes(pdf))
+        assert isinstance(pgs, list)
+        for spans in pgs:
+            P.page_text(spans)
+        P.page_count(bytes(pdf))
+    except (RecursionError, MemoryError):
+        raise
+    except Exception:
+        pass  # pdf_split catches Exception into the sentinel row
