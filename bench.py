@@ -153,7 +153,8 @@ def main() -> None:
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
         "sessionize", "rollup", "host_stats",
         "dedup_exact", "minhash_lsh", "simhash_dedup", "ngram_jaccard",
-        "winnow_fingerprints", "embedding_near_dup", "dedup_clusters",
+        "winnow_fingerprints", "hot_spans", "embedding_near_dup",
+        "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
         "text_stats", "quality", "curation", "chunking",
         "sampling_split", "vocabulary", "multimodal_meta",

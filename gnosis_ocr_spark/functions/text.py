@@ -140,13 +140,13 @@ def stopword_ratio(text: Column) -> Column:
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
-def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
-                           k: int = 8, window: int = 4, max_chars: int = 120):
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
-    public algorithm): hash every k-gram of the normalized text, slide a
-    window of ``window`` consecutive hashes, keep each window's minimum;
-    the distinct survivors are the fingerprint set. Returns exploded rows
-    ``(doc_id, fp)``.
+def winnow_windows(df, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 8, window: int = 4, max_chars: int = 120):
+    """Winnowing fingerprints WITH window positions (Schleimer et al.,
+    SIGMOD 2003 — public algorithm): hash every k-gram of the normalized
+    text, slide a window of ``window`` consecutive hashes, keep each
+    window's minimum. Returns one row per full window:
+    ``(doc_id, j, fp)`` with ``j`` the 1-based window start position.
 
     Hashes are md5 hex strings and the window minimum is their lexicographic
     min — deliberately so the DuckDB oracle computes the identical set
@@ -200,9 +200,68 @@ def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
     return (
         exploded.withColumn("fp", F.min("h").over(w))
         .filter(F.col("i") <= F.col("_n") - window)  # full windows only (0-based i)
+        .select("doc_id", (F.col("i") + 1).alias("j"), "fp")
+    )
+
+
+def winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 8, window: int = 4, max_chars: int = 120):
+    """Distinct winnowing fingerprint set per document — see
+    :func:`winnow_windows` for the algorithm and plan shape."""
+    return (
+        winnow_windows(df, id_col, text_col, k, window, max_chars)
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def hot_window_spans(df, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8, window: int = 4, max_chars: int = 120,
+                     min_docs: int = 3, gap: int | None = None):
+    """Repeated-substring (boilerplate) span detection — the crawl-scale
+    approximation of ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499,
+    public): a winnowing fingerprint shared by ≥ ``min_docs`` documents
+    marks its window position hot; hot positions within ``gap`` (default
+    ``window``) of each other merge into spans (gaps-and-islands).
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` with 1-based
+    window positions — the spans a training-data pipeline cuts or
+    down-weights as cross-document boilerplate.
+
+    Scale shape: fingerprint document-frequency is ONE groupBy(fp) with a
+    map-side partial count; the surviving hot set is tiny by construction
+    (boilerplate is rare among distinct fingerprints), so the join back is
+    an explicit broadcast — the big fingerprint relation never reshuffles;
+    island merging is one window per doc_id. No driver-side loops."""
+    from pyspark.sql.window import Window
+
+    wpos = winnow_windows(df, id_col, text_col, k, window, max_chars)
+    hot = (
+        wpos.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("fp")
+    )
+    hot_pos = wpos.join(F.broadcast(hot), "fp").select("doc_id", "j")
+    g = window if gap is None else gap
+    wlag = Window.partitionBy("doc_id").orderBy("j")
+    marked = hot_pos.withColumn(
+        "brk",
+        F.when(F.col("j") - F.lag("j").over(wlag) <= g, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = marked.withColumn(
+        "isl",
+        F.sum("brk").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("j").cast("long").alias("span_start"),
+        F.max("j").cast("long").alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("isl")
 
 
 # training-data curation (Gopher-style rules, Rae et al. 2021 §A1.1 — public

@@ -340,41 +340,27 @@ FROM lineitem GROUP BY l_orderkey
 # oracle orders by (l_linenumber, l_returnflag) to match.
 
 
-def q_high_water(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 monotonic progress: running max per user over event time."""
-    events = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts",
-        F.round(F.col("value") * 100).cast("int").alias("progress"),
-    )
-    w = (
+def q_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2 + A7 in one pass (merged from the former high_water row to keep
+    the registry at 50): latest event per user carrying that user's RUNNING
+    high-water progress (the monotonic-max window, evaluated at the latest
+    row, certifies the whole prefix), top-50 most-recent users."""
+    events = _t(spark, sf_dir, "events")
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return events.select(
-        "user_id", "event_id", F.max("progress").over(w).alias("progress_hwm")
-    )
-
-
-ORACLE_HIGH_WATER = """
-SELECT user_id, event_id,
-       MAX(CAST(ROUND(value * 100) AS INT))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS progress_hwm
-FROM events
-"""
-
-
-def q_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/W2: latest event per user, 50 most-recent users."""
-    events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    progress = F.round(F.col("value") * 100).cast("int")
     return (
-        events.withColumn("_rn", F.row_number().over(w))
+        events.withColumn("_rn", F.row_number().over(w_desc))
+        .withColumn("progress_hwm", F.max(progress).over(w_run))
         .filter(F.col("_rn") == 1)
         .select(
             "user_id", "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "progress_hwm",
         )
         .orderBy(F.desc("ts_str"), F.asc("user_id"))
         .limit(50)
@@ -384,10 +370,13 @@ def q_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LATEST_TOPK = """
 WITH latest AS (
   SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         MAX(CAST(ROUND(value * 100) AS INT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS progress_hwm,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 )
-SELECT user_id, event_id, ts_str FROM latest WHERE rn = 1
+SELECT user_id, event_id, ts_str, progress_hwm FROM latest WHERE rn = 1
 ORDER BY ts_str DESC, user_id ASC LIMIT 50
 """
 
@@ -1640,6 +1629,67 @@ SELECT DISTINCT doc_id, fp FROM w
 # and turned the oracle O(n²) — stalled at sf0.1)
 
 
+_BOILER_PREFIX = "subscribe to our newsletter footer boilerplate banner "
+
+
+def q_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring (boilerplate) spans via hot winnowing fingerprints
+    (ExactSubstr-dedup analog, Lee et al. 2022): documents ∪ copies carrying
+    an injected shared prefix, so ≥ min_docs-hot fingerprints provably exist
+    and every copy must report a span over the prefix region."""
+    from gnosis_ocr_spark.functions.text import hot_window_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit(_BOILER_PREFIX), F.col("text")).alias("text"),
+    )
+    return hot_window_spans(docs.unionByName(boiler), min_docs=3)
+
+
+ORACLE_HOT_SPANS = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, '{_BOILER_PREFIX}' || text FROM documents
+), n AS (
+  SELECT doc_id,
+         substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 120) AS s
+  FROM u
+), g AS (
+  SELECT doc_id, i, md5(substr(s, i, 8)) AS h
+  FROM n, generate_series(1, 113) t(i)
+  WHERE i <= length(s) - 7
+), m AS (
+  SELECT doc_id, MAX(i) AS max_i FROM g GROUP BY doc_id
+), w AS (
+  SELECT g.doc_id, j.j AS j, MIN(g.h) AS fp
+  FROM g JOIN m USING (doc_id), generate_series(1, 110) j(j)
+  WHERE g.i BETWEEN j.j AND j.j + 3 AND j.j <= m.max_i - 3
+  GROUP BY g.doc_id, j.j
+), hf AS (
+  SELECT fp FROM (
+    SELECT fp, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY fp
+  ) WHERE df >= 3
+), hp AS (
+  SELECT w.doc_id, w.j FROM w JOIN hf USING (fp)
+), i1 AS (
+  SELECT doc_id, j,
+         CASE WHEN j - LAG(j) OVER (PARTITION BY doc_id ORDER BY j) <= 4
+              THEN 0 ELSE 1 END AS brk
+  FROM hp
+), i2 AS (
+  SELECT doc_id, j,
+         CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+  FROM i1
+)
+SELECT doc_id, CAST(MIN(j) AS BIGINT) AS span_start,
+       CAST(MAX(j) AS BIGINT) AS span_end, COUNT(*) AS n_windows
+FROM i2 GROUP BY doc_id, isl
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents ∪ verbatim copies (known duplicate pairs)."""
     return exact_duplicates(_docs_with_copies(spark, sf_dir))
@@ -1962,7 +2012,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_assembly": q_span_assembly,
     "session_status": q_session_status,
     "ordered_concat": q_ordered_concat,
-    "high_water": q_high_water,
     "latest_topk": q_latest_topk,
     "missing_chunks": q_missing_chunks,
     "chunk_assembly": q_chunk_assembly,
@@ -1997,6 +2046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocabulary": q_vocabulary,
     "dedup_exact": q_dedup_exact,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "hot_spans": q_hot_spans,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dedup": q_simhash_dedup,
@@ -2015,7 +2065,6 @@ ORACLES: dict[str, str] = {
     "span_assembly": ORACLE_SPAN_ASSEMBLY,
     "session_status": ORACLE_SESSION_STATUS,
     "ordered_concat": ORACLE_ORDERED_CONCAT,
-    "high_water": ORACLE_HIGH_WATER,
     "latest_topk": ORACLE_LATEST_TOPK,
     "missing_chunks": ORACLE_MISSING_CHUNKS,
     "chunk_assembly": ORACLE_CHUNK_ASSEMBLY,
@@ -2050,6 +2099,7 @@ ORACLES: dict[str, str] = {
     "vocabulary": ORACLE_VOCABULARY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+    "hot_spans": ORACLE_HOT_SPANS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     # the hash-seeded bucketing families get PROVABLE oracles by corpus
     # construction (verbatim copies ⇒ identical signatures ⇒ guaranteed

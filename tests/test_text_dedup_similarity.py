@@ -420,3 +420,68 @@ def test_stable_hash_matches_python_md5_reference(spark):
     for k in keys:
         expect = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:15], 16)
         assert got[k] == expect, k
+
+
+def test_hot_window_spans_matches_python_reference(spark):
+    """hot_window_spans vs a direct Python implementation of winnow → hot
+    doc-frequency → gaps-and-islands, on a corpus where ONLY the injected
+    shared prefix can be hot (suffixes use doc-unique tokens)."""
+    import hashlib
+
+    from gnosis_ocr_spark.functions.text import hot_window_spans
+
+    prefix = "shared boilerplate banner subscribe footer "
+    texts = {
+        i: prefix + " ".join(f"uniq{i}tok{t}" for t in range(12))
+        for i in range(1, 5)
+    }
+    texts[9] = "completely unrelated document " + " ".join(
+        f"only9tok{t}" for t in range(12)
+    )
+
+    def py_spans(all_texts, k=8, window=4, max_chars=120, min_docs=3, gap=4):
+        import re
+        wins = {}  # doc -> {j: fp}
+        for d, t in all_texts.items():
+            s = re.sub(r"\s+", " ", t.strip()).lower()[:max_chars]
+            grams = [hashlib.md5(s[i:i + k].encode()).hexdigest()
+                     for i in range(len(s) - k + 1)]
+            wins[d] = {
+                j + 1: min(grams[j:j + window])
+                for j in range(len(grams) - window + 1)
+            }
+        from collections import Counter
+        dfreq = Counter()
+        for d, w in wins.items():
+            for fp in set(w.values()):
+                dfreq[fp] += 1
+        hot = {fp for fp, c in dfreq.items() if c >= min_docs}
+        out = set()
+        for d, w in wins.items():
+            js = sorted(j for j, fp in w.items() if fp in hot)
+            run = []
+            for j in js:
+                if run and j - run[-1] > gap:
+                    out.add((d, run[0], run[-1], len(run)))
+                    run = []
+                run.append(j)
+            if run:
+                out.add((d, run[0], run[-1], len(run)))
+        return out
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in hot_window_spans(df, min_docs=3).collect()
+    }
+    want = py_spans(texts)
+    assert got == want
+    # the 4 prefix-sharing docs each have ≥1 span; the unrelated doc none
+    assert {d for d, *_ in got} == {1, 2, 3, 4}
+    # every doc's EARLIEST span starts at the document head (the shared
+    # prefix); later spans may exist because "tokN " substrings also repeat
+    # across the suffixes — exactly what the operator is meant to find
+    earliest = {}
+    for d, s, _, _ in got:
+        earliest[d] = min(earliest.get(d, s), s)
+    assert all(v == 1 for v in earliest.values())
