@@ -718,21 +718,33 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _N_RE = re.compile(rb"/N\s+(\d+)\b")
 _FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+# a well-formed PDF numeric operand: digits with optional fraction, or a
+# leading-dot fraction — deliberately NOT [\d.]+, which also matches lone
+# '.' / '1.2.3' garbage that float() rejects (a stray token must skip one
+# operator, never throw and sentinel the whole document)
+_NUM = rb"-?(?:\d+(?:\.\d*)?|\.\d+)"
 # content-stream tokens we understand: x y Td|TD, a b c d e f Tm, n TL,
-# T*, (s) Tj, (s) ', [(s) n (s)] TJ, BT, /F n Tf — operands in NAMED groups
+# T*, (s)|<hex> Tj, (s)|<hex> ', aw ac (s)|<hex> ", [(s) n (s)] TJ, BT,
+# /F n Tf — operands in NAMED groups
 _TOK_RE = re.compile(
-    rb"(?P<tm>(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+"
-    rb"(?P<tm_e>-?[\d.]+)\s+(?P<tm_f>-?[\d.]+)\s+Tm\b)"
-    rb"|(?P<td>(?P<td_x>-?[\d.]+)\s+(?P<td_y>-?[\d.]+)\s+(?P<td_op>T[dD]))"
-    rb"|(?P<tl>(?P<tl_v>-?[\d.]+)\s+TL\b)"
+    rb"(?P<tm>(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(?P<tm_e>" + _NUM + rb")\s+(?P<tm_f>" + _NUM
+    + rb")\s+Tm\b)"
+    rb"|(?P<td>(?P<td_x>" + _NUM + rb")\s+(?P<td_y>" + _NUM
+    + rb")\s+(?P<td_op>T[dD]))"
+    rb"|(?P<tl>(?P<tl_v>" + _NUM + rb")\s+TL\b)"
     rb"|(?P<tstar>T\*)"
     rb"|(?P<tj>\((?P<tj_s>(?:[^()\\]|\\.)*)\)\s*Tj)"
     rb"|(?P<tjx><(?P<tjx_s>[0-9A-Fa-f\s]*)>\s*Tj)"
     rb"|(?P<quote>\((?P<quote_s>(?:[^()\\]|\\.)*)\)\s*')"
-    rb"|(?P<dquote>(-?[\d.]+)\s+(-?[\d.]+)\s+\((?P<dquote_s>(?:[^()\\]|\\.)*)\)\s*\")"
+    rb"|(?P<quotex><(?P<quotex_s>[0-9A-Fa-f\s]*)>\s*')"
+    rb"|(?P<dquote>(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+\((?P<dquote_s>(?:[^()\\]|\\.)*)\)\s*\")"
+    rb"|(?P<dquotex>(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+<(?P<dquotex_s>[0-9A-Fa-f\s]*)>\s*\")"
     rb"|(?P<tja>\[(?P<tja_s>(?:[^\]\\]|\\.)*)\]\s*TJ)"
     rb"|(?P<bt>BT\b)"
-    rb"|(?P<tf>/(?P<tf_f>[^\s/<>\[\]()]+)\s+-?[\d.]+\s+Tf\b)",
+    rb"|(?P<tf>/(?P<tf_f>[^\s/<>\[\]()]+)\s+" + _NUM + rb"\s+Tf\b)",
     re.S,
 )
 # inline images (BI <dict> ID <binary> EI): the binary payload is not
@@ -743,8 +755,9 @@ _TOK_RE = re.compile(
 # poppler here).
 _INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID[ \t\r\n].*?\s+EI(?=\s|$)", re.S)
 # TJ array items: literal string, hex string, or a numeric kern adjustment
+# (_NUM, not [\d.]+ — a stray '.' token must be skipped, not float()-crash)
 _TJA_ITEM_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[\d.]+)"
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(" + _NUM + rb")"
 )
 # a negative TJ adjustment at least this large (thousandths of text space)
 # reads as an inter-word gap and becomes one space — the poppler/pdfminer
@@ -1593,6 +1606,9 @@ def _parse_content(
             spans.append(
                 Span(x, y, dec(_unesc(m.group("quote_s").decode("latin-1"))))
             )
+        elif m.group("quotex"):
+            y -= leading
+            spans.append(Span(x, y, dec(_unhex_str(m.group("quotex_s")))))
         elif m.group("dquote"):
             # aw ac (s) " = set word/char spacing (no positional effect on
             # span extraction), T*, then show
@@ -1600,6 +1616,9 @@ def _parse_content(
             spans.append(
                 Span(x, y, dec(_unesc(m.group("dquote_s").decode("latin-1"))))
             )
+        elif m.group("dquotex"):
+            y -= leading
+            spans.append(Span(x, y, dec(_unhex_str(m.group("dquotex_s")))))
         elif m.group("tja"):
             # strings decode per-item (2-byte CID alignment is per string);
             # numeric adjustments ≤ -TJ_SPACE_KERN read as word gaps

@@ -228,21 +228,25 @@ def hot_window_spans(df, id_col: str = "doc_id", text_col: str = "text",
     window positions — the spans a training-data pipeline cuts or
     down-weights as cross-document boilerplate.
 
-    Scale shape: fingerprint document-frequency is ONE groupBy(fp) with a
-    map-side partial count; the surviving hot set is tiny by construction
-    (boilerplate is rare among distinct fingerprints), so the join back is
-    an explicit broadcast — the big fingerprint relation never reshuffles;
-    island merging is one window per doc_id. No driver-side loops."""
+    Scale shape: fingerprint document-frequency is computed IN PLACE with
+    the dense_rank-then-max window trick (exact COUNT(DISTINCT doc_id) per
+    fp, sort-based, no per-row set buffer) so the expensive winnow subplan
+    — regex normalize + per-gram md5 + posexplode — is evaluated exactly
+    once (a groupBy + join-back formulation references it from two plan
+    branches and Spark executes it twice); island merging is one window
+    per doc_id. Three exchanges total, no driver-side loops."""
     from pyspark.sql.window import Window
 
     wpos = winnow_windows(df, id_col, text_col, k, window, max_chars)
-    hot = (
-        wpos.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_docs)
-        .select("fp")
+    w_fp = Window.partitionBy("fp")
+    hot_pos = (
+        wpos.withColumn(
+            "_dr", F.dense_rank().over(w_fp.orderBy("doc_id"))
+        )
+        .withColumn("_df", F.max("_dr").over(w_fp))
+        .filter(F.col("_df") >= min_docs)
+        .select("doc_id", "j")
     )
-    hot_pos = wpos.join(F.broadcast(hot), "fp").select("doc_id", "j")
     g = window if gap is None else gap
     wlag = Window.partitionBy("doc_id").orderBy("j")
     marked = hot_pos.withColumn(

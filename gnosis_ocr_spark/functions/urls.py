@@ -32,9 +32,14 @@ TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|fbclid|gclid|msclkid)="
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host without port/userinfo (crawl-analytics group key)."""
+    """Lowercased host without port/userinfo (crawl-analytics group key).
+    IPv6 literal authorities (``[2001:db8::1]:443``) yield the bracketed
+    address — the colon-based port strip cannot apply to them."""
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
-    return F.regexp_extract(auth, r"(?:^|@)([^@:]*)(?::\d*)?$", 1)
+    v6 = F.regexp_extract(auth, r"(\[[^\]]*\])", 1)
+    return F.when(v6 != "", v6).otherwise(
+        F.regexp_extract(auth, r"(?:^|@)([^@:]*)(?::\d*)?$", 1)
+    )
 
 
 def url_path_depth(url: Column | str) -> Column:
@@ -138,16 +143,20 @@ def canonicalize_url_py(url: str) -> str:
 
     u = re.sub(r"#.*$", "", url)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$", u)
-    if not m:
-        return "://" + "/"
-    scheme = m.group(1).lower()
-    auth = m.group(2).lower()
+    if m:
+        scheme = m.group(1).lower()
+        auth = m.group(2).lower()
+        rest = m.group(3)
+    else:
+        # mirror the SQL formulations exactly off the happy path too:
+        # regexp_extract misses → scheme/auth '', the prefix strip is a
+        # no-op → rest is the whole (fragment-stripped) input
+        scheme, auth, rest = "", "", u
     auth = re.sub(r"^www\.", "", auth)
     if scheme == "http":
         auth = re.sub(r":80$", "", auth)
     elif scheme == "https":
         auth = re.sub(r":443$", "", auth)
-    rest = m.group(3)
     qm = rest.find("?")
     path, query = (rest[:qm], rest[qm + 1:]) if qm >= 0 else (rest, "")
     path = re.sub(r"/{2,}", "/", path)

@@ -147,6 +147,13 @@ _CHARSET_META_RE = re.compile(
     rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-:.]+)""", re.I
 )
 _PRESCAN_BYTES = 1024
+_WHATWG_LABELS = {
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "iso_8859-1": "cp1252",
+    "latin1": "cp1252", "latin-1": "cp1252", "l1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252", "ansi_x3.4-1968": "cp1252",
+    "x-user-defined": "cp1252", "unicode-1-1-utf-8": "utf-8",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
 
 
 def decode_html_bytes(raw: bytes) -> str:
@@ -179,10 +186,13 @@ def decode_html_bytes(raw: bytes) -> str:
     m = _CHARSET_META_RE.search(raw[:_PRESCAN_BYTES])
     if m:
         label = m.group(1).decode("ascii", "ignore").strip().lower()
-        # WHATWG: a BOM-less utf-16 label (and x-user-defined) reads utf-8 —
-        # the prescan only finds ASCII-compatible byte streams anyway
-        if label in ("utf-16", "utf-16le", "utf-16be", "x-user-defined"):
-            label = "utf-8"
+        # WHATWG encoding-label quirks (Encoding Standard §4.2), not Python
+        # codec names: the iso-8859-1/latin1/ascii family maps to
+        # windows-1252 (browsers decode 0x80-0x9F as cp1252 punctuation,
+        # not C1 controls — the single most common mislabeled shape),
+        # x-user-defined likewise; a BOM-less utf-16 label reads utf-8
+        # (the prescan only finds ASCII-compatible byte streams anyway).
+        label = _WHATWG_LABELS.get(label, label)
         try:
             return raw.decode(codecs.lookup(label).name, "replace")
         except LookupError:

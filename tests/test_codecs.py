@@ -586,3 +586,27 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         raise
     except Exception:
         pass  # pdf_split catches Exception into the sentinel row
+
+
+def test_stray_numeric_garbage_skips_token_not_document():
+    """'.'-like tokens that [\\d.]+ would match but float() rejects must be
+    skipped (losing at most that token), never raise and sentinel the doc."""
+    content = (b"BT /F1 12 Tf 14 TL 72 720 Td (keep me) Tj "
+               b"[(a) . (b) 1.2.3 (c) -250 (d)] TJ "
+               b". . Td (still here) Tj ET")
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    spans = P._parse_content(P._stream_bytes(body))
+    text = " ".join(s.text for s in spans)
+    assert "keep me" in text and "still here" in text
+    # 1.2.3 tokenizes as 1.2 and .3 — small kerns, no space, no crash
+    assert "abc d" in text
+
+
+def test_quote_and_dquote_hex_operands():
+    content = (b"BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (lead) Tj "
+               b"<68657820717578> ' "
+               b"0 0 <68657820647175> \" ET")
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    assert P.page_text(P._parse_content(P._stream_bytes(body))) == (
+        "lead\nhex qux\nhex dqu"
+    )

@@ -203,3 +203,16 @@ def test_charset_declared_lie_does_not_crash():
            "broken byte here: ").encode() + b"\xff\xfe\xfd" + " and plenty of text after it to keep the block</p></body></html>".encode()
     out = extract_main_text(raw)
     assert "plenty of text after" in out
+
+
+def test_charset_whatwg_label_mapping():
+    """iso-8859-1/latin1/ascii labels decode as windows-1252 (WHATWG
+    Encoding Standard): 0x93/0x94 are curly quotes, not C1 controls."""
+    body_bytes = b"mislabeled page with \x93curly quotes\x94 and an \x97em dash\x97 inside"
+    for label in ("iso-8859-1", "latin1", "US-ASCII"):
+        raw = (f'<html><head><meta charset="{label}"></head><body><p>'.encode()
+               + body_bytes + b"</p></body></html>")
+        out = extract_main_text(raw)
+        assert "“curly quotes”" in out, label
+        assert "—em dash—" in out, label
+        assert "\x93" not in out, label

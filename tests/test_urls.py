@@ -111,3 +111,29 @@ def test_url_host_and_depth(spark):
     }
     for u, h, d in rows:
         assert got[u] == (h, d), u
+
+
+def test_url_host_ipv6_literal(spark):
+    df = spark.createDataFrame(
+        [("https://[2001:db8::1]:443/x",), ("https://user@[::1]/y",)],
+        schema="url string",
+    )
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["[2001:db8::1]", "[::1]"]
+
+
+def test_canonicalize_py_mirrors_sql_off_happy_path(spark):
+    """Scheme-less input: all three formulations must agree (the reference
+    pins the SQL, so it must not diverge even on garbage)."""
+    import duckdb
+    urls = ["example.org/a?b=1&utm_source=x", "no scheme at all", "//proto-rel"]
+    df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    spark_got = {r["url"]: r["c"] for r in
+                 df.select("url", canonicalize_url("url").alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls AS SELECT * FROM (VALUES "
+                + ", ".join("(?)" for _ in urls) + ") t(url)", urls)
+    sql = "WITH " + canon_cte_sql("url", "url", "urls") + " SELECT url, curl FROM _u3"
+    duck_got = dict(con.execute(sql).fetchall())
+    for u in urls:
+        assert spark_got[u] == canonicalize_url_py(u) == duck_got[u], u
