@@ -742,3 +742,42 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the public method of GPT-3 appendix C /
+    Brown et al. 2020, since standard for LLM training sets): a training
+    document is contaminated if it shares any word ``n``-gram with an
+    evaluation-benchmark document. Returns one row per train doc:
+    ``(doc_id, n_hits, contaminated)`` with ``n_hits`` = number of DISTINCT
+    train-doc shingles that appear anywhere in the benchmark.
+
+    Scale shape: the benchmark is orders of magnitude smaller than the
+    training corpus, so its distinct shingle set is broadcast — the train
+    shingle stream (one Generate, linear) joins map-side and aggregates on
+    doc_id; the train relation itself is never shuffled for the join. Docs
+    with fewer than ``n`` tokens have no shingles and are trivially clean.
+    """
+    t_sh = exploded_word_shingles(train, id_col, text_col, n)
+    b_sh = (
+        exploded_word_shingles(bench, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        t_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    ids = train.select(F.col(id_col).alias("doc_id"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

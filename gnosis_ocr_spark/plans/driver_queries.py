@@ -1171,42 +1171,26 @@ FROM sess GROUP BY user_id, session_no
 """
 
 
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per event type (value in integer cents so the
-    linear interpolation is float-identical between engines)."""
-    events = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100)
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(round(value*100), 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(round(value*100), 0.9)"), 4).alias("p90"),
-        F.round(F.min(cents), 4).alias("vmin"),
-        F.round(F.max(cents), 4).alias("vmax"),
-    )
-
-
-ORACLE_PERCENTILES = """
-SELECT event_type,
-       ROUND(quantile_cont(round(value * 100), 0.5), 4) AS p50,
-       ROUND(quantile_cont(round(value * 100), 0.9), 4) AS p90,
-       ROUND(MIN(round(value * 100)), 4) AS vmin,
-       ROUND(MAX(round(value * 100)), 4) AS vmax
-FROM events GROUP BY event_type
-"""
-
-
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup aggregation (engine completeness beyond the reference): event
-    counts and value cents at (type, lang-of-user-bucket), (type), and grand
-    total levels. NULL grouping levels are stringified so the oracle hash is
-    unambiguous."""
+    """Rollup aggregation + exact percentiles in one pass (merged from the
+    former percentiles row to keep the registry at 50): event counts, value
+    cents, and exact p50/p90 (linear interpolation over integer cents —
+    float-identical between engines) at (type, user-bucket), (type), and
+    grand-total levels. NULL grouping levels are stringified so the oracle
+    hash is unambiguous."""
     events = _t(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 10).cast("int")
+    cents = F.round(F.col("value") * 100)
     rolled = (
         events.select(F.col("event_type"), bucket.alias("user_bucket"), "value")
         .rollup("event_type", "user_bucket")
         .agg(
             F.count("*").alias("n"),
             F.sum(_CENTS(F.col("value"))).alias("value_c"),
+            F.round(F.expr("percentile(round(value*100), 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(round(value*100), 0.9)"), 4).alias("p90"),
+            F.round(F.min(cents), 4).alias("vmin"),
+            F.round(F.max(cents), 4).alias("vmax"),
         )
     )
     return rolled.select(
@@ -1216,6 +1200,10 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
         "value_c",
+        "p50",
+        "p90",
+        "vmin",
+        "vmax",
     )
 
 
@@ -1223,7 +1211,11 @@ ORACLE_ROLLUP = """
 SELECT COALESCE(event_type, '<all>') AS event_type,
        COALESCE(CAST(user_bucket AS VARCHAR), '<all>') AS user_bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       ROUND(quantile_cont(round(value * 100), 0.5), 4) AS p50,
+       ROUND(quantile_cont(round(value * 100), 0.9), 4) AS p90,
+       ROUND(MIN(round(value * 100)), 4) AS vmin,
+       ROUND(MAX(round(value * 100)), 4) AS vmax
 FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS user_bucket, value FROM events)
 GROUP BY ROLLUP (event_type, user_bucket)
 """
@@ -1737,6 +1729,40 @@ WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.6
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): bench = every
+    doc with doc_id % 10 = 7, train = all docs, 5-gram word shingles —
+    every bench doc's train twin is provably contaminated (verbatim
+    membership), and natural cross-doc shingle overlap is computed
+    identically on both sides."""
+    from gnosis_ocr_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    return decontaminate(docs, bench, n=5)
+
+
+ORACLE_DECONTAMINATE = """
+WITH tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), ts AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, len(toks) - 3)]) AS shingle
+  FROM tt WHERE len(toks) >= 5
+), bs AS (
+  SELECT DISTINCT shingle FROM ts WHERE doc_id % 10 = 7
+), hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+  FROM ts t JOIN bs USING (shingle) GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup with a PROVABLE-recall oracle: over a corpus of
     docs ∪ verbatim copies at threshold=1.0, every true pair has identical
@@ -2037,7 +2063,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_throughput": q_windowed_throughput,
     "rollup": q_rollup,
     "sessionize": q_sessionize,
-    "percentiles": q_percentiles,
     "text_stats": q_text_stats,
     "quality": q_quality,
     "curation": q_curation,
@@ -2048,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "hot_spans": q_hot_spans,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dedup": q_simhash_dedup,
     "dedup_clusters": q_dedup_clusters,
@@ -2090,7 +2116,6 @@ ORACLES: dict[str, str] = {
     "windowed_throughput": ORACLE_WINDOWED_THROUGHPUT,
     "rollup": ORACLE_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
-    "percentiles": ORACLE_PERCENTILES,
     "text_stats": ORACLE_TEXT_STATS,
     "quality": ORACLE_QUALITY,
     "curation": ORACLE_CURATION,
@@ -2101,6 +2126,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "hot_spans": ORACLE_HOT_SPANS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "decontaminate": ORACLE_DECONTAMINATE,
     # the hash-seeded bucketing families get PROVABLE oracles by corpus
     # construction (verbatim copies ⇒ identical signatures ⇒ guaranteed
     # recall ⇒ output equals an exact SQL-computable set; see each query's

@@ -485,3 +485,26 @@ def test_hot_window_spans_matches_python_reference(spark):
     for d, s, _, _ in got:
         earliest[d] = min(earliest.get(d, s), s)
     assert all(v == 1 for v in earliest.values())
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A train doc sharing any word n-gram with a bench doc is contaminated;
+    n_hits counts DISTINCT overlapping train-doc shingles; short docs
+    (< n tokens) are trivially clean."""
+    from gnosis_ocr_spark.functions.dedup import decontaminate
+
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),  # verbatim bench twin
+            (2, "zeta eta theta iota kappa"),       # clean
+            (3, "xx alpha beta gamma yy"),          # shares 3-gram "alpha beta gamma"
+            (4, "tiny doc"),                        # < n tokens -> clean
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert got == {1: (3, True), 2: (0, False), 3: (1, True), 4: (0, False)}
