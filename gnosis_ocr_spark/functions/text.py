@@ -418,3 +418,218 @@ def fingerprint(text: Column) -> Column:
     the exact-dedup key. (A content-defined rolling-hash variant lives in
     dedup.simhash for near-dup use.)"""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+# ── Gopher repetition suite (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) ──────────────
+# The published repetition filters: duplicate line / paragraph fractions,
+# duplicate line / paragraph CHARACTER fractions, top n-gram character
+# fraction (n = 2..4), and duplicate n-gram character fraction (n = 5..10).
+# Segment stats are pure Column expressions (no explode); the gram families
+# use posexplode + window — the repo's documented fix for quadratic HOF
+# re-evaluation — so every shuffle is keyed by doc_id and scales.
+
+
+def dup_segment_stats(text: Column) -> list[Column]:
+    """Duplicate-line and duplicate-paragraph stats as four aliased bp
+    columns: ``dup_line_bp``, ``dup_line_char_bp``, ``dup_para_bp``,
+    ``dup_para_char_bp``.
+
+    Lines split on ``\\n``, paragraphs on blank lines (``\\n\\s*\\n``);
+    segments are trimmed and empties dropped. A segment occurrence beyond
+    the first of its exact text is a duplicate (Rae et al.'s
+    ``find_duplicates``): element fraction = dup occurrences / segments,
+    char fraction = chars of dup occurrences / chars of all segments.
+    Pure expressions — ``total − distinct`` gives dup counts without a
+    quadratic per-element scan.
+    """
+
+    def _stats(segs: Column, prefix: str) -> list[Column]:
+        # NOTE: must be a unary lambda — passing F.trim directly makes
+        # PySpark bind its optional trim-chars parameter to the element
+        # INDEX (trim(x, i)), silently mangling segments
+        segs = F.filter(
+            F.transform(segs, lambda s: F.trim(s)), lambda s: F.length(s) > 0
+        )
+        uniq = F.array_distinct(segs)
+        n_all = F.size(segs)
+        chars = lambda a: F.aggregate(  # noqa: E731
+            a, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+        )
+        c_all, c_uniq = chars(segs), chars(uniq)
+        frac_n = (n_all - F.size(uniq)) / F.greatest(n_all, F.lit(1))
+        frac_c = (c_all - c_uniq) / F.greatest(c_all, F.lit(1))
+        return [
+            F.round(F.round(frac_n, 4) * 10000).cast("int").alias(f"{prefix}_bp"),
+            F.round(F.round(frac_c, 4) * 10000)
+            .cast("int")
+            .alias(f"{prefix}_char_bp"),
+        ]
+
+    lines = F.split(text, r"\n")
+    paras = F.split(text, r"\n\s*\n")
+    return _stats(lines, "dup_line") + _stats(paras, "dup_para")
+
+
+def gopher_repetition(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Full Gopher repetition table: one row per document with
+    ``dup_line_bp, dup_line_char_bp, dup_para_bp, dup_para_char_bp``,
+    ``top_{n}gram_bp`` for n in ``top_ns`` and ``dup_{n}gram_bp`` for n in
+    ``dup_ns`` (all basis points, int).
+
+    Definitions (documented because the paper leaves ties/overlap loose):
+
+    - tokens = whitespace split of ``lower(trim(text))``; the character
+      denominator for the gram families is the total non-whitespace char
+      count of those tokens.
+    - ``top_{n}gram_bp``: chars of the most frequent word n-gram (count ×
+      non-space chars of the gram) / total chars. Ties broken
+      deterministically by (count desc, gram chars desc, gram asc).
+    - ``dup_{n}gram_bp``: chars covered by ANY word position lying inside an
+      occurrence of an n-gram whose text occurs more than once in the doc
+      (interval-union coverage — overlapping occurrences are not double
+      counted) / total chars. This is the position-marking variant used by
+      the public reimplementations; it is order-independent, unlike the
+      paper's greedy left-to-right scan, so it parallelizes and has an
+      exact SQL mirror.
+
+    Plan shape: one posexplode (Generate barrier defeats HOF re-evaluation),
+    one lead-window to form all gram sizes in a single pass, then
+    groupBy/window aggregations — every exchange is keyed by doc_id (+gram),
+    so partial aggregation applies and no key is global. Scales: a 10⁶-token
+    document fans out across partitions instead of pinning a task in a
+    per-row HOF.
+    """
+    from pyspark.sql.window import Window
+
+    max_n = max(*top_ns, *dup_ns)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    seg = base.select("doc_id", *dup_segment_stats(F.col("text")))
+
+    toked = base.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    words = toked.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "word")
+    )
+    wlen = words.select(
+        "doc_id", "pos", F.length("word").alias("wlen")
+    )
+    totals = wlen.groupBy("doc_id").agg(
+        F.sum("wlen").alias("total_chars")
+    )
+
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        *[
+            F.lead("word", i).over(w_ord).alias(f"_l{i}")
+            for i in range(1, max_n)
+        ],
+    )
+
+    def gram(n: int) -> Column:
+        parts = [F.col("word")] + [F.col(f"_l{i}") for i in range(1, n)]
+        return F.when(
+            F.col(f"_l{n-1}").isNotNull(), F.concat_ws(" ", *parts)
+        )
+
+    # one Generate over an array of (n, gram) structs — NOT a self-union,
+    # which would recompute the posexplode+lead subtree once per n
+    def long_frame(ns: tuple[int, ...], with_pos: bool):
+        cols = ["doc_id"] + (["pos"] if with_pos else [])
+        structs = F.array(
+            *[
+                F.struct(F.lit(n).alias("n"), gram(n).alias("gram"))
+                for n in ns
+            ]
+        )
+        return (
+            leads.select(*cols, F.explode(structs).alias("g"))
+            .select(*cols, "g.n", "g.gram")
+            .filter(F.col("gram").isNotNull())
+        )
+
+    # ── top n-gram char fraction ────────────────────────────────────────────
+    gcnt = long_frame(top_ns, with_pos=False).groupBy(
+        "doc_id", "n", "gram"
+    ).agg(F.count("*").alias("cnt"))
+    gchars = (F.length("gram") - (F.col("n") - 1)).alias("gram_chars")
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram_chars").desc(), F.col("gram")
+    )
+    top = (
+        gcnt.select("doc_id", "n", "cnt", "gram", gchars)
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "n", (F.col("cnt") * F.col("gram_chars")).alias("top_chars")
+        )
+    )
+    top_w = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(
+                f"_top{n}"
+            )
+            for n in top_ns
+        ]
+    )
+
+    # ── duplicate n-gram char coverage (interval union) ─────────────────────
+    w_gram = Window.partitionBy("doc_id", "n", "gram")
+    covered = (
+        long_frame(dup_ns, with_pos=True)
+        .withColumn("cnt", F.count("*").over(w_gram))
+        .filter(F.col("cnt") > 1)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .join(wlen, ["doc_id", "pos"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("wlen").alias("cov_chars"))
+    )
+    cov_w = covered.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("cov_chars"))).alias(
+                f"_dup{n}"
+            )
+            for n in dup_ns
+        ]
+    )
+
+    def bp(chars_col: Column) -> Column:
+        frac = F.coalesce(chars_col, F.lit(0)) / F.greatest(
+            F.col("total_chars"), F.lit(1)
+        )
+        return F.round(F.round(frac, 4) * 10000).cast("int")
+
+    return (
+        seg.join(totals, "doc_id", "left")
+        .join(top_w, "doc_id", "left")
+        .join(cov_w, "doc_id", "left")
+        .withColumn("total_chars", F.coalesce("total_chars", F.lit(0)))
+        .select(
+            "doc_id",
+            "dup_line_bp",
+            "dup_line_char_bp",
+            "dup_para_bp",
+            "dup_para_char_bp",
+            *[bp(F.col(f"_top{n}")).alias(f"top_{n}gram_bp") for n in top_ns],
+            *[bp(F.col(f"_dup{n}")).alias(f"dup_{n}gram_bp") for n in dup_ns],
+        )
+    )

@@ -1287,43 +1287,23 @@ FROM events GROUP BY 1
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis in ONE pass (merged with the former `quality`
+    row to free a registry slot for gopher_repetition): token counts,
+    lang-ID, fingerprint, plus the quality-score components."""
     docs = _t(spark, sf_dir, "documents")
     # materialize the lowercase tokens ONCE: lang_id's 10 per-language
     # filter lambdas would otherwise each re-run the tokenizer (no CSE in
     # HOF lambdas); the alias is referenced 10× so CollapseProject keeps it
     from gnosis_ocr_spark.functions.text import tokens
 
+    nc, nt, ar, pr, mwl = quality_metrics(F.col("text"))
     return docs.withColumn("_ltoks", tokens(F.lower(F.col("text")))).select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
+        nc,
+        nt,
         bpe_ish_token_count(F.col("text")).alias("n_bpe"),
         lang_id(F.col("text"), toks=F.col("_ltoks")).alias("lang_guess"),
         fingerprint(F.col("text")).alias("fp"),
-    )
-
-
-ORACLE_TEXT_STATS = f"""
-WITH t AS (
-  SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
-         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe,
-       {lang_case_sql("ltoks")} AS lang_guess,
-       md5(lower({_NORM_SQL})) AS fp
-FROM t
-"""
-
-
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    nc, nt, ar, pr, mwl = quality_metrics(F.col("text"))
-    return docs.select(
-        "doc_id",
-        nc, nt,
         F.round(ar * 10000).cast("int").alias("alpha_bp"),
         F.round(pr * 10000).cast("int").alias("punct_bp"),
         F.round(mwl * 100).cast("int").alias("mwl_centi"),
@@ -1331,12 +1311,12 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY = """
+ORACLE_TEXT_STATS = f"""
 WITH t AS (
   SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
          length(text) AS nc,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws,
@@ -1345,15 +1325,21 @@ WITH t AS (
                         'be','been','it','this','that','with','as','for','on','at','by',
                         'from','not','but'))) AS sw
   FROM documents
+), t2 AS (
+  SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS nt
+  FROM t
 )
 SELECT doc_id,
        CAST(nc AS BIGINT) AS n_chars,
        CAST(nt AS INT) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe,
+       {lang_case_sql("ltoks")} AS lang_guess,
+       md5(lower({_NORM_SQL})) AS fp,
        CAST(ROUND(ROUND(alpha * 1.0 / GREATEST(nc, 1), 4) * 10000) AS INT) AS alpha_bp,
        CAST(ROUND(ROUND(punct * 1.0 / GREATEST(nc, 1), 4) * 10000) AS INT) AS punct_bp,
        CAST(ROUND(ROUND(nonws * 1.0 / GREATEST(nt, 1), 4) * 100) AS INT) AS mwl_centi,
        CAST(ROUND(ROUND(sw * 1.0 / GREATEST(nt, 1), 4) * 10000) AS INT) AS sw_bp
-FROM t
+FROM t2
 """
 
 
@@ -1456,6 +1442,131 @@ SELECT doc_id,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
          AS redacted
 FROM g
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition suite (Rae et al. 2021 Table A1): duplicate
+    line/paragraph fractions + char fractions, top-{2,3,4}-gram char
+    fraction, duplicate-{5..10}-gram char coverage. The corpus is salted
+    deterministically (docs have no newlines): every doc gets a repeated
+    footer line, and every doc_id % 3 == 0 doc repeats its own body as a
+    second paragraph — so the line metrics fire everywhere and the
+    paragraph metrics fire on a provable subset, while the gram metrics
+    run over the natural small-vocab repetition."""
+    from gnosis_ocr_spark.functions.text import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncontact us today\n\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.lit("tail block "), F.col("doc_id").cast("string"))
+            ),
+            F.lit("\ncontact us today"),
+        ).alias("text"),
+    )
+    return gopher_repetition(salted)
+
+
+ORACLE_GOPHER_REPETITION = """
+WITH d2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'contact us today' || chr(10) || chr(10) ||
+         (CASE WHEN doc_id % 3 = 0 THEN text
+               ELSE 'tail block ' || CAST(doc_id AS VARCHAR) END) ||
+         chr(10) || 'contact us today' AS text
+  FROM documents
+), seg0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                    x -> trim(x)), x -> length(x) > 0) AS lines,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n\\s*\\n'),
+                                    x -> trim(x)), x -> length(x) > 0) AS paras
+  FROM d2
+), seg AS (
+  SELECT doc_id,
+    CAST(ROUND(ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+         / GREATEST(len(lines), 1), 4) * 10000) AS INT) AS dup_line_bp,
+    CAST(ROUND(ROUND((COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
+         - COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)) * 1.0
+         / GREATEST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0), 1), 4)
+         * 10000) AS INT) AS dup_line_char_bp,
+    CAST(ROUND(ROUND((len(paras) - len(list_distinct(paras))) * 1.0
+         / GREATEST(len(paras), 1), 4) * 10000) AS INT) AS dup_para_bp,
+    CAST(ROUND(ROUND((COALESCE(list_sum(list_transform(paras, x -> length(x))), 0)
+         - COALESCE(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0)) * 1.0
+         / GREATEST(COALESCE(list_sum(list_transform(paras, x -> length(x))), 0), 1), 4)
+         * 10000) AS INT) AS dup_para_char_bp
+  FROM seg0
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM d2 WHERE length(trim(text)) > 0
+), w AS (
+  SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'word': toks[i]}
+                   for i in range(1, len(toks) + 1)]) AS u
+    FROM t)
+), totals AS (
+  SELECT doc_id, SUM(length(word)) AS total_chars FROM w GROUP BY doc_id
+), g AS (
+  SELECT doc_id, n, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id, nn.n AS n,
+           unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+nn.n-1], ' ')}
+                   for i in range(1, len(toks) - nn.n + 2)]) AS u
+    FROM t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n))
+), gc AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) - (n - 1) AS gram_chars
+  FROM g WHERE n <= 4 GROUP BY doc_id, n, gram
+), topx AS (
+  SELECT doc_id, n, cnt * gram_chars AS top_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram_chars DESC, gram ASC) AS rk
+  FROM gc
+), topw AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN top_chars END) AS t2,
+         MAX(CASE WHEN n = 3 THEN top_chars END) AS t3,
+         MAX(CASE WHEN n = 4 THEN top_chars END) AS t4
+  FROM topx WHERE rk = 1 GROUP BY doc_id
+), dg AS (
+  SELECT doc_id, n, pos,
+         COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+  FROM g WHERE n >= 5
+), cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT doc_id, n, unnest(range(pos, pos + n)) AS p FROM dg WHERE cnt > 1)
+), covc AS (
+  SELECT c.doc_id, c.n, SUM(length(w.word)) AS cov_chars
+  FROM cov c JOIN w ON c.doc_id = w.doc_id AND c.p = w.pos
+  GROUP BY c.doc_id, c.n
+), covw AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 5 THEN cov_chars END) AS d5,
+         MAX(CASE WHEN n = 6 THEN cov_chars END) AS d6,
+         MAX(CASE WHEN n = 7 THEN cov_chars END) AS d7,
+         MAX(CASE WHEN n = 8 THEN cov_chars END) AS d8,
+         MAX(CASE WHEN n = 9 THEN cov_chars END) AS d9,
+         MAX(CASE WHEN n = 10 THEN cov_chars END) AS d10
+  FROM covc GROUP BY doc_id
+)
+SELECT s.doc_id, s.dup_line_bp, s.dup_line_char_bp, s.dup_para_bp, s.dup_para_char_bp,
+  CAST(ROUND(ROUND(COALESCE(t2, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS top_2gram_bp,
+  CAST(ROUND(ROUND(COALESCE(t3, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS top_3gram_bp,
+  CAST(ROUND(ROUND(COALESCE(t4, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS top_4gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d5, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_5gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d6, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_6gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d7, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_7gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d8, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_8gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d9, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_9gram_bp,
+  CAST(ROUND(ROUND(COALESCE(d10, 0) * 1.0 / GREATEST(COALESCE(total_chars, 0), 1), 4) * 10000) AS INT) AS dup_10gram_bp
+FROM seg s
+LEFT JOIN totals USING (doc_id)
+LEFT JOIN topw USING (doc_id)
+LEFT JOIN covw USING (doc_id)
 """
 
 
@@ -2064,8 +2175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
-    "quality": q_quality,
     "curation": q_curation,
+    "gopher_repetition": q_gopher_repetition,
     "chunking": q_chunking,
     "sampling_split": q_sampling_split,
     "vocabulary": q_vocabulary,
@@ -2117,8 +2228,8 @@ ORACLES: dict[str, str] = {
     "rollup": ORACLE_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
     "text_stats": ORACLE_TEXT_STATS,
-    "quality": ORACLE_QUALITY,
     "curation": ORACLE_CURATION,
+    "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "chunking": ORACLE_CHUNKING,
     "sampling_split": ORACLE_SAMPLING_SPLIT,
     "vocabulary": ORACLE_VOCABULARY,

@@ -20,6 +20,7 @@ from gnosis_ocr_spark.plans.driver_queries import (  # noqa: E402
     q_cosine_topk,
     q_lsh_cosine_topk,
     q_minhash_lsh,
+    q_gopher_repetition,
     q_simhash_dedup,
     q_tpch_q5,
 )
@@ -117,6 +118,18 @@ def main() -> None:
             "top-k BEFORE the exchange (map-side limit), so only k candidate\n"
             "rows per query per partition shuffle — the property that keeps\n"
             "top-k ANN viable at 10^12 corpus rows.",
+        ),
+        (
+            "Gopher repetition suite (text.gopher_repetition)",
+            q_gopher_repetition(spark, SF),
+            "Line/paragraph dup stats are pure per-row expressions (total −\n"
+            "distinct — no explode, no quadratic per-element scan). The gram\n"
+            "families share ONE posexplode + ONE lead-window pass building\n"
+            "all nine gram sizes at once (a per-n self-union would recompute\n"
+            "the exploded subtree nine times); top-gram and dup-coverage then\n"
+            "aggregate on (doc_id, n, gram) — every exchange carries doc_id,\n"
+            "so partial aggregation applies and a 10⁶-token document fans\n"
+            "out across partitions instead of pinning a task in a HOF.",
         ),
     ]
 

@@ -508,3 +508,101 @@ def test_decontaminate_ngram_overlap(spark):
         for r in decontaminate(train, bench, n=3).collect()
     }
     assert got == {1: (3, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+
+
+def _gopher_py(text):
+    """Plain-Python reference for gopher_repetition's spec (independent of
+    Spark): returns the 13 bp metrics for one document."""
+    import re
+    from collections import Counter
+
+    def bp(num, den):
+        return int(round(round(num / max(den, 1), 4) * 10000))
+
+    def seg_stats(segs):
+        segs = [s.strip() for s in segs]
+        segs = [s for s in segs if s]
+        seen, dup_n, dup_c = set(), 0, 0
+        for s in segs:
+            if s in seen:
+                dup_n += 1
+                dup_c += len(s)
+            else:
+                seen.add(s)
+        total_c = sum(len(s) for s in segs)
+        return bp(dup_n, len(segs)), bp(dup_c, total_c)
+
+    lines = seg_stats(text.split("\n"))
+    paras = seg_stats(re.split(r"\n\s*\n", text))
+    toks = text.strip().lower().split() if text.strip() else []
+    total = sum(len(t) for t in toks)
+    out = list(lines) + list(paras)
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        if grams:
+            # argmax by (count desc, chars desc, gram asc) — the documented
+            # deterministic tie-break, NOT max(count * chars)
+            g = min(grams, key=lambda g: (-grams[g], -(len(g) - (n - 1)), g))
+            out.append(bp(grams[g] * (len(g) - (n - 1)), total))
+        else:
+            out.append(0)
+    for n in range(5, 11):
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if grams[" ".join(toks[i : i + n])] > 1:
+                covered.update(range(i, i + n))
+        out.append(bp(sum(len(toks[p]) for p in covered), total))
+    return out
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    from gnosis_ocr_spark.functions.text import gopher_repetition
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ["spark", "data", "the", "of", "row", "table", "x1", "longword"]
+    docs = []
+    for i in range(20):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        # splice in literal repeats so dup grams provably fire
+        if i % 3 == 0 and len(words) >= 12:
+            words[6:12] = words[0:6]
+        body = " ".join(words)
+        if i % 4 == 0:
+            body = body + "\nfooter line\nfooter line\n\n" + body
+        docs.append((i, body))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: list(r)[1:] for r in gopher_repetition(df).collect()}
+    for i, text in docs:
+        assert got[i] == _gopher_py(text), f"doc {i}: {got[i]} vs {_gopher_py(text)}"
+
+
+def test_gopher_repetition_hand_values(spark):
+    from gnosis_ocr_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "l1\nl1\n\npara\n\npara"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    # doc 1: 10 one-char tokens; "a b" ×2 → 4/10; the whole 5-gram repeats →
+    # every position covered
+    assert got[1]["top_2gram_bp"] == 4000
+    assert got[1]["top_3gram_bp"] == 6000
+    assert got[1]["top_4gram_bp"] == 8000
+    assert got[1]["dup_5gram_bp"] == 10000
+    assert got[1]["dup_6gram_bp"] == 0
+    # doc 2: lines [l1,l1,para,para] → 2/4 dup, 6/12 dup chars;
+    # paras [l1\nl1, para, para] → 1/3 dup, 4/13 dup chars
+    assert got[2]["dup_line_bp"] == 5000
+    assert got[2]["dup_line_char_bp"] == 5000
+    assert got[2]["dup_para_bp"] == 3333
+    assert got[2]["dup_para_char_bp"] == 3077
+    # empty doc: all zeros
+    assert all(v == 0 for k, v in got[3].items() if k != "doc_id")
