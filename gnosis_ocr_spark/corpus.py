@@ -92,10 +92,11 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
 # word breaks (TJ adjustments, zero 0x20 bytes in show strings),
 # RC4-encrypted (standard handler, empty user password), and composite
 # Type0/Identity-H (every char a 2-byte CID through a /ToUnicode CMap —
-# meaningful even for ASCII text).
+# meaningful even for ASCII text), and Form-XObject pages (first line
+# drawn via /Fm Do with a /Matrix translation — letterhead/stamp shape).
 _PDF_WRITERS = (
     "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
-    "type0",
+    "type0", "form_xobj",
 )
 
 
@@ -128,6 +129,8 @@ def _pdf_doc(rng: random.Random, n_pages: int,
         return _cp.build_pdf_encrypted(pages, revision=3), expected
     if writer == "type0":
         return _cp.build_pdf_type0(pages), expected
+    if writer == "form_xobj":
+        return _cp.build_pdf_form_xobject(pages), expected
     return build_pdf(pages), expected
 
 
@@ -152,12 +155,12 @@ def generate_rows(n: int = 200, seed: int = 42, skew_max_pages: int = 120) -> li
             rows.append(CorpusRow(url, ts, html, raw_text, lang, expected, 1))
         elif slot < 18:
             n_pages = rng.randint(1, 3)
-            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 8])
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % len(_PDF_WRITERS)])
             url = f"https://example-{i:06d}.test/paper-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         elif slot == 18:  # skew document
             n_pages = rng.randint(50, skew_max_pages)
-            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % 8])
+            pdf, expected = _pdf_doc(rng, n_pages, writer=_PDF_WRITERS[i % len(_PDF_WRITERS)])
             url = f"https://example-{i:06d}.test/opus-{i}.pdf"
             rows.append(CorpusRow(url, ts, pdf, None, lang, expected, n_pages))
         else:  # adversarial, rotating

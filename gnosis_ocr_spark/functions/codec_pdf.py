@@ -700,6 +700,60 @@ def build_pdf_tj_kerned(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_form_xobject(pages: list[str]) -> bytes:
+    """Fixture writer for Form XObjects (the letterhead/stamp/generated-PDF
+    shape poppler handles and naive parsers drop): each page's FIRST line
+    lives inside a ``/Subtype /Form`` XObject invoked by ``/Fm Do`` and
+    positioned through the form's ``/Matrix`` translation (text inside the
+    form sits at y=0 and the matrix lifts it to 720); remaining lines render
+    in the page content stream. Layout matches :func:`build_pdf`, so the
+    extracted text is identical across writers."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 3 * n_pages
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 3 * i
+        content_no, form_no = page_no + 1, page_no + 2
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> "
+                f"/XObject << /Fm {form_no} 0 R >> >> "
+                f"/Contents {content_no} 0 R >>"
+            ).encode()
+        )
+        lines = page_text_.split("\n")
+        # Do is a page-description operator: legal outside BT..ET only
+        ops = ["/Fm Do"]
+        if len(lines) > 1:
+            ops += ["BT", "/F1 12 Tf", "72 706 Td"]
+            for j, line in enumerate(lines[1:]):
+                if j > 0:
+                    ops.append("0 -14 Td")
+                ops.append(f"({_esc(line)}) Tj")
+            ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+        fops = f"BT\n/F1 12 Tf\n72 0 Td\n({_esc(lines[0])}) Tj\nET"
+        fstream = fops.encode("latin-1", "replace")
+        objects.append(
+            (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Matrix [1 0 0 1 0 720] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Length %d >>\n"
+                b"stream\n%s\nendstream" % (font_obj_no, len(fstream), fstream)
+            )
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def is_pdf(data: bytes | None) -> bool:
     """Magic-byte sniff — the content-trusting replacement for the reference's
     extension allow-list (/root/reference/app/config.py:19,92-95)."""
@@ -744,7 +798,8 @@ _TOK_RE = re.compile(
     + rb")\s+<(?P<dquotex_s>[0-9A-Fa-f\s]*)>\s*\")"
     rb"|(?P<tja>\[(?P<tja_s>(?:[^\]\\]|\\.)*)\]\s*TJ)"
     rb"|(?P<bt>BT\b)"
-    rb"|(?P<tf>/(?P<tf_f>[^\s/<>\[\]()]+)\s+" + _NUM + rb"\s+Tf\b)",
+    rb"|(?P<tf>/(?P<tf_f>[^\s/<>\[\]()]+)\s+" + _NUM + rb"\s+Tf\b)"
+    rb"|(?P<do>/(?P<do_name>[^\s/<>\[\]()]+)\s+Do\b)",
     re.S,
 )
 # inline images (BI <dict> ID <binary> EI): the binary payload is not
@@ -900,6 +955,8 @@ def _decryptor_for(pdf: bytes) -> "_StdDecryptor | None":
 # public Adobe Glyph List subset (glyph name → unicode) covering Latin-1
 # accents, common punctuation and Greek — the names /Differences arrays use
 _GLYPH_NAMES: dict[str, str] = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
     "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
     "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
     "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
@@ -1094,16 +1151,22 @@ def _obj_dec(dec, num: int):
     return (lambda raw: dec.decrypt_obj(num, raw)) if dec else None
 
 
+def _resources_body(objs: dict[int, bytes], body: bytes) -> bytes:
+    """The /Resources dict bytes for a page or form body — inline dict or
+    indirect ref (real writers use both)."""
+    rm = _RESOURCES_REF_RE.search(body)
+    if rm:
+        return objs.get(int(rm.group(1)), b"")
+    return body
+
+
 def _page_fonts(
     objs: dict[int, bytes], page_body: bytes, dec=None
 ) -> dict[bytes, tuple[int, list[str] | dict[int, str]]]:
     """Font name → (code width, decode mapping) for one page's /Resources
     (inline dict or indirect ref). Fonts with no encoding info are omitted
     (latin-1 path)."""
-    res = page_body
-    rm = _RESOURCES_REF_RE.search(page_body)
-    if rm:
-        res = objs.get(int(rm.group(1)), b"")
+    res = _resources_body(objs, page_body)
     fm = _FONT_DICT_RE.search(res)
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] = {}
     if fm:
@@ -1112,6 +1175,68 @@ def _page_fonts(
             if spec is not None:
                 fonts[name] = spec
     return fonts
+
+
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s*\]"
+)
+_FORM_MAX_DEPTH = 8
+
+
+def _xobject_map(objs: dict[int, bytes], body: bytes) -> dict[bytes, int]:
+    """XObject name → object number from a page/form /Resources."""
+    res = _resources_body(objs, body)
+    xm = _XOBJ_DICT_RE.search(res)
+    if not xm:
+        return {}
+    return {
+        name: int(ref) for name, ref in _FONT_ENTRY_RE.findall(xm.group(1))
+    }
+
+
+def _form_spans(
+    objs: dict[int, bytes],
+    no: int | None,
+    dec,
+    parent_fonts: dict,
+    depth: int,
+    active: frozenset[int],
+) -> list["Span"]:
+    """Execute a ``name Do`` target: if the XObject is a /Subtype /Form,
+    recursively parse its content stream (image XObjects contribute no
+    text). Spans translate by the form /Matrix (e, f) — same fidelity
+    decision as Tm: translation honored, scale/rotation ignored. The form's
+    own /Resources override the caller's (PDF inheritance); forms may nest,
+    so recursion is depth-capped and cycle-guarded (a self-referencing form
+    must degrade to dropped content, not a RecursionError)."""
+    if no is None or no in active or depth > _FORM_MAX_DEPTH:
+        return []
+    body = objs.get(no, b"")
+    if not _FORM_SUBTYPE_RE.search(body):
+        return []
+    stream = _stream_bytes(body, _obj_dec(dec, no), objs)
+    if stream is None:
+        return []
+    fonts = dict(parent_fonts)
+    fonts.update(_page_fonts(objs, body, dec))
+    xmap = _xobject_map(objs, body)
+    nested = active | {no}
+
+    def resolver(name: bytes) -> list[Span]:
+        return _form_spans(objs, xmap.get(name), dec, fonts, depth + 1, nested)
+
+    e = f = 0.0
+    mm = _MATRIX_RE.search(body)
+    if mm:
+        try:
+            e, f = float(mm.group(5)), float(mm.group(6))
+        except ValueError:
+            pass
+    spans = _parse_content(stream, fonts, resolver)
+    return [Span(s.x + e, s.y + f, s.text) for s in spans]
 
 
 def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]:
@@ -1255,7 +1380,16 @@ def extract_pages(
             if stream is not None:
                 parts.append(stream)
         fonts = _page_fonts(objs, body, dec)
-        pages.append(_parse_content(b"\n".join(parts), fonts) if parts else [])
+        xmap = _xobject_map(objs, body)
+
+        def resolver(name: bytes, _xmap=xmap, _fonts=fonts) -> list[Span]:
+            return _form_spans(
+                objs, _xmap.get(name), dec, _fonts, 1, frozenset()
+            )
+
+        pages.append(
+            _parse_content(b"\n".join(parts), fonts, resolver) if parts else []
+        )
     return pages
 
 
@@ -1552,6 +1686,7 @@ def _stream_bytes(
 def _parse_content(
     stream: bytes,
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] | None = None,
+    xobj=None,
 ) -> list[Span]:
     stream = _INLINE_IMG_RE.sub(b" ", stream)
     fonts = fonts or {}
@@ -1631,6 +1766,10 @@ def _parse_content(
                 elif float(sm.group(3)) <= -TJ_SPACE_KERN:
                     parts.append(" ")
             spans.append(Span(x, y, "".join(parts)))
+        elif m.group("do") and xobj is not None:
+            # form XObject invocation — spans come back already positioned
+            # (form /Matrix translation applied by the resolver)
+            spans.extend(xobj(m.group("do_name")))
     return spans
 
 

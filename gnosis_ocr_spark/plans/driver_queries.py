@@ -143,11 +143,12 @@ ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM docume
 def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from gnosis_ocr_spark.functions import codec_pdf as _cp
 
-    # writer class rotates on doc_id % 8 (deterministic, no rng) so the
+    # writer class rotates on doc_id % len(writers) (deterministic, no rng) so the
     # GREEN pdf_extract driver row certifies every codec path the engine
     # supports — plain/Flate classic, PDF 1.5 ObjStm+xref-stream, LZW,
     # chained ASCII85+Flate with indirect /Length, kerning-only word
-    # breaks, RC4-encrypted, composite Type0/Identity-H CIDs. All writers
+    # breaks, RC4-encrypted, composite Type0/Identity-H CIDs, and Form-
+    # XObject pages (/Fm Do with a /Matrix translation). All writers
     # emit the identical 72/720 layout, so the oracle stays a pure SQL
     # function of `text`.
     writers = (
@@ -161,13 +162,14 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_tj_kerned(p),
         lambda p: _cp.build_pdf_encrypted(p, revision=3),
         lambda p: _cp.build_pdf_type0(p),
+        lambda p: _cp.build_pdf_form_xobject(p),
     )
     for b in batches:
         out = {"url": [], "html": []}
         for doc_id, norm in zip(b["doc_id"], b["norm"]):
             p1, p2 = norm[:60], norm[60:120]
             out["url"].append(str(doc_id))
-            out["html"].append(writers[int(doc_id) % 8]([p1, p2]))
+            out["html"].append(writers[int(doc_id) % len(writers)]([p1, p2]))
         yield pd.DataFrame(out)
 
 

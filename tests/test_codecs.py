@@ -572,6 +572,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_encrypted(pages),
         lambda: P.build_pdf_type0(pages),
         lambda: P.build_pdf_tj_kerned(pages),
+        lambda: P.build_pdf_form_xobject(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -610,3 +611,79 @@ def test_quote_and_dquote_hex_operands():
     assert P.page_text(P._parse_content(P._stream_bytes(body))) == (
         "lead\nhex qux\nhex dqu"
     )
+
+
+def test_form_xobject_roundtrip_matches_plain_writer():
+    pages = ["first line\nsecond line\nthird", "only one line", "a\nb"]
+    pdf = P.build_pdf_form_xobject(pages)
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(pages))]
+    assert P.page_count(pdf) == 3
+
+
+def _wrap_stream(body_dict: bytes, content: bytes) -> bytes:
+    return body_dict + b" /Length %d >>\nstream\n%s\nendstream" % (
+        len(content), content)
+
+
+def test_nested_form_xobjects_and_cycle_guard():
+    """A form invoking a second form extracts both; a self-referencing form
+    terminates (cycle guard) keeping its own text; an /Image Do is a no-op."""
+    inner = _wrap_stream(
+        b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 -14]",
+        b"BT /F1 12 Tf 72 0 Td (inner text) Tj ET")
+    outer = _wrap_stream(
+        b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 720] "
+        b"/Resources << /XObject << /In 8 0 R >> >>",
+        b"BT /F1 12 Tf 72 0 Td (outer text) Tj ET\n/In Do")
+    selfref = _wrap_stream(
+        b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 680] "
+        b"/Resources << /XObject << /Me 9 0 R >> >>",
+        b"BT /F1 12 Tf 72 0 Td (loop text) Tj ET\n/Me Do")
+    image = _wrap_stream(
+        b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1",
+        b"\x00")
+    content = b"/Fm Do\n/Lp Do\n/Im Do"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> /XObject "
+        b"<< /Fm 7 0 R /Lp 9 0 R /Im 10 0 R >> >> /Contents 4 0 R >>",
+        _wrap_stream(b"<<", content),
+        b"<< >>",  # filler so font lands at 6
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        outer,   # 7
+        inner,   # 8
+        selfref, # 9
+        image,   # 10
+    ]
+    pdf = P._assemble_classic(objects)
+    [spans] = P.extract_pages(pdf)
+    text = P.page_text(spans)
+    # outer at y=720, inner at 720-14=706, loop at 680 — reading order
+    assert text == "outer text\ninner text\nloop text"
+
+
+def test_form_without_resources_inherits_page_fonts():
+    """A form with no /Resources uses the invoking context's fonts — here
+    the page's /Differences-encoded font must apply inside the form."""
+    form = _wrap_stream(
+        b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 720]",
+        b"BT /F1 12 Tf 72 0 Td (ab) Tj ET")
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> /XObject << /Fm 6 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        _wrap_stream(b"<<", b"/Fm Do"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 97 /zero 98 /one ] >> >>",
+        form,
+    ]
+    pdf = P._assemble_classic(objects)
+    [spans] = P.extract_pages(pdf)
+    assert P.page_text(spans) == "01"
