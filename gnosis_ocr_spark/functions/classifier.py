@@ -1,0 +1,108 @@
+"""fastText-style linear quality classifier over hashed bag-of-n-gram
+features (the CCNet / LLaMA-pipeline model-based curation step, public
+method: Joulin et al. 2016 "Bag of Tricks for Efficient Text
+Classification"; CCNet applies it as a per-doc keep/drop score).
+
+Architecture, restated Spark-first:
+
+- features = unigrams ∪ adjacent-bigram strings of the lowercased
+  whitespace tokens (fastText's word + word-n-gram input layer);
+- each feature hashes into one of ``n_features`` buckets with the repo's
+  engine-portable md5 hash (fastText uses the same hashing trick — no
+  vocabulary file ships with the job, so the feature extractor is a pure
+  function that any engine reproduces);
+- the model is a single linear layer: logit = mean of per-bucket weights.
+  Weights live in INTEGER CENTI-units so the aggregation is exact
+  (float sums would hash-diverge between engines);
+- the default weight table is a deterministic function of the bucket id —
+  a stand-in with the exact shape of a trained model. ``weights``
+  (a (bucket, weight_c) DataFrame) is the real-model seam: a trained
+  fastText/logistic model exports its quantized weights and the score
+  path broadcast-joins them instead. The container ships no trainer, so
+  the demo weights keep the driver oracle exact while the plumbing —
+  hashing, feature explode, mean-pool, threshold — is the real thing.
+
+Scale shape: one Generate (explode of the per-row feature array), one
+groupBy(doc_id) with map-side partial sums; the optional weight join
+broadcasts (n_features rows — KB). Nothing driver-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.sampling import stable_hash
+from gnosis_ocr_spark.functions.text import tokens
+
+DEFAULT_N_FEATURES = 4096
+
+
+def feature_bucket(feat: Column, n_features: int = DEFAULT_N_FEATURES) -> Column:
+    """Hashing-trick bucket for one feature string (engine-portable)."""
+    return (stable_hash(feat) % n_features).cast("int")
+
+
+def demo_weight_c(bucket: Column) -> Column:
+    """Deterministic demo weight in centi-units, range [-100, 100]:
+    ``(bucket * 37 + 11) % 201 - 100``. Pure integer arithmetic so the
+    DuckDB oracle reproduces it exactly; replaced by a trained table via
+    ``quality_score(weights=...)``."""
+    return ((bucket * 37 + 11) % 201 - 100).cast("long")
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = DEFAULT_N_FEATURES,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Score every document with the hashed linear model. Returns one row
+    per input doc: ``(doc_id, n_feats, logit_bp, keep)`` where ``logit_bp``
+    is the mean feature weight in basis points (int; weights are in
+    [-1, 1]) and ``keep`` = logit > 0 (the CCNet-style threshold gate).
+    Docs with no tokens score 0 / keep=false.
+
+    ``weights``: optional (bucket int, weight_c long) table from a trained
+    model; broadcast-joined. Default: the deterministic demo table inlined
+    as a pure expression (no join at all)."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toked = base.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    # adjacent bigrams via element_at over the MATERIALIZED token column —
+    # the lambda re-evaluates only cheap attribute lookups, not the
+    # tokenizer (the repo's HOF-CSE gotcha)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toked.select(
+        "doc_id", F.explode(F.concat(F.col("_toks"), bigrams)).alias("feat")
+    ).select("doc_id", feature_bucket(F.col("feat"), n_features).alias("bucket"))
+    if weights is not None:
+        feats = feats.join(F.broadcast(weights), "bucket").select(
+            "doc_id", F.col("weight_c")
+        )
+    else:
+        feats = feats.select("doc_id", demo_weight_c(F.col("bucket")).alias("weight_c"))
+    scored = feats.groupBy("doc_id").agg(
+        F.sum("weight_c").alias("sum_c"), F.count("*").alias("n_feats")
+    )
+    ids = base.select("doc_id")
+    logit_bp = F.when(
+        F.col("n_feats").isNotNull(),
+        F.round(
+            F.round(F.col("sum_c") / (100 * F.col("n_feats")), 4) * 10000
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        logit_bp.alias("logit_bp"),
+        (F.coalesce(F.col("sum_c"), F.lit(0)) > 0).alias("keep"),
+    )

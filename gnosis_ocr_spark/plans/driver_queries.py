@@ -323,19 +323,62 @@ FROM f GROUP BY user_id
 
 
 def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 ordered concat: lineitem return flags in line-number order."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    """A6 ordered concat + J2 missing-set in ONE per-doc resume manifest
+    (merged from the former ``missing_chunks`` row to free a registry slot
+    for quality_classifier): per order, the return flags assembled in
+    line-number order AND the 0-based line slots 0..6 that are absent —
+    both computed by the real operators (ordered_text_concat /
+    missing_chunks) over the same chunk relation."""
+    li = _t(spark, sf_dir, "lineitem")
+    chunks = li.select(
         F.col("l_orderkey").cast("string").alias("doc"),
         F.col("l_linenumber").alias("chunk_no"),
         F.col("l_returnflag").alias("text"),
     )
-    return ordered_text_concat(li)
+    assembled = ordered_text_concat(chunks)
+    miss_in = li.select(
+        F.col("l_orderkey").cast("string").alias("doc"),
+        (F.col("l_linenumber") - 1).alias("chunk_no"),
+        F.lit(7).alias("expected_total"),
+    ).withColumn("data", F.encode(F.lit(""), "UTF-8"))
+    miss = (
+        missing_chunks(miss_in)
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("chunk_no")),
+                    lambda c: c.cast("string"),
+                ),
+                ",",
+            ).alias("missing")
+        )
+    )
+    return assembled.join(miss, "doc", "left").select(
+        "doc", "assembled", F.coalesce(F.col("missing"), F.lit("")).alias("missing")
+    )
 
 
 ORACLE_ORDERED_CONCAT = """
-SELECT CAST(l_orderkey AS VARCHAR) AS doc,
-       string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS assembled
-FROM lineitem GROUP BY l_orderkey
+WITH ch AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS doc, l_linenumber, l_returnflag
+  FROM lineitem
+), asm AS (
+  SELECT doc,
+         string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS assembled
+  FROM ch GROUP BY doc
+), grid AS (
+  SELECT d.doc, g.g AS chunk_no
+  FROM (SELECT DISTINCT doc FROM ch) d, generate_series(0, 6) g(g)
+), mi AS (
+  SELECT doc, string_agg(CAST(chunk_no AS VARCHAR), ',' ORDER BY chunk_no) AS missing
+  FROM grid
+  WHERE NOT EXISTS (SELECT 1 FROM ch
+                    WHERE ch.doc = grid.doc AND ch.l_linenumber - 1 = grid.chunk_no)
+  GROUP BY doc
+)
+SELECT a.doc, a.assembled, COALESCE(mi.missing, '') AS missing
+FROM asm a LEFT JOIN mi USING (doc)
 """
 # note: l_linenumber can repeat within an order in this synthetic data; the
 # Spark side's array_sort(struct(chunk_no, text)) breaks ties on text, so the
@@ -380,25 +423,6 @@ WITH latest AS (
 )
 SELECT user_id, event_id, ts_str, progress_hwm FROM latest WHERE rn = 1
 ORDER BY ts_str DESC, user_id ASC LIMIT 50
-"""
-
-
-def q_missing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/SO1 missing-set anti-join: line numbers 1..7 absent per order."""
-    chunks = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").cast("string").alias("doc"),
-        (F.col("l_linenumber") - 1).alias("chunk_no"),
-        F.lit(7).alias("expected_total"),
-    ).withColumn("data", F.encode(F.lit(""), "UTF-8"))
-    return missing_chunks(chunks)
-
-
-ORACLE_MISSING_CHUNKS = """
-WITH ch AS (SELECT CAST(l_orderkey AS VARCHAR) AS doc, l_linenumber - 1 AS chunk_no FROM lineitem),
-grid AS (SELECT d.doc, g.g AS chunk_no
-         FROM (SELECT DISTINCT doc FROM ch) d, generate_series(0, 6) g(g))
-SELECT doc, chunk_no FROM grid
-WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc = grid.doc AND ch.chunk_no = grid.chunk_no)
 """
 
 
@@ -1572,6 +1596,49 @@ LEFT JOIN covw USING (doc_id)
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality model (CCNet-style model-based
+    curation): unigram+bigram features, md5 hashing trick, exact integer
+    centi-weight mean-pool, keep threshold. Demo weight table is a pure
+    function of the bucket id (trained-weights seam documented in
+    functions/classifier.py)."""
+    from gnosis_ocr_spark.functions.classifier import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs)
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), f AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+                [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]))
+           AS feat
+  FROM t
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(feat), 1, 15)) AS BIGINT) % 4096
+              AS INT) AS bucket
+  FROM f
+), s AS (
+  SELECT doc_id,
+         CAST(SUM((bucket * 37 + 11) % 201 - 100) AS BIGINT) AS sum_c,
+         COUNT(*) AS n_feats
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CASE WHEN s.n_feats IS NOT NULL
+            THEN CAST(ROUND(ROUND(s.sum_c * 1.0 / (100 * s.n_feats), 4) * 10000) AS INT)
+            ELSE 0 END AS logit_bp,
+       COALESCE(s.sum_c, 0) > 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: documents split into overlapping 32-token
     windows with stride 24 (overlap 8) — one output row per chunk."""
@@ -2152,7 +2219,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_status": q_session_status,
     "ordered_concat": q_ordered_concat,
     "latest_topk": q_latest_topk,
-    "missing_chunks": q_missing_chunks,
     "chunk_assembly": q_chunk_assembly,
     "semi_anti_join": q_semi_anti_join,
     "lookup_join": q_lookup_join,
@@ -2179,6 +2245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "curation": q_curation,
     "gopher_repetition": q_gopher_repetition,
+    "quality_classifier": q_quality_classifier,
     "chunking": q_chunking,
     "sampling_split": q_sampling_split,
     "vocabulary": q_vocabulary,
@@ -2205,7 +2272,6 @@ ORACLES: dict[str, str] = {
     "session_status": ORACLE_SESSION_STATUS,
     "ordered_concat": ORACLE_ORDERED_CONCAT,
     "latest_topk": ORACLE_LATEST_TOPK,
-    "missing_chunks": ORACLE_MISSING_CHUNKS,
     "chunk_assembly": ORACLE_CHUNK_ASSEMBLY,
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "lookup_join": ORACLE_LOOKUP_JOIN,
@@ -2232,6 +2298,7 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "curation": ORACLE_CURATION,
     "gopher_repetition": ORACLE_GOPHER_REPETITION,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "chunking": ORACLE_CHUNKING,
     "sampling_split": ORACLE_SAMPLING_SPLIT,
     "vocabulary": ORACLE_VOCABULARY,

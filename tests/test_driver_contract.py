@@ -23,7 +23,8 @@ SUBSET = [
     "span_assembly",
     "session_status",
     "ordered_concat",
-    "missing_chunks",
+    "gopher_repetition",
+    "quality_classifier",
     "tpch_q1",
     "tpch_q5",
     "tpch_q18",

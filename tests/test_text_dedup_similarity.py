@@ -606,3 +606,61 @@ def test_gopher_repetition_hand_values(spark):
     assert got[2]["dup_para_char_bp"] == 3077
     # empty doc: all zeros
     assert all(v == 0 for k, v in got[3].items() if k != "doc_id")
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Spark hashed-linear scorer vs a plain-Python reimplementation of the
+    same spec (md5 hashing trick, unigram+bigram, integer centi-weights)."""
+    import hashlib
+
+    from gnosis_ocr_spark.functions.classifier import quality_score
+
+    def py_score(text):
+        toks = text.strip().lower().split() if text.strip() else []
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            return (0, 0, False)
+        sc = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % 4096
+            sc += (b * 37 + 11) % 201 - 100
+        logit_bp = int(round(round(sc / (100 * len(feats)), 4) * 10000))
+        return (len(feats), logit_bp, sc > 0)
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark shuffles and joins and windows"),
+        (3, "single"),
+        (4, ""),
+        (5, "a a a a a a"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logit_bp"], r["keep"])
+        for r in quality_score(df).collect()
+    }
+    for i, text in docs:
+        assert got[i] == py_score(text), f"doc {i}"
+
+
+def test_quality_classifier_trained_weight_seam(spark):
+    """The weights-table path (broadcast join) must override the demo
+    expression: an all-positive table keeps everything, all-negative drops."""
+    from gnosis_ocr_spark.functions.classifier import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, "other text entirely")], ["doc_id", "text"]
+    )
+    n = 4096
+    pos = spark.createDataFrame(
+        [(b, 50) for b in range(n)], ["bucket", "weight_c"]
+    )
+    neg = spark.createDataFrame(
+        [(b, -50) for b in range(n)], ["bucket", "weight_c"]
+    )
+    got_pos = {r["doc_id"]: (r["keep"], r["logit_bp"])
+               for r in quality_score(df, weights=pos).collect()}
+    got_neg = {r["doc_id"]: (r["keep"], r["logit_bp"])
+               for r in quality_score(df, weights=neg).collect()}
+    assert all(k and bp == 5000 for k, bp in got_pos.values())
+    assert all((not k) and bp == -5000 for k, bp in got_neg.values())
