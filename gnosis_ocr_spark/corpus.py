@@ -93,10 +93,13 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
 # RC4-encrypted (standard handler, empty user password), and composite
 # Type0/Identity-H (every char a 2-byte CID through a /ToUnicode CMap —
 # meaningful even for ASCII text), and Form-XObject pages (first line
-# drawn via /Fm Do with a /Matrix translation — letterhead/stamp shape).
+# drawn via /Fm Do with a /Matrix translation — letterhead/stamp shape),
+# and AES-128 /V 4 /CFM /AESV2 encryption (Acrobat-7-era norm; AES-256
+# /R 6 is supported but unit-tested only — its hardened password hash
+# costs ~0.4 s/file in pure Python, too slow for a 500-doc rotation).
 _PDF_WRITERS = (
     "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
-    "type0", "form_xobj",
+    "type0", "form_xobj", "aes",
 )
 
 
@@ -131,6 +134,8 @@ def _pdf_doc(rng: random.Random, n_pages: int,
         return _cp.build_pdf_type0(pages), expected
     if writer == "form_xobj":
         return _cp.build_pdf_form_xobject(pages), expected
+    if writer == "aes":
+        return _cp.build_pdf_encrypted(pages, revision=4), expected
     return build_pdf(pages), expected
 
 

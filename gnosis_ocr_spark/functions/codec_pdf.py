@@ -142,31 +142,67 @@ def _assemble_classic(objects: list[bytes], trailer_extra: bytes = b"") -> bytes
 def build_pdf_encrypted(
     pages: list[str], owner_password: bytes = b"owner", revision: int = 3
 ) -> bytes:
-    """Fixture writer for ENCRYPTED PDFs — standard security handler, RC4,
-    owner password set, EMPTY user password (the dominant crawl shape: files
-    any reader opens silently but whose streams are byte-encrypted). All
-    content streams are RC4-encrypted with per-object keys; the trailer
-    carries /Encrypt + /ID. revision 2 = 40-bit /V 1, revision 3 = 128-bit
-    /V 2. Layout matches :func:`build_pdf`, so expected text is known by
+    """Fixture writer for ENCRYPTED PDFs — standard security handler, owner
+    password set, EMPTY user password (the dominant crawl shape: files any
+    reader opens silently but whose streams are byte-encrypted). Content
+    streams encrypt with per-object keys; the trailer carries /Encrypt +
+    /ID. revision 2 = 40-bit RC4 /V 1, revision 3 = 128-bit RC4 /V 2,
+    revision 4 = AES-128-CBC /V 4 /CFM /AESV2 (Acrobat-7-era norm),
+    revision 6 = AES-256-CBC /V 5 /CFM /AESV3 (PDF 2.0). IVs are
+    deterministic (md5 of the object number) so fixtures are reproducible.
+    Layout matches :func:`build_pdf`, so expected text is known by
     construction and a parser without the security handler sees only
     ciphertext."""
     import hashlib
 
-    assert revision in (2, 3)
-    keylen = 5 if revision == 2 else 16
-    v = 1 if revision == 2 else 2
+    assert revision in (2, 3, 4, 6)
     p = -4  # all permissions denied except viewing — typical owner-lock
     file_id = hashlib.md5("\n\n".join(pages).encode()).digest()
 
+    if revision == 6:
+        from gnosis_ocr_spark.functions.aes import _encrypt_block, _expand_key, cbc_encrypt
+
+        keylen = 32
+        file_key = (hashlib.md5(file_id).digest()
+                    + hashlib.md5(file_id + b"2").digest())
+        vsalt = hashlib.md5(b"vs" + file_id).digest()[:8]
+        ksalt = hashlib.md5(b"ks" + file_id).digest()[:8]
+        u = _hash_r6(b"", vsalt) + vsalt + ksalt
+        ue = cbc_encrypt(_hash_r6(b"", ksalt), b"\x00" * 16, file_key)[:32]
+        ovsalt = hashlib.md5(b"ovs" + file_id).digest()[:8]
+        oksalt = hashlib.md5(b"oks" + file_id).digest()[:8]
+        o = _hash_r6(owner_password, ovsalt, u) + ovsalt + oksalt
+        oe = cbc_encrypt(_hash_r6(owner_password, oksalt, u),
+                         b"\x00" * 16, file_key)[:32]
+        perms = ((p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+                 + b"Tadb" + b"\x00" * 4)
+        perms_enc = _encrypt_block(perms, _expand_key(file_key))
+
+        def enc_obj(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(b"iv" + num.to_bytes(4, "little")).digest()
+            return iv + cbc_encrypt(file_key, iv, data)
+
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /P {p} "
+            f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+            f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+            f"/Perms <{perms_enc.hex().upper()}> >>"
+        ).encode()
+        return _assemble_encrypted(pages, enc_obj, enc_dict, file_id)
+
+    keylen = 5 if revision == 2 else 16
+    v = {2: 1, 3: 2, 4: 4}[revision]
     # Algorithm 3: /O from the owner password (user pw empty)
     opad = (owner_password + _PAD)[:32]
     h = hashlib.md5(opad).digest()
-    if revision == 3:
+    if revision >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
     okey = h[:keylen]
     o = _rc4(okey, _PAD)  # padded EMPTY user password == _PAD
-    if revision == 3:
+    if revision >= 3:
         for i in range(1, 20):
             o = _rc4(bytes(b ^ i for b in okey), o)
 
@@ -182,11 +218,36 @@ def build_pdf_encrypted(
         u = x + b"\x00" * 16
 
     def enc_obj(num: int, data: bytes) -> bytes:
-        ok = hashlib.md5(
+        okey_ = hashlib.md5(
             key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + (_AES_SALT if revision == 4 else b"")
         ).digest()[: min(keylen + 5, 16)]
-        return _rc4(ok, data)
+        if revision == 4:
+            from gnosis_ocr_spark.functions.aes import cbc_encrypt
 
+            iv = hashlib.md5(b"iv" + num.to_bytes(4, "little")).digest()
+            return iv + cbc_encrypt(okey_, iv, data)
+        return _rc4(okey_, data)
+
+    if revision == 4:
+        enc_dict = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /P {p} "
+            f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+        ).encode()
+    else:
+        enc_dict = (
+            f"<< /Filter /Standard /V {v} /R {revision} /Length {keylen * 8} "
+            f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+        ).encode()
+    return _assemble_encrypted(pages, enc_obj, enc_dict, file_id)
+
+
+def _assemble_encrypted(pages, enc_obj, enc_dict: bytes, file_id: bytes) -> bytes:
+    """Shared page/object assembly for every encrypted-fixture revision:
+    standard build_pdf layout with each content stream run through
+    ``enc_obj(num, data)``."""
     n_pages = len(pages)
     font_obj_no = 3 + 2 * n_pages
     encrypt_no = font_obj_no + 1
@@ -215,12 +276,7 @@ def build_pdf_encrypted(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(payload), payload)
         )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    objects.append(
-        (
-            f"<< /Filter /Standard /V {v} /R {revision} /Length {keylen * 8} "
-            f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
-        ).encode()
-    )
+    objects.append(enc_dict)
     trailer_extra = (
         f"/Encrypt {encrypt_no} 0 R /ID [<{file_id.hex().upper()}> "
         f"<{file_id.hex().upper()}>] "
@@ -834,8 +890,10 @@ def _unhex_str(h: bytes) -> str:
 # Standard security handler (PDF 32000-1 §7.6.3), RC4 V1/V2, revisions 2-3,
 # EMPTY user password — the dominant "encrypted" shape in web crawls is
 # owner-password-only files that any reader opens silently. MD5 via hashlib,
-# RC4 implemented inline (stdlib-only constraint). AES (/V 4+) is out of
-# scope and reported as such.
+# RC4 implemented inline (stdlib-only constraint); AES comes from the
+# pure-stdlib FIPS-197 implementation in functions/aes.py, covering
+# /V 4 /CFM /AESV2 (AES-128-CBC, the Acrobat-7-era norm) and
+# /V 5 /R 6 /CFM /AESV3 (AES-256, the PDF-2.0 norm).
 
 _PAD = bytes.fromhex(
     "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
@@ -883,8 +941,37 @@ def _std_file_key(
     return h[:keylen]
 
 
+_CFM_RE = re.compile(rb"/CFM\s*/(AESV2|AESV3|V2)\b")
+_AES_SALT = b"\x73\x41\x6c\x54"  # "sAlT" — ISO 32000 Algorithm 1 AES suffix
+
+
+def _hash_r6(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the hardened SHA-2 hash for /R 6."""
+    import hashlib
+
+    from gnosis_ocr_spark.functions.aes import cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        # AES-128-CBC, no padding (input is already a multiple of 16)
+        e = cbc_encrypt(k[:16], k[16:32], k1)[: len(k1)]
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class _StdDecryptor:
-    """Per-object RC4 decryption for the standard handler (empty user pw)."""
+    """Per-object decryption for the standard handler, empty user password:
+    RC4 (/V 1/2), AES-128-CBC (/V 4 /CFM /AESV2), AES-256-CBC
+    (/V 5 /R 6 /CFM /AESV3)."""
 
     def __init__(self, enc_body: bytes, file_id: bytes):
         import hashlib
@@ -892,13 +979,39 @@ class _StdDecryptor:
         self.ok = False
         v = int(m.group(1)) if (m := _V_RE.search(enc_body)) else 0
         self.r = int(m.group(1)) if (m := _R_RE.search(enc_body)) else 2
-        if v not in (1, 2):  # AES (/V 4+) or unknown → refuse loudly
-            self.reason = f"unsupported /V {v} (only RC4 V1/V2 implemented)"
+        self.cfm = b"V2"  # RC4 unless a crypt filter says otherwise
+        if v in (4, 5):
+            cm = _CFM_RE.search(enc_body)
+            self.cfm = cm.group(1) if cm else (b"AESV3" if v == 5 else b"V2")
+        elif v not in (1, 2):
+            self.reason = f"unsupported /V {v}"
             return
         o = bytes.fromhex(m.group(1).decode()) if (m := _O_RE.search(enc_body)) else b""
         u = bytes.fromhex(m.group(1).decode()) if (m := _U_RE.search(enc_body)) else b""
         p = int(m.group(1)) if (m := _P_RE.search(enc_body)) else -1
+
+        if v == 5:
+            # R6: validate the empty USER password and unwrap the file key
+            from gnosis_ocr_spark.functions.aes import cbc_decrypt
+
+            ue_m = re.search(rb"/UE\s*<([0-9A-Fa-f]+)>", enc_body)
+            if self.r != 6 or len(u) < 48 or not ue_m:
+                self.reason = f"unsupported /V 5 variant (/R {self.r})"
+                return
+            vsalt, ksalt = u[32:40], u[40:48]
+            if _hash_r6(b"", vsalt) != u[:32]:
+                self.reason = "user password required (empty password rejected)"
+                return
+            ik = _hash_r6(b"", ksalt)
+            ue = bytes.fromhex(ue_m.group(1).decode())
+            self.key = cbc_decrypt(ik, b"\x00" * 16, ue, unpad=False)[:32]
+            self.keylen = 32
+            self.ok = True
+            return
+
         bits = int(m.group(1)) if (m := _KEYLEN_RE.search(enc_body)) else 40
+        if v == 4:
+            bits = 128  # /V 4 crypt filters are 128-bit
         self.keylen = max(5, min(16, bits // 8))
         self.key = _std_file_key(b"", o, p, file_id, self.r, self.keylen)
         # verify the EMPTY user password against /U (algorithms 4/5)
@@ -917,10 +1030,26 @@ class _StdDecryptor:
     def decrypt_obj(self, num: int, data: bytes, gen: int = 0) -> bytes:
         import hashlib
 
-        ok = hashlib.md5(
-            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if self.cfm == b"AESV3":
+            from gnosis_ocr_spark.functions.aes import cbc_decrypt
+
+            # AES-256 uses the FILE key for every object; data = IV ‖ ct
+            if len(data) < 16:
+                return b""
+            return cbc_decrypt(self.key, data[:16], data[16:])
+        okey = hashlib.md5(
+            self.key
+            + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+            + (_AES_SALT if self.cfm == b"AESV2" else b"")
         ).digest()[: min(self.keylen + 5, 16)]
-        return _rc4(ok, data)
+        if self.cfm == b"AESV2":
+            from gnosis_ocr_spark.functions.aes import cbc_decrypt
+
+            if len(data) < 16:
+                return b""
+            return cbc_decrypt(okey, data[:16], data[16:])
+        return _rc4(okey, data)
 
 
 def _decryptor_for(pdf: bytes) -> "_StdDecryptor | None":

@@ -148,7 +148,8 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # supports — plain/Flate classic, PDF 1.5 ObjStm+xref-stream, LZW,
     # chained ASCII85+Flate with indirect /Length, kerning-only word
     # breaks, RC4-encrypted, composite Type0/Identity-H CIDs, and Form-
-    # XObject pages (/Fm Do with a /Matrix translation). All writers
+    # XObject pages (/Fm Do with a /Matrix translation), AES-128 /V 4
+    # /CFM /AESV2 encrypted files. All writers
     # emit the identical 72/720 layout, so the oracle stays a pure SQL
     # function of `text`.
     writers = (
@@ -163,6 +164,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_encrypted(p, revision=3),
         lambda p: _cp.build_pdf_type0(p),
         lambda p: _cp.build_pdf_form_xobject(p),
+        lambda p: _cp.build_pdf_encrypted(p, revision=4),
     )
     for b in batches:
         out = {"url": [], "html": []}

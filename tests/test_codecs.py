@@ -1,6 +1,7 @@
 """Unit tests for the stdlib PDF/PNG codecs (pure functions, no Spark)."""
 
 from __future__ import annotations
+import re
 
 import pytest
 from hypothesis import given, settings
@@ -573,6 +574,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_type0(pages),
         lambda: P.build_pdf_tj_kerned(pages),
         lambda: P.build_pdf_form_xobject(pages),
+        lambda: P.build_pdf_encrypted(pages, revision=4),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -687,3 +689,59 @@ def test_form_without_resources_inherits_page_fonts():
     pdf = P._assemble_classic(objects)
     [spans] = P.extract_pages(pdf)
     assert P.page_text(spans) == "01"
+
+
+def test_aes_fips197_known_answers():
+    """FIPS-197 appendix B/C and NIST SP800-38A CBC vectors."""
+    from gnosis_ocr_spark.functions.aes import (
+        _decrypt_block, _encrypt_block, _expand_key, cbc_decrypt, cbc_encrypt,
+    )
+
+    k128 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = _encrypt_block(pt, _expand_key(k128))
+    assert ct.hex() == "3925841d02dc09fbdc118597196a0b32"
+    assert _decrypt_block(ct, _expand_key(k128)) == pt
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f")
+    pt2 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct2 = _encrypt_block(pt2, _expand_key(k256))
+    assert ct2.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct2, _expand_key(k256)) == pt2
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert cbc_encrypt(k128, iv, p1)[:16].hex() == \
+        "7649abac8119b246cee98e9b12e9197d"
+    msg = b"odd-length pdf stream payload!" * 9
+    assert cbc_decrypt(k128, iv, cbc_encrypt(k128, iv, msg)) == msg
+
+
+def test_aes_encrypted_pdf_roundtrips():
+    """AESV2 (/V 4 /R 4) and AESV3 (/V 5 /R 6) files extract byte-identically;
+    corrupting /U on the R6 file makes the empty-password check fail loudly
+    (ValueError → pipeline sentinel)."""
+    import pytest
+
+    pages = ["aes line one\nsecond line", "page two text"]
+    for rev in (4, 6):
+        pdf = P.build_pdf_encrypted(pages, revision=rev)
+        assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+        assert P.page_count(pdf) == 2
+    pdf6 = P.build_pdf_encrypted(pages, revision=6)
+    um = re.search(rb"/U\s*<([0-9A-Fa-f]+)>", pdf6)
+    broken = pdf6.replace(
+        um.group(1), (b"0" if um.group(1)[:1] != b"0" else b"1")
+        + um.group(1)[1:])
+    with pytest.raises(ValueError):
+        P.extract_pages(broken)
+
+
+def test_aes_stream_corrupt_padding_degrades():
+    """A truncated/garbled AES stream must decode to SOMETHING (possibly
+    empty/garbage spans), never raise out of the codec."""
+    pages = ["resilient text"]
+    pdf = bytearray(P.build_pdf_encrypted(pages, revision=4))
+    m = re.search(rb"stream\r?\n", bytes(pdf))
+    pdf[m.end() + 5] ^= 0xFF  # garble ciphertext
+    pgs = P.extract_pages(bytes(pdf))
+    assert isinstance(pgs, list)
