@@ -544,26 +544,37 @@ def gopher_repetition(
             F.col(f"_l{n-1}").isNotNull(), F.concat_ws(" ", *parts)
         )
 
-    # one Generate over an array of (n, gram) structs — NOT a self-union,
-    # which would recompute the posexplode+lead subtree once per n
-    def long_frame(ns: tuple[int, ...], with_pos: bool):
-        cols = ["doc_id"] + (["pos"] if with_pos else [])
-        structs = F.array(
-            *[
-                F.struct(F.lit(n).alias("n"), gram(n).alias("gram"))
-                for n in ns
-            ]
-        )
-        return (
-            leads.select(*cols, F.explode(structs).alias("g"))
-            .select(*cols, "g.n", "g.gram")
-            .filter(F.col("gram").isNotNull())
-        )
+    # ONE Generate over an array of (n, gram) structs covering every gram
+    # size — NOT a self-union (which would recompute the posexplode+lead
+    # subtree once per n), and NOT two separate frames for the two metric
+    # families: both consumers window/aggregate on (doc_id, n, gram), so a
+    # shared frame makes the two exchanges byte-identical and Spark's
+    # ReuseExchange computes the heavy explode+shuffle ONCE.
+    all_ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    structs = F.array(
+        *[F.struct(F.lit(n).alias("n"), gram(n).alias("gram")) for n in all_ns]
+    )
+    grams_all = (
+        leads.select("doc_id", "pos", F.explode(structs).alias("g"))
+        .select("doc_id", "pos", "g.n", "g.gram")
+        .filter(F.col("gram").isNotNull())
+    )
+    w_gram = Window.partitionBy("doc_id", "n", "gram")
+    counted = grams_all.withColumn("cnt", F.count("*").over(w_gram))
 
     # ── top n-gram char fraction ────────────────────────────────────────────
-    gcnt = long_frame(top_ns, with_pos=False).groupBy(
-        "doc_id", "n", "gram"
-    ).agg(F.count("*").alias("cnt"))
+    # one representative row per distinct gram (min-pos row; same window
+    # partitioning — no extra shuffle), then the deterministic argmax
+    gcnt = (
+        counted.filter(F.col("n").isin(list(top_ns)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "n", "gram").orderBy("pos")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
     gchars = (F.length("gram") - (F.col("n") - 1)).alias("gram_chars")
     w_top = Window.partitionBy("doc_id", "n").orderBy(
         F.col("cnt").desc(), F.col("gram_chars").desc(), F.col("gram")
@@ -586,11 +597,8 @@ def gopher_repetition(
     )
 
     # ── duplicate n-gram char coverage (interval union) ─────────────────────
-    w_gram = Window.partitionBy("doc_id", "n", "gram")
     covered = (
-        long_frame(dup_ns, with_pos=True)
-        .withColumn("cnt", F.count("*").over(w_gram))
-        .filter(F.col("cnt") > 1)
+        counted.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") > 1))
         .select(
             "doc_id",
             "n",
