@@ -157,7 +157,7 @@ def main() -> None:
         "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
         "text_stats", "gopher_repetition", "quality_classifier", "curation", "chunking",
-        "sampling_split", "vocabulary", "multimodal_meta",
+        "sampling_split", "vocabulary", "decontaminate", "multimodal_meta",
         "html_extract", "pdf_extract",
     ]
     for name in bench_queries:
