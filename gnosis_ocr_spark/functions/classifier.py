@@ -68,7 +68,14 @@ def quality_score(
     model; broadcast-joined. Default: the deterministic demo table inlined
     as a pure expression (no join at all)."""
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    toked = base.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    # empty boundary tokens (newline-framed text; trim strips only 0x20)
+    # would otherwise become features — filter them out
+    toked = base.select(
+        "doc_id",
+        F.filter(
+            tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
     # adjacent bigrams via element_at over the MATERIALIZED token column —
     # the lambda re-evaluates only cheap attribute lookups, not the
     # tokenizer (the repo's HOF-CSE gotcha)

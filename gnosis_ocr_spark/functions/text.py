@@ -514,8 +514,15 @@ def gopher_repetition(
     )
     seg = base.select("doc_id", *dup_segment_stats(F.col("text")))
 
+    # drop empty boundary tokens: trim() strips only 0x20, so text framed
+    # by newlines would otherwise split into ['', w1, .., wn, ''] and the
+    # zero-length "words" would join grams (" a" etc.) — filter BEFORE the
+    # posexplode so coverage positions stay contiguous
     toked = base.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+        "doc_id",
+        F.filter(
+            tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
     )
     words = toked.select(
         "doc_id", F.posexplode("_toks").alias("pos", "word")

@@ -1530,7 +1530,9 @@ WITH d2 AS (
          * 10000) AS INT) AS dup_para_char_bp
   FROM seg0
 ), t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
   FROM d2 WHERE length(trim(text)) > 0
 ), w AS (
   SELECT doc_id, u.pos AS pos, u.word AS word FROM (
@@ -1612,7 +1614,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUALITY_CLASSIFIER = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
   FROM documents WHERE length(trim(text)) > 0
 ), f AS (
   SELECT doc_id,

@@ -664,3 +664,38 @@ def test_quality_classifier_trained_weight_seam(spark):
                for r in quality_score(df, weights=neg).collect()}
     assert all(k and bp == 5000 for k, bp in got_pos.values())
     assert all((not k) and bp == -5000 for k, bp in got_neg.values())
+
+
+def test_gopher_repetition_hypothesis_style_sweep(spark):
+    """Randomized sweep (fixed seeds, one Spark round-trip for all cases)
+    against the plain-Python reference: newline/paragraph structure, forced
+    gram repeats, unicode words, and degenerate whitespace."""
+    import random
+
+    docs = []
+    idx = 0
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        vocab = ["a", "bb", "ccc", "dddd", "naïve", "токен", "x"]
+        for _ in range(5):
+            n_words = rng.randint(0, 60)
+            words = [rng.choice(vocab) for _ in range(n_words)]
+            if n_words >= 14 and rng.random() < 0.7:
+                start = rng.randint(0, n_words - 14)
+                words[start + 7 : start + 14] = words[start : start + 7]
+            text = " ".join(words)
+            mode = rng.randint(0, 3)
+            if mode == 1:
+                text = text + "\n" + text
+            elif mode == 2:
+                text = text.replace(" ", "\n", 3) + "\n\n" + text
+            elif mode == 3:
+                text = "  \n " + text + " \n\n\n"
+            docs.append((idx, text))
+            idx += 1
+    from gnosis_ocr_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: list(r)[1:] for r in gopher_repetition(df).collect()}
+    for i, text in docs:
+        assert got[i] == _gopher_py(text), f"doc {i} text={text!r}"
