@@ -1,0 +1,110 @@
+"""The composed training-data curation plan: every per-document curation
+operator the engine ships, chained the way a 100 TB corpus run would chain
+them — one enrichment pass of pure expressions, the heavier gram/model
+operators joined back on doc_id, exact-dedup canonical selection, and the
+deterministic split assignment.
+
+    documents (doc_id, text[, url])
+      ├─ inline enrichment (ONE projection, zero shuffles): lang-ID,
+      │    token counts, quality ratios, Gopher gates, 2-gram repetition
+      ├─ gopher_repetition(...)   # posexplode + doc-keyed aggs
+      ├─ quality_score(...)       # hashed linear model, doc-keyed agg
+      ├─ exact_duplicates(...)    # md5-fingerprint groupBy
+      └─ split_assign(...)        # pure hash expression
+      → one row per doc: metrics + per-gate booleans + keep + split
+
+Shuffle census: every exchange in the composed plan is keyed by doc_id
+(or the md5 fingerprint for dedup) — no global keys, partial aggregation
+everywhere, and the final assembly is a chain of doc_id equi-joins that
+AQE plans as broadcasts at small scale and co-partitioned SMJs at 100 TB.
+The `keep` column is the conjunction the public pipelines use: pass the
+Gopher gates, pass the repetition caps, pass the classifier threshold,
+and be the canonical copy of the duplicate group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.classifier import quality_score
+from gnosis_ocr_spark.functions.dedup import exact_duplicates
+from gnosis_ocr_spark.functions.sampling import split_assign
+from gnosis_ocr_spark.functions.text import (
+    gopher_flags,
+    gopher_repetition,
+    lang_id,
+    repetition_bp,
+    token_count,
+    tokens,
+)
+
+# published Gopher caps for the repetition family (Rae et al. 2021 Table A1)
+DUP_LINE_CAP_BP = 3000        # duplicate line fraction ≤ 0.30
+DUP_PARA_CAP_BP = 3000        # duplicate paragraph fraction ≤ 0.30
+DUP_LINE_CHAR_CAP_BP = 2000   # duplicate line char fraction ≤ 0.20
+DUP_PARA_CHAR_CAP_BP = 2000   # duplicate paragraph char fraction ≤ 0.20
+TOP_2GRAM_CAP_BP = 2000       # top 2-gram char fraction ≤ 0.20
+DUP_5GRAM_CAP_BP = 1500       # dup 5-gram char fraction ≤ 0.15
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per document with every curation signal and the composed
+    ``keep`` decision + deterministic ``split``. All stages are the
+    engine's real operators — this is composition, not reimplementation."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+    enriched = base.withColumn("_ltoks", ltoks).select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text"), toks=F.col("_ltoks")).alias("lang"),
+        repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep2_bp"),
+        *gopher_flags(F.col("text"), toks=F.col("_ltoks")),
+    )
+
+    rep = gopher_repetition(base)
+    # quality_score's decision column is also named `keep`; rename so the
+    # composed decision can own the plain name
+    model = quality_score(base).withColumnRenamed("keep", "keep_model")
+    dup = exact_duplicates(base).select("doc_id", "canonical_id", "is_dup")
+
+    out = (
+        enriched.join(rep, "doc_id")
+        .join(model, "doc_id")
+        .join(dup, "doc_id")
+        .withColumn(
+            "ok_repetition",
+            (F.col("dup_line_bp") <= DUP_LINE_CAP_BP)
+            & (F.col("dup_para_bp") <= DUP_PARA_CAP_BP)
+            & (F.col("dup_line_char_bp") <= DUP_LINE_CHAR_CAP_BP)
+            & (F.col("dup_para_char_bp") <= DUP_PARA_CHAR_CAP_BP)
+            & (F.col("top_2gram_bp") <= TOP_2GRAM_CAP_BP)
+            & (F.col("dup_5gram_bp") <= DUP_5GRAM_CAP_BP),
+        )
+        .withColumn(
+            "ok_gates",
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines")
+            & F.col("ok_alpha_words"),
+        )
+        .withColumn(
+            "keep",
+            F.col("ok_gates")
+            & F.col("ok_repetition")
+            & F.col("keep_model")
+            & ~F.col("is_dup"),
+        )
+        .withColumn("split", split_assign(F.col("doc_id").cast("string")))
+    )
+    return out.drop("text")

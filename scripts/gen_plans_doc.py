@@ -120,6 +120,19 @@ def main() -> None:
             "top-k ANN viable at 10^12 corpus rows.",
         ),
         (
+            "Composed curation plan (plans/curate.curate_corpus)",
+            __import__("gnosis_ocr_spark.plans.curate", fromlist=["curate_corpus"]).curate_corpus(
+                spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+            ),
+            "Every per-doc curation operator chained as one declarative\n"
+            "plan: the inline enrichment (lang-ID, gates, 2-gram repetition)\n"
+            "is a single zero-shuffle projection; gopher_repetition and the\n"
+            "hashed classifier join back on doc_id; exact-dedup groups on the\n"
+            "md5 fingerprint. Every exchange carries doc_id (or fp) — AQE\n"
+            "broadcasts the joins at bench scale and co-partitions them at\n"
+            "100 TB. No Python, no cartesian (tests/test_curate.py pins it).",
+        ),
+        (
             "Gopher repetition suite (text.gopher_repetition)",
             q_gopher_repetition(spark, SF),
             "Line/paragraph dup stats are pure per-row expressions (total −\n"

@@ -1,0 +1,73 @@
+"""Composed curation plan: decision consistency vs the individual
+operators, plus the plan-quality contract (doc-keyed exchanges only, no
+Python in the plan, no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.plans.curate import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+
+
+def test_keep_is_the_documented_conjunction(spark):
+    """keep == ok_gates ∧ ok_repetition ∧ keep_model ∧ ¬is_dup, and each
+    signal column matches the stand-alone operator it came from."""
+    docs = _docs(spark)
+    out = curate_corpus(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r["keep"] == (
+            r["ok_gates"] and r["ok_repetition"]
+            and r["keep_model"] and not r["is_dup"]
+        )
+        assert r["ok_gates"] == (
+            r["ok_word_count"] and r["ok_mean_word_len"]
+            and r["ok_symbol_ratio"] and r["ok_bullet_lines"]
+            and r["ok_ellipsis_lines"] and r["ok_alpha_words"]
+        )
+        assert r["split"] in ("train", "val", "test")
+
+    from gnosis_ocr_spark.functions.classifier import quality_score
+    from gnosis_ocr_spark.functions.dedup import exact_duplicates
+
+    # cross-check two signals against the stand-alone operators
+    model = {r["doc_id"]: r["keep"] for r in quality_score(docs).collect()}
+    dup = {r["doc_id"]: r["is_dup"] for r in exact_duplicates(docs).collect()}
+    for r in out:
+        assert r["keep_model"] == model[r["doc_id"]]
+        assert r["is_dup"] == dup[r["doc_id"]]
+
+
+def test_duplicate_docs_keep_only_canonical(spark):
+    base = [(1, "x " * 60 + "unique body one"), (2, "y " * 60 + "other body")]
+    dup = [(11, base[0][1]), (12, base[0][1])]
+    df = spark.createDataFrame(base + dup, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate_corpus(df).collect()}
+    assert not out[1]["is_dup"] and out[11]["is_dup"] and out[12]["is_dup"]
+    assert out[11]["canonical_id"] == 1 and out[12]["canonical_id"] == 1
+    # duplicates can never be kept
+    assert not out[11]["keep"] and not out[12]["keep"]
+
+
+def test_plan_contract(spark):
+    import re
+
+    out = curate_corpus(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BatchEvalPython") == 0
+    assert plan.count("ArrowEvalPython") == 0
+    # every exchange keys on doc_id / fingerprint — nothing keyed globally
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert ("doc_id" in keys) or ("fp" in keys) or ("n#" in keys), keys
