@@ -156,7 +156,7 @@ def main() -> None:
         "winnow_fingerprints", "hot_spans", "embedding_near_dup",
         "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
-        "text_stats", "gopher_repetition", "quality_classifier", "curation", "chunking",
+        "text_stats", "gopher_repetition", "quality_classifier", "lm_score", "curation", "chunking",
         "sampling_split", "vocabulary", "decontaminate", "multimodal_meta",
         "html_extract", "pdf_extract",
     ]

@@ -113,3 +113,64 @@ def quality_score(
         logit_bp.alias("logit_bp"),
         (F.coalesce(F.col("sum_c"), F.lit(0)) > 0).alias("keep"),
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_mean_mb: int = -9000,
+) -> DataFrame:
+    """CCNet-style language-model quality signal from a unigram model
+    TRAINED ON THE SCORED CORPUS (add-one smoothing) — the Spark-native
+    restatement of CCNet's KenLM perplexity filter at unigram order:
+    documents whose tokens are corpus-typical score high, gibberish and
+    boilerplate-vocabulary outliers score low.
+
+    log p(t) = ln((count(t) + 1) / (N + V)) is rounded PER TOKEN to integer
+    millibels (repo float contract: round per row, sum as BIGINT), so the
+    output is hash-exact: ``(doc_id, n_tokens, sum_logp_mb, keep_lm)``
+    with ``keep_lm`` = mean logp ≥ ``keep_mean_mb`` decided by integer
+    cross-multiplication (no float division in any output).
+
+    Scale shape: token counts are one explode + one groupBy(token) with
+    map-side combine; the model "totals" (N, V) are a single-row aggregate
+    broadcast via cross join (the tpch_q22 scalar pattern); scoring joins
+    the token stream to the count table on token (AQE broadcasts small
+    vocabularies, co-partitions web-scale ones)."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toked = base.select(
+        "doc_id",
+        F.filter(
+            tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    words = toked.select("doc_id", F.explode("_toks").alias("token"))
+    counts = words.groupBy("token").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("v_size")))
+            * 1000
+        )
+        .cast("int")
+        .alias("logp_mb"),
+    )
+    scored = (
+        words.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("logp_mb").alias("sum_logp_mb"), F.count("*").alias("n_toks"))
+    )
+    ids = base.select("doc_id")
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("sum_logp_mb"), F.lit(0)).cast("long").alias("sum_logp_mb"),
+        (
+            F.coalesce(F.col("sum_logp_mb"), F.lit(0))
+            >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
+        ).alias("keep_lm"),
+    )

@@ -690,28 +690,6 @@ GROUP BY n_name
 """
 
 
-def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.sum(_CENTS(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_c"))
-    )
-
-
-ORACLE_TPCH_Q6 = """
-SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-"""
-
-
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1250,42 +1228,66 @@ GROUP BY ROLLUP (event_type, user_bucket)
 
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 promo revenue: share of revenue from PROMO parts in one month
-    (broadcast dim join + conditional aggregate; ratio in basis points so
-    the oracle hash is integer-exact)."""
+    """Q14 promo revenue + Q6 forecast revenue in ONE conditional-aggregate
+    pass (merged from the former tpch_q6 row to free a registry slot for
+    lm_score; both are single-row lineitem aggregates, so the merge is a
+    filter-union + per-condition sums — no extra scan, no cross join).
+    Ratios in basis points / cents so the oracle hash is integer-exact."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     part = _t(spark, sf_dir, "part")
     rev = _CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    in_march = (F.col("l_shipdate") >= F.lit("1996-03-01")) & (
+        F.col("l_shipdate") < F.lit("1996-04-01")
+    )
+    q6_cond = (
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
-        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)).alias(
-            "promo_c"
-        ),
-        F.sum(rev).alias("total_c"),
+        F.sum(
+            F.when(in_march & F.col("p_type").startswith("PROMO"), rev).otherwise(0)
+        ).alias("promo_c"),
+        F.sum(F.when(in_march, rev).otherwise(0)).alias("total_c"),
+        F.sum(
+            F.when(
+                q6_cond, _CENTS(F.col("l_extendedprice") * F.col("l_discount"))
+            ).otherwise(0)
+        ).alias("q6_revenue_c"),
     ).select(
         "promo_c",
         "total_c",
         F.round(F.col("promo_c") * 10000.0 / F.col("total_c")).cast("long").alias(
             "promo_bp"
         ),
+        "q6_revenue_c",
     )
 
 
 ORACLE_TPCH_Q14 = """
 WITH j AS (
   SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c,
-         p_type
+         CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT) AS disc_c,
+         p_type, l_shipdate, l_discount, l_quantity
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+), m AS (
+  SELECT *,
+         l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01' AS in_march,
+         l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 AS q6_cond
+  FROM j
 )
-SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
-       CAST(SUM(rev_c) AS BIGINT) AS total_c,
-       CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) * 10000.0
-                  / SUM(rev_c)) AS BIGINT) AS promo_bp
-FROM j
+SELECT CAST(SUM(CASE WHEN in_march AND p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+       CAST(SUM(CASE WHEN in_march THEN rev_c ELSE 0 END) AS BIGINT) AS total_c,
+       CAST(ROUND(SUM(CASE WHEN in_march AND p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END) * 10000.0
+                  / SUM(CASE WHEN in_march THEN rev_c ELSE 0 END)) AS BIGINT) AS promo_bp,
+       CAST(SUM(CASE WHEN q6_cond THEN disc_c ELSE 0 END) AS BIGINT) AS q6_revenue_c
+FROM m
 """
 
 
@@ -1641,6 +1643,45 @@ SELECT d.doc_id,
             THEN CAST(ROUND(ROUND(s.sum_c * 1.0 / (100 * s.n_feats), 4) * 10000) AS INT)
             ELSE 0 END AS logit_bp,
        COALESCE(s.sum_c, 0) > 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring, model trained on the scored
+    corpus itself (add-one smoothing; per-token integer-millibel rounding
+    keeps the aggregation hash-exact — see functions/classifier.py)."""
+    from gnosis_ocr_spark.functions.classifier import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_score(docs)
+
+
+ORACLE_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), w AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM w GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM c
+), lp AS (
+  SELECT token,
+         CAST(ROUND(ln((cnt + 1.0) / (n_total + v_size)) * 1000) AS INT) AS logp_mb
+  FROM c CROSS JOIN tot
+), s AS (
+  SELECT w.doc_id, CAST(SUM(lp.logp_mb) AS BIGINT) AS sum_mb, COUNT(*) AS n_toks
+  FROM w JOIN lp USING (token) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.sum_mb, 0) AS BIGINT) AS sum_logp_mb,
+       COALESCE(s.sum_mb, 0) >= -9000 * COALESCE(s.n_toks, 0) AS keep_lm
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 
@@ -2233,7 +2274,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q4": q_tpch_q4,
@@ -2252,6 +2292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation": q_curation,
     "gopher_repetition": q_gopher_repetition,
     "quality_classifier": q_quality_classifier,
+    "lm_score": q_lm_score,
     "chunking": q_chunking,
     "sampling_split": q_sampling_split,
     "vocabulary": q_vocabulary,
@@ -2286,7 +2327,6 @@ ORACLES: dict[str, str] = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q5": ORACLE_TPCH_Q5,
-    "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q10": ORACLE_TPCH_Q10,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q4": ORACLE_TPCH_Q4,
@@ -2305,6 +2345,7 @@ ORACLES: dict[str, str] = {
     "curation": ORACLE_CURATION,
     "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "lm_score": ORACLE_LM_SCORE,
     "chunking": ORACLE_CHUNKING,
     "sampling_split": ORACLE_SAMPLING_SPLIT,
     "vocabulary": ORACLE_VOCABULARY,

@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
 # queries whose nested-loop join is deliberate and documented:
 # - cosine_topk: broadcast-NL exact baseline (the corpus never shuffles)
 # - tpch_q22: broadcast single-row scalar average joined without a key
-NL_ALLOWED = {"cosine_topk", "tpch_q22"}
+NL_ALLOWED = {"cosine_topk", "tpch_q22", "lm_score"}
 
 
 def _plan(df) -> str:

@@ -699,3 +699,38 @@ def test_gopher_repetition_hypothesis_style_sweep(spark):
     got = {r["doc_id"]: list(r)[1:] for r in gopher_repetition(df).collect()}
     for i, text in docs:
         assert got[i] == _gopher_py(text), f"doc {i} text={text!r}"
+
+
+def test_unigram_lm_score_matches_python_reference(spark):
+    """Spark self-trained unigram LM vs a plain-Python reimplementation:
+    same counts, same add-one smoothing, same per-token millibel rounding."""
+    import math
+    from collections import Counter
+
+    from gnosis_ocr_spark.functions.classifier import unigram_lm_score
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "zyx qwv unique gibberish tokens"),
+        (4, ""),
+        (5, "the the the the"),
+    ]
+    toks_by_doc = {i: t.strip().lower().split() if t.strip() else [] for i, t in docs}
+    counts = Counter(t for ts in toks_by_doc.values() for t in ts)
+    n_total, v_size = sum(counts.values()), len(counts)
+    logp_mb = {
+        t: int(round(math.log((c + 1.0) / (n_total + v_size)) * 1000))
+        for t, c in counts.items()
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in unigram_lm_score(df).collect()}
+    for i, _ in docs:
+        toks = toks_by_doc[i]
+        want_sum = sum(logp_mb[t] for t in toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["sum_logp_mb"] == want_sum, f"doc {i}"
+        assert got[i]["keep_lm"] == (want_sum >= -9000 * len(toks))
+    # the common-vocabulary docs must outscore the gibberish one per token
+    mean = lambda i: got[i]["sum_logp_mb"] / max(got[i]["n_tokens"], 1)  # noqa: E731
+    assert mean(1) > mean(3) and mean(2) > mean(3)
