@@ -9,6 +9,7 @@ deterministic split assignment.
       │    token counts, quality ratios, Gopher gates, 2-gram repetition
       ├─ gopher_repetition(...)   # posexplode + doc-keyed aggs
       ├─ quality_score(...)       # hashed linear model, doc-keyed agg
+      ├─ unigram_lm_score(...)    # on-corpus LM, token-keyed counts
       ├─ exact_duplicates(...)    # md5-fingerprint groupBy
       └─ split_assign(...)        # pure hash expression
       → one row per doc: metrics + per-gate booleans + keep + split
@@ -18,8 +19,8 @@ Shuffle census: every exchange in the composed plan is keyed by doc_id
 everywhere, and the final assembly is a chain of doc_id equi-joins that
 AQE plans as broadcasts at small scale and co-partitioned SMJs at 100 TB.
 The `keep` column is the conjunction the public pipelines use: pass the
-Gopher gates, pass the repetition caps, pass the classifier threshold,
-and be the canonical copy of the duplicate group.
+Gopher gates, pass the repetition caps, pass the classifier and
+LM thresholds, and be the canonical copy of the duplicate group.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gnosis_ocr_spark.functions.classifier import quality_score
+from gnosis_ocr_spark.functions.classifier import quality_score, unigram_lm_score
 from gnosis_ocr_spark.functions.dedup import exact_duplicates
 from gnosis_ocr_spark.functions.sampling import split_assign
 from gnosis_ocr_spark.functions.text import (
@@ -74,11 +75,13 @@ def curate_corpus(
     # quality_score's decision column is also named `keep`; rename so the
     # composed decision can own the plain name
     model = quality_score(base).withColumnRenamed("keep", "keep_model")
+    lm = unigram_lm_score(base).select("doc_id", "sum_logp_mb", "keep_lm")
     dup = exact_duplicates(base).select("doc_id", "canonical_id", "is_dup")
 
     out = (
         enriched.join(rep, "doc_id")
         .join(model, "doc_id")
+        .join(lm, "doc_id")
         .join(dup, "doc_id")
         .withColumn(
             "ok_repetition",
@@ -103,6 +106,7 @@ def curate_corpus(
             F.col("ok_gates")
             & F.col("ok_repetition")
             & F.col("keep_model")
+            & F.col("keep_lm")
             & ~F.col("is_dup"),
         )
         .withColumn("split", split_assign(F.col("doc_id").cast("string")))

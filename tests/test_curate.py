@@ -28,7 +28,7 @@ def test_keep_is_the_documented_conjunction(spark):
     for r in out:
         assert r["keep"] == (
             r["ok_gates"] and r["ok_repetition"]
-            and r["keep_model"] and not r["is_dup"]
+            and r["keep_model"] and r["keep_lm"] and not r["is_dup"]
         )
         assert r["ok_gates"] == (
             r["ok_word_count"] and r["ok_mean_word_len"]
@@ -67,7 +67,11 @@ def test_plan_contract(spark):
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BatchEvalPython") == 0
     assert plan.count("ArrowEvalPython") == 0
-    # every exchange keys on doc_id / fingerprint — nothing keyed globally
+    # every exchange keys on doc_id / fingerprint / token / gram-size —
+    # nothing keyed on a constant or empty key set
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
-        assert ("doc_id" in keys) or ("fp" in keys) or ("n#" in keys), keys
+        assert (
+            "doc_id" in keys or "fp#" in keys or "token#" in keys
+            or re.search(r"\bn#\d", keys)
+        ), keys
