@@ -153,7 +153,7 @@ def main() -> None:
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
         "sessionize", "rollup", "host_stats",
         "dedup_exact", "minhash_lsh", "simhash_dedup", "ngram_jaccard",
-        "winnow_fingerprints", "hot_spans", "embedding_near_dup",
+        "hot_spans", "embedding_near_dup", "pack_sequences",
         "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
         "text_stats", "gopher_repetition", "quality_classifier", "lm_score", "curation", "chunking",

@@ -68,3 +68,57 @@ def cap_per_group(
         .filter(F.col("_rk") <= max_rows)
         .drop("_rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic sequence packing — assign every document a position in
+    a fixed-length training-sequence stream (the T5/GPT pre-training step
+    that concatenates documents into ``seq_len``-token examples).
+
+    Spark-first shape: a GLOBAL greedy packing is inherently sequential, so
+    the stream is sharded by the stable key hash (``n_shards`` independent
+    streams, each packed exactly) — the same compromise real pipelines make
+    (pack per output shard), and it keeps the only window per-shard, never
+    single-partition. Within a shard, docs order by (hash, key) — a total
+    order — and each doc starts at the running token offset before it:
+
+        bin_id     = prefix_before // seq_len  (example this doc starts in)
+        bin_offset = prefix_before %  seq_len  (token offset inside the bin)
+
+    Documents longer than ``seq_len`` simply span bins (consumers slice).
+    Output: (doc_id, n_tokens, shard, bin_id, bin_offset) — all integers, fully
+    reproducible at any cluster size or resume."""
+    from gnosis_ocr_spark.functions.text import tokens
+
+    key = F.col(id_col).cast("string")
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (stable_hash(key) % n_shards).cast("int").alias("shard"),
+        stable_hash(key).alias("_h"),
+        key.alias("_k"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_p")
+    # integer `div`, NOT float `/`+cast: Spark's double→bigint cast
+    # truncates while DuckDB's CAST rounds — `div`/`//` are exact on both
+    return base.select("doc_id", "n_tokens", "shard", prefix_before).select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.expr(f"_p div {seq_len}").cast("bigint").alias("bin_id"),
+        (F.col("_p") % seq_len).cast("int").alias("bin_offset"),
+    )

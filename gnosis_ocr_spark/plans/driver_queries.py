@@ -1686,6 +1686,43 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (T5/GPT training-example layout):
+    shard-local greedy packing by stable hash order — every doc gets an
+    integer (shard, bin_id, bin_offset) position, reproducible at any
+    cluster size."""
+    from gnosis_ocr_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=256, n_shards=16)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         CAST(doc_id AS VARCHAR) AS k
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS pb
+  FROM b
+)
+SELECT doc_id, n_tokens, shard,
+       pb // 256 AS bin_id,
+       CAST(pb % 256 AS INT) AS bin_offset
+FROM p
+"""
+
+
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: documents split into overlapping 32-token
     windows with stride 24 (overlap 8) — one output row per chunk."""
@@ -2295,9 +2332,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "chunking": q_chunking,
     "sampling_split": q_sampling_split,
+    "pack_sequences": q_pack_sequences,
     "vocabulary": q_vocabulary,
     "dedup_exact": q_dedup_exact,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "hot_spans": q_hot_spans,
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
@@ -2348,9 +2385,9 @@ ORACLES: dict[str, str] = {
     "lm_score": ORACLE_LM_SCORE,
     "chunking": ORACLE_CHUNKING,
     "sampling_split": ORACLE_SAMPLING_SPLIT,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "vocabulary": ORACLE_VOCABULARY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
-    "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     "hot_spans": ORACLE_HOT_SPANS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "decontaminate": ORACLE_DECONTAMINATE,

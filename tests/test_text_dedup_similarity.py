@@ -734,3 +734,35 @@ def test_unigram_lm_score_matches_python_reference(spark):
     # the common-vocabulary docs must outscore the gibberish one per token
     mean = lambda i: got[i]["sum_logp_mb"] / max(got[i]["n_tokens"], 1)  # noqa: E731
     assert mean(1) > mean(3) and mean(2) > mean(3)
+
+
+def test_pack_sequences_invariants(spark):
+    """Within every shard, (bin_id, bin_offset) is exactly the running token
+    prefix in (hash, key) order; values reproduce across partitioning."""
+    import hashlib
+
+    from gnosis_ocr_spark.functions.sampling import pack_sequences
+
+    docs = [(i, " ".join(["w"] * (i % 17))) for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(
+        df, seq_len=32, n_shards=4).collect()}
+
+    def h(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    by_shard = {}
+    for i, text in docs:
+        by_shard.setdefault(h(i) % 4, []).append(i)
+    for sh, ids in by_shard.items():
+        pos = 0
+        for i in sorted(ids, key=lambda i: (h(i), str(i))):
+            n = len(docs[i][1].split()) if docs[i][1].strip() else 0
+            r = got[i]
+            assert (r["shard"], r["n_tokens"]) == (sh, n)
+            assert r["bin_id"] == pos // 32 and r["bin_offset"] == pos % 32, i
+            pos += n
+    # repartitioning the input must not change a single assignment
+    got2 = {r["doc_id"]: r.asDict() for r in pack_sequences(
+        df.repartition(13), seq_len=32, n_shards=4).collect()}
+    assert got2 == got
