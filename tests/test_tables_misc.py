@@ -63,3 +63,56 @@ def test_human_size_matches_reference_semantics(spark):
     got = {r["n"]: r["h"] for r in df.select("n", human_size("n").alias("h")).collect()}
     for v in vals:
         assert got[v] == ref(float(v)), (v, got[v], ref(float(v)))
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    from gnosis_ocr_spark.sources.warc import build_warc, parse_warc_bytes
+
+    recs = [
+        ("https://a.test/x", "2026-01-01T00:00:00Z", b"<html>alpha</html>"),
+        ("https://b.test/y", "2026-01-02T00:00:00Z", b"<html>beta</html>"),
+    ]
+    for gz in (False, True):
+        data = build_warc(recs, gzip_per_record=gz)
+        got, skipped = parse_warc_bytes(data)
+        assert skipped == 0 and len(got) == 2
+        for (uri, date, body), r in zip(recs, got):
+            assert r["type"] == "response"
+            assert (r["url"], r["date"], r["body"]) == (uri, date, body)
+            assert r["status"] == 200 and r["content_type"] == "text/html"
+
+
+def test_warc_malformed_blocks_are_skipped_not_fatal():
+    from gnosis_ocr_spark.sources.warc import build_warc, parse_warc_bytes
+
+    good = build_warc([("https://ok.test/", "2026-01-01T00:00:00Z", b"ok")])
+    garbage = b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\n"
+    got, skipped = parse_warc_bytes(garbage + good)
+    assert skipped == 1
+    assert [r["url"] for r in got] == ["https://ok.test/"]
+    # truncated tail never raises
+    got2, _ = parse_warc_bytes(good[: len(good) // 2])
+    assert isinstance(got2, list)
+
+
+def test_warc_records_spark_explode(spark):
+    from gnosis_ocr_spark.sources.warc import build_warc, warc_records
+
+    f1 = build_warc(
+        [("https://a.test/1", "2026-01-01T00:00:00Z", b"<html>one</html>"),
+         ("https://a.test/2", "2026-01-01T00:01:00Z", b"<html>two</html>")],
+        gzip_per_record=True,
+    )
+    f2 = build_warc(
+        [("https://b.test/3", "2026-01-02T00:00:00Z", b"%PDF-fake")],
+        content_type="application/pdf",
+    )
+    df = spark.createDataFrame(
+        [("shard-00001.warc.gz", bytearray(f1)), ("shard-00002.warc", bytearray(f2))],
+        schema="name string, data binary",
+    )
+    rows = {r["url"]: r for r in warc_records(df).collect()}
+    assert set(rows) == {"https://a.test/1", "https://a.test/2", "https://b.test/3"}
+    assert bytes(rows["https://a.test/1"]["html"]) == b"<html>one</html>"
+    assert rows["https://b.test/3"]["content_type"] == "application/pdf"
+    assert rows["https://a.test/2"]["http_status"] == 200
