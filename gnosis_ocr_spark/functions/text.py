@@ -648,3 +648,80 @@ def gopher_repetition(
             *[bp(F.col(f"_dup{n}")).alias(f"dup_{n}gram_bp") for n in dup_ns],
         )
     )
+
+
+def remove_hot_spans(df, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8, window: int = 4, max_chars: int = 120,
+                     min_docs: int = 3, gap: int | None = None):
+    """ExactSubstr-style DELETION (Lee et al. 2022 cut the repeated
+    substrings, they did not only flag them): remove every hot span found
+    by :func:`hot_window_spans` from the normalized text.
+
+    A span ``[s, e]`` in window positions covers characters
+    ``[s, e + window + k - 2]`` of the normalized string (last window's
+    last k-gram); consecutive islands may overlap after that widening, so
+    the cutter clips each cut to start after the previous one. Returns
+    ``(doc_id, text_clean, n_cut_chars)`` where ``text_clean`` is the
+    normalized text with spans excised (docs without spans pass through
+    normalized; fingerprinting only sees the first ``max_chars``, so cuts
+    never reach past that prefix).
+
+    Shape: one aggregation of spans per doc (sort_array over a handful of
+    structs), then a LEFT join back to the docs and a single
+    ``F.aggregate`` building the kept text — the normalized string is
+    materialized BELOW the join, so the HOF lambda reads a bound attribute
+    instead of re-running the regex chain per span (the repo's CSE
+    gotcha)."""
+    spans = hot_window_spans(
+        df, id_col, text_col, k, window, max_chars, min_docs, gap
+    )
+    ext = window + k - 2
+    agg_spans = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    (F.col("span_end") + ext).alias("e"),
+                )
+            )
+        ).alias("_spans")
+    )
+    normed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        ).alias("_norm"),
+    )
+    joined = normed.join(agg_spans, "doc_id", "left")
+    n = F.length("_norm")
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+    )
+    built = F.aggregate(
+        F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<s:bigint,e:bigint>>")),
+        acc0,
+        lambda st, sp: F.struct(
+            F.greatest(st["pos"], sp["e"] + 1).alias("pos"),
+            F.concat(
+                st["acc"],
+                F.col("_norm").substr(
+                    st["pos"],
+                    F.greatest(
+                        F.greatest(sp["s"], st["pos"]) - st["pos"], F.lit(0)
+                    ).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.col("_norm").substr(
+                st["pos"], F.greatest(n - st["pos"] + 1, F.lit(0)).cast("int")
+            ),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        built.alias("text_clean"),
+        (n - F.length(built)).cast("long").alias("n_cut_chars"),
+    )

@@ -766,3 +766,34 @@ def test_pack_sequences_invariants(spark):
     got2 = {r["doc_id"]: r.asDict() for r in pack_sequences(
         df.repartition(13), seq_len=32, n_shards=4).collect()}
     assert got2 == got
+
+
+def test_remove_hot_spans_cuts_boilerplate_keeps_unique_tail(spark):
+    """Docs sharing a boilerplate prefix lose exactly the hot region; text
+    past the fingerprinted prefix (max_chars) and unique docs pass through;
+    cut accounting is exact."""
+    from gnosis_ocr_spark.functions.text import remove_hot_spans
+
+    boiler = "subscribe to our newsletter footer boilerplate banner "  # 54ch
+    tails = [
+        "quantum gardening manual volume seven",
+        "medieval cheese taxonomy reference",
+        "submarine orchestra rehearsal notes",
+        "volcanic pottery kiln temperature log",
+    ]
+    docs = [(i, boiler + t) for i, t in enumerate(tails)]
+    docs.append((99, "entirely unrelated content with its own vocabulary set"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in remove_hot_spans(df, min_docs=3).collect()}
+    # unique doc: untouched (normalized)
+    assert got[99]["n_cut_chars"] == 0
+    assert got[99]["text_clean"] == docs[-1][1]
+    # boilerplate docs: the shared prefix region is gone, the unique tail
+    # (distinct vocab per doc -> no hot windows there) survives
+    for i, t in enumerate(tails):
+        clean = got[i]["text_clean"]
+        assert "subscribe to our newsletter" not in clean
+        assert clean != "" and clean in (boiler + t).lower()
+        assert got[i]["n_cut_chars"] == len(boiler + t) - len(clean)
+        # the surviving text is a SUFFIX of the original tail region
+        assert (boiler + t).lower().endswith(clean)
