@@ -122,3 +122,50 @@ def pack_sequences(
         F.expr(f"_p div {seq_len}").cast("bigint").alias("bin_id"),
         (F.col("_p") % seq_len).cast("int").alias("bin_offset"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    keep_pm_by_group: dict[str, int],
+    default_pm: int = 1000,
+) -> DataFrame:
+    """Deterministic mixture resampling — the domain-mixing step of LLM
+    data recipes (e.g. down-sample web to 30%, keep wiki at 100%): each
+    group keeps ``keep_pm/1000`` of its rows by key hash. A pure
+    expression filter (no shuffle, no rand()): the same doc survives the
+    same mixture on every run and cluster size. Groups absent from the
+    map keep ``default_pm``."""
+    b = hash_bucket(F.col(key_col), 1000)
+    pm = F.lit(default_pm)
+    for g, v in keep_pm_by_group.items():
+        pm = F.when(F.col(group_col) == g, F.lit(v)).otherwise(pm)
+    return df.filter(b < pm)
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_tokens_col: str,
+    max_tokens: int,
+) -> DataFrame:
+    """Token-budget selection: keep documents per group, in deterministic
+    hash order, until the group's cumulative token count reaches
+    ``max_tokens`` (the doc that crosses the boundary is kept — budgets
+    are floors, not ceilings, matching how sampling recipes quote token
+    counts). Same determinism contract as :func:`cap_per_group` (key
+    unique within group). One window per group; AQE splits skewed
+    groups."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(stable_hash(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(n_tokens_col)).over(w)
+    return (
+        df.withColumn("_before", running - F.col(n_tokens_col))
+        .filter(F.col("_before") < max_tokens)
+        .drop("_before")
+    )

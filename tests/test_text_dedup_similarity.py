@@ -797,3 +797,44 @@ def test_remove_hot_spans_cuts_boilerplate_keeps_unique_tail(spark):
         assert got[i]["n_cut_chars"] == len(boiler + t) - len(clean)
         # the surviving text is a SUFFIX of the original tail region
         assert (boiler + t).lower().endswith(clean)
+
+
+def test_mixture_sample_and_token_caps(spark):
+    import hashlib
+
+    from gnosis_ocr_spark.functions.sampling import (
+        cap_tokens_per_group,
+        mixture_sample,
+    )
+
+    rows = [(f"d{i}", "web" if i % 2 == 0 else "wiki", 10 + i % 5)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["key", "domain", "n_tokens"])
+
+    def bucket(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % 1000
+
+    got = {r["key"] for r in mixture_sample(
+        df, "domain", "key", {"web": 300}).collect()}
+    for k, d, _ in rows:
+        want = bucket(k) < (300 if d == "web" else 1000)
+        assert (k in got) == want, k
+
+    capped = cap_tokens_per_group(df, "domain", "key", "n_tokens", 150)
+    by_dom = {}
+    for r in capped.collect():
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        total = sum(r["n_tokens"] for r in rs)
+        # budget is a floor: total reaches >= 150, and removing the LAST
+        # doc in hash order drops it under
+        assert total >= 150
+        rs_sorted = sorted(
+            rs, key=lambda r: (
+                int(hashlib.md5(r["key"].encode()).hexdigest()[:15], 16),
+                r["key"]))
+        assert total - rs_sorted[-1]["n_tokens"] < 150
+    # determinism under repartitioning
+    again = {r["key"] for r in cap_tokens_per_group(
+        df.repartition(7), "domain", "key", "n_tokens", 150).collect()}
+    assert again == {r["key"] for rs in by_dom.values() for r in rs}
