@@ -53,13 +53,20 @@ def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
+    max_docs_per_host: int = 0,
 ) -> DataFrame:
     """One row per document with every curation signal and the composed
     ``keep`` decision + deterministic ``split``. All stages are the
-    engine's real operators — this is composition, not reimplementation."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
+    engine's real operators — this is composition, not reimplementation.
+
+    With ``url_col``, rows gain ``canonical_url`` + ``host`` and — when
+    ``max_docs_per_host`` > 0 — an ``ok_host_quota`` flag (crawl balancing
+    via the deterministic per-host cap) that joins the keep conjunction."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if url_col is not None:
+        cols.append(F.col(url_col).alias("url"))
+    base = docs.select(*cols)
 
     ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
     enriched = base.withColumn("_ltoks", ltoks).select(
@@ -77,6 +84,27 @@ def curate_corpus(
     model = quality_score(base).withColumnRenamed("keep", "keep_model")
     lm = unigram_lm_score(base).select("doc_id", "sum_logp_mb", "keep_lm")
     dup = exact_duplicates(base).select("doc_id", "canonical_id", "is_dup")
+
+    host_sig = None
+    if url_col is not None:
+        from gnosis_ocr_spark.functions.sampling import cap_per_group
+        from gnosis_ocr_spark.functions.urls import canonicalize_url, url_host
+
+        urls = base.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("canonical_url"),
+            url_host(F.col("url")).alias("host"),
+        )
+        if max_docs_per_host > 0:
+            kept = cap_per_group(
+                urls, "host", "canonical_url", max_docs_per_host,
+                tiebreak_col="doc_id",
+            ).select("doc_id", F.lit(True).alias("ok_host_quota"))
+            host_sig = urls.join(kept, "doc_id", "left").withColumn(
+                "ok_host_quota", F.coalesce("ok_host_quota", F.lit(False))
+            )
+        else:
+            host_sig = urls.withColumn("ok_host_quota", F.lit(True))
 
     out = (
         enriched.join(rep, "doc_id")
@@ -111,4 +139,8 @@ def curate_corpus(
         )
         .withColumn("split", split_assign(F.col("doc_id").cast("string")))
     )
+    if host_sig is not None:
+        out = out.join(host_sig, "doc_id").withColumn(
+            "keep", F.col("keep") & F.col("ok_host_quota")
+        )
     return out.drop("text")

@@ -75,3 +75,25 @@ def test_plan_contract(spark):
             "doc_id" in keys or "fp#" in keys or "token#" in keys
             or re.search(r"\bn#\d", keys)
         ), keys
+
+
+def test_host_quota_and_canonical_url_signals(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 60 + f"doc body {i}",
+          f"https://www.bighost.test/p{i}?utm_source=x") for i in range(6)]
+        + [(100, "word " * 60 + "small host doc",
+            "https://small.test/only")],
+        ["doc_id", "text", "url"],
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(
+        docs, url_col="url", max_docs_per_host=3).collect()}
+    big = [r for i, r in out.items() if i != 100]
+    assert sum(r["ok_host_quota"] for r in big) == 3
+    assert out[100]["ok_host_quota"]
+    for r in out.values():
+        assert "utm_source" not in r["canonical_url"]
+        assert r["host"] in ("bighost.test", "www.bighost.test", "small.test")
+        if not r["ok_host_quota"]:
+            assert not r["keep"]
