@@ -134,3 +134,36 @@ def _exists(path: str) -> bool:
         name.endswith(".parquet") or name == "_SUCCESS"
         for name in os.listdir(path)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analog for
+    the parquet-path seam: a long-running ingest leaves thousands of
+    KB-sized files whose per-file open/footer costs dominate scans at
+    scale. Rewrites the table into ``ceil(total_bytes / target)`` files and
+    returns the new file count. Uses a temp-dir swap so a crash mid-rewrite
+    never leaves the table half-overwritten (write new → swap dirs →
+    drop old)."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

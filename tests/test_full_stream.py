@@ -85,3 +85,52 @@ def test_streaming_dedup_keeps_one_per_fingerprint(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 20  # one survivor per fingerprint
     assert got.select("fp").distinct().count() == 20
+
+
+def test_curation_gates_are_stream_safe(spark, tmp_path):
+    """The stateless curation surface (Gopher gates, quality ratios, PII
+    redaction, classifier-style hashing of a SINGLE doc's features — all
+    pure Column expressions) applies unchanged to a readStream source and
+    produces exactly the batch result. This is the contract that lets the
+    same curation code run in the streaming ingest path."""
+    from gnosis_ocr_spark.functions.text import (
+        gopher_flags,
+        redact_pii,
+        repetition_bp,
+        tokens,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    docs = spark.createDataFrame(
+        [(i, ("word " * (40 + i)) + f"contact a{i}@example.com now")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs.repartition(2).write.parquet(in_dir)
+
+    def gated(df):
+        ltoks = F.filter(
+            tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0
+        )
+        return df.withColumn("_ltoks", ltoks).select(
+            "doc_id",
+            repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep_bp"),
+            redact_pii(F.col("text")).alias("redacted"),
+            *gopher_flags(F.col("text"), toks=F.col("_ltoks")),
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = (
+        gated(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"]: r.asDict() for r in gated(docs).collect()}
+    assert got == want
+    assert all("@example.com" not in r["redacted"] for r in got.values())

@@ -116,3 +116,19 @@ def test_warc_records_spark_explode(spark):
     assert bytes(rows["https://a.test/1"]["html"]) == b"<html>one</html>"
     assert rows["https://b.test/3"]["content_type"] == "application/pdf"
     assert rows["https://a.test/2"]["http_status"] == 200
+
+
+def test_compact_rewrites_small_files_preserving_rows(spark, tmp_path):
+    from gnosis_ocr_spark.sources import tables
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 5000).withColumnRenamed("id", "v")
+    df.repartition(64).write.parquet(p)  # 64 tiny files
+    import glob
+    assert len(glob.glob(p + "/*.parquet")) == 64
+    n = tables.compact(spark, p, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(p + "/*.parquet")) == 1
+    got = spark.read.parquet(p)
+    assert got.count() == 5000
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(5000))
