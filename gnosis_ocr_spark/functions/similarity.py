@@ -342,3 +342,84 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
     )
     return rep_pairs if star is None else rep_pairs.unionByName(star)
+
+
+def quantize_embeddings(
+    df, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "DataFrame":
+    """Symmetric int8 quantization of an embedding column — the 4× memory/
+    shuffle reduction that keeps a 10^12-vector ANN corpus resident: per
+    vector, ``scale = max(|x|)/127`` and ``q[i] = round(x[i]/scale)`` in
+    [-127, 127]. Pure Column expressions (transform + aggregate); the
+    all-zero vector quantizes to zeros with scale 0.
+
+    Returns ``(vec_id, scale: double, qvec: array<tinyint>)``. Dot products
+    over two quantized vectors reconstruct as
+    ``scale_a * scale_b * Σ qa[i]*qb[i]`` — see
+    :func:`cosine_topk_quantized`."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v"), (amax / 127.0).alias("scale")
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("tinyint")))
+    return base.select("vec_id", "scale", q.alias("qvec"))
+
+
+def cosine_topk_quantized(
+    corpus, queries, k: int = 10,
+    id_col: str = "vec_id", q_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Brute-force cosine top-k over int8-QUANTIZED vectors: both sides
+    quantize, the dot product accumulates in integers (zip_with over
+    tinyints widened to long — exact), and only the final cosine touches
+    floats. Same broadcast-NL shape as :func:`cosine_topk_bruteforce`
+    (query side broadcasts, corpus never shuffles); recall loss vs exact
+    cosine is the quantization error (~1e-2 on unit vectors), which the
+    unit test bounds."""
+    from pyspark.sql.window import Window
+
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(queries, q_id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("q_qvec"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def inorm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long") * x.cast("long"),
+            ).cast("double")
+        )
+
+    joined = qc.crossJoin(F.broadcast(qq))
+    cos = (idot.cast("double") / F.greatest(
+        inorm(F.col("qvec")) * inorm(F.col("q_qvec")), F.lit(1e-12)
+    ))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", F.round(cos, 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

