@@ -132,3 +132,40 @@ def test_compact_rewrites_small_files_preserving_rows(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 5000
     assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(5000))
+
+
+def test_warc_ingest_feeds_extraction_byte_identically(spark):
+    """End-to-end ingest: corpus documents → WARC files (per-record gzip,
+    Common Crawl layout) → warc_records explode → the extraction pipeline —
+    extracted text must be byte-identical to the goldens for every record.
+    This is the seam contract: a crawl archive can replace the parquet
+    table with no change to the extraction plan."""
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.corpus import generate_rows
+    from gnosis_ocr_spark.plans.pipeline import extract_corpus
+    from gnosis_ocr_spark.sources.warc import build_warc, warc_records
+
+    rows = [r for r in generate_rows(n=40) if r.html[:5] != b"%PDF-"][:12]
+    assert len(rows) >= 8
+    # two WARC shard files, per-record gzip
+    shards = []
+    for si in range(2):
+        recs = [
+            (r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(r.html))
+            for r in rows[si::2]
+        ]
+        shards.append((f"shard-{si:05d}.warc.gz",
+                       bytearray(build_warc(recs, gzip_per_record=True))))
+    blobs = spark.createDataFrame(shards, "name string, data binary")
+    docs = warc_records(blobs).select(
+        "url",
+        F.to_timestamp("warc_date").alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    got = {r["url"]: r["extracted_text"] for r in extract_corpus(docs).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        assert got[r.url] == r.expected_text, r.url
