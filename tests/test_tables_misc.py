@@ -169,3 +169,25 @@ def test_warc_ingest_feeds_extraction_byte_identically(spark):
     assert len(got) == len(rows)
     for r in rows:
         assert got[r.url] == r.expected_text, r.url
+
+
+def test_warc_parser_never_escapes_on_mutation():
+    """Crawl-grade robustness: byte-mutated WARC files must parse to SOME
+    list (possibly empty, records skipped) — never raise, hang, or blow the
+    recursion/memory limits."""
+    import random
+
+    from gnosis_ocr_spark.sources.warc import build_warc, parse_warc_bytes
+
+    base = build_warc(
+        [("https://a.test/1", "2026-01-01T00:00:00Z", b"<html>x</html>"),
+         ("https://a.test/2", "2026-01-01T00:01:00Z", b"<html>y</html>")],
+        gzip_per_record=True,
+    )
+    for seed in range(300):
+        rng = random.Random(seed)
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        recs, skipped = parse_warc_bytes(bytes(data))
+        assert isinstance(recs, list) and skipped >= 0
