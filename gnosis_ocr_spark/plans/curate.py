@@ -144,3 +144,69 @@ def curate_corpus(
             "keep", F.col("keep") & F.col("ok_host_quota")
         )
     return out.drop("text")
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    max_docs_per_host: int = 0,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    seq_len: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """The full corpus→training-examples path, one declarative plan:
+
+        curate_corpus (gates+repetition+classifier+LM+dedup+split)
+          → keep == true, split == 'train'
+          → chunk_documents (context windows over kept docs)
+          → pack_sequences (shard-local fixed-length example layout)
+
+    Returns one row per chunk with its packed position:
+    ``(doc_id, chunk_no, chunk_text, n_tokens, shard, bin_id, bin_offset,
+    lang)``. Every stage is doc-keyed (or shard-keyed for packing) — the
+    composed plan has no global key and survives a 100 TB corpus."""
+    from gnosis_ocr_spark.functions.sampling import pack_sequences
+    from gnosis_ocr_spark.functions.text import chunk_documents
+
+    decisions = curate_corpus(
+        docs, id_col, text_col, url_col, max_docs_per_host
+    )
+    kept = decisions.filter(
+        F.col("keep") & (F.col("split") == "train")
+    ).select("doc_id", "lang")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    chunks = chunk_documents(
+        base.join(kept.select("doc_id"), "doc_id"),
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+    packed = pack_sequences(
+        chunks.withColumn(
+            "_ck",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_no")),
+        ),
+        id_col="_ck",
+        text_col="chunk_text",
+        seq_len=seq_len,
+        n_shards=n_shards,
+    ).select(
+        F.col("doc_id").alias("_ck2"), "n_tokens", "shard", "bin_id", "bin_offset"
+    )
+    return (
+        chunks.drop("n_tokens")  # packing recomputes it from chunk_text
+        .withColumn(
+            "_ck",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_no")),
+        )
+        .join(packed, F.col("_ck") == F.col("_ck2"))
+        .join(kept, "doc_id")
+        .select(
+            "doc_id", "chunk_no", "chunk_text",
+            "n_tokens", "shard", "bin_id", "bin_offset", "lang",
+        )
+    )

@@ -97,3 +97,25 @@ def test_host_quota_and_canonical_url_signals(spark):
         assert r["host"] in ("bighost.test", "www.bighost.test", "small.test")
         if not r["ok_host_quota"]:
             assert not r["keep"]
+
+
+def test_prepare_training_data_end_to_end(spark):
+    """Full corpus→training-examples path: only kept train-split docs
+    contribute chunks; every chunk has a valid packed position; packing
+    invariants hold per shard."""
+    from gnosis_ocr_spark.plans.curate import prepare_training_data
+
+    docs = _docs(spark)
+    out = prepare_training_data(docs, chunk_tokens=32, seq_len=64, n_shards=4)
+    rows = out.collect()
+    assert rows, "at least some docs survive curation at sf0.001"
+    decided = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    contributing = {r["doc_id"] for r in rows}
+    for d in contributing:
+        assert decided[d]["keep"] and decided[d]["split"] == "train"
+    kept_train = {d for d, r in decided.items() if r["keep"] and r["split"] == "train"}
+    assert contributing == kept_train
+    for r in rows:
+        assert 0 <= r["bin_offset"] < 64 and r["bin_id"] >= 0
+        assert 0 < r["n_tokens"] <= 32
+        assert r["shard"] in range(4)
