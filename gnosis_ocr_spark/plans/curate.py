@@ -55,6 +55,8 @@ def curate_corpus(
     text_col: str = "text",
     url_col: str | None = None,
     max_docs_per_host: int = 0,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.8,
 ) -> DataFrame:
     """One row per document with every curation signal and the composed
     ``keep`` decision + deterministic ``split``. All stages are the
@@ -62,7 +64,13 @@ def curate_corpus(
 
     With ``url_col``, rows gain ``canonical_url`` + ``host`` and — when
     ``max_docs_per_host`` > 0 — an ``ok_host_quota`` flag (crawl balancing
-    via the deterministic per-host cap) that joins the keep conjunction."""
+    via the deterministic per-host cap) that joins the keep conjunction.
+
+    With ``near_dup``, the MinHash+LSH star-edge clustering
+    (:func:`~gnosis_ocr_spark.functions.dedup.duplicate_clusters`, the
+    100 TB hot-bucket topology) additionally marks non-canonical NEAR
+    duplicates: ``is_near_dup`` joins the keep conjunction and
+    ``near_dup_canonical`` names the cluster's surviving doc."""
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     if url_col is not None:
         cols.append(F.col(url_col).alias("url"))
@@ -84,6 +92,19 @@ def curate_corpus(
     model = quality_score(base).withColumnRenamed("keep", "keep_model")
     lm = unigram_lm_score(base).select("doc_id", "sum_logp_mb", "keep_lm")
     dup = exact_duplicates(base).select("doc_id", "canonical_id", "is_dup")
+    near = None
+    if near_dup:
+        from gnosis_ocr_spark.functions.dedup import duplicate_clusters
+
+        clusters = duplicate_clusters(
+            base, threshold=near_dup_threshold
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("near_dup_canonical"),
+        )
+        near = clusters.withColumn(
+            "is_near_dup", F.col("doc_id") != F.col("near_dup_canonical")
+        )
 
     host_sig = None
     if url_col is not None:
@@ -139,6 +160,18 @@ def curate_corpus(
         )
         .withColumn("split", split_assign(F.col("doc_id").cast("string")))
     )
+    if near is not None:
+        out = (
+            out.join(near, "doc_id", "left")
+            .withColumn(
+                "is_near_dup", F.coalesce("is_near_dup", F.lit(False))
+            )
+            .withColumn(
+                "near_dup_canonical",
+                F.coalesce("near_dup_canonical", F.col("doc_id")),
+            )
+            .withColumn("keep", F.col("keep") & ~F.col("is_near_dup"))
+        )
     if host_sig is not None:
         out = out.join(host_sig, "doc_id").withColumn(
             "keep", F.col("keep") & F.col("ok_host_quota")

@@ -119,3 +119,21 @@ def test_prepare_training_data_end_to_end(spark):
         assert 0 <= r["bin_offset"] < 64 and r["bin_id"] >= 0
         assert 0 < r["n_tokens"] <= 32
         assert r["shard"] in range(4)
+
+
+def test_near_dup_option_keeps_only_cluster_canonicals(spark):
+    body = ("the quick brown fox jumps over the lazy dog near a warm "
+            "windowsill while birds sing in the summer garden all afternoon "
+            "and the river keeps flowing past the old stone mill " * 2)
+    docs = spark.createDataFrame(
+        [(1, body), (2, body + " tiny tail change"), (50, "completely "
+          "different material about spark shuffles joins and windows "
+          "repeated enough times to pass gates " * 4)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(
+        docs, near_dup=True, near_dup_threshold=0.5).collect()}
+    assert not out[1]["is_near_dup"]
+    assert out[2]["is_near_dup"] and out[2]["near_dup_canonical"] == 1
+    assert not out[50]["is_near_dup"]
+    assert not out[2]["keep"]  # near-dups never survive
