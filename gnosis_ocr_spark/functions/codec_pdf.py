@@ -404,22 +404,32 @@ def _utf16be_hex(ch: str) -> str:
     return ch.encode("utf-16-be").hex().upper()
 
 
-def build_pdf_type0(pages: list[str]) -> bytes:
-    """Fixture writer for COMPOSITE fonts — /Subtype /Type0 with
-    /Encoding /Identity-H and a 2-byte-CID /ToUnicode CMap, the embedded-
-    subset-TrueType shape that dominates modern real-world PDFs. Every
-    distinct character (ASCII included) gets a CID from 1 up, so the show
-    strings are hex 2-byte-CID sequences recoverable ONLY through the CMap —
-    a latin-1 or 1-byte-table parse produces garbage, proving the composite
-    path is genuinely exercised. Layout matches :func:`build_pdf`."""
+def build_pdf_type0(pages: list[str], custom_cmap: bool = False) -> bytes:
+    """Fixture writer for COMPOSITE fonts — /Subtype /Type0 with a
+    2-byte-CID /ToUnicode CMap, the embedded-subset-TrueType shape that
+    dominates modern real-world PDFs. Every distinct character (ASCII
+    included) gets a CID from 1 up, so the show strings are hex 2-byte
+    sequences recoverable ONLY through the CMap(s) — a latin-1 or
+    1-byte-table parse produces garbage, proving the composite path is
+    genuinely exercised. Layout matches :func:`build_pdf`.
+
+    Default: /Encoding /Identity-H (codes ARE CIDs). With ``custom_cmap``
+    the /Encoding is an EMBEDDED CMap stream mapping codes → CID = code +
+    100 (half the charset via one begincidrange run, the rest via
+    begincidchar singletons) and the /ToUnicode is keyed by those shifted
+    CIDs — an Identity assumption would look up the wrong CIDs and decode
+    nothing."""
     charset = sorted({c for p in pages for c in p if c != "\n"})
     if len(charset) > 0xFFFE:
         raise ValueError("too many distinct chars")
-    cid_of = {c: i + 1 for i, c in enumerate(charset)}
+    code_of = {c: i + 1 for i, c in enumerate(charset)}
+    shift = 100 if custom_cmap else 0
+    cid_of = {c: code + shift for c, code in code_of.items()}
 
     n_pages = len(pages)
     font_obj_no = 3 + 2 * n_pages
     cmap_no = font_obj_no + 1
+    enc_no = cmap_no + 1
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -438,17 +448,18 @@ def build_pdf_type0(pages: list[str]) -> bytes:
         for j, line in enumerate(page_text_.split("\n")):
             if j > 0:
                 ops.append(b"0 -14 Td")
-            hexstr = "".join(f"{cid_of[c]:04X}" for c in line)
+            hexstr = "".join(f"{code_of[c]:04X}" for c in line)
             ops.append(b"<" + hexstr.encode("ascii") + b"> Tj")
         ops.append(b"ET")
         stream = b"\n".join(ops)
         objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
         )
+    encoding = f"{enc_no} 0 R" if custom_cmap else "/Identity-H"
     objects.append(
         (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Subset-Font "
-            f"/Encoding /Identity-H /ToUnicode {cmap_no} 0 R >>"
+            f"/Encoding {encoding} /ToUnicode {cmap_no} 0 R >>"
         ).encode()
     )
     bfchars = "\n".join(
@@ -461,6 +472,27 @@ def build_pdf_type0(pages: list[str]) -> bytes:
         "endcmap\nend\n"
     ).encode("ascii")
     objects.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap))
+    if custom_cmap:
+        half = max(1, len(charset) // 2)
+        lines = [
+            "/CIDInit /ProcSet findresource begin", "begincmap",
+            "/CMapName /Custom-H def", "/CMapType 1 def",
+            "1 begincodespacerange", "<0000> <FFFF>", "endcodespacerange",
+            "1 begincidrange",
+            f"<0001> <{half:04X}> {1 + shift}",
+            "endcidrange",
+        ]
+        singles = [
+            f"<{code:04X}> {code + shift}"
+            for code in range(half + 1, len(charset) + 1)
+        ]
+        if singles:
+            lines += [f"{len(singles)} begincidchar", *singles, "endcidchar"]
+        lines += ["endcmap", "end"]
+        enc = "\n".join(lines).encode("ascii")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(enc), enc)
+        )
     return _assemble_classic(objects)
 
 
@@ -1181,6 +1213,31 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
     return table
 
 
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_ENTRY_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDCHAR_ENTRY_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+
+
+def _parse_cid_cmap(data: bytes) -> dict[int, int]:
+    """Embedded /Encoding CMap → {show-string code: CID}. Handles
+    begincidrange (contiguous CID runs) and begincidchar (singletons);
+    2-byte codespace (codes ≤ 0xFFFF)."""
+    table: dict[int, int] = {}
+    for block in _CIDRANGE_RE.finditer(data):
+        for m in _CIDRANGE_ENTRY_RE.finditer(block.group(1)):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            cid0 = int(m.group(3))
+            for c in range(lo, min(hi, 0xFFFF) + 1):
+                table[c] = cid0 + (c - lo)
+    for block in _CIDCHAR_RE.finditer(data):
+        for m in _CIDCHAR_ENTRY_RE.finditer(block.group(1)):
+            code = int(m.group(1), 16)
+            if code <= 0xFFFF:
+                table[code] = int(m.group(2))
+    return table
+
+
 _DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/<>\[\]()]+)")
 _BASEENC_RE = re.compile(rb"/(?:Base)?Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)")
@@ -1224,8 +1281,13 @@ def _font_decode_table(
     embedded-subset TrueType norm in modern crawls) → (2, cmap dict): show
     strings are sequences of 2-byte CIDs meaningful ONLY through the
     /ToUnicode CMap; unmapped CIDs decode to U+FFFD (same stance poppler
-    takes when a subset font ships no usable map)."""
-    if _TYPE0_RE.search(font_body) and _IDENTITY_H_RE.search(font_body):
+    takes when a subset font ships no usable map).
+
+    Composite fonts with an EMBEDDED CMap /Encoding stream (the custom/CJK
+    subset shape: show-string codes map through begincidchar/begincidrange
+    to CIDs first) compose that code→CID map with the CID-keyed /ToUnicode;
+    2-byte codespaces supported (the dominant layout)."""
+    if _TYPE0_RE.search(font_body):
         tm = _TOUNICODE_REF_RE.search(font_body)
         cmap: dict[int, str] = {}
         if tm:
@@ -1236,7 +1298,28 @@ def _font_decode_table(
             )
             if stream is not None:
                 cmap = _parse_cmap(stream)
-        return (2, cmap)
+        if _IDENTITY_H_RE.search(font_body):
+            return (2, cmap)
+        em = _ENCODING_REF_RE.search(font_body)
+        if em:
+            enc_stream = _stream_bytes(
+                objs.get(int(em.group(1)), b""),
+                _obj_dec(dec, int(em.group(1))),
+                objs,
+            )
+            if enc_stream and b"begincid" in enc_stream:
+                cid_of = _parse_cid_cmap(enc_stream)
+                return (
+                    2,
+                    {
+                        code: cmap.get(cid, "�")
+                        for code, cid in cid_of.items()
+                    },
+                )
+        # unknown composite encoding (e.g. a predefined CMap name we don't
+        # ship): 2-byte consumption with everything unmapped — poppler
+        # without CMap resources degrades the same way
+        return (2, {})
     enc_body = font_body
     em = _ENCODING_REF_RE.search(font_body)
     if em:

@@ -766,3 +766,19 @@ def test_type3_font_decodes_via_differences():
     pdf = P._assemble_classic(objects)
     [spans] = P.extract_pages(pdf)
     assert P.page_text(spans) == "AB "
+
+
+def test_type0_embedded_cmap_encoding_roundtrip():
+    """Composite font whose /Encoding is an embedded CMap stream (codes →
+    CID = code + 100 via cidrange + cidchar) with a CID-keyed /ToUnicode:
+    an Identity-H assumption would look up the wrong CIDs and decode
+    nothing, so a clean roundtrip proves the code→CID→unicode composition."""
+    pages = ["hello composite world\nsecond line here", "page two body"]
+    pdf = P.build_pdf_type0(pages, custom_cmap=True)
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+    # the same document parsed with the encoding stream REMOVED (simulating
+    # a predefined CMap we don't ship) must degrade to U+FFFD, not garbage
+    broken = re.sub(rb"begincidrange.*?endcidrange", b"", pdf, flags=re.S)
+    broken = re.sub(rb"begincidchar.*?endcidchar", b"", broken, flags=re.S)
+    [p1, p2] = P.extract_pages(broken)
+    assert set(P.page_text(p1)) <= {"�", "\n", " "}
