@@ -99,7 +99,7 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
 # costs ~0.4 s/file in pure Python, too slow for a 500-doc rotation).
 _PDF_WRITERS = (
     "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
-    "type0", "form_xobj", "aes",
+    "type0", "form_xobj", "aes", "type0_cmap",
 )
 
 
@@ -136,6 +136,8 @@ def _pdf_doc(rng: random.Random, n_pages: int,
         return _cp.build_pdf_form_xobject(pages), expected
     if writer == "aes":
         return _cp.build_pdf_encrypted(pages, revision=4), expected
+    if writer == "type0_cmap":
+        return _cp.build_pdf_type0(pages, custom_cmap=True), expected
     return build_pdf(pages), expected
 
 

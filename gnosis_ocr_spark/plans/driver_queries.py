@@ -165,6 +165,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_type0(p),
         lambda p: _cp.build_pdf_form_xobject(p),
         lambda p: _cp.build_pdf_encrypted(p, revision=4),
+        lambda p: _cp.build_pdf_type0(p, custom_cmap=True),
     )
     for b in batches:
         out = {"url": [], "html": []}

@@ -575,6 +575,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_tj_kerned(pages),
         lambda: P.build_pdf_form_xobject(pages),
         lambda: P.build_pdf_encrypted(pages, revision=4),
+        lambda: P.build_pdf_type0(pages, custom_cmap=True),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
