@@ -96,10 +96,13 @@ def _html_doc(rng: random.Random, i: int) -> tuple[bytes, str]:
 # drawn via /Fm Do with a /Matrix translation — letterhead/stamp shape),
 # and AES-128 /V 4 /CFM /AESV2 encryption (Acrobat-7-era norm; AES-256
 # /R 6 is supported but unit-tested only — its hardened password hash
-# costs ~0.4 s/file in pure Python, too slow for a 500-doc rotation).
+# costs ~0.4 s/file in pure Python, too slow for a 500-doc rotation),
+# and scanned/image-only pages (one DeviceGray image XObject per page,
+# zero text operators — the raster goes through the OCR seam; the
+# scan-matrix pixels make the expected text knowable by construction).
 _PDF_WRITERS = (
     "flate", "plain", "pdf15", "lzw", "a85flate", "tj_kerned", "rc4",
-    "type0", "form_xobj", "aes", "type0_cmap",
+    "type0", "form_xobj", "aes", "type0_cmap", "scanned",
 )
 
 
@@ -138,6 +141,8 @@ def _pdf_doc(rng: random.Random, n_pages: int,
         return _cp.build_pdf_encrypted(pages, revision=4), expected
     if writer == "type0_cmap":
         return _cp.build_pdf_type0(pages, custom_cmap=True), expected
+    if writer == "scanned":
+        return _cp.build_pdf_scanned(pages), expected
     return build_pdf(pages), expected
 
 

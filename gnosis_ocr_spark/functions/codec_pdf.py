@@ -842,6 +842,65 @@ def build_pdf_form_xobject(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_scanned(
+    pages: list[str],
+    width: int = 64,
+    height: int = 64,
+    image_filter: str = "flate",
+) -> bytes:
+    """Fixture writer for scanned/image-only pages — the shape the reference
+    hits constantly on real crawls (a page that is ONE raster image, zero
+    text operators; poppler rasterizes it and the OCR model reads the
+    pixels, /root/reference/app/jobs.py:386-390 + app/ocr_service.py:160-215).
+
+    Each page's content stream is ``q 612 0 0 792 0 0 cm /Im Do Q`` drawing a
+    DeviceGray 8-bit image XObject whose samples are the scan-matrix encoding
+    of the page text (codec_png.encode_scan_pixels) — so the stub OCR
+    recovers the exact page text from the pixels, and the golden stays a pure
+    function of ``pages``. ``image_filter='flate'`` (default) FlateDecode-
+    compresses the samples (the decodable path); ``'dct'`` wraps the payload
+    in /DCTDecode to exercise the opaque-bytes+metadata carry (extraction
+    then yields empty text — no JPEG codec in this container, honest gap).
+    """
+    import zlib
+
+    from gnosis_ocr_spark.functions.codec_png import encode_scan_pixels
+
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 3 * i
+        content_no, img_no = page_no + 1, page_no + 2
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /XObject << /Im {img_no} 0 R >> >> "
+                f"/Contents {content_no} 0 R >>"
+            ).encode()
+        )
+        content = b"q 612 0 0 792 0 0 cm /Im Do Q"
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        )
+        samples = encode_scan_pixels(page_text_, width, height)
+        if image_filter == "dct":
+            # opaque carry: JPEG SOI marker + payload, never decoded in-engine
+            data, filt = b"\xff\xd8\xff\xe0" + samples, b"/DCTDecode"
+        else:
+            data, filt = zlib.compress(samples, 6), b"/FlateDecode"
+        objects.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "
+            b"/Length %d >>\nstream\n%s\nendstream"
+            % (width, height, filt, len(data), data)
+        )
+    return _assemble_classic(objects)
+
+
 def is_pdf(data: bytes | None) -> bool:
     """Magic-byte sniff — the content-trusting replacement for the reference's
     extension allow-list (/root/reference/app/config.py:19,92-95)."""
@@ -1451,6 +1510,118 @@ def _form_spans(
     return [Span(s.x + e, s.y + f, s.text) for s in spans]
 
 
+# ---------------------------------------------------------------------------
+# image XObjects — the scanned-page path
+#
+# The reference's poppler rasterizes EVERY page (text layer or not,
+# /root/reference/app/jobs.py:386-390) and the OCR model reads the pixels
+# (app/ocr_service.py:160-215); a crawl's scanned PDFs are pages whose only
+# content is one big raster image. Here the text layer stays authoritative
+# when present (cheaper + byte-exact); pages with NO text operators fall
+# back to their drawn image XObjects, which route into the raster/OCR stage
+# as pixel pages (operators/pdf_split.py).
+# ---------------------------------------------------------------------------
+
+_IMAGE_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)\b")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
+_CSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
+
+
+@dataclass(frozen=True)
+class PdfImage:
+    """One drawn image XObject. ``codec == 'raw'`` means ``data`` holds fully
+    decoded samples (row-major, ``bits``-deep, ``colorspace``); any other
+    value names the first opaque filter met (``'dct'`` = DCTDecode/JPEG,
+    ``'jpx'``, ``'ccittfax'`` …) and ``data`` is the still-compressed payload
+    after the decodable prefix of the chain — opaque bytes + typed metadata
+    for a downstream decoder (no JPEG codec ships in this container)."""
+
+    width: int
+    height: int
+    bits: int
+    colorspace: str
+    codec: str
+    data: bytes
+
+
+def _image_from_obj(
+    objs: dict[int, bytes], no: int, dec
+) -> PdfImage | None:
+    """Decode one /Subtype /Image XObject; None when not an image or the
+    decodable part of its filter chain fails."""
+    body = objs.get(no, b"")
+    if not _IMAGE_SUBTYPE_RE.search(body):
+        return None
+    wm, hm = _WIDTH_RE.search(body), _HEIGHT_RE.search(body)
+    if not wm or not hm:
+        return None
+    width, height = int(wm.group(1)), int(hm.group(1))
+    sliced = _raw_stream_payload(body, objs)
+    if sliced is None:
+        return None
+    head, raw = sliced
+    decrypt = _obj_dec(dec, no)
+    if decrypt is not None:
+        raw = decrypt(raw)
+    bm = _BPC_RE.search(head)
+    bits = int(bm.group(1)) if bm else 8
+    cm = _CSPACE_RE.search(head)
+    cspace = cm.group(1).decode("ascii") if cm else "DeviceGray"
+    names, parms = _filter_chain(head)
+    for i, (name, parm) in enumerate(zip(names, parms)):
+        try:
+            decoded = _apply_one_filter(name, parm, raw)
+            if decoded is None:  # opaque image codec: carry bytes + metadata
+                codec = name.decode("latin-1")
+                if codec.endswith("Decode"):
+                    codec = codec[:-6]
+                return PdfImage(width, height, bits, cspace, codec.lower(), raw)
+            raw = _apply_predictor(parm, decoded)
+        except Exception:
+            return None
+    return PdfImage(width, height, bits, cspace, "raw", raw)
+
+
+def _collect_images(
+    objs: dict[int, bytes],
+    stream: bytes,
+    xmap: dict[bytes, int],
+    dec,
+    depth: int,
+    active: frozenset[int],
+) -> list[PdfImage]:
+    """Images drawn by ``Do`` in one content stream, in draw order,
+    recursing through Form XObjects (depth-capped + cycle-guarded exactly
+    like :func:`_form_spans`)."""
+    out: list[PdfImage] = []
+    if depth > _FORM_MAX_DEPTH:
+        return out
+    for m in _TOK_RE.finditer(_INLINE_IMG_RE.sub(b" ", stream)):
+        if not m.group("do"):
+            continue
+        no = xmap.get(m.group("do_name"))
+        if no is None or no in active:
+            continue
+        img = _image_from_obj(objs, no, dec)
+        if img is not None:
+            out.append(img)
+            continue
+        body = objs.get(no, b"")
+        if not _FORM_SUBTYPE_RE.search(body):
+            continue
+        fstream = _stream_bytes(body, _obj_dec(dec, no), objs)
+        if fstream is None:
+            continue
+        out.extend(
+            _collect_images(
+                objs, fstream, _xobject_map(objs, body), dec,
+                depth + 1, active | {no},
+            )
+        )
+    return out
+
+
 def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]:
     """Scan all indirect objects, including those packed inside /ObjStm
     object streams (PDF 1.5 xref-stream era: catalogs/page dicts routinely
@@ -1560,6 +1731,18 @@ def extract_pages(
     (first_page/last_page, /root/reference/app/jobs.py:386-390) — only the
     requested window is parsed, bounding memory exactly like its 10-page jobs.
     """
+    return [spans for spans, _ in extract_pages_with_images(pdf, first_page, last_page)]
+
+
+def extract_pages_with_images(
+    pdf: bytes, first_page: int = 1, last_page: int | None = None
+) -> list[tuple[list[Span], list["PdfImage"]]]:
+    """(spans, images) per page in the window. The text layer is
+    authoritative: images are collected ONLY for pages with zero text spans
+    (the scanned-page shape), so text documents pay no image-parse cost. The
+    reference rasterizes every page regardless (poppler,
+    /root/reference/app/jobs.py:386-390); here the rendered-text path covers
+    that case byte-exactly and this fallback covers image-only pages."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF")
     dec = _decryptor_for(pdf)
@@ -1567,7 +1750,7 @@ def extract_pages(
     kid_order = _leaf_page_order(objs)
     if last_page is None:
         last_page = len(kid_order)
-    pages: list[list[Span]] = []
+    pages: list[tuple[list[Span], list[PdfImage]]] = []
     for page_obj_no in kid_order[first_page - 1 : last_page]:
         body = objs.get(page_obj_no, b"")
         content_nos: list[int] = []
@@ -1599,9 +1782,13 @@ def extract_pages(
                 objs, _xmap.get(name), dec, _fonts, 1, frozenset()
             )
 
-        pages.append(
-            _parse_content(b"\n".join(parts), fonts, resolver) if parts else []
-        )
+        spans = _parse_content(b"\n".join(parts), fonts, resolver) if parts else []
+        images: list[PdfImage] = []
+        if not spans and parts:
+            images = _collect_images(
+                objs, b"\n".join(parts), xmap, dec, 1, frozenset()
+            )
+        pages.append((spans, images))
     return pages
 
 
@@ -1842,6 +2029,30 @@ def _stream_bytes(
     /DecodeParms entry (PNG + TIFF predictors). Unknown filters (DCTDecode,
     CCITTFaxDecode … = image codecs that never carry text operators) and any
     decode failure return None, the standard parse-failure sentinel."""
+    sliced = _raw_stream_payload(content_body, objs)
+    if sliced is None:
+        return None
+    head, raw = sliced
+    if decrypt is not None:
+        raw = decrypt(raw)
+    names, parms = _filter_chain(head)
+    for name, parm in zip(names, parms):
+        try:
+            decoded = _apply_one_filter(name, parm, raw)
+            if decoded is None:  # unknown filter (image codec)
+                return None
+            raw = _apply_predictor(parm, decoded)
+        except Exception:
+            return None
+    return raw
+
+
+def _raw_stream_payload(
+    content_body: bytes, objs: dict[int, bytes] | None = None
+) -> tuple[bytes, bytes] | None:
+    """(dict head, exact raw stream span) before decryption/filters — the
+    slicing half of :func:`_stream_bytes`, shared with the image-XObject
+    path (which must stop at opaque filters instead of bailing)."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -1867,32 +2078,28 @@ def _stream_bytes(
         if not sm:
             return None
         raw = sm.group(1)
-    if decrypt is not None:
-        raw = decrypt(raw)
-    names, parms = _filter_chain(head)
-    for name, parm in zip(names, parms):
-        try:
-            if name == b"FlateDecode":
-                import zlib
+    return head, raw
 
-                raw = zlib.decompress(raw)
-            elif name == b"LZWDecode":
-                em = _EARLYCHANGE_RE.search(parm)
-                raw = _lzw_decode(raw, int(em.group(1)) if em else 1)
-            elif name == b"ASCIIHexDecode":
-                raw = _ascii_hex_decode(raw)
-            elif name == b"ASCII85Decode":
-                raw = _ascii85_decode(raw)
-            elif name == b"RunLengthDecode":
-                raw = _rle_decode(raw)
-            elif name in (b"Crypt",):  # identity /Crypt only; else unknown
-                pass
-            else:
-                return None
-            raw = _apply_predictor(parm, raw)
-        except Exception:
-            return None
-    return raw
+
+def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
+    """Decode one /Filter step; None marks an unknown (opaque image) codec.
+    Raises on malformed data — callers map that to their failure sentinel."""
+    if name == b"FlateDecode":
+        import zlib
+
+        return zlib.decompress(raw)
+    if name == b"LZWDecode":
+        em = _EARLYCHANGE_RE.search(parm)
+        return _lzw_decode(raw, int(em.group(1)) if em else 1)
+    if name == b"ASCIIHexDecode":
+        return _ascii_hex_decode(raw)
+    if name == b"ASCII85Decode":
+        return _ascii85_decode(raw)
+    if name == b"RunLengthDecode":
+        return _rle_decode(raw)
+    if name == b"Crypt":  # identity /Crypt only; else unknown
+        return raw
+    return None
 
 
 def _parse_content(

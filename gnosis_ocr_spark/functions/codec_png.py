@@ -153,3 +153,70 @@ def decode_stub_text(png: bytes) -> str:
             body = body.split(b"\x00", 2)[2]
             return body.decode("utf-8")
     raise ValueError("no gnosis-stub-text iTXt chunk")
+
+
+# ---------------------------------------------------------------------------
+# scan-matrix pixels — the scanned-page ground-truth carrier
+#
+# A scanned PDF page is one raster image with no text layer; the reference
+# rasterizes it with poppler and the OCR model reads the pixels
+# (/root/reference/app/jobs.py:386-390, app/ocr_service.py:160-215). No OCR
+# model runs in this container, so the scanned fixtures carry their ground
+# truth IN the sample data itself: a 4-byte magic + big-endian length header
+# followed by the UTF-8 text bytes as pixel values, padded with a
+# deterministic background. The stub OCR "reads the pixels" by decoding this
+# matrix — the same clearly-marked CI stand-in contract as the iTXt chunk on
+# rendered pages (module docstring), applied to images that arrive as
+# pixels rather than being rendered from a text layer.
+# ---------------------------------------------------------------------------
+
+SCAN_MAGIC = b"GSCN"
+
+
+def encode_scan_pixels(text: str, width: int = 64, height: int = 64) -> bytes:
+    """Raw 8-bit grayscale pixels (row-major) carrying ``text`` as a
+    scan-matrix: GSCN + u32be length + UTF-8 bytes, deterministic background
+    fill. Raises if the text does not fit the raster."""
+    payload = text.encode("utf-8")
+    head = SCAN_MAGIC + struct.pack(">I", len(payload))
+    n = width * height
+    if len(head) + len(payload) > n:
+        raise ValueError(
+            f"text ({len(payload)} bytes) does not fit a {width}x{height} scan"
+        )
+    rest = n - len(head) - len(payload)
+    try:
+        import numpy as np
+
+        idx = np.arange(len(head) + len(payload), n, dtype=np.uint32)
+        bg = (((idx % width) * 31 + (idx // width) * 17) ^ 0xA5).astype(np.uint8)
+        return head + payload + bg.tobytes()
+    except ImportError:  # pragma: no cover - numpy is in this container
+        bg = bytearray(rest)
+        for i in range(rest):
+            j = len(head) + len(payload) + i
+            bg[i] = (((j % width) * 31 + (j // width) * 17) ^ 0xA5) & 0xFF
+        return head + payload + bytes(bg)
+
+
+def decode_scan_text(pixels: bytes) -> str | None:
+    """Invert :func:`encode_scan_pixels`; None when the buffer is not a
+    scan-matrix (wrong magic, truncated, or invalid UTF-8)."""
+    if pixels[:4] != SCAN_MAGIC or len(pixels) < 8:
+        return None
+    (n,) = struct.unpack(">I", pixels[4:8])
+    if 8 + n > len(pixels):
+        return None
+    try:
+        return pixels[8 : 8 + n].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def decode_scan_png_text(png: bytes) -> str | None:
+    """Scan-matrix text from a grayscale PNG (the re-encoded form an image
+    XObject takes after pdf_split decodes it); None if not a scan page."""
+    try:
+        return decode_scan_text(decode_pixels(png))
+    except Exception:
+        return None

@@ -30,7 +30,10 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from gnosis_ocr_spark.functions.codec_png import decode_stub_text
+from gnosis_ocr_spark.functions.codec_png import (
+    decode_scan_png_text,
+    decode_stub_text,
+)
 
 # exact reference constants (app/ocr_service.py:166,196) — used by NanonetsOCR
 NANONETS_MODEL_ID = "nanonets/Nanonets-OCR-s"
@@ -48,7 +51,13 @@ NANONETS_PROMPT = (
 
 
 class DeterministicStubOCR:
-    """Pure-function stand-in: PNG → embedded ground-truth text, stripped."""
+    """Pure-function stand-in: PNG → embedded ground-truth text, stripped.
+
+    Two page shapes, both deterministic: rendered text pages carry their
+    ground truth in the rasterizer's iTXt chunk; scanned pages (pixels
+    decoded from an image XObject, codec_pdf scanned path) carry it in the
+    scan-matrix pixel encoding (codec_png.encode_scan_pixels) — the stub
+    "reads the pixels" either way."""
 
     name = "stub"
 
@@ -61,7 +70,8 @@ class DeterministicStubOCR:
             try:
                 out.append(decode_stub_text(bytes(png)).strip())
             except Exception:
-                out.append("")
+                scanned = decode_scan_png_text(bytes(png))
+                out.append(scanned.strip() if scanned else "")
         return out
 
     def ocr_batch_scored(

@@ -41,10 +41,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, IntegerType
 
-from gnosis_ocr_spark.functions.codec_pdf import extract_pages, page_count, page_text
-from gnosis_ocr_spark.functions.codec_png import DPI150_SIZE, encode_page_png
+from gnosis_ocr_spark.functions.codec_pdf import (
+    extract_pages_with_images,
+    page_count,
+    page_text,
+)
+from gnosis_ocr_spark.functions.codec_png import (
+    DPI150_SIZE,
+    encode_gray_png,
+    encode_page_png,
+)
 
-TEXT_PAGE_SCHEMA = "url string, page_no int, page_text string"
+# page_png carries decoded pixels (as a real PNG) ONLY for image-only
+# (scanned) pages — the text layer stays the cheap path; shipping scanned
+# pixels between the split and OCR stages is the Spark restatement of the
+# reference materializing page PNGs to GCS between its extraction and OCR
+# jobs (/root/reference/app/jobs.py:395-401,435)
+TEXT_PAGE_SCHEMA = "url string, page_no int, page_text string, page_png binary"
 EXTRACT_BATCH_PAGES = 10  # reference window: 10 pages/job (app/jobs.py:378)
 MAX_PAGES = 500  # reference cap (app/config.py:18)
 
@@ -73,11 +86,28 @@ def pdf_page_count_udf(pdf: pd.Series) -> pd.Series:
     return pdf.map(probe)
 
 
+def _scan_png(images) -> bytes | None:
+    """First decodable 8-bit grayscale image of a page, re-encoded as PNG for
+    the OCR stage; None when nothing on the page is decodable in-container
+    (opaque DCT/JPX payloads — the page then extracts as empty text, same as
+    before scanned support, with the codec gap documented in PdfImage)."""
+    for img in images:
+        if (
+            img.codec == "raw"
+            and img.bits == 8
+            and img.colorspace == "DeviceGray"
+            and len(img.data) == img.width * img.height
+        ):
+            return encode_gray_png(img.data, img.width, img.height)
+    return None
+
+
 def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf_batch in batches:
         out_url: list[str] = []
         out_no: list[int | None] = []
         out_text: list[str | None] = []
+        out_png: list[bytes | None] = []
         for url, blob in zip(pdf_batch["url"], pdf_batch["html"]):
             emitted = 0
             try:
@@ -86,10 +116,14 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # 10-page windows with range pushdown into the parser
                 for start in range(1, total + 1, EXTRACT_BATCH_PAGES):
                     end = min(start + EXTRACT_BATCH_PAGES - 1, total)
-                    for off, spans in enumerate(extract_pages(data, start, end)):
+                    window = extract_pages_with_images(data, start, end)
+                    for off, (spans, images) in enumerate(window):
+                        png = _scan_png(images) if not spans else None
                         out_url.append(url)
                         out_no.append(start + off)
-                        out_text.append(page_text(spans))
+                        # image-only page: text comes from the OCR stage
+                        out_text.append(None if png else page_text(spans))
+                        out_png.append(png)
                         emitted += 1
             except Exception:
                 pass
@@ -97,7 +131,15 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out_url.append(url)
                 out_no.append(None)
                 out_text.append(None)
-        yield pd.DataFrame({"url": out_url, "page_no": out_no, "page_text": out_text})
+                out_png.append(None)
+        yield pd.DataFrame(
+            {
+                "url": out_url,
+                "page_no": out_no,
+                "page_text": out_text,
+                "page_png": out_png,
+            }
+        )
 
 
 def split_pdf_text_pages(
@@ -161,9 +203,14 @@ def raster_ocr_pages(
 
         engine = get_engine(ocr_engine)  # executor-singleton (U4)
         for b in batches:
+            scans = (
+                b["page_png"] if "page_png" in b.columns else [None] * len(b)
+            )
             pngs = [
-                None if t is None else encode_page_png(t, w, h)
-                for t in b["page_text"]
+                # scanned page: pixels came from the document itself
+                bytes(s) if s is not None
+                else (None if t is None else encode_page_png(t, w, h))
+                for t, s in zip(b["page_text"], scans)
             ]
             cols = {"url": b["url"], "page_no": b["page_no"]}
             if with_confidence:
@@ -174,7 +221,10 @@ def raster_ocr_pages(
                 cols["page_text"] = engine.ocr_batch(pngs)
             yield pd.DataFrame(cols)
 
-    return pages.select("url", "page_no", "page_text").mapInPandas(
+    cols = ["url", "page_no", "page_text"]
+    if "page_png" in pages.columns:
+        cols.append("page_png")
+    return pages.select(*cols).mapInPandas(
         fused, schema=OCR_PAGE_CONF_SCHEMA if with_confidence else OCR_PAGE_SCHEMA
     )
 
@@ -187,5 +237,10 @@ def split_pdf_pages(pdf_rows: DataFrame, raster: str | None = None) -> DataFrame
     raster cost in one task and exists for unit tests / small corpora."""
     pages = split_pdf_text_pages(pdf_rows)
     return pages.select(
-        "url", "page_no", make_rasterize_udf(raster)(F.col("page_text")).alias("png")
+        "url",
+        "page_no",
+        # scanned pages already carry their raster; text pages render one
+        F.coalesce(
+            F.col("page_png"), make_rasterize_udf(raster)(F.col("page_text"))
+        ).alias("png"),
     )

@@ -149,8 +149,10 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # chained ASCII85+Flate with indirect /Length, kerning-only word
     # breaks, RC4-encrypted, composite Type0/Identity-H CIDs, and Form-
     # XObject pages (/Fm Do with a /Matrix translation), AES-128 /V 4
-    # /CFM /AESV2 encrypted files. All writers
-    # emit the identical 72/720 layout, so the oracle stays a pure SQL
+    # /CFM /AESV2 encrypted files, and scanned/image-only pages (a single
+    # DeviceGray image XObject, zero text operators — exercises the
+    # image-decode → OCR-seam path end-to-end). All writers
+    # emit the identical page text, so the oracle stays a pure SQL
     # function of `text`.
     writers = (
         lambda p: _cp.build_pdf(p),
@@ -166,6 +168,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_form_xobject(p),
         lambda p: _cp.build_pdf_encrypted(p, revision=4),
         lambda p: _cp.build_pdf_type0(p, custom_cmap=True),
+        lambda p: _cp.build_pdf_scanned(p),
     )
     for b in batches:
         out = {"url": [], "html": []}

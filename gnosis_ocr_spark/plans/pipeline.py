@@ -109,7 +109,11 @@ def extract_corpus(
         from gnosis_ocr_spark.operators.pdf_split import make_rasterize_udf
 
         rastered = pages.withColumn(
-            "png", make_rasterize_udf(raster)(F.col("page_text"))
+            "png",
+            # scanned pages carry their own raster; text pages render one
+            F.coalesce(
+                F.col("page_png"), make_rasterize_udf(raster)(F.col("page_text"))
+            ),
         )
         rastered.write.mode("overwrite").parquet(debug_pages_path)
         rastered = pages.sparkSession.read.parquet(debug_pages_path)

@@ -576,6 +576,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_form_xobject(pages),
         lambda: P.build_pdf_encrypted(pages, revision=4),
         lambda: P.build_pdf_type0(pages, custom_cmap=True),
+        lambda: P.build_pdf_scanned(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -783,3 +784,79 @@ def test_type0_embedded_cmap_encoding_roundtrip():
     broken = re.sub(rb"begincidchar.*?endcidchar", b"", broken, flags=re.S)
     [p1, p2] = P.extract_pages(broken)
     assert set(P.page_text(p1)) <= {"�", "\n", " "}
+
+
+# ---------------------------------------------------------------- scanned
+
+
+def test_scanned_pdf_extracts_images_not_spans():
+    """Image-only pages yield zero spans and one decoded raw image whose
+    scan-matrix pixels carry the exact page text (the scanned-page shape the
+    reference rasterizes via poppler, app/jobs.py:386-390)."""
+    pages = ["scanned page one\nline two", "page two only"]
+    pdf = P.build_pdf_scanned(pages)
+    assert P.page_count(pdf) == 2
+    res = P.extract_pages_with_images(pdf)
+    assert [len(spans) for spans, _ in res] == [0, 0]
+    for (spans, imgs), page in zip(res, pages):
+        [img] = imgs
+        assert (img.width, img.height, img.bits) == (64, 64, 8)
+        assert img.colorspace == "DeviceGray" and img.codec == "raw"
+        assert len(img.data) == 64 * 64
+        assert G.decode_scan_text(img.data) == page
+
+
+def test_scanned_dct_is_opaque_carry_with_metadata():
+    """/DCTDecode images can't be decoded in-container: the codec must carry
+    the compressed bytes + typed metadata (codec='dct'), never garbage."""
+    pdf = P.build_pdf_scanned(["jpeg page"], image_filter="dct")
+    [(spans, imgs)] = P.extract_pages_with_images(pdf)
+    assert spans == []
+    [img] = imgs
+    assert img.codec == "dct" and img.data[:2] == b"\xff\xd8"
+    assert (img.width, img.height, img.colorspace) == (64, 64, "DeviceGray")
+
+
+def test_text_pages_skip_image_collection():
+    """The text layer is authoritative: pages WITH spans never pay the
+    image-parse cost (images list empty by contract)."""
+    pdf = P.build_pdf(["has a text layer"], compress=True)
+    [(spans, imgs)] = P.extract_pages_with_images(pdf)
+    assert spans and imgs == []
+
+
+def test_scan_matrix_capacity_guard():
+    with pytest.raises(ValueError, match="does not fit"):
+        G.encode_scan_pixels("x" * 5000, 64, 64)
+    # non-scan pixels decode to None, never raise
+    assert G.decode_scan_text(b"\x00" * 4096) is None
+    assert G.decode_scan_png_text(G.encode_page_png("not a scan")) is None
+
+
+def test_scanned_pdf_end_to_end_golden(spark):
+    """e2e: an image-only PDF through the production fused split→OCR path
+    extracts non-empty, byte-pinned text (round-4 task #1 done-criterion)."""
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+    from gnosis_ocr_spark.operators.pdf_split import (
+        raster_ocr_pages,
+        split_pdf_text_pages,
+    )
+
+    pages = ["deterministic scanned body\nsecond line", "tail page"]
+    mixed = spark.createDataFrame(
+        [
+            ("scan", bytearray(P.build_pdf_scanned(pages))),
+            ("text", bytearray(P.build_pdf(pages, compress=True))),
+            ("dct", bytearray(P.build_pdf_scanned(["opaque"], image_filter="dct"))),
+        ],
+        schema="url string, html binary",
+    )
+    ocred = raster_ocr_pages(split_pdf_text_pages(mixed), ocr_engine="stub")
+    out = {r["url"]: r for r in assemble_documents(ocred).collect()}
+    golden = "deterministic scanned body\nsecond line\n\ntail page"
+    assert out["scan"]["extracted_text"] == golden
+    assert out["scan"]["n_pages"] == 2
+    # the scanned doc matches the text-layer doc byte-for-byte
+    assert out["text"]["extracted_text"] == golden
+    # opaque DCT: page exists but extracts empty (honest container gap)
+    assert out["dct"]["extracted_text"] == "" and out["dct"]["n_pages"] == 1
