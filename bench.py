@@ -21,15 +21,35 @@ import re
 import time
 
 
+def _load_probe() -> tuple[float, float]:
+    """(1-min loadavg, uptime sec) — the contention preflight. This box has
+    shown phantom +274% per-query regressions when another Spark job runs
+    concurrently (CLAUDE.md); recording load in the bench JSON lets a reader
+    attribute round-over-round deltas to host state instead of guessing."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = -1.0
+    try:
+        with open("/proc/uptime") as fh:
+            uptime = float(fh.read().split()[0])
+    except OSError:  # pragma: no cover
+        uptime = -1.0
+    return round(load1, 2), round(uptime, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+    load1_start, uptime_start = _load_probe()
+    # a loaded host invalidates comparisons — flag loudly in the JSON
+    host_loaded = load1_start > max(2.0, cpus * 0.125)
 
     from pyspark.sql import functions as F
 
-    from gnosis_ocr_spark.corpus import corpus_df, generate_rows
+    from gnosis_ocr_spark.corpus import CORPUS_VERSION, corpus_df, generate_rows
     from gnosis_ocr_spark.plans.driver_queries import QUERIES
     from gnosis_ocr_spark.plans.pipeline import extract_corpus
     from gnosis_ocr_spark.session import get_spark
@@ -52,8 +72,11 @@ def main() -> None:
     )
     rows = generate_rows(n_docs)
     n_pages_total = sum(r.n_pages for r in rows)
+    # cache key carries the generator version: a rotation change must
+    # invalidate cached parquet, not silently benchmark the old corpus
     corpus_dir = os.environ.get(
-        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/gnosis_bench_corpus_n{n_docs}"
+        "SPARK_GRAFT_CORPUS_DIR",
+        f"/tmp/gnosis_bench_corpus_v{CORPUS_VERSION}_n{n_docs}",
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         corpus_df(spark, n=n_docs, num_partitions=max(cpus * 2, 16)).write.mode(
@@ -142,6 +165,10 @@ def main() -> None:
                     "extract_n_docs": n_docs,
                     "extract_n_pages": int(n_pages_total),
                     "byte_identical_pass_rate": byte_identical_rate,
+                    "load1_start": load1_start,
+                    "load1_end": _load_probe()[0],
+                    "uptime_start": uptime_start,
+                    "host_loaded": host_loaded,
                     **calibrated,
                 }
             )
@@ -156,7 +183,8 @@ def main() -> None:
         "hot_spans", "embedding_near_dup", "pack_sequences",
         "dedup_clusters",
         "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
-        "text_stats", "gopher_repetition", "quality_classifier", "lm_score", "curation", "chunking",
+        "text_stats", "gopher_repetition", "quality_classifier", "lm_score", "curation",
+        "curate_compose", "prepare_training_compose",
         "sampling_split", "vocabulary", "decontaminate", "multimodal_meta",
         "html_extract", "pdf_extract",
     ]
@@ -182,6 +210,10 @@ def main() -> None:
                 "extract_n_docs": n_docs,
                 "extract_n_pages": int(n_pages_total),
                 "byte_identical_pass_rate": byte_identical_rate,
+                "load1_start": load1_start,
+                "load1_end": _load_probe()[0],
+                "uptime_start": uptime_start,
+                "host_loaded": host_loaded,
                 **calibrated,
             }
         )

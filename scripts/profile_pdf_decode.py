@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-writer-class PDF decode cost profile (round-4 bench attribution).
+
+pdf_extract's wall-clock is dominated by per-row *decode compute* inside the
+vectorized split stage — this script measures it in isolation (no Spark):
+for every writer class in the corpus/driver rotation, build one 2-page doc
+and time ``page_count + extract_pages + page_text`` over N reps. Prints a
+markdown table (pasted into FIXTURES.md) and a JSON line.
+
+Run: python scripts/profile_pdf_decode.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gnosis_ocr_spark.functions import codec_pdf as cp  # noqa: E402
+
+WRITERS: dict[str, callable] = {
+    "plain": lambda p: cp.build_pdf(p),
+    "flate": lambda p: cp.build_pdf(p, compress=True),
+    "pdf15": lambda p: cp.build_pdf_15(p),
+    "lzw": lambda p: cp.build_pdf_filtered(p, filters=("LZWDecode",)),
+    "a85flate": lambda p: cp.build_pdf_filtered(
+        p, filters=("ASCII85Decode", "FlateDecode"), indirect_length=True
+    ),
+    "tj_kerned": lambda p: cp.build_pdf_tj_kerned(p),
+    "rc4": lambda p: cp.build_pdf_encrypted(p, revision=3),
+    "type0": lambda p: cp.build_pdf_type0(p),
+    "form_xobj": lambda p: cp.build_pdf_form_xobject(p),
+    "aes": lambda p: cp.build_pdf_encrypted(p, revision=4),
+    "type0_cmap": lambda p: cp.build_pdf_type0(p, custom_cmap=True),
+    "scanned": lambda p: cp.build_pdf_scanned(p),
+}
+
+PAGES = [
+    "analysis baseline corpus dataset engine extraction fixture golden one",
+    "inference journal kernel layout markup notebook operator pipeline two",
+]
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    results: dict[str, float] = {}
+    for name, build in WRITERS.items():
+        # DISTINCT docs per rep: the decryptor memo must only amortize
+        # within one document (page_count + windows), as in production —
+        # a single reused object would overstate the cache win
+        docs = [
+            build([p + f" v{i}" for p in PAGES]) for i in range(reps)
+        ]
+        cp.page_count(docs[0])  # warm-up (regex compilation, tables)
+        [cp.page_text(s) for s in cp.extract_pages(docs[0])]
+        t0 = time.perf_counter()
+        for pdf in docs:
+            cp.page_count(pdf)
+            for spans in cp.extract_pages(pdf):
+                cp.page_text(spans)
+        results[name] = (time.perf_counter() - t0) / reps * 1000.0  # ms/doc
+    base = results["plain"]
+    print("| writer | ms/doc (2 pages) | × plain |")
+    print("|---|---|---|")
+    for name, ms in sorted(results.items(), key=lambda kv: kv[1]):
+        print(f"| {name} | {ms:.2f} | {ms / base:.1f}× |")
+    print()
+    print(json.dumps({"reps": reps, "ms_per_doc": {k: round(v, 3) for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,12 @@ SF = "/root/testdata/sf0.001"
 # queries whose nested-loop join is deliberate and documented:
 # - cosine_topk: broadcast-NL exact baseline (the corpus never shuffles)
 # - tpch_q22: broadcast single-row scalar average joined without a key
-NL_ALLOWED = {"cosine_topk", "tpch_q22", "lm_score"}
+# - lm_score (and the composed plans that embed it): the unigram LM's
+#   single-row (n_total, v_size) scalar broadcasts keylessly by design
+NL_ALLOWED = {
+    "cosine_topk", "tpch_q22", "lm_score",
+    "curate_compose", "prepare_training_compose",
+}
 
 
 def _plan(df) -> str:
