@@ -405,7 +405,9 @@ def _utf16be_hex(ch: str) -> str:
     return ch.encode("utf-16-be").hex().upper()
 
 
-def build_pdf_type0(pages: list[str], custom_cmap: bool = False) -> bytes:
+def build_pdf_type0(
+    pages: list[str], custom_cmap: bool = False, predefined: str | None = None
+) -> bytes:
     """Fixture writer for COMPOSITE fonts — /Subtype /Type0 with a
     2-byte-CID /ToUnicode CMap, the embedded-subset-TrueType shape that
     dominates modern real-world PDFs. Every distinct character (ASCII
@@ -419,7 +421,17 @@ def build_pdf_type0(pages: list[str], custom_cmap: bool = False) -> bytes:
     100 (half the charset via one begincidrange run, the rest via
     begincidchar singletons) and the /ToUnicode is keyed by those shifted
     CIDs — an Identity assumption would look up the wrong CIDs and decode
-    nothing."""
+    nothing.
+
+    With ``predefined`` (e.g. ``"UniGB-UCS2-H"``) the /Encoding is that
+    PREDEFINED CMap name, show strings are the UTF-16BE code units of the
+    text, and NO /ToUnicode ships — what real CJK crawl PDFs reference
+    (poppler resolves the name from its CMap resources,
+    /root/reference/app/jobs.py:386 via poppler). Extraction must decode
+    the codes directly as UTF-16BE (the Uni*-UCS2/UTF16 families define
+    their codespace AS Unicode code units, public Adobe CMap spec)."""
+    if predefined is not None:
+        return _build_pdf_type0_predefined(pages, predefined)
     charset = sorted({c for p in pages for c in p if c != "\n"})
     if len(charset) > 0xFFFE:
         raise ValueError("too many distinct chars")
@@ -494,6 +506,46 @@ def build_pdf_type0(pages: list[str], custom_cmap: bool = False) -> bytes:
         objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(enc), enc)
         )
+    return _assemble_classic(objects)
+
+
+def _build_pdf_type0_predefined(pages: list[str], predefined: str) -> bytes:
+    """Type0 font referencing a predefined Uni* CMap by NAME (no ToUnicode,
+    no embedded encoding stream): show strings are UTF-16BE code-unit hex.
+    See :func:`build_pdf_type0`; layout matches :func:`build_pdf`."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops: list[bytes] = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            hexstr = "".join(_utf16be_hex(c) for c in line)
+            ops.append(b"<" + hexstr.encode("ascii") + b"> Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /CJK-Font "
+            f"/Encoding /{predefined} >>"
+        ).encode()
+    )
     return _assemble_classic(objects)
 
 
@@ -1349,6 +1401,15 @@ def _base_encoding_table(name: bytes | None) -> list[str]:
 
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+# the predefined Unicode CMap families (public Adobe CMap resources): their
+# 2-byte codespace IS UCS-2 / UTF-16BE code units, so extraction decodes the
+# show-string bytes directly — no CID table needed. Covers the GB (Simplified
+# Chinese), JIS (Japanese, incl. -HW half-width), KS (Korean) and CNS
+# (Traditional Chinese) registries, H and V writing modes.
+_PREDEF_UNICODE_RE = re.compile(
+    rb"/Encoding\s*/Uni(?:GB|JIS|JIS2004|JISX0213|JISX02132004|KS|CNS)"
+    rb"-(?:UCS2|UTF16)(?:-HW)?-[HV]\b"
+)
 
 
 def _font_decode_table(
@@ -1385,6 +1446,15 @@ def _font_decode_table(
                 cmap = _parse_cmap(stream)
         if _IDENTITY_H_RE.search(font_body):
             return (2, cmap)
+        if _PREDEF_UNICODE_RE.search(font_body):
+            # predefined Uni*-UCS2/UTF16 CMap: the 2-byte codes ARE Unicode
+            # code units by that family's public definition, so decode them
+            # directly (UTF-16BE handles the UCS2 subset and UTF16 surrogate
+            # pairs alike). A /ToUnicode, if present, is deliberately NOT
+            # composed: without the registry's code→CID table the CID keys
+            # are unreachable, while the direct reading is exact — the same
+            # text poppler derives from these CMaps' toUnicode direction.
+            return (2, "utf16be")
         em = _ENCODING_REF_RE.search(font_body)
         if em:
             enc_stream = _stream_bytes(
@@ -2142,6 +2212,12 @@ def _parse_content(
             return s
         width, mapping = cur
         if width == 2:
+            if mapping == "utf16be":
+                # predefined Uni*-UCS2/UTF16 CMap: codes are Unicode code
+                # units (surrogate pairs decode; odd tail → U+FFFD)
+                return s.encode("latin-1", "replace").decode(
+                    "utf-16-be", "replace"
+                )
             # composite Identity-H: consume 2-byte CIDs (odd tail ignored)
             out = []
             for i in range(0, len(s) - 1, 2):

@@ -169,6 +169,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_encrypted(p, revision=4),
         lambda p: _cp.build_pdf_type0(p, custom_cmap=True),
         lambda p: _cp.build_pdf_scanned(p),
+        lambda p: _cp.build_pdf_type0(p, predefined="UniGB-UCS2-H"),
     )
     for b in batches:
         out = {"url": [], "html": []}

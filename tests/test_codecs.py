@@ -577,6 +577,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_encrypted(pages, revision=4),
         lambda: P.build_pdf_type0(pages, custom_cmap=True),
         lambda: P.build_pdf_scanned(pages),
+        lambda: P.build_pdf_type0(pages, predefined="UniGB-UCS2-H"),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -860,3 +861,71 @@ def test_scanned_pdf_end_to_end_golden(spark):
     assert out["text"]["extracted_text"] == golden
     # opaque DCT: page exists but extracts empty (honest container gap)
     assert out["dct"]["extracted_text"] == "" and out["dct"]["n_pages"] == 1
+
+
+# ------------------------------------------------------- predefined CMaps
+
+
+def test_predefined_unicode_cmaps_roundtrip():
+    """Type0 fonts referencing predefined Uni*-UCS2/UTF16 CMaps by NAME
+    (what real CJK crawl PDFs ship — no ToUnicode, no embedded stream):
+    the 2-byte codes are Unicode code units by the family's public
+    definition, so CJK (and non-BMP via UTF16 surrogates) text must
+    extract byte-identically. Previously these degraded to U+FFFD."""
+    pages = ["hello 世界 混合 text\nsecond 行 line", "日本語のページ",
+             "한국어 페이지 𠀋"]
+    for name in ("UniGB-UCS2-H", "UniJIS-UCS2-HW-V", "UniKS-UTF16-H",
+                 "UniCNS-UCS2-V", "UniJIS2004-UTF16-H"):
+        pdf = P.build_pdf_type0(pages, predefined=name)
+        assert b"/ToUnicode" not in pdf
+        assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages, name
+        assert P.page_count(pdf) == 3
+    # matches the plain writer byte-for-byte on shared (ASCII) content
+    ascii_pages = ["plain ascii line\nsecond", "tail"]
+    got = [P.page_text(s) for s in
+           P.extract_pages(P.build_pdf_type0(ascii_pages, predefined="UniGB-UCS2-H"))]
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(ascii_pages))]
+
+
+def test_unknown_predefined_cmap_still_degrades_to_replacement():
+    """A predefined name OUTSIDE the Unicode families (e.g. the GBK-EUC-H
+    byte-oriented registry CMap we don't ship) must keep degrading to
+    U+FFFD — never decode as if it were UCS-2 (that would be garbage)."""
+    pdf = P.build_pdf_type0(["abc"], predefined="UniGB-UCS2-H")
+    bad = pdf.replace(b"/UniGB-UCS2-H", b"/GBK-EUC-H\x20\x20\x20")
+    [spans] = P.extract_pages(bad)
+    assert set(P.page_text(spans)) <= {"�"}
+
+
+def test_frozen_r6_aes256_fixture_extracts(spark):
+    """AES-256 /V 5 /R 6 exercised END-TO-END from a byte-frozen fixture
+    (tests/golden/r6_aes256.pdf, sha256-pinned): the hardened R6 password
+    hash costs ~0.25 s/invocation in pure Python — by design (ISO 32000-2
+    anti-brute-force) — so the file is generated once and frozen rather
+    than rotated through the 500-doc corpus (FIXTURES.md documents the
+    asymmetry). Covers: frozen bytes stay stable, codec decrypts and
+    extracts them, and the Spark split→OCR path handles an R6 doc."""
+    import hashlib
+    from pathlib import Path
+
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+    from gnosis_ocr_spark.operators.pdf_split import (
+        raster_ocr_pages,
+        split_pdf_text_pages,
+    )
+
+    pdf = (Path(__file__).parent / "golden" / "r6_aes256.pdf").read_bytes()
+    assert hashlib.sha256(pdf).hexdigest() == (
+        "c1fef34bce2294f2f12a59451f5fff32706f426c9d8b771aca67ddb8bf574416"
+    )
+    pages = ["aes256 revision six page\nline two here", "second page body"]
+    assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages
+    assert P.page_count(pdf) == 2
+    df = spark.createDataFrame(
+        [("r6", bytearray(pdf))], schema="url string, html binary"
+    )
+    out = assemble_documents(
+        raster_ocr_pages(split_pdf_text_pages(df), ocr_engine="stub")
+    ).collect()
+    assert out[0]["extracted_text"] == "\n\n".join(pages)
+    assert out[0]["n_pages"] == 2
