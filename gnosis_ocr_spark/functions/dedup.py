@@ -402,10 +402,18 @@ def minhash_star_edges(
     """
     assert bands * rows == k
     sketches = shingle_sketches(docs, id_col, text_col, shingle_words, sketch_size)
-    # sketch-group collapse: arrays are hashable group/partition keys, and
-    # equality is exact (no hash-of-array shortcut that could merge groups)
-    rep = F.min("doc_id").over(Window.partitionBy("sk"))
-    with_rep = sketches.select("doc_id", "sk", rep.alias("rep"))
+    # sketch-group collapse with a NARROW exchange key (round-4): the
+    # shuffle partitions on xxhash64(sk) — 8 bytes — while the GROUPING
+    # stays on the exact array, so equality is never hash-approximate.
+    # Hash partitioning on _hsk satisfies clustering on (_hsk, sk)
+    # (equal sketches share _hsk by construction), so Catalyst inserts no
+    # second exchange; an astronomically-rare _hsk collision merely
+    # co-locates two groups in one partition, never merges them. Before
+    # this, Window.partitionBy(sk) made the exchange hash/compare up to
+    # sketch_size bigints (~8 KB) per row as its key.
+    with_h = sketches.withColumn("_hsk", F.xxhash64("sk")).repartition("_hsk")
+    rep = F.min("doc_id").over(Window.partitionBy("_hsk", "sk"))
+    with_rep = with_h.select("doc_id", "sk", rep.alias("rep"))
     star = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("a"),
         F.col("doc_id").alias("b"),

@@ -305,8 +305,12 @@ def embedding_near_duplicates(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if collapse_identical:
-        rep_w = F.min("vec_id").over(Window.partitionBy("v"))
-        with_rep = c.select("vec_id", "v", rep_w.alias("rep"))
+        # narrow-key collapse: exchange partitions on xxhash64(v) (8 bytes)
+        # while grouping stays on the exact vector — see
+        # dedup.minhash_star_edges for the full argument
+        with_h = c.withColumn("_hv", F.xxhash64("v")).repartition("_hv")
+        rep_w = F.min("vec_id").over(Window.partitionBy("_hv", "v"))
+        with_rep = with_h.select("vec_id", "v", rep_w.alias("rep"))
         star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
             F.col("rep").alias("a"),
             F.col("vec_id").alias("b"),

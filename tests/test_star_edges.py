@@ -238,3 +238,36 @@ def test_sketch_jaccard_equals_python_reference_in_exact_regime(spark):
     for (a, b), j in got.items():
         assert abs(j - py_jaccard(texts[a], texts[b])) < 1e-9, (a, b)
     assert got[(1, 3)] == 1.0
+
+
+def test_collapse_exchange_key_is_narrow_hash(spark):
+    """The identical-content collapse must shuffle on xxhash64 of the
+    sketch/vector (8-byte key), NOT on the raw array, while the window
+    still groups by the exact array (round-4 task #6): the executed plan
+    shows one REPARTITION_BY_COL exchange on the hash column and no
+    ENSURE_REQUIREMENTS exchange keyed on the array."""
+    import re
+
+    from gnosis_ocr_spark.functions.dedup import minhash_star_edges
+    from gnosis_ocr_spark.functions.similarity import embedding_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, "shared body " + " ".join(f"w{j}" for j in range(30)))
+         for i in range(6)],
+        schema="doc_id long, text string",
+    )
+    plan = minhash_star_edges(docs)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange hashpartitioning\(_hsk#\d+L", plan)
+    assert not re.search(r"Exchange hashpartitioning\(sk#\d+,", plan)
+    # grouping stays exact: the Window spec partitions by (_hsk, sk)
+    assert re.search(r"windowspecdefinition\(_hsk#\d+L, sk#\d+,", plan)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2)] * 16) for i in range(6)],
+        schema="vec_id long, embedding array<double>",
+    )
+    vplan = embedding_near_duplicates(
+        vecs, threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange hashpartitioning\(_hv#\d+L", vplan)
+    assert re.search(r"windowspecdefinition\(_hv#\d+L, v#\d+,", vplan)
