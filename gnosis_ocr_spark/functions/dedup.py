@@ -789,3 +789,35 @@ def decontaminate(
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def row_sketch(
+    toks: Column,
+    shingle_words: int = 3,
+    sketch_size: int = 1024,
+) -> Column:
+    """The bottom-s shingle sketch as a PER-ROW pure Column expression —
+    the stream-safe form of :func:`shingle_sketches` (no explode, no
+    groupBy): shingle positions come from one sequence, hashes sort and
+    slice in-row. Unit-tested equal to the batch aggregation path.
+
+    ``toks`` MUST be a MATERIALIZED filtered-token array column (the HOF
+    lambdas below re-evaluate captured expressions per element — cheap for
+    a materialized attribute, quadratic re-tokenization otherwise; the
+    repo's documented gotcha). Intended for streaming ingest keys
+    (near-dup within watermark) where per-doc length is bounded by the
+    ingest contract; the batch path keeps the Generate-barrier plan, which
+    is faster on very long documents.
+    """
+    n = shingle_words
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(99)))
+    return F.slice(
+        F.array_sort(F.array_distinct(hashed)), 1, sketch_size
+    )

@@ -1,0 +1,124 @@
+"""Streaming curation — the batch curate_corpus decision surface applied to
+a continuous ingest stream (round-4 task #8).
+
+Three pieces, each matching the batch result byte-identically (tested in
+tests/test_full_stream.py):
+
+1. **Stateless gate + classifier stage** — the Gopher gates, repetition
+   ratio, and the hashed linear classifier are all expressible as PER-ROW
+   pure Column expressions (``classifier.quality_score_expr``), so they
+   apply unchanged to a ``readStream`` projection: append mode, no
+   watermark, no state. This is the shape that scales to any ingest rate —
+   zero shuffles in the streaming plan.
+2. **Model-based stages via epoch-idempotent foreachBatch** — the unigram
+   LM score joins a PRE-TRAINED static model table
+   (``classifier.lm_fit`` offline → ``unigram_lm_score_static``), the
+   production CCNet shape (the LM trains on a reference corpus, not the
+   stream). Stream-static broadcast join + doc-keyed aggregation run on
+   each micro-batch inside ``foreachBatch`` with the engine's
+   epoch-idempotent write pattern (an epoch that retries overwrites its own
+   output, never duplicates it — same contract as
+   extract_stream.start_full_extract_stream).
+3. **Near-dup within watermark** — each arriving doc carries its bottom-s
+   shingle sketch as a per-row expression (``dedup.row_sketch``); documents
+   whose sketch matches an earlier arrival inside the watermark are dropped
+   by ``dropDuplicatesWithinWatermark`` keyed on the SKETCH (what batch
+   verification certifies — never the raw MinHash signature, the
+   small-vocab collision trap in CLAUDE.md). State is bounded by the
+   watermark horizon — crawl-scale safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gnosis_ocr_spark.functions.classifier import (
+    quality_score_expr,
+    unigram_lm_score_static,
+)
+from gnosis_ocr_spark.functions.dedup import row_sketch
+from gnosis_ocr_spark.functions.text import (
+    gopher_flags,
+    repetition_bp,
+    token_count,
+    tokens,
+)
+
+CURATE_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
+
+
+def stateless_curation_columns(df: DataFrame) -> DataFrame:
+    """Gates + repetition + classifier as one per-row projection — valid on
+    a stream or a batch frame alike (that equivalence IS the test)."""
+    ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+    return df.withColumn("_ltoks", ltoks).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep2_bp"),
+        *gopher_flags(F.col("text"), toks=F.col("_ltoks")),
+        *quality_score_expr(F.col("_ltoks")),
+    )
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lm_table: DataFrame,
+    oov_mb: int,
+    keep_mean_mb: int = -9000,
+):
+    """readStream(parquet docs) → per-row gates/classifier + static-LM score
+    → epoch-idempotent parquet. Returns the started query (availableNow)."""
+    stream = spark.readStream.schema(CURATE_STREAM_SCHEMA).parquet(in_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = stateless_curation_columns(batch_df).withColumnRenamed(
+            "keep", "keep_model"
+        )
+        lm = unigram_lm_score_static(
+            batch_df, lm_table, oov_mb, keep_mean_mb=keep_mean_mb
+        ).select("doc_id", "sum_logp_mb", "keep_lm")
+        out = gated.join(lm, "doc_id").withColumn(
+            "keep", F.col("keep_model") & F.col("keep_lm")
+        )
+        # epoch-idempotent write: a retried epoch replaces ITS OWN files
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dup_within_watermark(
+    docs: DataFrame,
+    watermark: str = "30 minutes",
+    shingle_words: int = 3,
+    sketch_size: int = 256,
+) -> DataFrame:
+    """Streaming near-dup filter: the FIRST document with each bottom-s
+    shingle sketch inside the watermark horizon survives; later sketch-equal
+    arrivals drop. Sketch equality certifies content equality for docs with
+    ≤ sketch_size distinct shingles and near-identity above (the same
+    bottom-s contract the batch verifier uses). Per-key state evicts as the
+    event-time watermark passes — bounded memory at crawl scale."""
+    ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+    keyed = docs.withColumn("_ltoks", ltoks).withColumn(
+        "sk", row_sketch(F.col("_ltoks"), shingle_words, sketch_size)
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["sk"])
+        .drop("_ltoks")
+    )

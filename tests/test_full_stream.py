@@ -134,3 +134,158 @@ def test_curation_gates_are_stream_safe(spark, tmp_path):
     want = {r["doc_id"]: r.asDict() for r in gated(docs).collect()}
     assert got == want
     assert all("@example.com" not in r["redacted"] for r in got.values())
+
+
+def _curation_corpus(spark):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2021, 1, 1)
+    for i in range(24):
+        if i % 6 == 5:
+            text = "dup dup dup " * 12  # high repetition
+        else:
+            text = " ".join(f"w{j % (5 + i)}" for j in range(30 + i * 3))
+        rows.append((i, text, base + dt.timedelta(minutes=i)))
+    # two exact near-dup pairs (identical content, later timestamps)
+    rows.append((100, rows[1][1], base + dt.timedelta(minutes=40)))
+    rows.append((101, rows[2][1], base + dt.timedelta(minutes=41)))
+    return spark.createDataFrame(
+        rows, schema="doc_id long, text string, warc_ts timestamp"
+    )
+
+
+def test_quality_score_expr_matches_groupby_path(spark):
+    """The per-row classifier expression (stream-safe form) is byte-equal
+    to quality_score's explode+groupBy plan, empty docs included."""
+    from gnosis_ocr_spark.functions.classifier import quality_score, quality_score_expr
+    from gnosis_ocr_spark.functions.text import tokens
+
+    docs = _curation_corpus(spark).select("doc_id", "text").unionByName(
+        spark.createDataFrame([(200, ""), (201, "   ")], "doc_id long, text string")
+    )
+    ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in docs.withColumn("_ltoks", ltoks)
+        .select("doc_id", *quality_score_expr(F.col("_ltoks")))
+        .collect()
+    }
+    want = {r["doc_id"]: r.asDict() for r in quality_score(docs).collect()}
+    assert got == want
+
+
+def test_static_lm_matches_self_trained(spark):
+    """unigram_lm_score_static against a table fitted on the same corpus is
+    byte-identical to the self-training path; unseen tokens hit the OOV
+    floor instead of silently dropping."""
+    from gnosis_ocr_spark.functions.classifier import (
+        lm_fit,
+        unigram_lm_score,
+        unigram_lm_score_static,
+    )
+
+    docs = _curation_corpus(spark).select("doc_id", "text")
+    logp, oov = lm_fit(docs)
+    got = {r["doc_id"]: r.asDict()
+           for r in unigram_lm_score_static(docs, logp, oov).collect()}
+    want = {r["doc_id"]: r.asDict() for r in unigram_lm_score(docs).collect()}
+    assert got == want
+    unseen = spark.createDataFrame(
+        [(500, "zzzq xxqj zzzq")], "doc_id long, text string"
+    )
+    [row] = unigram_lm_score_static(unseen, logp, oov).collect()
+    assert row["sum_logp_mb"] == 3 * oov and row["n_tokens"] == 3
+
+
+def test_row_sketch_matches_batch_sketches(spark):
+    from gnosis_ocr_spark.functions.dedup import row_sketch, shingle_sketches
+    from gnosis_ocr_spark.functions.text import tokens
+
+    docs = _curation_corpus(spark).select("doc_id", "text")
+    ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+    got = {
+        r["doc_id"]: list(r["sk"])
+        for r in docs.withColumn("_ltoks", ltoks)
+        .select("doc_id", row_sketch(F.col("_ltoks")).alias("sk"))
+        .collect()
+    }
+    want = {r["doc_id"]: list(r["sk"]) for r in shingle_sketches(docs).collect()}
+    # batch path emits no row for docs with < n tokens; row form emits []
+    want_full = {d: want.get(d, []) for d in got}
+    assert got == want_full
+
+
+def test_streaming_curation_reproduces_batch_decision(spark, tmp_path):
+    """readStream curate subset (gates + classifier per-row, static-LM via
+    epoch-idempotent foreachBatch) == the batch decision, byte-identical
+    (round-4 task #8 done-criterion)."""
+    from gnosis_ocr_spark.functions.classifier import (
+        lm_fit,
+        unigram_lm_score_static,
+    )
+    from gnosis_ocr_spark.streaming.curate_stream import (
+        start_curation_stream,
+        stateless_curation_columns,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("cin", "cout", "cckpt"))
+    docs = _curation_corpus(spark)
+    docs.repartition(3).write.parquet(in_dir)
+    # the static model trains OFFLINE on the same corpus (CCNet shape)
+    logp, oov = lm_fit(docs)
+
+    q = start_curation_stream(spark, in_dir, out_dir, ckpt, logp, oov)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(out_dir).drop("_epoch").collect()
+    }
+    batch = (
+        stateless_curation_columns(docs)
+        .withColumnRenamed("keep", "keep_model")
+        .join(
+            unigram_lm_score_static(docs, logp, oov).select(
+                "doc_id", "sum_logp_mb", "keep_lm"
+            ),
+            "doc_id",
+        )
+        .withColumn("keep", F.col("keep_model") & F.col("keep_lm"))
+    )
+    want = {r["doc_id"]: r.asDict() for r in batch.collect()}
+    assert got == want
+    assert any(r["keep"] for r in got.values())
+    assert any(not r["keep"] for r in got.values())
+
+
+def test_streaming_near_dup_within_watermark(spark, tmp_path):
+    """Sketch-keyed dropDuplicatesWithinWatermark: the duplicated contents
+    (docs 100/101 repeat docs 1/2) drop; every distinct-content doc
+    survives. Keyed on the bottom-s SKETCH, never the raw signature."""
+    from gnosis_ocr_spark.streaming.curate_stream import near_dup_within_watermark
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("nin", "nout", "nckpt"))
+    docs = _curation_corpus(spark)
+    docs.repartition(2).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, warc_ts timestamp"
+    ).parquet(in_dir)
+    q = (
+        near_dup_within_watermark(stream, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    surviving = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # exactly one of each identical-content group survives (which one is
+    # arrival-order dependent within a micro-batch — assert the invariant);
+    # docs 5/11/17/23 all carry the same "dup dup dup" body = one group
+    for group in ({1, 100}, {2, 101}, {5, 11, 17, 23}):
+        assert len(group & surviving) == 1, group
+    distinct = set(range(24)) - {1, 2, 5, 11, 17, 23}
+    assert distinct <= surviving
+    assert len(surviving) == len(distinct) + 3
