@@ -292,3 +292,107 @@ def unigram_lm_score_static(
             >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
         ).alias("keep_lm"),
     )
+
+
+def _hashed_features(
+    df: DataFrame, key_cols: list[str], text_col: str, n_features: int
+) -> DataFrame:
+    """(key_cols..., bucket) — one row per hashed unigram/bigram feature,
+    the shared input layer of the quality and lang-ID classifiers."""
+    toked = df.select(
+        *key_cols,
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(
+        *key_cols, F.explode(F.concat(F.col("_toks"), bigrams)).alias("feat")
+    ).select(*key_cols, feature_bucket(F.col("feat"), n_features).alias("bucket"))
+
+
+def lang_id_fit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_features: int = DEFAULT_N_FEATURES,
+) -> DataFrame:
+    """Train a multinomial naive-Bayes language classifier over the hashed
+    feature space — the TRAINED lang-ID backend the marker heuristic
+    (text.lang_id) gets upgraded with when labeled data exists (fastText's
+    supervised mode is this same shape: hashed bag-of-n-grams → linear
+    per-class scores; Joulin et al. 2016).
+
+    Returns the DENSE model table ``(bucket, lang, weight_mb)``: add-one-
+    smoothed log P(bucket|lang) in integer millibels for EVERY (bucket,
+    lang) pair — dense so scoring needs no missing-key fallback and the
+    broadcast is bounded at n_features × n_langs rows (KB–MB). Integer
+    weights keep scoring engine-exact (the repo float contract)."""
+    feats = _hashed_features(
+        docs.select(F.col(label_col).alias("lang"), F.col(text_col).alias("text")),
+        ["lang"], "text", n_features,
+    )
+    counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
+    langs = totals.select("lang", "n_lang")
+    buckets = docs.sparkSession.range(n_features).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = buckets.crossJoin(F.broadcast(langs)).join(
+        counts, ["lang", "bucket"], "left"
+    )
+    return dense.select(
+        "bucket",
+        "lang",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                / (F.col("n_lang") + F.lit(n_features))
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("weight_mb"),
+    )
+
+
+def lang_id_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = DEFAULT_N_FEATURES,
+) -> DataFrame:
+    """(doc_id, lang_pred): argmax over languages of the summed per-feature
+    log-likelihoods (uniform class prior; ties break lang-ascending so the
+    result is deterministic). Scale shape: one feature explode, one
+    broadcast join against the dense model, one (doc, lang) aggregation,
+    one per-doc argmax window — every exchange doc-keyed. Docs with zero
+    features predict 'und' (parity with the marker heuristic)."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    feats = _hashed_features(base, ["doc_id"], "text", n_features)
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight_mb").alias("score_mb"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_mb"), F.asc("lang"))
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return base.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
+    )
