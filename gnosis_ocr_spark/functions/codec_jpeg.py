@@ -1,0 +1,455 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec — stdlib + numpy, no PIL.
+
+The container ships no image library, but crawl PDFs carry scanned pages as
+/DCTDecode (JPEG) images and crawl corpora carry JPEG blobs; round 3 left
+both as honest opaque stubs. This module implements the public baseline
+sequential subset from the spec:
+
+- **decoder** (:func:`decode_baseline_jpeg`): SOI/APPn/COM/DQT/SOF0/DHT/
+  DRI/SOS/RSTn/EOI marker parse, canonical Huffman decode with 0xFF00
+  byte-unstuffing, dequantize, zigzag, orthonormal 8×8 IDCT (numpy matrix
+  form), interleaved MCUs with arbitrary sampling factors (4:4:4, 4:2:2,
+  4:2:0), restart-marker DC-predictor resets. Returns the LUMA plane as
+  8-bit grayscale — the OCR/feature seam consumes luminance; full-color
+  reconstruction (chroma upsample + YCbCr→RGB) is out of scope and
+  documented. Progressive (SOF2) and arithmetic coding raise cleanly.
+- **encoder** (:func:`encode_gray_jpeg`): grayscale baseline writer for
+  fixtures — all-ones quantization (rounding loss only, ≤ ~±3/pixel) and
+  self-describing canonical Huffman tables (12×4-bit DC, 256×9-bit AC;
+  any valid DHT is legal JPEG, so no Annex-K table data is required).
+  Encode→decode round-trips within the quantization bound
+  (property-tested), which is what makes REAL in-container JPEG fixtures
+  possible at all.
+
+Used by: operators/pdf_split (scanned /DCTDecode pages → OCR seam),
+operators/multimodal (JPEG feature extraction).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) pairs in JPEG zigzag order, generated (not hardcoded)."""
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:  # even diagonals walk bottom-left → top-right
+            cells.reverse()
+        out.extend(cells)
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
+
+# orthonormal DCT-II basis: spatial = M.T @ coef @ M, coef = M @ spatial @ M.T
+_M = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _M[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_M[0, :] *= np.sqrt(1.0 / 8.0)
+_M[1:, :] *= np.sqrt(2.0 / 8.0)
+
+
+class JpegError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- bits
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (and records) restart/terminating markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                # feed 1-bits past the end (spec: padding); decode stops at EOB
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.pos += 2
+                else:  # a real marker terminates the entropy segment
+                    self.marker = nxt
+                    continue
+                b = 0xFF
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial bits, consume the pending marker (RSTn expected)."""
+        self.acc = 0
+        self.nbits = 0
+        m = self.marker
+        if m is not None:
+            self.marker = None
+            self.pos += 2  # past 0xFF xx
+        return m
+
+
+class _Huff:
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        self.maxlen = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+                self.maxlen = length
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, self.maxlen + 1):
+            code = (code << 1) | br.bits(1)
+            sym = self.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """DC/AC magnitude decoding (spec F.2.2.1): s-bit value → signed."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode baseline-sequential JPEG → ``(width, height, n_components,
+    luma_gray_pixels)`` with the luma plane row-major at full resolution.
+    Raises :class:`JpegError` on non-baseline or malformed input."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("no SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _Huff] = {}  # (class, id)
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise JpegError("EOI before scan")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    p += 64
+                else:  # 16-bit table
+                    q = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(
+                        np.float64
+                    )
+                    p += 128
+                tab = np.zeros(64)
+                tab[_ZZ_FLAT] = q
+                qtabs[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                htabs[(tc, th)] = _Huff(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise JpegError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError(f"non-baseline SOF {marker:#x} unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tds >> 4, tds & 0xF))
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qtabs, htabs, restart_interval
+            )
+        # APPn, COM, others: skip
+        pos += seglen
+    raise JpegError("no SOS found")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+    w, h = frame["w"], frame["h"]
+    maxh = max(c["h"] for c, _, _ in scan)
+    maxv = max(c["v"] for c, _, _ in scan)
+    mcus_x = -(-w // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+    planes = {}
+    for comp, _, _ in scan:
+        pw, ph = mcus_x * 8 * comp["h"], mcus_y * 8 * comp["v"]
+        planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    br = _BitReader(data, pos)
+    dc_pred = {comp["id"]: 0 for comp, _, _ in scan}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = br.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise JpegError("expected restart marker")
+                for k in dc_pred:
+                    dc_pred[k] = 0
+            for comp, td, ta in scan:
+                dct = htabs.get((0, td))
+                act = htabs.get((1, ta))
+                q = qtabs.get(comp["tq"])
+                if dct is None or act is None or q is None:
+                    raise JpegError("missing table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = np.zeros(64)
+                        s = dct.decode(br)
+                        dc_pred[comp["id"]] += _extend(br.bits(s), s)
+                        coef[0] = dc_pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index overflow")
+                            coef[k] = _extend(br.bits(size), size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZZ_FLAT] = coef
+                        block = block.reshape(8, 8) * q
+                        spatial = _M.T @ block @ _M + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    luma_comp = scan[0][0]
+    luma = planes[luma_comp["id"]]
+    # luma is sampled at (h/maxh, v/maxv) of full res; replicate up if needed
+    ry, rx = maxv // luma_comp["v"], maxh // luma_comp["h"]
+    if ry > 1 or rx > 1:
+        luma = np.repeat(np.repeat(luma, ry, axis=0), rx, axis=1)
+    luma = np.clip(np.rint(luma[:h, :w]), 0, 255).astype(np.uint8)
+    return w, h, len(frame["comps"]), luma.tobytes()
+
+
+def decode_jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF marker — cheap metadata
+    sniff for any DCT-family SOF (baseline or not)."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("no SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
+            return w, h, data[pos + 7]
+        pos += seglen
+    raise JpegError("no SOF found")
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _canonical_bits_vals(lengths: dict[int, int]) -> tuple[list[int], bytes]:
+    bits = [0] * 16
+    vals = bytearray()
+    for sym in sorted(lengths):
+        bits[lengths[sym] - 1] += 1
+        vals.append(sym)
+    return bits, bytes(vals)
+
+
+class _HuffEnc:
+    def __init__(self, bits: list[int], vals: bytes):
+        self.code: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.code[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-bit padding per spec
+        return bytes(self.out)
+
+
+# encoder tables: 12 DC categories at 4 bits; all 256 AC symbols split
+# 128 at 8 bits + 128 at 9 bits (a DHT BITS byte caps at 255 codes per
+# length) — canonical, complete-enough, no all-ones max-length code,
+# self-described in the DHT so no Annex-K table data is needed
+_ENC_DC_BITS, _ENC_DC_VALS = _canonical_bits_vals({s: 4 for s in range(12)})
+_ENC_AC_BITS, _ENC_AC_VALS = _canonical_bits_vals(
+    {s: (8 if s < 128 else 9) for s in range(256)}
+)
+_ENC_DC = _HuffEnc(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC = _HuffEnc(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_gray_jpeg(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major) as a valid baseline JPEG
+    with all-ones quantization — round-trip error is IDCT/FDCT rounding
+    only (≤ ~±3/pixel, property-tested)."""
+    if len(pixels) != width * height:
+        raise JpegError("pixel buffer does not match dimensions")
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64).reshape(
+        height, width
+    )
+    # edge-replicate to multiples of 8
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qz = bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qz  # DQT id0
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id=1, 1x1 sampling, qtable 0
+    )
+    for tc, bits, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS),
+                           (1, _ENC_AC_BITS, _ENC_AC_VALS)):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes([tc << 4])
+            + bytes(bits)
+            + vals
+        )
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2) + b"\x01\x01\x00\x00\x3f\x00"
+
+    bw = _BitWriter()
+    dc_prev = 0
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = img[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coef = _M @ block @ _M.T
+            zz = np.rint(coef.reshape(64)[_ZZ_FLAT]).astype(np.int64)
+            diff = int(zz[0]) - dc_prev
+            dc_prev = int(zz[0])
+            s = _category(diff)
+            ln, code = _ENC_DC.code[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = _ENC_AC.code[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = _ENC_AC.code[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = _ENC_AC.code[0x00]  # EOB
+                bw.write(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

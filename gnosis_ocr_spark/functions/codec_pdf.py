@@ -911,13 +911,20 @@ def build_pdf_scanned(
     of the page text (codec_png.encode_scan_pixels) — so the stub OCR
     recovers the exact page text from the pixels, and the golden stays a pure
     function of ``pages``. ``image_filter='flate'`` (default) FlateDecode-
-    compresses the samples (the decodable path); ``'dct'`` wraps the payload
-    in /DCTDecode to exercise the opaque-bytes+metadata carry (extraction
-    then yields empty text — no JPEG codec in this container, honest gap).
+    compresses the samples; ``'jpeg'`` writes a REAL baseline JPEG
+    (/DCTDecode, codec_jpeg) of the JPEG-survivable robust scan matrix —
+    the scanned-fax/photo shape a crawl actually carries, decoded
+    in-engine; ``'dct'`` wraps a deliberately-undecodable payload in
+    /DCTDecode to exercise the opaque carry (extraction then yields empty
+    text — the honest degradation for codecs outside the baseline subset).
     """
     import zlib
 
-    from gnosis_ocr_spark.functions.codec_png import encode_scan_pixels
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_png import (
+        encode_scan_pixels,
+        encode_scan_pixels_robust,
+    )
 
     n_pages = len(pages)
     kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
@@ -939,12 +946,22 @@ def build_pdf_scanned(
         objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
         )
-        samples = encode_scan_pixels(page_text_, width, height)
-        if image_filter == "dct":
-            # opaque carry: JPEG SOI marker + payload, never decoded in-engine
-            data, filt = b"\xff\xd8\xff\xe0" + samples, b"/DCTDecode"
+        if image_filter == "jpeg":
+            # real baseline JPEG of the robust (noise-tolerant) scan matrix
+            data = encode_gray_jpeg(
+                encode_scan_pixels_robust(page_text_, width, height),
+                width, height,
+            )
+            filt = b"/DCTDecode"
+        elif image_filter == "dct":
+            # opaque carry: SOI marker + non-JPEG payload, undecodable
+            data = b"\xff\xd8\xff\xe0" + encode_scan_pixels(
+                page_text_, width, height
+            )
+            filt = b"/DCTDecode"
         else:
-            data, filt = zlib.compress(samples, 6), b"/FlateDecode"
+            data = zlib.compress(encode_scan_pixels(page_text_, width, height), 6)
+            filt = b"/FlateDecode"
         objects.append(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
             b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "

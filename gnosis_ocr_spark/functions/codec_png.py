@@ -215,8 +215,63 @@ def decode_scan_text(pixels: bytes) -> str | None:
 
 def decode_scan_png_text(png: bytes) -> str | None:
     """Scan-matrix text from a grayscale PNG (the re-encoded form an image
-    XObject takes after pdf_split decodes it); None if not a scan page."""
+    XObject takes after pdf_split decodes it): exact matrix first, then the
+    JPEG-survivable robust matrix. None if not a scan page."""
     try:
-        return decode_scan_text(decode_pixels(png))
+        px = decode_pixels(png)
     except Exception:
+        return None
+    exact = decode_scan_text(px)
+    if exact is not None:
+        return exact
+    return decode_scan_text_robust(px)
+
+
+# robust scan-matrix: the JPEG-survivable variant. Baseline JPEG round-trips
+# pixels within a few levels (codec_jpeg, all-ones quant), so DCT scanned
+# fixtures carry their ground truth one NIBBLE per pixel, each centered in a
+# 16-level band (value = nibble*16 + 8): decode rounds to the band center and
+# tolerates ±7 of codec noise. Half the density of the exact matrix
+# (2 pixels/byte) — capacity 64×64 = 2043 bytes, ample for page text.
+
+SCAN_ROBUST_MAGIC = b"GSRB"
+
+
+def encode_scan_pixels_robust(text: str, width: int = 64, height: int = 64) -> bytes:
+    payload = text.encode("utf-8")
+    head = SCAN_ROBUST_MAGIC + struct.pack(">I", len(payload))
+    nibbles = []
+    for b in head + payload:
+        nibbles.append(b >> 4)
+        nibbles.append(b & 0xF)
+    n = width * height
+    if len(nibbles) > n:
+        raise ValueError(
+            f"text ({len(payload)} bytes) does not fit a {width}x{height} robust scan"
+        )
+    px = bytearray(n)
+    for i, nib in enumerate(nibbles):
+        px[i] = nib * 16 + 8
+    for i in range(len(nibbles), n):  # deterministic background, in-band
+        px[i] = ((((i % width) * 31 + (i // width) * 17) ^ 0xA5) & 0xF) * 16 + 8
+    return bytes(px)
+
+
+def decode_scan_text_robust(pixels: bytes) -> str | None:
+    """Invert :func:`encode_scan_pixels_robust` tolerating ±7/pixel noise;
+    None when the buffer is not a robust scan-matrix."""
+    if len(pixels) < 16:
+        return None
+
+    def byte_at(i: int) -> int:
+        return ((pixels[2 * i] // 16) << 4) | (pixels[2 * i + 1] // 16)
+
+    if bytes(byte_at(i) for i in range(4)) != SCAN_ROBUST_MAGIC:
+        return None
+    (n,) = struct.unpack(">I", bytes(byte_at(4 + i) for i in range(4)))
+    if 2 * (8 + n) > len(pixels):
+        return None
+    try:
+        return bytes(byte_at(8 + i) for i in range(n)).decode("utf-8")
+    except UnicodeDecodeError:
         return None

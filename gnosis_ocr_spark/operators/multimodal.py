@@ -56,6 +56,15 @@ def _decode_png_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return w, h, None
 
 
+def _decode_jpeg_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL JPEG dimensions from the SOF marker (codec_jpeg; any DCT-family
+    SOF — the pixel decode path additionally handles the baseline subset)."""
+    from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg_dimensions
+
+    w, h, _ = decode_jpeg_dimensions(data)
+    return w, h, None
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -69,7 +78,7 @@ def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None
 
 DECODERS = {
     "image/png": _decode_png_meta,  # real (stdlib codec)
-    "image/jpeg": _decode_stub_meta,  # STUB (no PIL in container)
+    "image/jpeg": _decode_jpeg_meta,  # real (codec_jpeg SOF parse)
     "image/gif": _decode_stub_meta,  # STUB
     "audio/wav": _decode_stub_meta,  # STUB
     "video/mp4": _decode_stub_meta,  # STUB

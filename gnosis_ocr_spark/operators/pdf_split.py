@@ -87,10 +87,12 @@ def pdf_page_count_udf(pdf: pd.Series) -> pd.Series:
 
 
 def _scan_png(images) -> bytes | None:
-    """First decodable 8-bit grayscale image of a page, re-encoded as PNG for
-    the OCR stage; None when nothing on the page is decodable in-container
-    (opaque DCT/JPX payloads — the page then extracts as empty text, same as
-    before scanned support, with the codec gap documented in PdfImage)."""
+    """First decodable image of a page, re-encoded as a grayscale PNG for
+    the OCR stage: raw 8-bit DeviceGray samples directly, /DCTDecode
+    payloads through the baseline JPEG decoder (codec_jpeg — luma plane).
+    None when nothing on the page decodes in-container (progressive JPEG,
+    JPX, CCITT — the page then extracts as empty text, the honest
+    degradation documented in PdfImage)."""
     for img in images:
         if (
             img.codec == "raw"
@@ -99,6 +101,16 @@ def _scan_png(images) -> bytes | None:
             and len(img.data) == img.width * img.height
         ):
             return encode_gray_png(img.data, img.width, img.height)
+        if img.codec == "dct":
+            try:
+                from gnosis_ocr_spark.functions.codec_jpeg import (
+                    decode_baseline_jpeg,
+                )
+
+                w, h, _, luma = decode_baseline_jpeg(img.data)
+                return encode_gray_png(luma, w, h)
+            except Exception:
+                continue  # non-baseline/corrupt JPEG: try the next image
     return None
 
 

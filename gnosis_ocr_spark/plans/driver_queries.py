@@ -170,6 +170,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_type0(p, custom_cmap=True),
         lambda p: _cp.build_pdf_scanned(p),
         lambda p: _cp.build_pdf_type0(p, predefined="UniGB-UCS2-H"),
+        lambda p: _cp.build_pdf_scanned(p, image_filter="jpeg"),
     )
     for b in batches:
         out = {"url": [], "html": []}

@@ -578,6 +578,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_type0(pages, custom_cmap=True),
         lambda: P.build_pdf_scanned(pages),
         lambda: P.build_pdf_type0(pages, predefined="UniGB-UCS2-H"),
+        lambda: P.build_pdf_scanned(pages, image_filter="jpeg"),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:

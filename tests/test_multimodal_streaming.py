@@ -20,6 +20,12 @@ from gnosis_ocr_spark.streaming.extract_stream import (
 )
 
 
+def _jpeg_fixture(w: int, h: int) -> bytes:
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+
+    return encode_gray_jpeg(bytes((x * 7 + 3) % 256 for x in range(w * h)), w, h)
+
+
 def test_sniff_media_type():
     assert sniff_media_type(encode_page_png("x")) == "image/png"
     assert sniff_media_type(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
@@ -35,7 +41,7 @@ def test_media_metadata(spark):
     png = encode_page_png("hello", width=40, height=30)
     rows = [
         ("png1", bytearray(png)),
-        ("jpg1", bytearray(b"\xff\xd8\xff\xe0" + b"j" * 100)),
+        ("jpg1", bytearray(_jpeg_fixture(48, 32))),
         ("wav1", bytearray(b"RIFF\x10\x00\x00\x00WAVE" + b"a" * 50)),
         ("none", None),
     ]
@@ -44,7 +50,8 @@ def test_media_metadata(spark):
     assert got["png1"]["media_type"] == "image/png"
     assert (got["png1"]["width"], got["png1"]["height"]) == (40, 30)  # real decode
     assert got["jpg1"]["media_type"] == "image/jpeg"
-    assert got["jpg1"]["width"] is not None  # stub decoder fills shapes
+    # REAL SOF parse (codec_jpeg) — exact dimensions, not stub shapes
+    assert (got["jpg1"]["width"], got["jpg1"]["height"]) == (48, 32)
     assert got["wav1"]["media_type"] == "audio/wav"
     assert got["none"]["media_type"] == "empty" and got["none"]["byte_len"] == 0
 
