@@ -1,0 +1,320 @@
+"""WAV / MP4 / GIF metadata + decode — stdlib/numpy, public specs.
+
+Round 3 left audio/video/GIF as honest hash-shaped stubs ("no PIL/ffmpeg in
+this container"). The container constraint only blocks full video DECODE;
+the metadata and simple-raster layers are pure public-format parsing:
+
+- **WAV** (RIFF/WAVE, Microsoft spec): fmt chunk → channels/sample-rate/
+  bits; data chunk size → REAL duration; 16-bit PCM samples decode to a
+  numpy array for real amplitude features.
+- **MP4** (ISO 14496-12 box structure): walk top-level boxes → moov/mvhd →
+  timescale + duration (version 0 and 1 boxes). Frame DECODE stays out of
+  scope (a real H.264 decoder is not reasonable here) — documented.
+- **GIF** (GIF87a/89a): logical-screen dims, global palette, and a full
+  LZW decoder for the first image frame (LSB-first variable-width codes —
+  note this is the OPPOSITE bit order from PDF's /LZWDecode) with
+  interlace handling; palette maps to 8-bit grayscale by luma. A fixture
+  encoder writes valid GIFs via the classic clear-code-per-symbol trick
+  (no compression state, spec-legal), so round-trips are provable
+  in-container.
+
+Every writer exists so tests can build REAL fixtures without external
+tools; every parser degrades by raising ValueError (callers map that to
+their stub/passthrough path, loudly)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- WAV
+
+
+def wav_info(data: bytes) -> tuple[int, int, int, float]:
+    """(channels, sample_rate, bits_per_sample, duration_sec) from RIFF/WAVE
+    chunks. Raises ValueError on non-WAV or malformed chunk layout."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    ch, rate, bits = fmt
+    byte_rate = ch * rate * max(bits // 8, 1)
+    if byte_rate == 0:
+        raise ValueError("zero byte rate")
+    return ch, rate, bits, data_size / byte_rate
+
+
+def wav_samples(data: bytes) -> np.ndarray:
+    """16-bit PCM samples as float32 in [-1, 1] (channels interleaved) —
+    the real-DSP input for audio features."""
+    ch, rate, bits, _ = wav_info(data)
+    if bits != 16:
+        raise ValueError(f"{bits}-bit PCM unsupported (16-bit only)")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"data":
+            raw = data[pos + 8 : pos + 8 + size]
+            n = len(raw) // 2 * 2
+            return (
+                np.frombuffer(raw[:n], dtype="<i2").astype(np.float32) / 32768.0
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def build_wav(
+    samples: np.ndarray, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Fixture writer: float [-1,1] samples → 16-bit PCM mono/interleaved WAV."""
+    pcm = np.clip(np.rint(np.asarray(samples) * 32767.0), -32768, 32767).astype(
+        "<i2"
+    ).tobytes()
+    byte_rate = channels * sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------- MP4
+
+
+def mp4_duration(data: bytes) -> float:
+    """Duration in seconds from the moov/mvhd box (ISO 14496-12 §8.2.2,
+    version 0 and 1). Raises ValueError when no mvhd is present."""
+
+    def walk(buf: bytes, start: int, end: int, depth: int = 0) -> float | None:
+        pos = start
+        while pos + 8 <= end and depth < 8:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    break
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of file
+                size = end - pos
+            if size < hdr:
+                break
+            if btype == b"mvhd":
+                body = buf[pos + hdr : pos + size]
+                ver = body[0]
+                if ver == 1:
+                    timescale, dur = struct.unpack(">IQ", body[20:32])
+                else:
+                    timescale, dur = struct.unpack(">II", body[12:20])
+                if timescale == 0:
+                    raise ValueError("zero timescale")
+                return dur / timescale
+            if btype == b"moov":
+                found = walk(buf, pos + hdr, pos + size, depth + 1)
+                if found is not None:
+                    return found
+            pos += size
+        return None
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    dur = walk(data, 0, len(data))
+    if dur is None:
+        raise ValueError("no mvhd box")
+    return dur
+
+
+def build_mp4(duration_sec: float, timescale: int = 1000) -> bytes:
+    """Fixture writer: minimal valid ISO-BMFF file — ftyp + moov(mvhd)."""
+    dur = int(round(duration_sec * timescale))
+    mvhd_body = b"\x00" + b"\x00" * 3  # version 0 + flags
+    mvhd_body += struct.pack(">II", 0, 0)  # creation/modification
+    mvhd_body += struct.pack(">II", timescale, dur)
+    mvhd_body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+    mvhd_body += b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def gif_dimensions(data: bytes) -> tuple[int, int]:
+    if data[:4] != b"GIF8" or len(data) < 10:
+        raise ValueError("not a GIF")
+    return struct.unpack("<HH", data[6:10])
+
+
+def decode_gif_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the FIRST image of a GIF87a/89a to 8-bit grayscale (palette
+    mapped by integer luma): (width, height, pixels). LZW codes are
+    LSB-first (the opposite of PDF /LZWDecode); interlaced images are
+    de-interlaced."""
+    w, h = gif_dimensions(data)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local palette
+                n = 2 << (iflags & 0x07)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no palette")
+            interlaced = bool(iflags & 0x40)
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            indices = _gif_lzw_decode(b"".join(chunks), min_code_size)
+            if len(indices) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            idx = np.frombuffer(bytes(indices[: iw * ih]), dtype=np.uint8)
+            p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+            luma = ((p[:, 0] * 299 + p[:, 1] * 587 + p[:, 2] * 114) // 1000).astype(
+                np.uint8
+            )
+            img = luma[np.clip(idx, 0, len(luma) - 1)].reshape(ih, iw)
+            if interlaced:
+                out = np.zeros_like(img)
+                rows = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                for src, dst in enumerate(rows):
+                    out[dst] = img[src]
+                img = out
+            return iw, ih, img.tobytes()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#x}")
+    raise ValueError("no image block")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF LZW: LSB-first variable-width codes, clear/EOI codes, table
+    growth to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[bytes | None]:
+        t: list[bytes | None] = [bytes([i]) for i in range(clear)]
+        t += [None, None]  # clear, eoi
+        return t
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def encode_gray_gif(pixels: bytes, width: int, height: int) -> bytes:
+    """Fixture writer: 8-bit grayscale → GIF87a with a 256-gray palette,
+    emitting a clear code before every pixel code (spec-legal, stateless —
+    the classic uncompressed-GIF construction)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code_size = 8
+    clear = 1 << min_code_size  # 256
+    eoi = clear + 1
+    out.append(min_code_size)
+    # 9-bit codes LSB-first: clear, px, clear, px, ..., eoi — the table
+    # never grows past the initial width because of the repeated clears
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for px in pixels:
+        emit(px)
+        emit(clear)
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -7,9 +7,13 @@ absent from this container — is stubbed behind ``DECODERS`` with deterministic
 fakes, clearly marked. Swapping in real decoders changes only the inner
 function bodies, not the Spark plan.
 
-Sniffing is real: magic-byte dispatch for PNG/JPEG/GIF/WAV/MP4. PNG metadata
-extraction is real too (our stdlib codec). Feature extraction / resize /
-frame-sample are deterministic fakes with the correct shapes.
+Sniffing is real: magic-byte dispatch for PNG/JPEG/GIF/WAV/MP4. As of
+round 4 the metadata layer is REAL for every sniffed type (PNG/JPEG/GIF
+dimensions, WAV/MP4 duration — functions/codec_media.py, codec_jpeg.py),
+pixel decode is real for PNG/baseline-JPEG/GIF, and audio features are
+real DSP over 16-bit PCM. Only full VIDEO decode (H.264 frames) remains a
+deterministic fake — an honest container bound, clearly marked in
+sample_frames.
 """
 
 from __future__ import annotations
@@ -65,6 +69,30 @@ def _decode_jpeg_meta(data: bytes) -> tuple[int | None, int | None, float | None
     return w, h, None
 
 
+def _decode_gif_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL GIF logical-screen dimensions (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import gif_dimensions
+
+    w, h = gif_dimensions(data)
+    return w, h, None
+
+
+def _decode_wav_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL WAV duration from the RIFF fmt/data chunks (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import wav_info
+
+    _, _, _, dur = wav_info(data)
+    return None, None, round(dur, 3)
+
+
+def _decode_mp4_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL MP4 duration from the moov/mvhd box (codec_media); frame pixel
+    decode stays out of scope (no H.264 decoder in this container)."""
+    from gnosis_ocr_spark.functions.codec_media import mp4_duration
+
+    return None, None, round(mp4_duration(data), 3)
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -79,9 +107,9 @@ def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None
 DECODERS = {
     "image/png": _decode_png_meta,  # real (stdlib codec)
     "image/jpeg": _decode_jpeg_meta,  # real (codec_jpeg SOF parse)
-    "image/gif": _decode_stub_meta,  # STUB
-    "audio/wav": _decode_stub_meta,  # STUB
-    "video/mp4": _decode_stub_meta,  # STUB
+    "image/gif": _decode_gif_meta,  # real (codec_media LSD parse)
+    "audio/wav": _decode_wav_meta,  # real (RIFF fmt/data duration)
+    "video/mp4": _decode_mp4_meta,  # real (mvhd duration; no frame decode)
 }
 
 
@@ -120,17 +148,57 @@ def _feature_batches(dim: int):
             for url, blob in zip(b["url"], b["data"]):
                 data = bytes(blob) if blob is not None else b""
                 mtype = sniff_media_type(data)
+                px = None
                 if mtype == "image/png":
-                    # real pixel statistics from the stdlib decoder, folded
-                    # into a fixed-dim feature (histogram of pixel bytes)
+                    # real pixel statistics from the stdlib decoder
                     try:
                         px = np.frombuffer(decode_pixels(data), dtype=np.uint8)
-                        hist, _ = np.histogram(px, bins=dim, range=(0, 256))
-                        v = (hist / max(len(px), 1)).astype(np.float32)
                     except Exception:
-                        v = np.zeros(dim, dtype=np.float32)
+                        px = None
+                elif mtype == "image/jpeg":
+                    # real luma statistics (baseline decoder, codec_jpeg)
+                    try:
+                        from gnosis_ocr_spark.functions.codec_jpeg import (
+                            decode_baseline_jpeg,
+                        )
+
+                        _, _, _, luma = decode_baseline_jpeg(data)
+                        px = np.frombuffer(luma, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "image/gif":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_gif_gray,
+                        )
+
+                        _, _, gray = decode_gif_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "audio/wav":
+                    # real DSP: amplitude histogram over 16-bit PCM samples
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            wav_samples,
+                        )
+
+                        amp = np.abs(wav_samples(data))
+                        hist, _ = np.histogram(amp, bins=dim, range=(0.0, 1.0))
+                        v = (hist / max(len(amp), 1)).astype(np.float32)
+                        urls.append(url)
+                        types.append(mtype)
+                        feats.append(v.tolist())
+                        continue
+                    except Exception:
+                        px = None
+                if px is not None:
+                    # fixed-dim feature: histogram of decoded pixel bytes
+                    hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+                    v = (hist / max(len(px), 1)).astype(np.float32)
                 else:
-                    # STUB feature: deterministic bytes-histogram (decoder-free)
+                    # STUB feature for undecodable/other payloads:
+                    # deterministic bytes-histogram (decoder-free)
                     arr = np.frombuffer(data[:4096], dtype=np.uint8)
                     if len(arr) == 0:
                         v = np.zeros(dim, dtype=np.float32)
@@ -205,6 +273,7 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                 w = h = None
                 out = data
                 status = "passthrough"
+                decoded = None  # (pixels, w, h) when a real decoder applies
                 if mtype == "image/png":
                     try:
                         dw, dh = decode_dimensions(data)
@@ -214,22 +283,48 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                             w, h = dw, dh
                             status = "in_bounds"
                         else:
-                            px, w2, h2 = _resize_gray_nn(
-                                decode_pixels(data), dw, dh, max_dim
-                            )
-                            out = encode_gray_png(px, w2, h2)
-                            w, h = w2, h2
-                            status = "resized"
+                            decoded = (decode_pixels(data), dw, dh)
                     except Exception:
                         # undecodable PNG (non-grayscale / multi-IDAT / other
                         # filters — real codecs go here): report UNKNOWN size
                         # rather than the unclamped original, so the output
                         # contract (width/height ≤ max_dim when set) holds
                         w = h = None
-                elif mtype in DECODERS:
-                    sw, sh, _ = _decode_stub_meta(data)
-                    scale = max(sw, sh) / max_dim if max(sw, sh) > max_dim else 1.0
-                    w, h = max(1, int(sw / scale)), max(1, int(sh / scale))
+                elif mtype == "image/jpeg":
+                    # real baseline decode → grayscale luma resize → PNG out
+                    try:
+                        from gnosis_ocr_spark.functions.codec_jpeg import (
+                            decode_baseline_jpeg,
+                        )
+
+                        dw, dh, _, luma = decode_baseline_jpeg(data)
+                        decoded = (luma, dw, dh)
+                    except Exception:
+                        w = h = None  # non-baseline JPEG: honest passthrough
+                elif mtype == "image/gif":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_gif_gray,
+                        )
+
+                        dw, dh, gray = decode_gif_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None
+                if decoded is not None:
+                    px, dw, dh = decoded
+                    if max(dw, dh) <= max_dim:
+                        w, h = dw, dh
+                        if mtype == "image/png":
+                            status = "in_bounds"
+                        else:  # decoded formats re-encode as grayscale PNG
+                            out = encode_gray_png(px, dw, dh)
+                            status = "resized"
+                    else:
+                        px2, w2, h2 = _resize_gray_nn(px, dw, dh, max_dim)
+                        out = encode_gray_png(px2, w2, h2)
+                        w, h = w2, h2
+                        status = "resized"
                 rows["url"].append(url)
                 rows["media_type"].append(mtype)
                 rows["width"].append(w)
@@ -262,7 +357,14 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
                 data = bytes(blob) if blob is not None else b""
                 if sniff_media_type(data) != "video/mp4":
                     continue
-                _, _, dur = _decode_stub_meta(data)
+                try:  # REAL duration from the mvhd box when parseable
+                    from gnosis_ocr_spark.functions.codec_media import (
+                        mp4_duration,
+                    )
+
+                    dur = mp4_duration(data)
+                except Exception:
+                    _, _, dur = _decode_stub_meta(data)
                 n = min(max_frames, max(1, int((dur or 0) / every_sec)))
                 sig = zlib.crc32(data)
                 for i in range(n):

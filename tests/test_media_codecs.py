@@ -1,0 +1,132 @@
+"""WAV/MP4/GIF codec tests (functions/codec_media.py) and the real
+multimodal metadata/feature/resize paths they unlock (round 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gnosis_ocr_spark.functions import codec_media as M
+
+
+def test_wav_roundtrip_info_and_samples():
+    t = np.linspace(0, 2, 32000, endpoint=False)
+    sig = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = M.build_wav(sig, 16000)
+    ch, rate, bits, dur = M.wav_info(wav)
+    assert (ch, rate, bits) == (1, 16000, 16)
+    assert abs(dur - 2.0) < 1e-9
+    s = M.wav_samples(wav)
+    assert len(s) == 32000 and float(np.abs(s - sig).max()) < 1e-3
+    with pytest.raises(ValueError):
+        M.wav_info(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(ValueError):
+        M.wav_info(b"not a wav")
+
+
+def test_mp4_duration_box_walk():
+    assert abs(M.mp4_duration(M.build_mp4(12.345)) - 12.345) < 1e-3
+    assert abs(M.mp4_duration(M.build_mp4(0.5, timescale=90000)) - 0.5) < 1e-6
+    with pytest.raises(ValueError):
+        M.mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")  # no moov
+    with pytest.raises(ValueError):
+        M.mp4_duration(b"RIFFxxxx")
+
+
+def test_gif_gray_roundtrip_exact():
+    px = bytes((x * 7 + 13) % 256 for x in range(40 * 25))
+    gif = M.encode_gray_gif(px, 40, 25)
+    assert M.gif_dimensions(gif) == (40, 25)
+    w, h, out = M.decode_gif_gray(gif)
+    # identity gray palette → the roundtrip is EXACT
+    assert (w, h) == (40, 25) and out == px
+    with pytest.raises(ValueError):
+        M.decode_gif_gray(b"GIF8 garbage")
+
+
+def test_gif_interlaced_decode():
+    """Interlace pass reordering: rows land where the 4-pass schedule puts
+    them, verified against a straight (non-interlaced) encode."""
+    px = bytes((y * 16 + x) % 256 for y in range(16) for x in range(8))
+    # image descriptor sits right after header(6) + LSD(7) + 256-entry
+    # palette(768) — computed structurally, NOT via index() (0x2C occurs
+    # inside the gray palette)
+    desc = 6 + 7 + 768
+    rows = [px[y * 8 : (y + 1) * 8] for y in range(16)]
+    order = (
+        list(range(0, 16, 8)) + list(range(4, 16, 8))
+        + list(range(2, 16, 4)) + list(range(1, 16, 2))
+    )
+    stored = b"".join(rows[r] for r in order)
+    inter = M.encode_gray_gif(stored, 8, 16)
+    inter = bytearray(inter)
+    inter[desc + 9] |= 0x40
+    w, h, out = M.decode_gif_gray(bytes(inter))
+    assert out == px
+
+
+def test_multimodal_metadata_is_real_for_all_sniffed_types(spark):
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_png import encode_page_png
+    from gnosis_ocr_spark.operators.multimodal import media_metadata
+
+    wav = M.build_wav(np.zeros(8000, dtype=np.float32), 16000)
+    rows = [
+        ("png", bytearray(encode_page_png("x", 30, 20))),
+        ("jpg", bytearray(encode_gray_jpeg(bytes(50 * 40), 50, 40))),
+        ("gif", bytearray(M.encode_gray_gif(bytes(25 * 10), 25, 10))),
+        ("wav", bytearray(wav)),
+        ("mp4", bytearray(M.build_mp4(3.25))),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, data binary")
+    got = {r["url"]: r.asDict() for r in media_metadata(df).collect()}
+    assert (got["png"]["width"], got["png"]["height"]) == (30, 20)
+    assert (got["jpg"]["width"], got["jpg"]["height"]) == (50, 40)
+    assert (got["gif"]["width"], got["gif"]["height"]) == (25, 10)
+    assert got["wav"]["duration_sec"] == 0.5
+    assert got["mp4"]["duration_sec"] == 3.25
+
+
+def test_multimodal_features_real_for_decodable_media(spark):
+    """JPEG/GIF features come from DECODED pixels (identical content ⇒
+    near-identical histograms even across formats); WAV features are real
+    amplitude statistics (silence → all mass in bin 0)."""
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.operators.multimodal import media_features
+
+    px = bytes((x * 11 + 5) % 256 for x in range(48 * 48))
+    rows = [
+        ("jpg", bytearray(encode_gray_jpeg(px, 48, 48))),
+        ("gif", bytearray(M.encode_gray_gif(px, 48, 48))),
+        ("silence", bytearray(M.build_wav(np.zeros(4000, dtype=np.float32)))),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, data binary")
+    got = {r["url"]: np.array(r["feature"]) for r in media_features(df, dim=8).collect()}
+    # same pixels through two real decoders → same histogram (±jpeg noise)
+    assert float(np.abs(got["jpg"] - got["gif"]).max()) < 0.02
+    assert got["silence"][0] == pytest.approx(1.0)
+    assert float(got["silence"][1:].sum()) == 0.0
+
+
+def test_resize_real_for_jpeg_and_gif(spark):
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_png import decode_dimensions
+    from gnosis_ocr_spark.operators.multimodal import resize_images
+
+    big = bytes((x * 3 + 1) % 256 for x in range(300 * 120))
+    rows = [
+        ("jpg", bytearray(encode_gray_jpeg(big, 300, 120))),
+        ("gif", bytearray(M.encode_gray_gif(big, 300, 120))),
+        ("badjpg", bytearray(b"\xff\xd8\xff\xe0junkjunkjunk")),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, data binary")
+    got = {r["url"]: r.asDict() for r in resize_images(df, max_dim=64).collect()}
+    for u in ("jpg", "gif"):
+        assert got[u]["status"] == "resized"
+        assert max(got[u]["width"], got[u]["height"]) <= 64
+        # output is a REAL decodable PNG of the resized pixels
+        assert decode_dimensions(bytes(got[u]["data"])) == (
+            got[u]["width"], got[u]["height"],
+        )
+    assert got["badjpg"]["status"] == "passthrough"
+    assert got["badjpg"]["width"] is None
