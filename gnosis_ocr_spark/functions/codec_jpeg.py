@@ -59,6 +59,12 @@ class JpegError(ValueError):
     pass
 
 
+# crawl-robustness guard: a mutated/hostile SOF can declare 65535×65535
+# (34 GB of float64 planes) — that must be a clean JpegError, never a
+# MemoryError that kills an executor. 50 MPix ≈ A0 at 600 dpi.
+MAX_PIXELS = 50_000_000
+
+
 # ---------------------------------------------------------------- bits
 
 
@@ -105,10 +111,28 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill()
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
     def align_to_marker(self) -> int | None:
-        """Drop partial bits, consume the pending marker (RSTn expected)."""
+        """Drop partial bits, consume the pending marker (RSTn expected).
+        The marker may not have been touched by a fill yet (wide peeks can
+        satisfy the last symbols from buffered bits) — scan at ``pos``."""
         self.acc = 0
         self.nbits = 0
+        if self.marker is None:
+            d = self.data
+            # optional 0xFF fill bytes may precede a marker (spec B.1.1.2)
+            while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+                self.pos += 1
+            if self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+                self.marker = d[self.pos + 1]
         m = self.marker
         if m is not None:
             self.marker = None
@@ -116,30 +140,62 @@ class _BitReader:
         return m
 
 
+_FASTBITS = 10
+
+
 class _Huff:
-    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL, with a
+    ``_FASTBITS``-wide prefix lookup table: one peek + one list index per
+    symbol for codes ≤ 10 bits (the common case; Annex-K-style tables keep
+    hot symbols short), bit-by-bit fallback for longer codes. Instances are
+    cached per (BITS, HUFFVAL) across images (:func:`_huff_cached`) so the
+    table builds once per distinct DHT, not once per decode."""
 
     def __init__(self, bits: list[int], vals: bytes):
         self.lut: dict[tuple[int, int], int] = {}
+        self.fast: list[tuple[int, int] | None] = [None] * (1 << _FASTBITS)
         code = 0
         k = 0
         self.maxlen = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 self.lut[(length, code)] = vals[k]
+                if length <= _FASTBITS:
+                    lo = code << (_FASTBITS - length)
+                    for idx in range(lo, lo + (1 << (_FASTBITS - length))):
+                        self.fast[idx] = (vals[k], length)
                 code += 1
                 k += 1
                 self.maxlen = length
             code <<= 1
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, self.maxlen + 1):
+        hit = self.fast[br.peek(_FASTBITS)]
+        if hit is not None:
+            br.skip(hit[1])
+            return hit[0]
+        code = br.bits(_FASTBITS) if self.maxlen > _FASTBITS else 0
+        if self.maxlen <= _FASTBITS:
+            raise JpegError("invalid Huffman code")
+        for length in range(_FASTBITS + 1, self.maxlen + 1):
             code = (code << 1) | br.bits(1)
             sym = self.lut.get((length, code))
             if sym is not None:
                 return sym
         raise JpegError("invalid Huffman code")
+
+
+_HUFF_CACHE: dict[tuple[tuple[int, ...], bytes], _Huff] = {}
+
+
+def _huff_cached(bits: list[int], vals: bytes) -> _Huff:
+    key = (tuple(bits), bytes(vals))
+    h = _HUFF_CACHE.get(key)
+    if h is None:
+        if len(_HUFF_CACHE) > 64:  # bound: distinct DHTs per process
+            _HUFF_CACHE.clear()
+        h = _HUFF_CACHE[key] = _Huff(bits, vals)
+    return h
 
 
 def _extend(v: int, s: int) -> int:
@@ -197,12 +253,14 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = seg[p + 17 : p + 17 + n]
-                htabs[(tc, th)] = _Huff(bits, vals)
+                htabs[(tc, th)] = _huff_cached(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegError("only 8-bit precision")
+            if w == 0 or h == 0 or w * h > MAX_PIXELS:
+                raise JpegError(f"unreasonable frame size {w}x{h}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -241,9 +299,13 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     planes = {}
     for comp, _, _ in scan:
         pw, ph = mcus_x * 8 * comp["h"], mcus_y * 8 * comp["v"]
+        if pw * ph > 4 * MAX_PIXELS:
+            raise JpegError("unreasonable component plane size")
         planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
     br = _BitReader(data, pos)
     dc_pred = {comp["id"]: 0 for comp, _, _ in scan}
+    pend_coefs = {comp["id"]: [] for comp, _, _ in scan}
+    pend_pos = {comp["id"]: [] for comp, _, _ in scan}
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -261,10 +323,13 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                     raise JpegError("missing table")
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coef = np.zeros(64)
+                        # entropy-decode ONE block into a plain list; the
+                        # IDCT batches per component after the scan (one
+                        # einsum instead of 2 tiny matmuls per block)
+                        coef = [0.0] * 64
                         s = dct.decode(br)
                         dc_pred[comp["id"]] += _extend(br.bits(s), s)
-                        coef[0] = dc_pred[comp["id"]]
+                        coef[0] = float(dc_pred[comp["id"]])
                         k = 1
                         while k < 64:
                             rs = act.decode(br)
@@ -277,16 +342,28 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                             k += r
                             if k > 63:
                                 raise JpegError("AC index overflow")
-                            coef[k] = _extend(br.bits(size), size)
+                            coef[k] = float(_extend(br.bits(size), size))
                             k += 1
-                        block = np.zeros(64)
-                        block[_ZZ_FLAT] = coef
-                        block = block.reshape(8, 8) * q
-                        spatial = _M.T @ block @ _M + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                        cid = comp["id"]
+                        pend_coefs[cid].append(coef)
+                        pend_pos[cid].append(
+                            ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
+                        )
             mcu_count += 1
+    # batched dequantize + IDCT per component: (N,64) zigzag coefs →
+    # (N,8,8) spatial in two vectorized ops
+    for comp, _, _ in scan:
+        cid = comp["id"]
+        if not pend_coefs[cid]:
+            continue
+        zz = np.asarray(pend_coefs[cid])  # (N, 64) in zigzag order
+        blocks = np.zeros((zz.shape[0], 64))
+        blocks[:, _ZZ_FLAT] = zz
+        blocks = blocks.reshape(-1, 8, 8) * qtabs[comp["tq"]]
+        spatial = np.einsum("ab,nbc,cd->nad", _M.T, blocks, _M) + 128.0
+        plane = planes[cid]
+        for (y0, x0), blk in zip(pend_pos[cid], spatial):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     luma_comp = scan[0][0]
     luma = planes[luma_comp["id"]]
     # luma is sampled at (h/maxh, v/maxv) of full res; replicate up if needed

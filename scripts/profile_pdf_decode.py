@@ -36,6 +36,8 @@ WRITERS: dict[str, callable] = {
     "aes": lambda p: cp.build_pdf_encrypted(p, revision=4),
     "type0_cmap": lambda p: cp.build_pdf_type0(p, custom_cmap=True),
     "scanned": lambda p: cp.build_pdf_scanned(p),
+    "scanned_jpeg": lambda p: cp.build_pdf_scanned(p, image_filter="jpeg"),
+    "type0_ucs2": lambda p: cp.build_pdf_type0(p, predefined="UniGB-UCS2-H"),
 }
 
 PAGES = [

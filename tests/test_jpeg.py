@@ -178,3 +178,13 @@ def test_robust_scan_matrix_tolerates_noise():
     assert G.decode_scan_text_robust(bytes(px)) == text
     # exact-matrix pixels are NOT a robust matrix (magic differs)
     assert G.decode_scan_text_robust(G.encode_scan_pixels("abc")) is None
+
+
+def test_hostile_dimensions_raise_cleanly():
+    """A mutated SOF declaring a 65535x65535 frame must be a clean
+    JpegError, never a MemoryError that would kill an executor."""
+    jp = bytearray(J.encode_gray_jpeg(bytes(64 * 64), 64, 64))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(J.JpegError, match="unreasonable"):
+        J.decode_baseline_jpeg(bytes(jp))
