@@ -275,3 +275,113 @@ def decode_scan_text_robust(pixels: bytes) -> str | None:
         return bytes(byte_at(8 + i) for i in range(n)).decode("utf-8")
     except UnicodeDecodeError:
         return None
+
+
+# ---------------------------------------------------------------------------
+# general PNG decode — real crawl PNGs, not just this module's own output
+#
+# decode_pixels above is the fast internal path (filter-0 grayscale, the
+# only shape our writers emit). Crawl PNGs use every filter type, RGB /
+# palette / alpha color types, 1-16 bit depths and split IDATs; this
+# decoder handles that full non-interlaced baseline (Adam7 raises cleanly —
+# rare in the wild and documented out of scope).
+# ---------------------------------------------------------------------------
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
+    """(width, height, 8-bit grayscale pixels) for any non-interlaced PNG:
+    all five row filters, color types 0/2/3/4/6, bit depths 1/2/4/8/16,
+    multiple IDAT chunks, PLTE palettes (mapped by integer luma), alpha
+    dropped. Raises ValueError on interlaced or malformed files."""
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    for tag, data in iter_chunks(png):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"PLTE":
+            plte = data
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if interlace:
+        raise ValueError("Adam7 interlace unsupported")
+    if comp or filt or ctype not in _CHANNELS or depth not in (1, 2, 4, 8, 16):
+        raise ValueError("malformed IHDR")
+    if w == 0 or h == 0 or w * h > 50_000_000:
+        raise ValueError("unreasonable dimensions")
+    ch = _CHANNELS[ctype]
+    bpp = max(1, ch * depth // 8)
+    stride = (ch * depth * w + 7) // 8
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated IDAT")
+    # unfilter (spec §9: None/Sub/Up/Average/Paeth per row)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter {ftype}")
+        out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
+    # samples → per-channel uint8 array
+    if depth == 8:
+        px = out.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    elif depth == 16:
+        px = out.reshape(h, stride).view(">u2")[:, : w * ch].reshape(h, w, ch)
+        px = (px >> 8).astype(np.uint8)  # high byte ≈ 8-bit value
+    else:  # 1/2/4-bit packed, big-endian within the byte
+        bits = np.unpackbits(out, axis=1)[:, : w * ch * depth]
+        vals = bits.reshape(h, w * ch, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        px = (vals * weights).sum(axis=2).astype(np.uint16)
+        if ctype != 3:  # scale to 8-bit range (palette indices stay raw)
+            px = (px * (255 // ((1 << depth) - 1))).astype(np.uint16)
+        px = px.reshape(h, w, ch).astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        import numpy as _np
+
+        pal = _np.frombuffer(plte, dtype=_np.uint8)
+        pal = pal[: len(pal) // 3 * 3].reshape(-1, 3).astype(_np.uint32)
+        luma = ((pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114) // 1000)
+        idx = _np.clip(px[:, :, 0], 0, len(luma) - 1)
+        gray = luma[idx].astype(_np.uint8)
+    elif ctype in (0, 4):
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA → integer luma
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            // 1000
+        ).astype(np.uint8)
+    return w, h, gray.tobytes()

@@ -150,11 +150,21 @@ def _feature_batches(dim: int):
                 mtype = sniff_media_type(data)
                 px = None
                 if mtype == "image/png":
-                    # real pixel statistics from the stdlib decoder
+                    # real pixel statistics: fast filter-0-gray path first,
+                    # then the general decoder (all filters/color types —
+                    # real crawl PNGs)
                     try:
                         px = np.frombuffer(decode_pixels(data), dtype=np.uint8)
                     except Exception:
-                        px = None
+                        try:
+                            from gnosis_ocr_spark.functions.codec_png import (
+                                decode_png_gray,
+                            )
+
+                            _, _, gray = decode_png_gray(data)
+                            px = np.frombuffer(gray, dtype=np.uint8)
+                        except Exception:
+                            px = None
                 elif mtype == "image/jpeg":
                     # real luma statistics (baseline decoder, codec_jpeg)
                     try:
@@ -285,11 +295,20 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         else:
                             decoded = (decode_pixels(data), dw, dh)
                     except Exception:
-                        # undecodable PNG (non-grayscale / multi-IDAT / other
-                        # filters — real codecs go here): report UNKNOWN size
-                        # rather than the unclamped original, so the output
-                        # contract (width/height ≤ max_dim when set) holds
-                        w = h = None
+                        # non-filter-0 / color / split-IDAT PNG: the general
+                        # decoder (codec_png.decode_png_gray) handles the
+                        # full non-interlaced baseline; only genuinely
+                        # malformed or Adam7 files fall to the honest
+                        # unknown-size passthrough
+                        try:
+                            from gnosis_ocr_spark.functions.codec_png import (
+                                decode_png_gray,
+                            )
+
+                            dw, dh, gray = decode_png_gray(data)
+                            decoded = (gray, dw, dh)
+                        except Exception:
+                            w = h = None
                 elif mtype == "image/jpeg":
                     # real baseline decode → grayscale luma resize → PNG out
                     try:

@@ -130,3 +130,93 @@ def test_resize_real_for_jpeg_and_gif(spark):
         )
     assert got["badjpg"]["status"] == "passthrough"
     assert got["badjpg"]["width"] is None
+
+
+def _foreign_png(w, h, depth, ctype, rows_raw, plte=None):
+    """Hand-built PNG in a shape OUR writers never emit (foreign-crawl
+    simulation): arbitrary filter types / color types / palettes."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+
+    ihdr = _s.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = G._MAGIC + G._chunk(b"IHDR", ihdr)
+    if plte:
+        out += G._chunk(b"PLTE", plte)
+    # split the IDAT in two — multi-IDAT files are common in the wild
+    z = _z.compress(rows_raw)
+    return (out + G._chunk(b"IDAT", z[: len(z) // 2])
+            + G._chunk(b"IDAT", z[len(z) // 2 :]) + G._chunk(b"IEND", b""))
+
+
+def test_general_png_decoder_rgb_paeth_and_palette(spark):
+    """Real-crawl PNG shapes (RGB + Paeth filter, 1-bit palette, split
+    IDATs) decode through codec_png.decode_png_gray, and the multimodal
+    resize path consumes them instead of passing through."""
+    from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+    from gnosis_ocr_spark.operators.multimodal import resize_images
+
+    w, h = 6, 4
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w * 3)
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)  # None filter keeps expected values trivial
+        rows += rgb[y].tobytes()
+    png = _foreign_png(w, h, 8, 2, bytes(rows))
+    w2, h2, gray = decode_png_gray(png)
+    lum = rgb.reshape(h, w, 3).astype(np.uint32)
+    exp = ((lum[:, :, 0] * 299 + lum[:, :, 1] * 587 + lum[:, :, 2] * 114)
+           // 1000).astype(np.uint8)
+    assert (w2, h2) == (w, h) and gray == exp.tobytes()
+
+    # Paeth-filtered grayscale roundtrip: filter math vs the spec formula
+    gw, gh = 9, 5
+    src = np.arange(gw * gh, dtype=np.uint8).reshape(gh, gw)
+    rows = bytearray()
+    prev = np.zeros(gw, dtype=int)
+    for y in range(gh):
+        rows.append(4)  # Paeth
+        row = src[y].astype(int)
+        enc = []
+        for i in range(gw):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((row[i] - pred) & 0xFF)
+        rows += bytes(enc)
+        prev = row
+    png = _foreign_png(gw, gh, 8, 0, bytes(rows))
+    assert decode_png_gray(png)[2] == src.tobytes()
+
+    # big foreign RGB PNG flows through resize (status=resized, real PNG out)
+    big_w, big_h = 120, 90
+    body = bytearray()
+    for y in range(big_h):
+        body.append(0)
+        body += bytes((x * 3 + y) % 256 for x in range(big_w * 3))
+    foreign = _foreign_png(big_w, big_h, 8, 2, bytes(body))
+    df = spark.createDataFrame(
+        [("f", bytearray(foreign))], schema="url string, data binary"
+    )
+    [row] = resize_images(df, max_dim=40).collect()
+    assert row["status"] == "resized" and max(row["width"], row["height"]) <= 40
+
+
+def test_general_png_decoder_rejects_adam7_and_bombs():
+    import struct as _s
+
+    from gnosis_ocr_spark.functions import codec_png as G
+    from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    png = G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", b"x") + G._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png_gray(png)
+    ihdr = _s.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)  # 3.6 GPix bomb
+    png = G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", b"x") + G._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unreasonable"):
+        decode_png_gray(png)
