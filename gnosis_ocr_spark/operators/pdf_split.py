@@ -86,32 +86,67 @@ def pdf_page_count_udf(pdf: pd.Series) -> pd.Series:
     return pdf.map(probe)
 
 
-def _scan_png(images) -> bytes | None:
-    """First decodable image of a page, re-encoded as a grayscale PNG for
-    the OCR stage: raw 8-bit DeviceGray samples directly, /DCTDecode
-    payloads through the baseline JPEG decoder (codec_jpeg — luma plane).
-    None when nothing on the page decodes in-container (progressive JPEG,
-    JPX, CCITT — the page then extracts as empty text, the honest
-    degradation documented in PdfImage)."""
-    for img in images:
+def _gray_pixels(img) -> tuple[bytes, int, int] | None:
+    """One PdfImage → (gray pixels, w, h), or None when undecodable:
+    raw 8-bit DeviceGray directly, raw 24-bit DeviceRGB via integer luma,
+    /DCTDecode through the baseline JPEG decoder (luma plane)."""
+    if img.codec == "raw" and img.bits == 8:
         if (
-            img.codec == "raw"
-            and img.bits == 8
-            and img.colorspace == "DeviceGray"
+            img.colorspace == "DeviceGray"
             and len(img.data) == img.width * img.height
         ):
-            return encode_gray_png(img.data, img.width, img.height)
-        if img.codec == "dct":
-            try:
-                from gnosis_ocr_spark.functions.codec_jpeg import (
-                    decode_baseline_jpeg,
-                )
+            return img.data, img.width, img.height
+        if (
+            img.colorspace == "DeviceRGB"
+            and len(img.data) == 3 * img.width * img.height
+        ):
+            import numpy as np
 
-                w, h, _, luma = decode_baseline_jpeg(img.data)
-                return encode_gray_png(luma, w, h)
-            except Exception:
-                continue  # non-baseline/corrupt JPEG: try the next image
+            rgb = np.frombuffer(img.data, dtype=np.uint8).reshape(-1, 3)
+            luma = (
+                (rgb[:, 0].astype(np.uint32) * 299
+                 + rgb[:, 1].astype(np.uint32) * 587
+                 + rgb[:, 2].astype(np.uint32) * 114) // 1000
+            ).astype(np.uint8)
+            return luma.tobytes(), img.width, img.height
+        return None
+    if img.codec == "dct":
+        try:
+            from gnosis_ocr_spark.functions.codec_jpeg import (
+                decode_baseline_jpeg,
+            )
+
+            w, h, _, luma = decode_baseline_jpeg(img.data)
+            return luma, w, h
+        except Exception:
+            return None  # non-baseline/corrupt JPEG
     return None
+
+
+def _scan_png(images) -> bytes | None:
+    """A page's drawn images as ONE grayscale PNG for the OCR stage.
+    Multiple decodable images stack vertically in draw order (scanners
+    routinely emit a page as horizontal strips), padded to the widest
+    strip. None when nothing decodes in-container (progressive JPEG, JPX,
+    CCITT — the page then extracts as empty text, the honest degradation
+    documented in PdfImage)."""
+    strips = [g for g in (_gray_pixels(img) for img in images) if g is not None]
+    if not strips:
+        return None
+    if len(strips) == 1:
+        px, w, h = strips[0]
+        return encode_gray_png(px, w, h)
+    import numpy as np
+
+    width = max(w for _, w, _ in strips)
+    parts = []
+    for px, w, h in strips:
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        if w < width:
+            arr = np.pad(arr, ((0, 0), (0, width - w)), constant_values=255)
+        parts.append(arr)
+    stacked = np.concatenate(parts, axis=0)
+    return encode_gray_png(stacked.tobytes(), width, stacked.shape[0])
 
 
 def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -930,3 +930,60 @@ def test_frozen_r6_aes256_fixture_extracts(spark):
     ).collect()
     assert out[0]["extracted_text"] == "\n\n".join(pages)
     assert out[0]["n_pages"] == 2
+
+
+def test_scan_png_rgb_and_striped_pages():
+    """_scan_png handles raw DeviceRGB images (integer luma) and stacks
+    multi-strip pages (the scanner-output shape) vertically in draw order."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_pdf import PdfImage
+    from gnosis_ocr_spark.functions.codec_png import decode_dimensions, decode_pixels
+    from gnosis_ocr_spark.operators.pdf_split import _scan_png
+
+    rgb = bytes(v for x in range(8 * 4) for v in (200, 100, 50))
+    img_rgb = PdfImage(8, 4, 8, "DeviceRGB", "raw", rgb)
+    png = _scan_png([img_rgb])
+    assert decode_dimensions(png) == (8, 4)
+    expect = (200 * 299 + 100 * 587 + 50 * 114) // 1000
+    assert set(decode_pixels(png)) == {expect}
+
+    # two gray strips of different widths stack vertically, padded white
+    top = PdfImage(6, 2, 8, "DeviceGray", "raw", bytes([10] * 12))
+    bottom = PdfImage(4, 3, 8, "DeviceGray", "raw", bytes([20] * 12))
+    png = _scan_png([top, bottom])
+    assert decode_dimensions(png) == (6, 5)
+    px = np.frombuffer(decode_pixels(png), dtype=np.uint8).reshape(5, 6)
+    assert set(px[:2].flat) == {10}
+    assert set(px[2:, :4].flat) == {20} and set(px[2:, 4:].flat) == {255}
+
+
+def test_image_inside_form_xobject_reaches_scan_path():
+    """A scanned page whose image is drawn INSIDE a Form XObject (stamp/
+    letterhead structure) still routes to the OCR seam — _collect_images
+    recurses through forms."""
+    import zlib
+
+    from gnosis_ocr_spark.functions.codec_png import encode_scan_pixels
+    from gnosis_ocr_spark.operators.pdf_split import _scan_png
+
+    text = "image behind a form"
+    samples = zlib.compress(encode_scan_pixels(text, 64, 64), 6)
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Fm 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im 6 0 R >> >> /Length 31 >>\n"
+        b"stream\nq 612 0 0 792 0 0 cm /Im Do Q\nendstream",
+        b"<< /Length 9 >>\nstream\n/Fm Do \nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width 64 /Height 64 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(samples), samples),
+    ]
+    pdf = P._assemble_classic(objects)
+    [(spans, imgs)] = P.extract_pages_with_images(pdf)
+    assert spans == [] and len(imgs) == 1
+    png = _scan_png(imgs)
+    assert G.decode_scan_png_text(png) == text
