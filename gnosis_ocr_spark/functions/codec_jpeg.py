@@ -23,6 +23,13 @@ sequential subset from the spec:
 
 Used by: operators/pdf_split (scanned /DCTDecode pages → OCR seam),
 operators/multimodal (JPEG feature extraction).
+
+Throughput: entropy decoding is per-symbol Python (~1-2 MPix/s with the
+prefix-LUT fast path; IDCT is batched numpy) — ample for fixtures and
+metadata/feature extraction, ~seconds for a full-page 300-dpi scan. A
+production deployment swaps libjpeg-turbo behind this same function
+signature; the Spark-side plumbing (which pages route here, batching,
+the PNG hand-off to OCR) is identical either way.
 """
 
 from __future__ import annotations

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gnosis_ocr_spark.functions import codec_media as M
 
@@ -220,3 +221,42 @@ def test_general_png_decoder_rejects_adam7_and_bombs():
     png = G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", b"x") + G._chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unreasonable"):
         decode_png_gray(png)
+
+
+def test_cross_format_near_dup_via_media_features(spark):
+    """The claimed composition media_features → similarity actually works:
+    the SAME image stored as PNG, JPEG and GIF (three real decoders) lands
+    in one near-dup cluster on feature-cosine, while a different image
+    stays out. This is the cross-modal dedup path a crawl pipeline runs
+    over image payloads."""
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_png import encode_gray_png
+    from gnosis_ocr_spark.functions.similarity import cosine_topk_bruteforce
+    from gnosis_ocr_spark.operators.multimodal import media_features
+
+    px_a = bytes((x * 11 + 5) % 256 for x in range(64 * 64))
+    px_b = bytes(255 - ((x * 13) % 97) for x in range(64 * 64))  # skewed hist
+    rows = [
+        ("a-png", bytearray(encode_gray_png(px_a, 64, 64))),
+        ("a-jpg", bytearray(encode_gray_jpeg(px_a, 64, 64))),
+        ("a-gif", bytearray(M.encode_gray_gif(px_a, 64, 64))),
+        ("b-gif", bytearray(M.encode_gray_gif(px_b, 64, 64))),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, data binary")
+    feats = media_features(df, dim=16).select(
+        F.col("url").alias("vec_id"),
+        F.col("feature").cast("array<double>").alias("embedding"),
+    )
+    queries = feats.select(F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk_bruteforce(feats, queries, k=3)
+    by_query = {}
+    for r in top.collect():
+        by_query.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    # each format of image A ranks the other two formats above image B
+    a_all = {"a-png", "a-jpg", "a-gif"}
+    for q in sorted(a_all):
+        ranked = [v for v, _ in sorted(by_query[q], key=lambda t: -t[1])
+                  if v != q]
+        assert set(ranked[:2]) == a_all - {q}, (q, by_query[q])
+        sims = dict(by_query[q])
+        assert all(sims[o] > 0.99 for o in a_all - {q}), by_query[q]
