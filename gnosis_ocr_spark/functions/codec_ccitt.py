@@ -1,0 +1,466 @@
+"""CCITT Group 4 (ITU-T T.6, 2-D MMR) and Group 3 1-D (ITU-T T.4, MH) codec.
+
+Real-crawl scanned black-and-white documents are predominantly 1-bit
+CCITT-G4 fax-encoded images inside PDF ``/CCITTFaxDecode`` streams — the
+reference rasterizes those pages transparently via poppler
+(/root/reference/app/jobs.py:386-390). This module is a from-scratch
+implementation of the public ITU-T T.6 / T.4 specifications (same class of
+work as the LZW/Flate/JPEG codecs already in this package): the modified
+Huffman run-length tables, the 2-D vertical/horizontal/pass coding modes,
+and EOFB handling. Both the encoder (fixture writer + property tests) and
+the decoder (the crawl-facing path, wired behind codec_pdf's
+``_apply_one_filter``) live here.
+
+Bit conventions
+---------------
+Internally a pixel is "black" or "white" (fax semantics). The packed 1-bpp
+sample format used at the API boundary follows PDF ``/CCITTFaxDecode``
+semantics: with ``black_is_1=False`` (the PDF default) a **0 bit is black**
+— which is exactly the 1-bit ``/DeviceGray`` convention, so default-decoded
+data feeds straight into an image's sample buffer. Rows are packed
+MSB-first and padded to a byte boundary (stride = ceil(columns/8)).
+
+Throughput honesty: the mode/run state machine is per-changing-element
+Python (row materialization is numpy). Scanned text has few transitions
+per row, so cost is O(transitions), not O(pixels) — same honesty class as
+codec_jpeg's entropy decoder; the libtiff swap seam is the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# ITU-T T.4 modified-Huffman run-length tables (public spec, Tables 2-4).
+# Strings keep the table verifiable against the spec; compiled to
+# (bits, length) int pairs at import.
+# ---------------------------------------------------------------------------
+
+_WHITE_TERM = [
+    "00110101", "000111", "0111", "1000", "1011", "1100", "1110", "1111",
+    "10011", "10100", "00111", "01000", "001000", "000011", "110100",
+    "110101", "101010", "101011", "0100111", "0001100", "0001000",
+    "0010111", "0000011", "0000100", "0101000", "0101011", "0010011",
+    "0100100", "0011000", "00000010", "00000011", "00011010", "00011011",
+    "00010010", "00010011", "00010100", "00010101", "00010110", "00010111",
+    "00101000", "00101001", "00101010", "00101011", "00101100", "00101101",
+    "00000100", "00000101", "00001010", "00001011", "01010010", "01010011",
+    "01010100", "01010101", "00100100", "00100101", "01011000", "01011001",
+    "01011010", "01011011", "01001010", "01001011", "00110010", "00110011",
+    "00110100",
+]
+_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+_BLACK_TERM = [
+    "0000110111", "010", "11", "10", "011", "0011", "0010", "00011",
+    "000101", "000100", "0000100", "0000101", "0000111", "00000100",
+    "00000111", "000011000", "0000010111", "0000011000", "0000001000",
+    "00001100111", "00001101000", "00001101100", "00000110111",
+    "00000101000", "00000010111", "00000011000", "000011001010",
+    "000011001011", "000011001100", "000011001101", "000001101000",
+    "000001101001", "000001101010", "000001101011", "000011010010",
+    "000011010011", "000011010100", "000011010101", "000011010110",
+    "000011010111", "000001101100", "000001101101", "000011011010",
+    "000011011011", "000001010100", "000001010101", "000001010110",
+    "000001010111", "000001100100", "000001100101", "000001010010",
+    "000001010011", "000000100100", "000000110111", "000000111000",
+    "000000100111", "000000101000", "000001011000", "000001011001",
+    "000000101011", "000000101100", "000001011010", "000001100110",
+    "000001100111",
+]
+_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+# extended makeup codes 1792-2560 are shared between colors (T.4 Table 4)
+_EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+_EOL = "000000000001"
+
+# hostile-input bound (same rationale as codec_jpeg.MAX_PIXELS): a crafted
+# stream (huge /Columns, tiny V0-bit rows) must never MemoryError an
+# executor — one row can cost up to Columns bytes of bool scratch
+MAX_PIXELS = 50_000_000
+
+
+def _enc_table(term: list[str], makeup: dict[int, str]) -> dict[int, tuple[int, int]]:
+    t = {run: (int(code, 2), len(code)) for run, code in enumerate(term)}
+    for run, code in makeup.items():
+        t[run] = (int(code, 2), len(code))
+    for run, code in _EXT_MAKEUP.items():
+        t[run] = (int(code, 2), len(code))
+    return t
+
+
+def _dec_table(term: list[str], makeup: dict[int, str]) -> dict[tuple[int, int], int]:
+    t = {(len(code), int(code, 2)): run for run, code in enumerate(term)}
+    for run, code in makeup.items():
+        t[(len(code), int(code, 2))] = run
+    for run, code in _EXT_MAKEUP.items():
+        t[(len(code), int(code, 2))] = run
+    return t
+
+
+_WHITE_ENC = _enc_table(_WHITE_TERM, _WHITE_MAKEUP)
+_BLACK_ENC = _enc_table(_BLACK_TERM, _BLACK_MAKEUP)
+_WHITE_DEC = _dec_table(_WHITE_TERM, _WHITE_MAKEUP)
+_BLACK_DEC = _dec_table(_BLACK_TERM, _BLACK_MAKEUP)
+_MAX_CODE_LEN = 13
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+        self.n = len(data) * 8
+
+    def eof(self) -> bool:
+        return self.pos >= self.n
+
+    def read_bit(self) -> int:
+        if self.pos >= self.n:
+            raise ValueError("CCITT: truncated stream")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def peek12(self) -> int:
+        """Next 12 bits (zero-padded past EOF) without consuming."""
+        v = 0
+        for i in range(12):
+            p = self.pos + i
+            if p < self.n:
+                v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            else:
+                v <<= 1
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | value
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def align(self) -> None:
+        """Zero-pad to the next byte boundary (/EncodedByteAlign)."""
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes(
+                [(self.acc << (8 - self.nbits)) & 0xFF]
+            )
+        return bytes(self.buf)
+
+
+def _read_run(br: _BitReader, black: bool) -> int:
+    """One complete MH run length: zero or more makeup codes + a
+    terminating code (<64). Raises on unknown code words."""
+    table = _BLACK_DEC if black else _WHITE_DEC
+    total = 0
+    while True:
+        length = 0
+        value = 0
+        run = None
+        while length < _MAX_CODE_LEN:
+            value = (value << 1) | br.read_bit()
+            length += 1
+            run = table.get((length, value))
+            if run is not None:
+                break
+        if run is None:
+            raise ValueError("CCITT: bad run code")
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
+
+
+def _write_run(bw: _BitWriter, run: int, black: bool) -> None:
+    table = _BLACK_ENC if black else _WHITE_ENC
+    while run >= 64:
+        make = min(2560, (run >> 6) << 6)
+        bw.write(*table[make])
+        run -= make
+    bw.write(*table[run])
+
+
+def _transitions(row: np.ndarray) -> list[int]:
+    """Changing-element positions of a bool row (True = black); positions
+    alternate white->black, black->white, ... starting from imaginary
+    white before column 0."""
+    padded = np.diff(row.astype(np.int8), prepend=np.int8(0))
+    return np.nonzero(padded)[0].tolist()
+
+
+def _row_from_transitions(cur: list[int], columns: int) -> np.ndarray:
+    """Materialize a bool row (True = black) from changing positions."""
+    row = np.zeros(columns, dtype=bool)
+    for i in range(0, len(cur), 2):
+        start = cur[i]
+        end = cur[i + 1] if i + 1 < len(cur) else columns
+        row[start:end] = True
+    return row
+
+
+def _b1_index(ref: list[int], a0: int, color: int) -> int:
+    """First index i with ref[i] > a0 and parity matching the coding color
+    (color 0 = white needs even i: a white->black transition)."""
+    i = 0
+    n = len(ref)
+    while i < n and ref[i] <= a0:
+        i += 1
+    if (i & 1) != color:
+        i += 1
+    return i
+
+
+def decode_g4(
+    data: bytes,
+    columns: int,
+    rows: int = 0,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Decode ITU-T T.6 (Group 4 / pure 2-D MMR) data to packed 1-bpp rows
+    (stride = ceil(columns/8)). ``rows=0`` decodes until EOFB or data end.
+    ``black_is_1=False`` (PDF default) emits 0 bits for black — the 1-bit
+    /DeviceGray convention."""
+    if columns <= 0 or columns > 1 << 20:
+        raise ValueError("CCITT: bad Columns")
+    if rows > 0 and rows * columns > MAX_PIXELS:
+        raise ValueError("CCITT: image exceeds pixel bound")
+    br = _BitReader(data)
+    ref: list[int] = []  # imaginary all-white reference line
+    out_rows: list[np.ndarray] = []
+    max_rows = rows if rows > 0 else max(1, MAX_PIXELS // columns)
+    while len(out_rows) < max_rows:
+        if byte_align:
+            br.align()
+        if br.eof():
+            break
+        if br.peek12() == int(_EOL, 2):  # EOFB (or stray EOL) terminates
+            break
+        cur: list[int] = []
+        a0 = -1
+        color = 0
+        while a0 < columns:
+            i = _b1_index(ref, a0, color)
+            b1 = ref[i] if i < len(ref) else columns
+            b2 = ref[i + 1] if i + 1 < len(ref) else columns
+            # mode code prefix tree (T.6 Table 1)
+            if br.read_bit():  # 1 -> V0
+                a1 = b1
+                cur.append(min(a1, columns))
+                a0, color = a1, color ^ 1
+            elif br.read_bit():  # 01x
+                d = 1 if br.read_bit() else -1  # 011=VR1 / 010=VL1
+                a1 = b1 + d
+                cur.append(min(max(a1, 0), columns))
+                a0, color = a1, color ^ 1
+            elif br.read_bit():  # 001 -> horizontal: two MH runs
+                start = a0 if a0 > 0 else 0
+                r1 = _read_run(br, black=bool(color))
+                r2 = _read_run(br, black=not bool(color))
+                a1 = start + r1
+                a2 = a1 + r2
+                cur.append(min(a1, columns))
+                cur.append(min(a2, columns))
+                a0 = a2
+            elif br.read_bit():  # 0001 -> pass
+                a0 = b2
+            elif br.read_bit():  # 00001x -> V2
+                d = 2 if br.read_bit() else -2
+                a1 = b1 + d
+                cur.append(min(max(a1, 0), columns))
+                a0, color = a1, color ^ 1
+            elif br.read_bit():  # 000001x -> V3
+                d = 3 if br.read_bit() else -3
+                a1 = b1 + d
+                cur.append(min(max(a1, 0), columns))
+                a0, color = a1, color ^ 1
+            else:  # 0000000... EOL prefix mid-row = EOFB / corrupt end
+                raise ValueError("CCITT: unexpected EOL in G4 row")
+        # cap at the right edge (corrupt streams can overshoot)
+        cur = [min(max(c, 0), columns) for c in cur]
+        out_rows.append(_row_from_transitions(cur, columns))
+        ref = cur
+        if rows <= 0 and br.eof():
+            break
+    if rows > 0 and len(out_rows) < rows:
+        raise ValueError("CCITT: truncated image")
+    return _pack_rows(out_rows, columns, black_is_1)
+
+
+def decode_g3_1d(
+    data: bytes,
+    columns: int,
+    rows: int = 0,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Decode ITU-T T.4 one-dimensional (MH) data — PDF /CCITTFaxDecode
+    with /K 0. Leading/interleaved EOL codes are skipped when present
+    (PDF default /EndOfLine false omits them)."""
+    if columns <= 0 or columns > 1 << 20:
+        raise ValueError("CCITT: bad Columns")
+    if rows > 0 and rows * columns > MAX_PIXELS:
+        raise ValueError("CCITT: image exceeds pixel bound")
+    br = _BitReader(data)
+    out_rows: list[np.ndarray] = []
+    max_rows = rows if rows > 0 else max(1, MAX_PIXELS // columns)
+    eol = int(_EOL, 2)
+    while len(out_rows) < max_rows:
+        if byte_align:
+            br.align()
+        while not br.eof() and br.peek12() == eol:
+            for _ in range(12):
+                br.read_bit()
+        if br.eof():
+            break
+        pos = 0
+        color = 0
+        cur: list[int] = []
+        while pos < columns:
+            run = _read_run(br, black=bool(color))
+            pos += run
+            cur.append(min(pos, columns))
+            color ^= 1
+        out_rows.append(_row_from_transitions(cur, columns))
+        if rows <= 0 and br.eof():
+            break
+    if rows > 0 and len(out_rows) < rows:
+        raise ValueError("CCITT: truncated image")
+    return _pack_rows(out_rows, columns, black_is_1)
+
+
+def _pack_rows(
+    out_rows: list[np.ndarray], columns: int, black_is_1: bool
+) -> bytes:
+    if not out_rows:
+        return b""
+    black = np.vstack(out_rows)
+    bits = black if black_is_1 else ~black
+    return np.packbits(bits, axis=1).tobytes()
+
+
+def _unpack_rows(
+    data: bytes, columns: int, rows: int, black_is_1: bool
+) -> np.ndarray:
+    stride = (columns + 7) // 8
+    if len(data) < stride * rows:
+        raise ValueError("CCITT: sample buffer too small")
+    arr = np.frombuffer(data[: stride * rows], dtype=np.uint8)
+    bits = np.unpackbits(arr.reshape(rows, stride), axis=1)[:, :columns]
+    black = bits.astype(bool) if black_is_1 else ~bits.astype(bool)
+    return black
+
+
+def encode_g4(
+    data: bytes,
+    columns: int,
+    rows: int,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Encode packed 1-bpp rows (stride = ceil(columns/8), PDF sample
+    convention per ``black_is_1``) as ITU-T T.6 (Group 4) + EOFB.
+    ``byte_align`` starts each coded row on a byte boundary
+    (/EncodedByteAlign true)."""
+    black = _unpack_rows(data, columns, rows, black_is_1)
+    bw = _BitWriter()
+    ref: list[int] = []
+    for y in range(rows):
+        if byte_align:
+            bw.align()
+        cur = _transitions(black[y])
+        a0 = -1
+        color = 0
+        ci = 0  # index into cur of the next transition > a0 for this color
+        while a0 < columns:
+            i = _b1_index(ref, a0, color)
+            b1 = ref[i] if i < len(ref) else columns
+            b2 = ref[i + 1] if i + 1 < len(ref) else columns
+            # a1: next changing element on the coding line after a0
+            while ci < len(cur) and cur[ci] <= a0:
+                ci += 1
+            a1 = cur[ci] if ci < len(cur) else columns
+            if b2 < a1:  # pass mode
+                bw.write(0b0001, 4)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:  # vertical mode
+                d = a1 - b1
+                code, length = {
+                    0: (0b1, 1),
+                    1: (0b011, 3), -1: (0b010, 3),
+                    2: (0b000011, 6), -2: (0b000010, 6),
+                    3: (0b0000011, 7), -3: (0b0000010, 7),
+                }[d]
+                bw.write(code, length)
+                a0, color = a1, color ^ 1
+            else:  # horizontal mode: 001 + run(a0a1) + run(a1a2)
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+                start = a0 if a0 > 0 else 0
+                bw.write(0b001, 3)
+                _write_run(bw, a1 - start, black=bool(color))
+                _write_run(bw, a2 - a1, black=not bool(color))
+                a0 = a2
+        ref = cur
+    bw.write(int(_EOL, 2), 12)  # EOFB = two EOLs
+    bw.write(int(_EOL, 2), 12)
+    return bw.getvalue()
+
+
+def encode_g3_1d(
+    data: bytes, columns: int, rows: int, black_is_1: bool = False
+) -> bytes:
+    """Encode packed 1-bpp rows as ITU-T T.4 1-D MH (PDF /K 0, no EOLs)."""
+    black = _unpack_rows(data, columns, rows, black_is_1)
+    bw = _BitWriter()
+    for y in range(rows):
+        cur = _transitions(black[y]) + [columns]
+        pos = 0
+        color = 0
+        for t in cur:
+            _write_run(bw, t - pos, black=bool(color))
+            pos = t
+            color ^= 1
+            if pos >= columns:
+                break
+    return bw.getvalue()

@@ -5,14 +5,17 @@ The container ships no image library, but crawl PDFs carry scanned pages as
 both as honest opaque stubs. This module implements the public baseline
 sequential subset from the spec:
 
-- **decoder** (:func:`decode_baseline_jpeg`): SOI/APPn/COM/DQT/SOF0/DHT/
+- **decoder** (:func:`decode_jpeg`): SOI/APPn/COM/DQT/SOF0/DHT/
   DRI/SOS/RSTn/EOI marker parse, canonical Huffman decode with 0xFF00
   byte-unstuffing, dequantize, zigzag, orthonormal 8×8 IDCT (numpy matrix
   form), interleaved MCUs with arbitrary sampling factors (4:4:4, 4:2:2,
-  4:2:0), restart-marker DC-predictor resets. Returns the LUMA plane as
-  8-bit grayscale — the OCR/feature seam consumes luminance; full-color
-  reconstruction (chroma upsample + YCbCr→RGB) is out of scope and
-  documented. Progressive (SOF2) and arithmetic coding raise cleanly.
+  4:2:0), restart-marker DC-predictor resets, and PROGRESSIVE (SOF2):
+  spectral-selection + successive-approximation scans (DC/AC ×
+  first/refine, EOB runs, interleaved correction bits, spec G.1.2)
+  accumulate into a coefficient store IDCT'd once at EOI. Returns the
+  LUMA plane as 8-bit grayscale — the OCR/feature seam consumes
+  luminance; full-color reconstruction (chroma upsample + YCbCr→RGB) is
+  out of scope and documented. Arithmetic coding raises cleanly.
 - **encoder** (:func:`encode_gray_jpeg`): grayscale baseline writer for
   fixtures — all-ones quantization (rounding loss only, ≤ ~±3/pixel) and
   self-describing canonical Huffman tables (12×4-bit DC, 256×9-bit AC;
@@ -215,10 +218,12 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------- decoder
 
 
-def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline-sequential JPEG → ``(width, height, n_components,
-    luma_gray_pixels)`` with the luma plane row-major at full resolution.
-    Raises :class:`JpegError` on non-baseline or malformed input."""
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a Huffman-coded JPEG — baseline sequential (SOF0/1) or
+    progressive (SOF2, spectral selection + successive approximation) →
+    ``(width, height, n_components, luma_gray_pixels)`` with the luma
+    plane row-major at full resolution. Raises :class:`JpegError` on
+    arithmetic-coded / lossless / malformed input."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("no SOI")
     pos = 2
@@ -226,13 +231,19 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htabs: dict[tuple[int, int], _Huff] = {}  # (class, id)
     restart_interval = 0
     frame = None
-    while pos + 4 <= len(data):
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise JpegError("EOI before scan")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            continue
+        if pos + 2 > len(data):
+            raise JpegError("truncated segment")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -262,7 +273,8 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = seg[p + 17 : p + 17 + n]
                 htabs[(tc, th)] = _huff_cached(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegError("only 8-bit precision")
@@ -275,9 +287,9 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegError(f"non-baseline SOF {marker:#x} unsupported")
+            raise JpegError(f"SOF {marker:#x} unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -289,12 +301,260 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tds >> 4, tds & 0xF))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtabs, htabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtabs, htabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_prog_coefs(frame)
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scan, htabs, restart_interval,
+                coefs, ss, se, ahl >> 4, ahl & 0xF,
             )
+            continue
         # APPn, COM, others: skip
         pos += seglen
+    if progressive and coefs is not None:
+        return _finish_progressive(frame, coefs, qtabs)
     raise JpegError("no SOS found")
+
+
+def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Back-compat alias — the decoder now also handles progressive
+    (SOF2); see :func:`decode_jpeg`."""
+    return decode_jpeg(data)
+
+
+def _frame_geometry(frame):
+    maxh = max(c["h"] for c in frame["comps"])
+    maxv = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * maxh))
+    mcus_y = -(-frame["h"] // (8 * maxv))
+    return maxh, maxv, mcus_x, mcus_y
+
+
+def _init_prog_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store, zigzag-indexed per block, at the
+    full interleaved-MCU geometry (non-interleaved scans address the
+    top-left sub-rectangle)."""
+    maxh, maxv, mcus_x, mcus_y = _frame_geometry(frame)
+    coefs = {}
+    for c in frame["comps"]:
+        bh, bw = mcus_y * c["v"], mcus_x * c["h"]
+        if bh * bw * 64 > 4 * MAX_PIXELS:
+            raise JpegError("unreasonable component plane size")
+        coefs[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+    return coefs
+
+
+def _comp_block_dims(frame, comp) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil over the component's OWN sampled
+    dimensions (spec A.2.2), not the MCU-padded ones."""
+    maxh, maxv, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // maxh)
+    ch = -(-frame["h"] * comp["v"] // maxv)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, htabs, restart_interval, coefs, ss, se, ah, al
+):
+    """One progressive scan (any of the four kinds: DC/AC × first/refine),
+    updating ``coefs`` in place; returns the byte offset of the next
+    marker after the entropy segment."""
+    if ss == 0 and se != 0:
+        raise JpegError("bad spectral band")
+    if ss > 63 or se > 63 or se < ss:
+        raise JpegError("bad spectral band")
+    if ss > 0 and len(scan) != 1:
+        raise JpegError("AC scan must be non-interleaved")
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0, "dc": {c["id"]: 0 for c, _, _ in scan}}
+
+    def reset():
+        state["eobrun"] = 0
+        for k in state["dc"]:
+            state["dc"][k] = 0
+
+    def unit(i_unit):
+        if restart_interval and i_unit and i_unit % restart_interval == 0:
+            m = br.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise JpegError("expected restart marker")
+            reset()
+
+    maxh, maxv, mcus_x, mcus_y = _frame_geometry(frame)
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan over MCUs
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit(n)
+                n += 1
+                for comp, td, _ in scan:
+                    blk = coefs[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            _prog_dc_block(
+                                br, htabs, td, ah, al, state,
+                                blk[my * comp["v"] + by, mx * comp["h"] + bx],
+                                comp["id"],
+                            )
+    else:  # non-interleaved: one component, its own block grid
+        comp, td, ta = scan[0]
+        bh, bw = _comp_block_dims(frame, comp)
+        blk = coefs[comp["id"]]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                unit(n)
+                n += 1
+                if ss == 0:
+                    _prog_dc_block(
+                        br, htabs, td, ah, al, state, blk[by, bx], comp["id"]
+                    )
+                elif ah == 0:
+                    _prog_ac_first(br, htabs, ta, ss, se, al, state, blk[by, bx])
+                else:
+                    _prog_ac_refine(br, htabs, ta, ss, se, al, state, blk[by, bx])
+    return _next_marker_pos(data, br)
+
+
+def _prog_dc_block(br, htabs, td, ah, al, state, coef, cid):
+    if ah == 0:  # DC first: baseline diff decode, scaled by 2^Al
+        dct = htabs.get((0, td))
+        if dct is None:
+            raise JpegError("missing table")
+        s = dct.decode(br)
+        state["dc"][cid] += _extend(br.bits(s), s)
+        coef[0] = state["dc"][cid] << al
+    else:  # DC refinement: one bit per block
+        if br.bits(1):
+            coef[0] = int(coef[0]) | (1 << al)
+
+
+def _prog_ac_first(br, htabs, ta, ss, se, al, state, coef):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    act = htabs.get((1, ta))
+    if act is None:
+        raise JpegError("missing table")
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits(r) all-done blocks
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise JpegError("AC index overflow")
+            coef[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(br, htabs, ta, ss, se, al, state, coef):
+    """Successive-approximation AC refinement (spec G.1.2.3): correction
+    bits for already-nonzero coefficients interleave with newly-significant
+    ±1<<Al insertions."""
+    act = htabs.get((1, ta))
+    if act is None:
+        raise JpegError("missing table")
+    p1 = 1 << al
+
+    def bump(k):
+        if br.bits(1):
+            v = int(coef[k])
+            if (v & p1) == 0:
+                coef[k] = v + (p1 if v >= 0 else -p1)
+
+    if state["eobrun"] > 0:
+        for k in range(ss, se + 1):
+            if coef[k] != 0:
+                bump(k)
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn: correct the rest of this band, then run
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                r = 64  # never exhausts inside the band
+            # r == 15: ZRL — skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise JpegError("bad refinement symbol")
+            newval = p1 if br.bits(1) else -p1
+        while k <= se:
+            if coef[k] != 0:
+                bump(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if k <= se and newval:
+            coef[k] = newval
+        k += 1
+
+
+def _next_marker_pos(data: bytes, br: _BitReader) -> int:
+    """Byte offset of the first marker at/after the reader's position —
+    entropy data may only contain 0xFF as stuffed 0xFF00, so the next
+    bare 0xFF starts a marker (fill bytes 0xFFFF skip forward)."""
+    p = br.pos
+    d = data
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            while d[p + 1] == 0xFF and p + 2 < len(d):  # fill bytes
+                p += 1
+            return p
+        p += 2 if d[p] == 0xFF else 1
+    raise JpegError("unterminated scan")
+
+
+def _finish_progressive(frame, coefs, qtabs):
+    """Dequantize + IDCT the accumulated coefficient store (same batched
+    einsum as the sequential path) and emit the luma plane."""
+    maxh, maxv, mcus_x, mcus_y = _frame_geometry(frame)
+    w, h = frame["w"], frame["h"]
+    luma_comp = frame["comps"][0]
+    planes = {}
+    for comp in frame["comps"]:
+        q = qtabs.get(comp["tq"])
+        if q is None:
+            raise JpegError("missing table")
+        zz = coefs[comp["id"]].reshape(-1, 64).astype(np.float64)
+        blocks = np.zeros((zz.shape[0], 64))
+        blocks[:, _ZZ_FLAT] = zz
+        bh, bw = coefs[comp["id"]].shape[:2]
+        blocks = blocks.reshape(-1, 8, 8) * q
+        spatial = np.einsum("ab,nbc,cd->nad", _M.T, blocks, _M) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes[comp["id"]] = plane
+    luma = planes[luma_comp["id"]]
+    ry, rx = maxv // luma_comp["v"], maxh // luma_comp["h"]
+    if ry > 1 or rx > 1:
+        luma = np.repeat(np.repeat(luma, ry, axis=0), rx, axis=1)
+    luma = np.clip(np.rint(luma[:h, :w]), 0, 255).astype(np.uint8)
+    return w, h, len(frame["comps"]), luma.tobytes()
 
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
@@ -465,6 +725,145 @@ _ENC_AC = _HuffEnc(_ENC_AC_BITS, _ENC_AC_VALS)
 
 def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _emit_ac(bw: _BitWriter, sym: int) -> None:
+    ln, code = _ENC_AC.code[sym]
+    bw.write(code, ln)
+
+
+def _fdct_blocks(pixels: bytes, width: int, height: int):
+    """(padded_h, padded_w, list of (y0, x0, zigzag int coefs)) — shared
+    by the sequential and progressive encoders (all-ones quantization)."""
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64).reshape(
+        height, width
+    )
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    out = []
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = img[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coef = _M @ block @ _M.T
+            out.append(np.rint(coef.reshape(64)[_ZZ_FLAT]).astype(np.int64))
+    return ph, pw, out
+
+
+def encode_gray_jpeg_progressive(
+    pixels: bytes, width: int, height: int
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a PROGRESSIVE (SOF2) JPEG whose
+    four scans exercise every progressive scan kind: DC first (Al=1), DC
+    refinement, AC 1-63 first (Al=1), AC refinement (spec G.1.2.3 with
+    interleaved correction bits, ZRL folding, per-block EOB). All-ones
+    quantization — same round-trip bound as the sequential encoder."""
+    if len(pixels) != width * height:
+        raise JpegError("pixel buffer does not match dimensions")
+    _, _, blocks = _fdct_blocks(pixels, width, height)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2"  # SOF2
+        + struct.pack(">H", 8 + 3)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    for tc, bits, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS),
+                           (1, _ENC_AC_BITS, _ENC_AC_VALS)):
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes([tc << 4]) + bytes(bits) + vals
+        )
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">H", 6 + 2)
+                + bytes([1, 1, 0, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 (diff coding of dc >> 1)
+    out += sos(0, 0, 0, 1)
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        hi = int(zz[0]) >> 1
+        diff = hi - prev
+        prev = hi
+        s = _category(diff)
+        ln, code = _ENC_DC.code[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    out += sos(0, 0, 1, 0)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write(int(zz[0]) & 1, 1)
+    out += bw.flush()
+
+    # scan 3: AC 1-63 first, Al=1 (baseline RLE over sign*(abs>>1))
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            hi = (abs(v) >> 1) * (1 if v >= 0 else -1)
+            if hi == 0:
+                run += 1
+                continue
+            while run > 15:
+                _emit_ac(bw, 0xF0)
+                run -= 16
+            s = _category(hi)
+            _emit_ac(bw, (run << 4) | s)
+            bw.write(hi if hi >= 0 else hi + (1 << s) - 1, s)
+            run = 0
+        if run:
+            _emit_ac(bw, 0x00)  # EOB (run of exactly one block)
+    out += bw.flush()
+
+    # scan 4: AC refinement, Ah=1 Al=0
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    for zz in blocks:
+        absv = [abs(int(zz[k])) for k in range(64)]  # Al=0: absv = abs>>0
+        eob_k = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob_k = k
+        pending: list[int] = []
+        run = 0
+        for k in range(1, 64):
+            temp = absv[k]
+            if temp == 0:
+                run += 1
+                continue
+            # ZRLs not foldable into the EOB must flush before this coef
+            while run > 15 and k <= eob_k:
+                _emit_ac(bw, 0xF0)
+                run -= 16
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+            if temp > 1:  # already nonzero: buffer the next magnitude bit
+                pending.append(temp & 1)
+                continue
+            _emit_ac(bw, (run << 4) | 1)
+            bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            _emit_ac(bw, 0x00)
+            for b in pending:
+                bw.write(b, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_gray_jpeg(pixels: bytes, width: int, height: int) -> bytes:

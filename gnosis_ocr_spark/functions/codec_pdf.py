@@ -917,11 +917,22 @@ def build_pdf_scanned(
     in-engine; ``'dct'`` wraps a deliberately-undecodable payload in
     /DCTDecode to exercise the opaque carry (extraction then yields empty
     text — the honest degradation for codecs outside the baseline subset).
+
+    Bilevel variants (the dominant real-crawl scanned-B/W shapes, carried
+    as the 1-bpp scan-bits matrix, codec_png.encode_scan_bits — use
+    width/height >= 128 so page text fits): ``'g4'`` = /CCITTFaxDecode
+    /K -1 (ITU-T T.6 via codec_ccitt); ``'g4_black1'`` = G4 with
+    /BlackIs1 true plus the matching /Decode [1 0] normalization;
+    ``'g4_align'`` = G4 with /EncodedByteAlign true; ``'raw1'`` =
+    FlateDecode-compressed raw 1-bit DeviceGray samples; ``'raw1_mask'``
+    = the same samples as an /ImageMask stencil (no ColorSpace).
     """
     import zlib
 
+    from gnosis_ocr_spark.functions.codec_ccitt import encode_g4
     from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
     from gnosis_ocr_spark.functions.codec_png import (
+        encode_scan_bits,
         encode_scan_pixels,
         encode_scan_pixels_robust,
     )
@@ -946,9 +957,22 @@ def build_pdf_scanned(
         objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
         )
+        bpc = 8
+        extra = b"/ColorSpace /DeviceGray "
         if image_filter == "jpeg":
             # real baseline JPEG of the robust (noise-tolerant) scan matrix
             data = encode_gray_jpeg(
+                encode_scan_pixels_robust(page_text_, width, height),
+                width, height,
+            )
+            filt = b"/DCTDecode"
+        elif image_filter == "jpeg_prog":
+            # real PROGRESSIVE (SOF2) JPEG — common in web crawls
+            from gnosis_ocr_spark.functions.codec_jpeg import (
+                encode_gray_jpeg_progressive,
+            )
+
+            data = encode_gray_jpeg_progressive(
                 encode_scan_pixels_robust(page_text_, width, height),
                 width, height,
             )
@@ -959,14 +983,42 @@ def build_pdf_scanned(
                 page_text_, width, height
             )
             filt = b"/DCTDecode"
+        elif image_filter in ("g4", "g4_black1", "g4_align"):
+            packed = encode_scan_bits(page_text_, width, height)
+            black_is_1 = image_filter == "g4_black1"
+            align = image_filter == "g4_align"
+            if black_is_1:
+                # CCITT output then has 1 = black; /Decode [1 0] maps it
+                # back to DeviceGray polarity (spec-literal pairing)
+                packed = packed.translate(_INVERT_TABLE)
+                extra += b"/Decode [1 0] "
+            data = encode_g4(
+                packed, width, height,
+                black_is_1=black_is_1, byte_align=align,
+            )
+            bpc = 1
+            parms = (
+                b"/K -1 /Columns %d /Rows %d" % (width, height)
+                + (b" /BlackIs1 true" if black_is_1 else b"")
+                + (b" /EncodedByteAlign true" if align else b"")
+            )
+            extra += b"/DecodeParms << %s >> " % parms
+            filt = b"/CCITTFaxDecode"
+        elif image_filter in ("raw1", "raw1_mask"):
+            packed = encode_scan_bits(page_text_, width, height)
+            data = zlib.compress(packed, 6)
+            bpc = 1
+            filt = b"/FlateDecode"
+            if image_filter == "raw1_mask":
+                extra = b"/ImageMask true "
         else:
             data = zlib.compress(encode_scan_pixels(page_text_, width, height), 6)
             filt = b"/FlateDecode"
         objects.append(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "
+            b"%s/BitsPerComponent %d /Filter %s "
             b"/Length %d >>\nstream\n%s\nendstream"
-            % (width, height, filt, len(data), data)
+            % (width, height, extra, bpc, filt, len(data), data)
         )
     return _assemble_classic(objects)
 
@@ -1639,6 +1691,20 @@ _IMAGE_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
 _WIDTH_RE = re.compile(rb"/Width\s+(\d+)\b")
 _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
 _CSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
+_IMAGEMASK_RE = re.compile(rb"/ImageMask\s+true\b")
+# /Decode [1 0] (optionally fractional literals) inverts gray/bilevel
+# samples; [0 1] is the identity default
+_DECODE_INV_RE = re.compile(
+    rb"/Decode\s*\[\s*1(?:\.0*)?\s+0(?:\.0*)?\s*\]"
+)
+_CCITT_K_RE = re.compile(rb"/K\s+(-?\d+)\b")
+_CCITT_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)\b")
+_CCITT_ROWS_RE = re.compile(rb"/Rows\s+(\d+)\b")
+_CCITT_BLACKIS1_RE = re.compile(rb"/BlackIs1\s+(true|false)")
+_CCITT_ALIGN_RE = re.compile(rb"/EncodedByteAlign\s+(true|false)")
+# XOR-0xFF table: inverts every packed field for bits 1/2/4/8 gray
+# ((2^n - 1) - v per field == bitwise NOT of the byte)
+_INVERT_TABLE = bytes(255 - i for i in range(256))
 
 
 @dataclass(frozen=True)
@@ -1647,8 +1713,13 @@ class PdfImage:
     decoded samples (row-major, ``bits``-deep, ``colorspace``); any other
     value names the first opaque filter met (``'dct'`` = DCTDecode/JPEG,
     ``'jpx'``, ``'ccittfax'`` …) and ``data`` is the still-compressed payload
-    after the decodable prefix of the chain — opaque bytes + typed metadata
-    for a downstream decoder (no JPEG codec ships in this container)."""
+    after the decodable prefix of the chain — opaque bytes + typed metadata.
+    Downstream, ``operators/pdf_split._gray_pixels`` decodes ``'dct'``
+    payloads in-engine via :mod:`codec_jpeg` (baseline sequential +
+    progressive); CCITT G4/G3 decodes right here in the filter chain via
+    :mod:`codec_ccitt` (so those arrive as ``codec='raw'`` 1-bit); only
+    genuinely undecodable codecs (JPX/JBIG2, /K>0 mixed G3) stay
+    opaque."""
 
     width: int
     height: int
@@ -1681,6 +1752,10 @@ def _image_from_obj(
     bits = int(bm.group(1)) if bm else 8
     cm = _CSPACE_RE.search(head)
     cspace = cm.group(1).decode("ascii") if cm else "DeviceGray"
+    if _IMAGEMASK_RE.search(head):
+        # stencil mask: 1-bit, no ColorSpace; default /Decode [0 1] paints
+        # on 0 samples (≈ black on white) — exactly 1-bit DeviceGray
+        bits, cspace = 1, "DeviceGray"
     names, parms = _filter_chain(head)
     for i, (name, parm) in enumerate(zip(names, parms)):
         try:
@@ -1693,6 +1768,11 @@ def _image_from_obj(
             raw = _apply_predictor(parm, decoded)
         except Exception:
             return None
+    # /Decode [1 0] sample inversion, normalized here so downstream always
+    # sees plain DeviceGray polarity (0 = black); per-field inversion for
+    # packed bits 1/2/4/8 is a bytewise NOT
+    if cspace == "DeviceGray" and _DECODE_INV_RE.search(head):
+        raw = raw.translate(_INVERT_TABLE)
     return PdfImage(width, height, bits, cspace, "raw", raw)
 
 
@@ -2212,6 +2292,27 @@ def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
         return _rle_decode(raw)
     if name == b"Crypt":  # identity /Crypt only; else unknown
         return raw
+    if name == b"CCITTFaxDecode":
+        km = _CCITT_K_RE.search(parm)
+        k = int(km.group(1)) if km else 0
+        cm = _CCITT_COLUMNS_RE.search(parm)
+        columns = int(cm.group(1)) if cm else 1728
+        rm = _CCITT_ROWS_RE.search(parm)
+        rows = int(rm.group(1)) if rm else 0
+        bm = _CCITT_BLACKIS1_RE.search(parm)
+        black_is_1 = bool(bm) and bm.group(1) == b"true"
+        am = _CCITT_ALIGN_RE.search(parm)
+        align = bool(am) and am.group(1) == b"true"
+        from gnosis_ocr_spark.functions.codec_ccitt import (
+            decode_g3_1d,
+            decode_g4,
+        )
+
+        if k < 0:  # pure 2-D MMR (ITU-T T.6) — the dominant PDF case
+            return decode_g4(raw, columns, rows, black_is_1, align)
+        if k == 0:  # 1-D MH (ITU-T T.4)
+            return decode_g3_1d(raw, columns, rows, black_is_1, align)
+        return None  # mixed 2-D G3 (K>0): rare in PDFs, opaque carry
     return None
 
 

@@ -216,7 +216,8 @@ def decode_scan_text(pixels: bytes) -> str | None:
 def decode_scan_png_text(png: bytes) -> str | None:
     """Scan-matrix text from a grayscale PNG (the re-encoded form an image
     XObject takes after pdf_split decodes it): exact matrix first, then the
-    JPEG-survivable robust matrix. None if not a scan page."""
+    JPEG-survivable robust matrix, then the bilevel (1-bit CCITT/raw
+    scanned fax) matrix. None if not a scan page."""
     try:
         px = decode_pixels(png)
     except Exception:
@@ -224,7 +225,10 @@ def decode_scan_png_text(png: bytes) -> str | None:
     exact = decode_scan_text(px)
     if exact is not None:
         return exact
-    return decode_scan_text_robust(px)
+    robust = decode_scan_text_robust(px)
+    if robust is not None:
+        return robust
+    return decode_scan_bits_gray(px)
 
 
 # robust scan-matrix: the JPEG-survivable variant. Baseline JPEG round-trips
@@ -277,55 +281,85 @@ def decode_scan_text_robust(pixels: bytes) -> str | None:
         return None
 
 
+# bilevel scan-matrix: the 1-bit-survivable variant. CCITT-G4 / raw-1-bit
+# scanned pages carry one BIT per pixel, so the ground truth is laid out as
+# payload bits over the flat row-major pixel sequence: payload bit 1 ->
+# black pixel. GSB1 magic + u32be length + UTF-8 bytes, deterministic
+# in-band background. Capacity = width*height/8 - 8 bytes (128x128 = 2040).
+
+SCAN_BITS_MAGIC = b"GSB1"
+
+
+def encode_scan_bits(text: str, width: int = 128, height: int = 128) -> bytes:
+    """Packed 1-bpp DeviceGray rows (stride = ceil(width/8), sample 0 =
+    black) carrying ``text`` as a bilevel scan-matrix. Raises if the text
+    does not fit the raster."""
+    import numpy as np
+
+    payload = text.encode("utf-8")
+    data = SCAN_BITS_MAGIC + struct.pack(">I", len(payload)) + payload
+    n = width * height
+    if len(data) * 8 > n:
+        raise ValueError(
+            f"text ({len(payload)} bytes) does not fit a {width}x{height} "
+            f"bilevel scan"
+        )
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    black = np.zeros(n, dtype=np.uint8)
+    black[: len(bits)] = bits
+    idx = np.arange(len(bits), n, dtype=np.uint32)
+    black[len(bits):] = (((idx % width) * 31 + (idx // width) * 17) ^ 0xA5) & 1
+    white = (black == 0).reshape(height, width)
+    return np.packbits(white, axis=1).tobytes()  # DeviceGray: 1 = white
+
+
+def decode_scan_bits_gray(pixels: bytes) -> str | None:
+    """Invert :func:`encode_scan_bits` from 8-bit grayscale pixels (the
+    post-unpack form: row padding already dropped, black pixels < 128).
+    None when the buffer is not a bilevel scan-matrix."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if len(arr) < 64:
+        return None
+    data = np.packbits(arr < 128).tobytes()
+    if data[:4] != SCAN_BITS_MAGIC:
+        return None
+    (n,) = struct.unpack(">I", data[4:8])
+    if 8 + n > len(data):
+        return None
+    try:
+        return data[8 : 8 + n].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # general PNG decode — real crawl PNGs, not just this module's own output
 #
 # decode_pixels above is the fast internal path (filter-0 grayscale, the
 # only shape our writers emit). Crawl PNGs use every filter type, RGB /
-# palette / alpha color types, 1-16 bit depths and split IDATs; this
-# decoder handles that full non-interlaced baseline (Adam7 raises cleanly —
-# rare in the wild and documented out of scope).
+# palette / alpha color types, 1-16 bit depths, split IDATs, and Adam7
+# interlacing; this decoder handles the full baseline.
 # ---------------------------------------------------------------------------
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass geometry (spec §8.2): (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
-def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
-    """(width, height, 8-bit grayscale pixels) for any non-interlaced PNG:
-    all five row filters, color types 0/2/3/4/6, bit depths 1/2/4/8/16,
-    multiple IDAT chunks, PLTE palettes (mapped by integer luma), alpha
-    dropped. Raises ValueError on interlaced or malformed files."""
+
+def _unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` scanlines of one (sub-)image starting at byte ``pos``
+    (spec §9: None/Sub/Up/Average/Paeth per row). Returns (rows array of
+    shape (h, stride), next pos)."""
     import numpy as np
 
-    ihdr = None
-    idat = bytearray()
-    plte = None
-    for tag, data in iter_chunks(png):
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data[:13])
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"PLTE":
-            plte = data
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    if interlace:
-        raise ValueError("Adam7 interlace unsupported")
-    if comp or filt or ctype not in _CHANNELS or depth not in (1, 2, 4, 8, 16):
-        raise ValueError("malformed IHDR")
-    if w == 0 or h == 0 or w * h > 50_000_000:
-        raise ValueError("unreasonable dimensions")
-    ch = _CHANNELS[ctype]
-    bpp = max(1, ch * depth // 8)
-    stride = (ch * depth * w + 7) // 8
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated IDAT")
-    # unfilter (spec §9: None/Sub/Up/Average/Paeth per row)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
         ftype = raw[pos]
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
@@ -352,20 +386,89 @@ def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
         elif ftype != 0:
             raise ValueError(f"unknown filter {ftype}")
         out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
-    # samples → per-channel uint8 array
+    return out, pos
+
+
+def _rows_to_px(out, w: int, h: int, ch: int, depth: int, ctype: int):
+    """Unfiltered scanline bytes (h, stride) → per-channel uint8 samples
+    (h, w, ch); depths 1/2/4 scale to 8-bit except palette indices."""
+    import numpy as np
+
     if depth == 8:
-        px = out.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
-    elif depth == 16:
-        px = out.reshape(h, stride).view(">u2")[:, : w * ch].reshape(h, w, ch)
-        px = (px >> 8).astype(np.uint8)  # high byte ≈ 8-bit value
-    else:  # 1/2/4-bit packed, big-endian within the byte
-        bits = np.unpackbits(out, axis=1)[:, : w * ch * depth]
-        vals = bits.reshape(h, w * ch, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
-        px = (vals * weights).sum(axis=2).astype(np.uint16)
-        if ctype != 3:  # scale to 8-bit range (palette indices stay raw)
-            px = (px * (255 // ((1 << depth) - 1))).astype(np.uint16)
-        px = px.reshape(h, w, ch).astype(np.uint8)
+        return out[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        px = out.view(">u2")[:, : w * ch].reshape(h, w, ch)
+        return (px >> 8).astype(np.uint8)  # high byte ≈ 8-bit value
+    # 1/2/4-bit packed, big-endian within the byte
+    bits = np.unpackbits(out, axis=1)[:, : w * ch * depth]
+    vals = bits.reshape(h, w * ch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    px = (vals * weights).sum(axis=2).astype(np.uint16)
+    if ctype != 3:  # scale to 8-bit range (palette indices stay raw)
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint16)
+    return px.reshape(h, w, ch).astype(np.uint8)
+
+
+def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
+    """(width, height, 8-bit grayscale pixels) for any baseline PNG:
+    all five row filters, color types 0/2/3/4/6, bit depths 1/2/4/8/16,
+    multiple IDAT chunks, PLTE palettes (mapped by integer luma), alpha
+    dropped, Adam7 interlacing. Raises ValueError on malformed files."""
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    for tag, data in iter_chunks(png):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"PLTE":
+            plte = data
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp or filt or ctype not in _CHANNELS or depth not in (1, 2, 4, 8, 16):
+        raise ValueError("malformed IHDR")
+    if interlace not in (0, 1):
+        raise ValueError("malformed IHDR")
+    if w == 0 or h == 0 or w * h > 50_000_000:
+        raise ValueError("unreasonable dimensions")
+    ch = _CHANNELS[ctype]
+    bpp = max(1, ch * depth // 8)
+    # pass geometry: one full-image pass, or the seven Adam7 sub-images
+    if interlace:
+        passes = []
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            passes.append((x0, dx, y0, dy, pw, ph))
+    else:
+        passes = [(0, 1, 0, 1, w, h)]
+    # bounded decompress: a crafted "zip bomb" IDAT (small declared dims,
+    # huge stream) must not MemoryError an executor — same hostile-input
+    # rationale as codec_jpeg's MAX_PIXELS. Ask for exactly one byte past
+    # the expected size; anything extra is malformed.
+    need = sum(
+        ph * ((ch * depth * pw + 7) // 8 + 1)
+        for _, _, _, _, pw, ph in passes
+        if pw and ph
+    )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), need + 1)
+    if len(raw) > need:
+        raise ValueError("IDAT decompresses past expected size")
+    if len(raw) < need:
+        raise ValueError("truncated IDAT")
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, dx, y0, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue  # empty Adam7 pass contributes zero scanlines
+        pstride = (ch * depth * pw + 7) // 8
+        rows, pos = _unfilter(raw, pos, ph, pstride, bpp)
+        px[y0::dy, x0::dx] = _rows_to_px(rows, pw, ph, ch, depth, ctype)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")

@@ -295,10 +295,10 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         else:
                             decoded = (decode_pixels(data), dw, dh)
                     except Exception:
-                        # non-filter-0 / color / split-IDAT PNG: the general
-                        # decoder (codec_png.decode_png_gray) handles the
-                        # full non-interlaced baseline; only genuinely
-                        # malformed or Adam7 files fall to the honest
+                        # non-filter-0 / color / split-IDAT / Adam7 PNG:
+                        # the general decoder (codec_png.decode_png_gray)
+                        # handles the full baseline incl. interlacing; only
+                        # genuinely malformed files fall to the honest
                         # unknown-size passthrough
                         try:
                             from gnosis_ocr_spark.functions.codec_png import (
@@ -319,7 +319,7 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         dw, dh, _, luma = decode_baseline_jpeg(data)
                         decoded = (luma, dw, dh)
                     except Exception:
-                        w = h = None  # non-baseline JPEG: honest passthrough
+                        w = h = None  # arithmetic/lossless: passthrough
                 elif mtype == "image/gif":
                     try:
                         from gnosis_ocr_spark.functions.codec_media import (

@@ -88,8 +88,33 @@ def pdf_page_count_udf(pdf: pd.Series) -> pd.Series:
 
 def _gray_pixels(img) -> tuple[bytes, int, int] | None:
     """One PdfImage → (gray pixels, w, h), or None when undecodable:
-    raw 8-bit DeviceGray directly, raw 24-bit DeviceRGB via integer luma,
-    /DCTDecode through the baseline JPEG decoder (luma plane)."""
+    raw 8-bit DeviceGray directly, raw 1/2/4-bit packed DeviceGray
+    (CCITT-G4 fax and bilevel scans decode to this shape) scaled to 8-bit,
+    raw 24-bit DeviceRGB via integer luma, /DCTDecode through the baseline
+    JPEG decoder (luma plane)."""
+    if (
+        img.codec == "raw"
+        and img.bits in (1, 2, 4)
+        and img.colorspace == "DeviceGray"
+    ):
+        import numpy as np
+
+        stride = (img.width * img.bits + 7) // 8
+        if len(img.data) < stride * img.height:
+            return None
+        arr = np.frombuffer(
+            img.data[: stride * img.height], dtype=np.uint8
+        ).reshape(img.height, stride)
+        bits = np.unpackbits(arr, axis=1)
+        if img.bits == 1:
+            gray = (bits[:, : img.width] * np.uint8(255)).astype(np.uint8)
+        else:
+            d = img.bits
+            vals = bits[:, : img.width * d].reshape(img.height, img.width, d)
+            weights = (1 << np.arange(d - 1, -1, -1)).astype(np.uint16)
+            v = (vals.astype(np.uint16) * weights).sum(axis=2)
+            gray = (v * (255 // ((1 << d) - 1))).astype(np.uint8)
+        return gray.tobytes(), img.width, img.height
     if img.codec == "raw" and img.bits == 8:
         if (
             img.colorspace == "DeviceGray"
@@ -112,14 +137,12 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
         return None
     if img.codec == "dct":
         try:
-            from gnosis_ocr_spark.functions.codec_jpeg import (
-                decode_baseline_jpeg,
-            )
+            from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg
 
-            w, h, _, luma = decode_baseline_jpeg(img.data)
+            w, h, _, luma = decode_jpeg(img.data)
             return luma, w, h
         except Exception:
-            return None  # non-baseline/corrupt JPEG
+            return None  # arithmetic-coded/lossless/corrupt JPEG
     return None
 
 
@@ -127,9 +150,9 @@ def _scan_png(images) -> bytes | None:
     """A page's drawn images as ONE grayscale PNG for the OCR stage.
     Multiple decodable images stack vertically in draw order (scanners
     routinely emit a page as horizontal strips), padded to the widest
-    strip. None when nothing decodes in-container (progressive JPEG, JPX,
-    CCITT — the page then extracts as empty text, the honest degradation
-    documented in PdfImage)."""
+    strip. None when nothing decodes in-container (JPX, JBIG2,
+    arithmetic-coded JPEG — the page then extracts as empty text, the
+    honest degradation documented in PdfImage)."""
     strips = [g for g in (_gray_pixels(img) for img in images) if g is not None]
     if not strips:
         return None

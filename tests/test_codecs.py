@@ -579,6 +579,12 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(pages),
         lambda: P.build_pdf_type0(pages, predefined="UniGB-UCS2-H"),
         lambda: P.build_pdf_scanned(pages, image_filter="jpeg"),
+        lambda: P.build_pdf_scanned(
+            pages, width=128, height=128, image_filter="g4"
+        ),
+        lambda: P.build_pdf_scanned(
+            pages, width=128, height=128, image_filter="raw1"
+        ),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:

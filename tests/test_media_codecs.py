@@ -207,19 +207,65 @@ def test_general_png_decoder_rgb_paeth_and_palette(spark):
     assert row["status"] == "resized" and max(row["width"], row["height"]) <= 40
 
 
-def test_general_png_decoder_rejects_adam7_and_bombs():
+def _adam7_png(src: np.ndarray) -> bytes:
+    """Interlaced grayscale PNG of ``src`` (h, w) built BY HAND from the
+    spec's pass geometry (filter-0 rows per sub-image) — an independent
+    writer so the decoder isn't graded against itself."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+
+    h, w = src.shape
+    raw = bytearray()
+    for x0, dx, y0, dy in ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+                           (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2),
+                           (0, 1, 1, 2)):
+        sub = src[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter None
+            raw += row.tobytes()
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    return (G._MAGIC + G._chunk(b"IHDR", ihdr)
+            + G._chunk(b"IDAT", _z.compress(bytes(raw)))
+            + G._chunk(b"IEND", b""))
+
+
+def test_general_png_decoder_adam7_interlace():
+    """Adam7-interlaced crawl PNGs (round-4 VERDICT task #6) decode to the
+    same pixels as the straight encoding — exercised at sizes that produce
+    empty passes (w or h < 5) and partial final passes."""
+    from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+
+    for w, h in ((1, 1), (3, 2), (8, 8), (13, 7), (33, 17)):
+        src = ((np.arange(h)[:, None] * 31 + np.arange(w) * 7) % 251).astype(
+            np.uint8
+        )
+        got_w, got_h, gray = decode_png_gray(_adam7_png(src))
+        assert (got_w, got_h) == (w, h)
+        assert gray == src.tobytes(), (w, h)
+
+
+def test_general_png_decoder_rejects_bombs():
     import struct as _s
 
     from gnosis_ocr_spark.functions import codec_png as G
     from gnosis_ocr_spark.functions.codec_png import decode_png_gray
 
-    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
-    png = G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", b"x") + G._chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_png_gray(png)
     ihdr = _s.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)  # 3.6 GPix bomb
     png = G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", b"x") + G._chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unreasonable"):
+        decode_png_gray(png)
+    # zip-bomb IDAT: small dims, stream decompressing far past the need
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * 10_000_000)
+    png = (G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", bomb)
+           + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="past expected size"):
         decode_png_gray(png)
 
 
