@@ -148,6 +148,59 @@ def main() -> None:
             "calibrated_pages_per_sec": round(n_pages_total / t_cal, 2),
         }
 
+    # ---- scanned-page decode honesty row (round-5 task #8): every page
+    # is ONE raster image (CCITT-G4 / baseline JPEG / progressive JPEG /
+    # Flate 1-bit rotating) so extraction pays the full pure-Python image
+    # codec cost per page. scanned_pages_per_sec is the measured number
+    # the swap-seam notes (codec_jpeg.py:27, codec_ccitt.py) point at.
+    # Byte-identity is asserted, untimed. Disable: SPARK_GRAFT_BENCH_SCANNED=0.
+    scanned: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCANNED", "1") == "1":
+        from gnosis_ocr_spark.corpus import (
+            scanned_corpus_df,
+            scanned_golden_df,
+            scanned_rows,
+        )
+
+        n_scan = int(
+            os.environ.get("SPARK_GRAFT_BENCH_SCAN_DOCS", max(60, int(sf * 2_000)))
+        )
+        scan_dir = os.environ.get(
+            "SPARK_GRAFT_SCAN_CORPUS_DIR",
+            f"/tmp/gnosis_bench_scancorpus_v{CORPUS_VERSION}_n{n_scan}",
+        )
+        if not os.path.exists(os.path.join(scan_dir, "_SUCCESS")):
+            scanned_corpus_df(
+                spark, n=n_scan, num_partitions=max(cpus * 2, 16)
+            ).write.mode("overwrite").parquet(scan_dir)
+        scan_pages_total = sum(r.n_pages for r in scanned_rows(n_scan))
+        t0 = time.monotonic()
+        sres = extract_corpus(
+            spark.read.parquet(scan_dir), pdf_partitions=cpus * 2
+        )
+        sout = sres.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+        ).collect()[0]
+        t_scan = time.monotonic() - t0
+        assert sout["docs"] == n_scan and sout["chars"] > 0
+        timings["extract_scanned"] = round(t_scan, 3)
+        sgold = scanned_golden_df(spark, n=n_scan).alias("g")
+        smatch = (
+            sres.alias("o")
+            .join(sgold, F.col("o.url") == F.col("g.url"))
+            .filter(
+                F.col("o.extracted_text").eqNullSafe(F.col("g.extracted_text"))
+            )
+            .count()
+        )
+        scanned = {
+            "scanned_docs_per_sec": round(n_scan / t_scan, 2),
+            "scanned_pages_per_sec": round(scan_pages_total / t_scan, 2),
+            "scanned_byte_identical_rate": smatch / n_scan,
+            "scanned_n_docs": n_scan,
+        }
+
     # ---- driver-contract headline queries on the sf dir
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         total = round(sum(timings.values()), 3)
@@ -170,6 +223,7 @@ def main() -> None:
                     "uptime_start": uptime_start,
                     "host_loaded": host_loaded,
                     **calibrated,
+                    **scanned,
                 }
             )
         )
@@ -215,6 +269,7 @@ def main() -> None:
                 "uptime_start": uptime_start,
                 "host_loaded": host_loaded,
                 **calibrated,
+                **scanned,
             }
         )
     )

@@ -406,7 +406,10 @@ def _utf16be_hex(ch: str) -> str:
 
 
 def build_pdf_type0(
-    pages: list[str], custom_cmap: bool = False, predefined: str | None = None
+    pages: list[str],
+    custom_cmap: bool = False,
+    predefined: str | None = None,
+    charset: str | None = None,
 ) -> bytes:
     """Fixture writer for COMPOSITE fonts — /Subtype /Type0 with a
     2-byte-CID /ToUnicode CMap, the embedded-subset-TrueType shape that
@@ -429,9 +432,15 @@ def build_pdf_type0(
     (poppler resolves the name from its CMap resources,
     /root/reference/app/jobs.py:386 via poppler). Extraction must decode
     the codes directly as UTF-16BE (the Uni*-UCS2/UTF16 families define
-    their codespace AS Unicode code units, public Adobe CMap spec)."""
+    their codespace AS Unicode code units, public Adobe CMap spec).
+
+    With ``charset`` too (e.g. ``predefined="GBK-EUC-H", charset="gbk"``)
+    the show strings are the LEGACY charset bytes of the text — the
+    byte-oriented predefined-CMap shape (GBK/Shift-JIS/UHC/Big5-era
+    documents). Extraction decodes via the matching stdlib codec
+    (_PREDEF_CHARSET_CODECS)."""
     if predefined is not None:
-        return _build_pdf_type0_predefined(pages, predefined)
+        return _build_pdf_type0_predefined(pages, predefined, charset)
     charset = sorted({c for p in pages for c in p if c != "\n"})
     if len(charset) > 0xFFFE:
         raise ValueError("too many distinct chars")
@@ -509,9 +518,12 @@ def build_pdf_type0(
     return _assemble_classic(objects)
 
 
-def _build_pdf_type0_predefined(pages: list[str], predefined: str) -> bytes:
-    """Type0 font referencing a predefined Uni* CMap by NAME (no ToUnicode,
-    no embedded encoding stream): show strings are UTF-16BE code-unit hex.
+def _build_pdf_type0_predefined(
+    pages: list[str], predefined: str, charset: str | None = None
+) -> bytes:
+    """Type0 font referencing a predefined CMap by NAME (no ToUnicode, no
+    embedded encoding stream): show strings are UTF-16BE code-unit hex
+    (Uni* families) or — with ``charset`` — the legacy charset's bytes.
     See :func:`build_pdf_type0`; layout matches :func:`build_pdf`."""
     n_pages = len(pages)
     font_obj_no = 3 + 2 * n_pages
@@ -533,7 +545,10 @@ def _build_pdf_type0_predefined(pages: list[str], predefined: str) -> bytes:
         for j, line in enumerate(page_text_.split("\n")):
             if j > 0:
                 ops.append(b"0 -14 Td")
-            hexstr = "".join(_utf16be_hex(c) for c in line)
+            if charset is not None:
+                hexstr = line.encode(charset).hex().upper()
+            else:
+                hexstr = "".join(_utf16be_hex(c) for c in line)
             ops.append(b"<" + hexstr.encode("ascii") + b"> Tj")
         ops.append(b"ET")
         stream = b"\n".join(ops)
@@ -1480,6 +1495,30 @@ _PREDEF_UNICODE_RE = re.compile(
     rb"-(?:UCS2|UTF16)(?:-HW)?-[HV]\b"
 )
 
+# legacy byte-oriented predefined CMaps (public Adobe CMap resources): their
+# CODESPACE is a legacy charset encoding — the CMap maps charset byte
+# sequences to registry CIDs, and the registry's ToUnicode direction maps
+# those CIDs back to the charset's Unicode repertoire, so the composition
+# is exactly "decode the show-string bytes as that charset". Python ships
+# these codecs, so no CID tables are needed; variable-width (1/2-byte)
+# code consumption comes from the codec itself. Only exact charset↔CMap
+# pairs are listed; Mac (pc/pv) variants and rarer registries keep the
+# honest unmapped degradation.
+_PREDEF_CHARSET_CODECS = {
+    b"GBK-EUC": "gbk",           # Adobe-GB1, GBK bytes
+    b"GBK2K": "gb18030",         # Adobe-GB1, GB18030 bytes
+    b"GB-EUC": "gb2312",         # Adobe-GB1, EUC-CN bytes
+    b"90ms-RKSJ": "cp932",       # Adobe-Japan1, Microsoft Shift-JIS
+    b"90msp-RKSJ": "cp932",      # proportional variant, same encoding
+    b"EUC": "euc_jp",            # Adobe-Japan1, EUC-JP
+    b"KSCms-UHC": "cp949",       # Adobe-Korea1, Microsoft UHC
+    b"KSC-EUC": "euc_kr",        # Adobe-Korea1, EUC-KR
+    b"ETen-B5": "cp950",         # Adobe-CNS1, Big5 + ETen extensions
+}
+_PREDEF_NAME_RE = re.compile(
+    rb"/Encoding\s*/([0-9A-Za-z\-]+?)(?:-HW)?-[HV]\b"
+)
+
 
 def _font_decode_table(
     objs: dict[int, bytes], font_body: bytes, dec=None
@@ -1524,6 +1563,13 @@ def _font_decode_table(
             # are unreachable, while the direct reading is exact — the same
             # text poppler derives from these CMaps' toUnicode direction.
             return (2, "utf16be")
+        pm = _PREDEF_NAME_RE.search(font_body)
+        if pm:
+            codec = _PREDEF_CHARSET_CODECS.get(pm.group(1))
+            if codec is not None:
+                # legacy byte-oriented predefined CMap: show-string bytes
+                # ARE that charset's encoding (see _PREDEF_CHARSET_CODECS)
+                return (2, ("charset", codec))
         em = _ENCODING_REF_RE.search(font_body)
         if em:
             enc_stream = _stream_bytes(
@@ -2335,6 +2381,13 @@ def _parse_content(
                 # units (surrogate pairs decode; odd tail → U+FFFD)
                 return s.encode("latin-1", "replace").decode(
                     "utf-16-be", "replace"
+                )
+            if isinstance(mapping, tuple) and mapping[0] == "charset":
+                # legacy predefined CMap (GBK-EUC-H, 90ms-RKSJ-H, …): the
+                # bytes are the legacy charset; its codec handles the
+                # 1/2-byte code structure (malformed sequences → U+FFFD)
+                return s.encode("latin-1", "replace").decode(
+                    mapping[1], "replace"
                 )
             # composite Identity-H: consume 2-byte CIDs (odd tail ignored)
             out = []

@@ -57,6 +57,7 @@ def curate_corpus(
     max_docs_per_host: int = 0,
     near_dup: bool = False,
     near_dup_threshold: float = 0.8,
+    lang_model: DataFrame | None = None,
 ) -> DataFrame:
     """One row per document with every curation signal and the composed
     ``keep`` decision + deterministic ``split``. All stages are the
@@ -70,7 +71,16 @@ def curate_corpus(
     (:func:`~gnosis_ocr_spark.functions.dedup.duplicate_clusters`, the
     100 TB hot-bucket topology) additionally marks non-canonical NEAR
     duplicates: ``is_near_dup`` joins the keep conjunction and
-    ``near_dup_canonical`` names the cluster's surviving doc."""
+    ``near_dup_canonical`` names the cluster's surviving doc.
+
+    With ``lang_model`` (a trained NB model table from
+    :func:`~gnosis_ocr_spark.functions.classifier.lang_id_fit`, which
+    beats the marker heuristic held-out — tests/test_lang_eval.py), the
+    ``lang`` column comes from the trained backend
+    (:func:`~gnosis_ocr_spark.functions.classifier.lang_id_predict`: one
+    broadcast join + doc-keyed argmax) instead of the inline marker
+    expression. The marker path stays the default (and the oracle-side
+    contract)."""
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     if url_col is not None:
         cols.append(F.col(url_col).alias("url"))
@@ -85,6 +95,14 @@ def curate_corpus(
         repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep2_bp"),
         *gopher_flags(F.col("text"), toks=F.col("_ltoks")),
     )
+
+    if lang_model is not None:
+        from gnosis_ocr_spark.functions.classifier import lang_id_predict
+
+        pred = lang_id_predict(base, lang_model).withColumnRenamed(
+            "lang_pred", "lang"
+        )
+        enriched = enriched.drop("lang").join(pred, "doc_id")
 
     rep = gopher_repetition(base)
     # quality_score's decision column is also named `keep`; rename so the

@@ -2171,34 +2171,113 @@ dd AS (
 
 def q_curate_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation plan (plans.curate.curate_corpus) as ONE driver
-    row: Gopher gates + repetition caps + hashed classifier + unigram LM +
-    exact dedup, conjoined into `keep`, plus the deterministic split — over
-    documents ∪ verbatim copies so the dedup leg provably fires. Integer/
-    boolean columns all the way (round-4 task #2 done-criterion)."""
+    row, ALL legs on: Gopher gates + repetition caps + hashed classifier +
+    unigram LM + exact dedup + HOST QUOTA (synthesized messy urls, 50 host
+    classes, 10-doc cap — crawl balancing) + NEAR-DUP (MinHash star-edge
+    clustering at threshold=1.0, where verbatim copies make the clusters
+    provable shingle-set cliques — the dedup_clusters oracle contract),
+    conjoined into `keep`, plus the deterministic split — over documents ∪
+    verbatim copies so the dedup and near-dup legs provably fire. Integer/
+    boolean columns all the way (round-4 VERDICT task #2 done-criterion)."""
     from gnosis_ocr_spark.plans.curate import curate_corpus
 
     u = _docs_with_copies(spark, sf_dir)
-    return curate_corpus(u).select(
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, "WWW.").otherwise(""),
+        F.lit("host"), (d % 50).cast("string"),
+        F.lit(".Example.org"),
+        F.when(d % 5 == 0, ":443").otherwise(""),
+        F.lit("/doc/"), d.cast("string"),
+        F.when(d % 2 == 0, "?utm_source=x&b=2&a=1").otherwise("?a=1&b=2"),
+        F.when(d % 7 == 0, "#frag").otherwise(""),
+    )
+    return curate_corpus(
+        u.withColumn("url", url),
+        url_col="url",
+        max_docs_per_host=10,
+        near_dup=True,
+        near_dup_threshold=1.0,
+    ).select(
         "doc_id", "n_tokens", "lang", "rep2_bp", "top_2gram_bp",
         "dup_5gram_bp", "ok_gates", "ok_repetition", "keep_model",
-        "keep_lm", "canonical_id", "is_dup", "keep", "split",
+        "keep_lm", "canonical_id", "is_dup", "host", "ok_host_quota",
+        "is_near_dup", "near_dup_canonical", "keep", "split",
     )
 
 
-ORACLE_CURATE_COMPOSE = (
-    """
+_CURATE_MESSY_URL = (
+    "'https://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END"
+    " || 'host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.org'"
+    " || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+    " || '/doc/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'"
+    "         ELSE '?a=1&b=2' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _oracle_curate_compose() -> str:
+    from gnosis_ocr_spark.functions.urls import canon_cte_sql
+
+    canon = canon_cte_sql(_CURATE_MESSY_URL, "doc_id", "u")
+    return (
+        """
 WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 10000, text FROM documents
 ), """
-    + _CURATE_DECISION_CTES.replace("%LANG%", lang_case_sql("toks"))
-    + """
-SELECT doc_id, n_tokens, lang, rep2_bp, top_2gram_bp, dup_5gram_bp,
-       ok_gates, ok_repetition, keep_model, keep_lm, canonical_id, is_dup,
-       keep, split
-FROM dec
-"""
+        + _CURATE_DECISION_CTES.replace("%LANG%", lang_case_sql("toks"))
+        + ","
+        + canon.lstrip()
+        + f"""
+, hh AS (
+  -- url_host over the RAW url: lowercase, strip userinfo/port, KEEP www.
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(regexp_extract(
+           {_CURATE_MESSY_URL},
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+           '^.*@', ''), ':[0-9]*$', '') AS host
+  FROM u
+), hr AS (
+  SELECT hh.doc_id, hh.host,
+         ROW_NUMBER() OVER (PARTITION BY hh.host ORDER BY
+           CAST(concat('0x', substr(md5(c.curl), 1, 15)) AS BIGINT),
+           c.curl, hh.doc_id) AS rk
+  FROM hh JOIN _u3 c ON hh.doc_id = c.doc_id
+), nt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM u
+), nk AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )), chr(31))) AS shset
+  FROM nt WHERE len(toks) >= 3
+), ng AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY shset) AS n,
+         MIN(doc_id) OVER (PARTITION BY shset) AS comp
+  FROM nk
+), nd AS (
+  SELECT doc_id, comp FROM ng WHERE n >= 2
 )
+SELECT dec.doc_id, n_tokens, lang, rep2_bp, top_2gram_bp, dup_5gram_bp,
+       ok_gates, ok_repetition, keep_model, keep_lm, canonical_id, is_dup,
+       hr.host, hr.rk <= 10 AS ok_host_quota,
+       COALESCE(nd.doc_id <> nd.comp, FALSE) AS is_near_dup,
+       COALESCE(nd.comp, dec.doc_id) AS near_dup_canonical,
+       dec.keep AND hr.rk <= 10
+         AND NOT COALESCE(nd.doc_id <> nd.comp, FALSE) AS keep,
+       split
+FROM dec
+JOIN hr ON dec.doc_id = hr.doc_id
+LEFT JOIN nd ON dec.doc_id = nd.doc_id
+"""
+    )
+
+
+ORACLE_CURATE_COMPOSE = _oracle_curate_compose()
 
 
 def q_prepare_training_compose(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,9 +69,16 @@ def start_curation_stream(
     lm_table: DataFrame,
     oov_mb: int,
     keep_mean_mb: int = -9000,
+    lang_model: DataFrame | None = None,
 ):
     """readStream(parquet docs) → per-row gates/classifier + static-LM score
-    → epoch-idempotent parquet. Returns the started query (availableNow)."""
+    → epoch-idempotent parquet. Returns the started query (availableNow).
+
+    ``lang_model`` (classifier.lang_id_fit table) optionally adds a
+    ``lang`` column via the trained backend — the same stream-static
+    broadcast-join + doc-keyed-agg shape as the LM stage, so it is
+    micro-batch-safe by construction (asserted stream == batch in
+    tests/test_full_stream.py)."""
     stream = spark.readStream.schema(CURATE_STREAM_SCHEMA).parquet(in_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -84,6 +91,13 @@ def start_curation_stream(
         out = gated.join(lm, "doc_id").withColumn(
             "keep", F.col("keep_model") & F.col("keep_lm")
         )
+        if lang_model is not None:
+            from gnosis_ocr_spark.functions.classifier import lang_id_predict
+
+            pred = lang_id_predict(batch_df, lang_model).withColumnRenamed(
+                "lang_pred", "lang"
+            )
+            out = out.join(pred, "doc_id")
         # epoch-idempotent write: a retried epoch replaces ITS OWN files
         (
             out.withColumn("_epoch", F.lit(epoch_id))

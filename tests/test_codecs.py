@@ -585,6 +585,9 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(
             pages, width=128, height=128, image_filter="raw1"
         ),
+        lambda: P.build_pdf_type0(
+            pages, predefined="GBK-EUC-H", charset="gbk"
+        ),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -895,13 +898,49 @@ def test_predefined_unicode_cmaps_roundtrip():
 
 
 def test_unknown_predefined_cmap_still_degrades_to_replacement():
-    """A predefined name OUTSIDE the Unicode families (e.g. the GBK-EUC-H
-    byte-oriented registry CMap we don't ship) must keep degrading to
-    U+FFFD — never decode as if it were UCS-2 (that would be garbage)."""
+    """A predefined name outside BOTH the Unicode families and the legacy
+    charset table (e.g. the Mac-encoding B5pc-H we deliberately don't
+    map) must keep degrading to U+FFFD — never decode as if it were UCS-2
+    or a guessed charset (that would be garbage)."""
     pdf = P.build_pdf_type0(["abc"], predefined="UniGB-UCS2-H")
-    bad = pdf.replace(b"/UniGB-UCS2-H", b"/GBK-EUC-H\x20\x20\x20")
+    bad = pdf.replace(b"/UniGB-UCS2-H", b"/B5pc-H\x20\x20\x20\x20\x20\x20")
     [spans] = P.extract_pages(bad)
     assert set(P.page_text(spans)) <= {"�"}
+
+
+def test_legacy_charset_predefined_cmaps_roundtrip():
+    """Byte-oriented legacy predefined CMaps (round-4 VERDICT task #5):
+    GBK-EUC / GBK2K / GB-EUC / 90ms(p)-RKSJ / EUC / KSCms-UHC(-HW) /
+    KSC-EUC / ETen-B5 show strings are the legacy charset's bytes; the
+    matching stdlib codec decodes them exactly (mixed 1/2-byte codes,
+    halfwidth kana, CJK). Previously all of these degraded to U+FFFD."""
+    cases = [
+        ("GBK-EUC-H", "gbk", ["你好世界 mixed ascii\n第二行 line", "简体中文页面"]),
+        ("GBK2K-H", "gb18030", ["中文 gb18030 页\nsecond", "㐀 ext char"]),
+        ("GB-EUC-H", "gb2312", ["中文页面 simple\nline two", "tail"]),
+        ("90ms-RKSJ-H", "cp932", ["日本語のページ desu\n二行目",
+                                  "カタカナ ｶﾀｶﾅ halfwidth"]),
+        ("90msp-RKSJ-V", "cp932", ["縦書きテスト", "二ページ"]),
+        ("EUC-H", "euc_jp", ["日本語 euc テスト\n行二", "おわり"]),
+        ("KSCms-UHC-H", "cp949", ["한국어 페이지\n둘째 줄", "끝"]),
+        ("KSCms-UHC-HW-H", "cp949", ["한국 halfwidth variant", "tail"]),
+        ("KSC-EUC-H", "euc_kr", ["한국어 euc", "둘"]),
+        ("ETen-B5-H", "cp950", ["繁體中文頁面\n第二行", "結尾"]),
+    ]
+    for name, codec, pages in cases:
+        pdf = P.build_pdf_type0(pages, predefined=name, charset=codec)
+        assert b"/ToUnicode" not in pdf
+        assert [P.page_text(s) for s in P.extract_pages(pdf)] == pages, name
+    # ASCII parity with the plain writer (GBK is ASCII-transparent)
+    ascii_pages = ["plain ascii line\nsecond", "tail"]
+    got = [P.page_text(s) for s in P.extract_pages(
+        P.build_pdf_type0(ascii_pages, predefined="GBK-EUC-H", charset="gbk"))]
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(ascii_pages))]
+    # malformed charset bytes degrade per-sequence, never throw
+    pdf = P.build_pdf_type0(["ok"], predefined="GBK-EUC-H", charset="gbk")
+    # truncated 2-byte sequence: 'o' then a dangling 0x81 lead byte
+    [spans] = P.extract_pages(pdf.replace(b"<6F6B>", b"<6F81>"))
+    assert P.page_text(spans) == "o�"
 
 
 def test_frozen_r6_aes256_fixture_extracts(spark):

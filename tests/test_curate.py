@@ -137,3 +137,41 @@ def test_near_dup_option_keeps_only_cluster_canonicals(spark):
     assert out[2]["is_near_dup"] and out[2]["near_dup_canonical"] == 1
     assert not out[50]["is_near_dup"]
     assert not out[2]["keep"]  # near-dups never survive
+
+
+def test_trained_lang_backend_option(spark):
+    """curate_corpus(lang_model=...) (round-4 VERDICT task #7): the lang
+    column comes from the trained NB backend (classifier.lang_id_fit /
+    lang_id_predict), every OTHER column and the keep decision stay
+    byte-identical to the marker-path default."""
+    from gnosis_ocr_spark.functions.classifier import (
+        lang_id_fit,
+        lang_id_predict,
+    )
+
+    docs = _docs(spark)
+    # labeled training set: disjoint vocabularies make held-out prediction
+    # deterministic for the assertion corpus below
+    labeled = spark.createDataFrame(
+        [(f"en the of and to in is was {i}", "en") for i in range(8)]
+        + [(f"xq zorp blarf quux nim vex {i}", "xq") for i in range(8)],
+        "text string, lang string",
+    )
+    model = lang_id_fit(labeled)
+
+    default = {r["doc_id"]: r.asDict() for r in curate_corpus(docs).collect()}
+    trained = {
+        r["doc_id"]: r.asDict()
+        for r in curate_corpus(docs, lang_model=model).collect()
+    }
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in lang_id_predict(docs, model).collect()
+    }
+    assert set(default) == set(trained)
+    for i, want in default.items():
+        got = dict(trained[i])
+        assert got.pop("lang") == pred[i]
+        want = dict(want)
+        want.pop("lang")
+        assert got == want

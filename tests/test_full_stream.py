@@ -289,3 +289,60 @@ def test_streaming_near_dup_within_watermark(spark, tmp_path):
     distinct = set(range(24)) - {1, 2, 5, 11, 17, 23}
     assert distinct <= surviving
     assert len(surviving) == len(distinct) + 3
+
+
+def test_streaming_curation_with_trained_lang_backend(spark, tmp_path):
+    """The trained lang-ID backend rides the same stream-static broadcast
+    join shape as the LM stage: streaming curation with lang_model ==
+    the batch composition, byte-identical, lang column included."""
+    from gnosis_ocr_spark.functions.classifier import (
+        lang_id_fit,
+        lang_id_predict,
+        lm_fit,
+        unigram_lm_score_static,
+    )
+    from gnosis_ocr_spark.streaming.curate_stream import (
+        start_curation_stream,
+        stateless_curation_columns,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("lin", "lout", "lckpt"))
+    docs = _curation_corpus(spark)
+    docs.repartition(3).write.parquet(in_dir)
+    logp, oov = lm_fit(docs)
+    labeled = spark.createDataFrame(
+        [(f"w{i} w{i+1} w{i+2} common words", "en") for i in range(6)]
+        + [(f"dup dup dup repeated {i}", "xx") for i in range(6)],
+        "text string, lang string",
+    )
+    lang_model = lang_id_fit(labeled)
+
+    q = start_curation_stream(
+        spark, in_dir, out_dir, ckpt, logp, oov, lang_model=lang_model
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(out_dir).drop("_epoch").collect()
+    }
+    batch = (
+        stateless_curation_columns(docs)
+        .withColumnRenamed("keep", "keep_model")
+        .join(
+            unigram_lm_score_static(docs, logp, oov).select(
+                "doc_id", "sum_logp_mb", "keep_lm"
+            ),
+            "doc_id",
+        )
+        .withColumn("keep", F.col("keep_model") & F.col("keep_lm"))
+        .join(
+            lang_id_predict(docs, lang_model).withColumnRenamed(
+                "lang_pred", "lang"
+            ),
+            "doc_id",
+        )
+    )
+    want = {r["doc_id"]: r.asDict() for r in batch.collect()}
+    assert got == want
+    assert {r["lang"] for r in got.values()} <= {"en", "xx"}

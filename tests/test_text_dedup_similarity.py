@@ -768,6 +768,54 @@ def test_pack_sequences_invariants(spark):
     assert got2 == got
 
 
+def test_pack_sequences_parallelism_guard(spark):
+    """Round-4 VERDICT nit #1: the per-shard packing window is the one
+    non-doc-keyed exchange in the training path — n_shards must scale
+    with the corpus. derive_n_shards sizes it; approx_rows without enough
+    shards warns loudly; passing approx_rows must NOT change the packing
+    for a fixed n_shards."""
+    import warnings
+
+    import pytest
+
+    from gnosis_ocr_spark.functions.sampling import (
+        ROWS_PER_SHARD_WARN,
+        derive_n_shards,
+        pack_sequences,
+    )
+
+    # sizing math: proportional above the floor, floored below
+    assert derive_n_shards(10**12, 1_000_000) == 10**6
+    assert derive_n_shards(100, 1_000_000) == 64
+    assert derive_n_shards(65_000_000, 1_000_000, min_shards=64) == 65
+    with pytest.raises(ValueError):
+        derive_n_shards(-1)
+
+    docs = [(i, "alpha beta gamma") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    base = {r["doc_id"]: r.asDict()
+            for r in pack_sequences(df, seq_len=8, n_shards=4).collect()}
+
+    # approx_rows alone (within budget): no warning, identical packing
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        same = {r["doc_id"]: r.asDict()
+                for r in pack_sequences(df, seq_len=8, n_shards=4,
+                                        approx_rows=40).collect()}
+    assert same == base
+
+    # too few shards for the declared corpus: loud warning, still correct
+    with pytest.warns(UserWarning, match="bottleneck"):
+        pack_sequences(df, seq_len=8, n_shards=4,
+                       approx_rows=4 * ROWS_PER_SHARD_WARN + 1)
+
+    # derived sharding: target produces ceil(rows/target) shards (>= floor)
+    derived = pack_sequences(df, seq_len=8, n_shards=2, approx_rows=40,
+                             target_rows_per_shard=10)
+    shards = {r["shard"] for r in derived.collect()}
+    assert shards <= set(range(4)) and len(shards) > 1
+
+
 def test_remove_hot_spans_cuts_boilerplate_keeps_unique_tail(spark):
     """Docs sharing a boilerplate prefix lose exactly the hot region; text
     past the fingerprinted prefix (max_chars) and unique docs pass through;
