@@ -961,6 +961,32 @@ def build_pdf_scanned(
     for i, page_text_ in enumerate(pages):
         page_no = 3 + 3 * i
         content_no, img_no = page_no + 1, page_no + 2
+        if image_filter == "inline":
+            # BI/ID/EI inline image (PDF §8.9.7, abbreviated keys) drawn
+            # straight in the content stream — no XObject, no /Resources;
+            # the img object slot holds a placeholder to keep numbering
+            import zlib as _z
+
+            payload = _z.compress(
+                encode_scan_pixels(page_text_, width, height), 6
+            )
+            objects.append(
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {content_no} 0 R >>"
+                ).encode()
+            )
+            content = (
+                b"q 612 0 0 792 0 0 cm\n"
+                b"BI /W %d /H %d /CS /G /BPC 8 /F /Fl ID\n%s\nEI Q"
+                % (width, height, payload)
+            )
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
+            objects.append(b"null")
+            continue
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -1092,7 +1118,6 @@ _TOK_RE = re.compile(
 # whitespace (standard heuristic for parsers without per-filter image
 # decoders; poppler does the same scan, ref app/jobs.py:386-390 relies on
 # poppler here).
-_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID[ \t\r\n].*?\s+EI(?=\s|$)", re.S)
 # TJ array items: literal string, hex string, or a numeric kern adjustment
 # (_NUM, not [\d.]+ — a stray '.' token must be skipped, not float()-crash)
 _TJA_ITEM_RE = re.compile(
@@ -1775,25 +1800,14 @@ class PdfImage:
     data: bytes
 
 
-def _image_from_obj(
-    objs: dict[int, bytes], no: int, dec
-) -> PdfImage | None:
-    """Decode one /Subtype /Image XObject; None when not an image or the
-    decodable part of its filter chain fails."""
-    body = objs.get(no, b"")
-    if not _IMAGE_SUBTYPE_RE.search(body):
-        return None
-    wm, hm = _WIDTH_RE.search(body), _HEIGHT_RE.search(body)
+def _decode_image(head: bytes, raw: bytes) -> PdfImage | None:
+    """Shared image-decode core (XObject + inline): dimensions + sample
+    metadata from the dict ``head``, filter chain applied to ``raw``
+    (opaque codecs carried), /ImageMask + /Decode [1 0] normalized."""
+    wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
     if not wm or not hm:
         return None
     width, height = int(wm.group(1)), int(hm.group(1))
-    sliced = _raw_stream_payload(body, objs)
-    if sliced is None:
-        return None
-    head, raw = sliced
-    decrypt = _obj_dec(dec, no)
-    if decrypt is not None:
-        raw = decrypt(raw)
     bm = _BPC_RE.search(head)
     bits = int(bm.group(1)) if bm else 8
     cm = _CSPACE_RE.search(head)
@@ -1822,6 +1836,153 @@ def _image_from_obj(
     return PdfImage(width, height, bits, cspace, "raw", raw)
 
 
+def _image_from_obj(
+    objs: dict[int, bytes], no: int, dec
+) -> PdfImage | None:
+    """Decode one /Subtype /Image XObject; None when not an image or the
+    decodable part of its filter chain fails."""
+    body = objs.get(no, b"")
+    if not _IMAGE_SUBTYPE_RE.search(body):
+        return None
+    sliced = _raw_stream_payload(body, objs)
+    if sliced is None:
+        return None
+    head, raw = sliced
+    decrypt = _obj_dec(dec, no)
+    if decrypt is not None:
+        raw = decrypt(raw)
+    return _decode_image(head, raw)
+
+
+# inline images (BI <dict> ID <data> EI — PDF spec §8.9.7): the dict uses
+# ABBREVIATED keys/values; normalize to the full names so the shared
+# image regexes apply. Order matters where one abbreviation prefixes
+# another (/Fl before /F is handled by \b).
+_INLINE_ABBREV = (
+    (re.compile(rb"/BPC\b"), b"/BitsPerComponent"),
+    (re.compile(rb"/CS\b"), b"/ColorSpace"),
+    (re.compile(rb"/DP\b"), b"/DecodeParms"),
+    (re.compile(rb"/IM\b"), b"/ImageMask"),
+    (re.compile(rb"/W\b"), b"/Width"),
+    (re.compile(rb"/H\b"), b"/Height"),
+    (re.compile(rb"/D\b"), b"/Decode"),
+    (re.compile(rb"/F\b"), b"/Filter"),
+    (re.compile(rb"/G\b"), b"/DeviceGray"),
+    (re.compile(rb"/RGB\b"), b"/DeviceRGB"),
+    (re.compile(rb"/CMYK\b"), b"/DeviceCMYK"),
+    (re.compile(rb"/AHx\b"), b"/ASCIIHexDecode"),
+    (re.compile(rb"/A85\b"), b"/ASCII85Decode"),
+    (re.compile(rb"/LZW\b"), b"/LZWDecode"),
+    (re.compile(rb"/Fl\b"), b"/FlateDecode"),
+    (re.compile(rb"/RL\b"), b"/RunLengthDecode"),
+    (re.compile(rb"/CCF\b"), b"/CCITTFaxDecode"),
+    (re.compile(rb"/DCT\b"), b"/DCTDecode"),
+)
+_INLINE_BI_RE = re.compile(rb"\bBI\b")
+_INLINE_ID_RE = re.compile(rb"\bID[ \t\r\n]")
+_INLINE_EI_RE = re.compile(rb"\s+EI(?=\s|$)")
+_INLINE_EI_TOK_RE = re.compile(rb"EI(?=\s|$)")
+_INLINE_EI_AFTER_RE = re.compile(rb"\s*EI(?=\s|$)")
+_INLINE_WS = b" \t\r\n\x0c\x00"
+_CHANNELS_OF = {b"DeviceGray": 1, b"DeviceRGB": 3, b"DeviceCMYK": 4}
+
+
+def _scan_inline_images(stream: bytes) -> list[tuple[int, int, PdfImage | None]]:
+    """Locate every BI..ID..EI inline image; returns (start, end, image).
+
+    The data's end is NOT regex-delimitable: compressed payloads legally
+    contain ``\\s+EI`` byte runs (observed in practice — a naive
+    non-greedy match truncates them). Resolution: raw (unfiltered)
+    samples have an EXACT length from the dict (W×H×BPC×channels);
+    filtered payloads try each candidate ``EI`` position and accept the
+    first whose filter chain actually decodes (a truncated Flate/LZW/
+    CCITT stream raises; a truncated JPEG is rejected by the missing EOI
+    marker). The content stream is already decrypted here."""
+    out: list[tuple[int, int, PdfImage | None]] = []
+    pos = 0
+    while True:
+        bi = _INLINE_BI_RE.search(stream, pos)
+        if bi is None:
+            return out
+        idm = _INLINE_ID_RE.search(stream, bi.end())
+        if idm is None:
+            return out
+        head = stream[bi.end() : idm.start()]
+        for pat, full in _INLINE_ABBREV:
+            head = pat.sub(full, head)
+        data_start = idm.end()
+        img: PdfImage | None = None
+        end = data_start
+        names, _ = _filter_chain(head)
+        if not names:  # raw samples: exact byte length from the dict
+            wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
+            bm = _BPC_RE.search(head)
+            bits = int(bm.group(1)) if bm else 8
+            cm = _CSPACE_RE.search(head)
+            ch = _CHANNELS_OF.get(cm.group(1) if cm else b"DeviceGray", 1)
+            if _IMAGEMASK_RE.search(head):
+                bits = ch = 1
+            if wm and hm:
+                w_, h_ = int(wm.group(1)), int(hm.group(1))
+                if 0 < w_ * h_ <= 50_000_000:
+                    need = h_ * ((w_ * bits * ch + 7) // 8)
+                    data = stream[data_start : data_start + need]
+                    em = _INLINE_EI_AFTER_RE.match(stream, data_start + need)
+                    if len(data) == need and em:
+                        # dict-exact length confirmed by the EI right after
+                        img = _decode_image(head, data)
+                        end = em.end()
+            if img is None:
+                # dict unreliable (length not followed by EI, or missing
+                # W/H): skip to the next EI token without trusting data
+                em = _INLINE_EI_RE.search(stream, data_start)
+                end = em.end() if em else len(stream)
+        else:
+            # candidate 'EI' tokens (preceded by a whitespace delimiter).
+            # Two ambiguities resolved by try-decode: a '\s+EI' byte run
+            # INSIDE the payload (false positive), and a payload whose
+            # LAST bytes are whitespace-valued (the delimiter run before
+            # the real EI then over-trims — so try 1..4 delimiter widths,
+            # widest data first).
+            first_end = None
+            for em in _INLINE_EI_TOK_RE.finditer(stream, data_start + 1):
+                if stream[em.start() - 1] not in _INLINE_WS:
+                    continue  # 'EI' bytes inside binary data, not a token
+                if first_end is None:
+                    first_end = em.end()
+                de = em.start() - 1
+                for _ in range(4):
+                    data = stream[data_start:de]
+                    cand = _decode_image(head, data)
+                    if cand is not None and not (
+                        cand.codec == "dct"
+                        and not data.endswith(b"\xff\xd9")
+                    ):
+                        img, end = cand, em.end()
+                        break
+                    if de - 1 <= data_start or stream[de - 1] not in _INLINE_WS:
+                        break
+                    de -= 1
+                if img is not None:
+                    break
+            if img is None:
+                end = first_end if first_end is not None else len(stream)
+        out.append((bi.start(), end, img))
+        pos = end
+
+
+def _blank_inline_images(stream: bytes) -> bytes:
+    """Length-preservingly blank BI..EI regions so token scans never read
+    image payload bytes as operators (offsets stay valid)."""
+    spans = _scan_inline_images(stream)
+    if not spans:
+        return stream
+    buf = bytearray(stream)
+    for start, end, _ in spans:
+        buf[start:end] = b" " * (end - start)
+    return bytes(buf)
+
+
 def _collect_images(
     objs: dict[int, bytes],
     stream: bytes,
@@ -1830,14 +1991,37 @@ def _collect_images(
     depth: int,
     active: frozenset[int],
 ) -> list[PdfImage]:
-    """Images drawn by ``Do`` in one content stream, in draw order,
-    recursing through Form XObjects (depth-capped + cycle-guarded exactly
-    like :func:`_form_spans`)."""
+    """Images drawn by ``Do`` (XObjects) AND inline ``BI..ID..EI`` images
+    in one content stream, merged in draw order, recursing through Form
+    XObjects (depth-capped + cycle-guarded exactly like
+    :func:`_form_spans`)."""
     out: list[PdfImage] = []
     if depth > _FORM_MAX_DEPTH:
         return out
-    for m in _TOK_RE.finditer(_INLINE_IMG_RE.sub(b" ", stream)):
-        if not m.group("do"):
+    # blank inline-image regions LENGTH-PRESERVINGLY so Do-token offsets
+    # still index the original stream, then merge both event kinds by
+    # position (draw order matters for strip stacking)
+    inline = _scan_inline_images(stream)
+    if inline:
+        buf = bytearray(stream)
+        for start, end, _ in inline:
+            buf[start:end] = b" " * (end - start)
+        cleaned = bytes(buf)
+    else:
+        cleaned = stream
+    events: list[tuple[int, str, object]] = [
+        (start, "inline", img) for start, _, img in inline
+    ]
+    events += [
+        (m.start(), "do", m)
+        for m in _TOK_RE.finditer(cleaned)
+        if m.group("do")
+    ]
+    events.sort(key=lambda e: e[0])
+    for _, kind, m in events:
+        if kind == "inline":
+            if m is not None:
+                out.append(m)
             continue
         no = xmap.get(m.group("do_name"))
         if no is None or no in active:
@@ -2367,7 +2551,7 @@ def _parse_content(
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] | None = None,
     xobj=None,
 ) -> list[Span]:
-    stream = _INLINE_IMG_RE.sub(b" ", stream)
+    stream = _blank_inline_images(stream)
     fonts = fonts or {}
     cur: tuple[int, list[str] | dict[int, str]] | None = None  # Tf-selected
 

@@ -222,3 +222,72 @@ def test_scan_bits_capacity_guard_and_non_scan_none():
         G.encode_scan_bits("x" * 3000, 128, 128)
     assert G.decode_scan_bits_gray(b"\x00" * 4096) is None
     assert G.decode_scan_bits_gray(b"\xff" * 4096) is None
+
+
+def test_inline_image_scanned_page_extracts(spark):
+    """BI/ID/EI inline images (PDF §8.9.7, abbreviated keys) — the no-
+    XObject scanned shape — decode through the shared image core into the
+    OCR seam, including through the full Spark fused path."""
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+    from gnosis_ocr_spark.operators.pdf_split import (
+        raster_ocr_pages,
+        split_pdf_text_pages,
+    )
+
+    pages = ["inline scanned body\nline two", "tail page"]
+    pdf = P.build_pdf_scanned(pages, image_filter="inline")
+    win = P.extract_pages_with_images(pdf)
+    for (spans, images), page in zip(win, pages):
+        assert not spans
+        [img] = images
+        assert (img.codec, img.bits, img.colorspace) == ("raw", 8, "DeviceGray")
+        assert G.decode_scan_png_text(_scan_png(images)) == page
+    df = spark.createDataFrame(
+        [("inl", bytearray(pdf))], schema="url string, html binary"
+    )
+    out = assemble_documents(
+        raster_ocr_pages(split_pdf_text_pages(df), ocr_engine="stub")
+    ).collect()
+    assert out[0]["extracted_text"] == "\n\n".join(pages)
+    assert out[0]["n_pages"] == 2
+
+
+def test_inline_and_xobject_images_merge_in_draw_order():
+    """A page drawing an inline strip BEFORE an XObject strip must yield
+    both images in that order (strip stacking depends on it)."""
+    import zlib
+
+    base = P.build_pdf_scanned(["xobject strip"], width=64, height=64)
+    payload = zlib.compress(G.encode_scan_pixels("inline strip", 64, 64), 6)
+    inline = b"BI /W 64 /H 64 /CS /G /BPC 8 /F /Fl ID\n" + payload + b"\nEI\n"
+    old = b"q 612 0 0 792 0 0 cm /Im Do Q"
+    new = b"q 612 0 0 792 0 0 cm\n" + inline + b"/Im Do Q"
+    patched = base.replace(old, new).replace(
+        b"<< /Length %d >>" % len(old), b"<< /Length %d >>" % len(new)
+    )
+    [(spans, imgs)] = P.extract_pages_with_images(patched)
+    assert len(imgs) == 2
+    assert G.decode_scan_text(imgs[0].data) == "inline strip"
+    assert G.decode_scan_text(imgs[1].data) == "xobject strip"
+
+
+def test_text_page_with_inline_image_keeps_text_layer():
+    """A page with BOTH a text layer and an inline image stays on the
+    authoritative text path (images only matter when spans are empty) and
+    the BI..EI blob never corrupts token parsing."""
+    import zlib
+
+    base = P.build_pdf(["real text line"], compress=False)
+    payload = zlib.compress(G.encode_scan_pixels("decoy", 64, 64), 6)
+    inline = b"q BI /W 64 /H 64 /CS /G /BPC 8 /F /Fl ID\n" + payload + b"\nEI Q\n"
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", base, _re.S)
+    content = inline + m.group(2)
+    pdf = base.replace(
+        m.group(0),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    )
+    [(spans, imgs)] = P.extract_pages_with_images(pdf)
+    assert P.page_text(spans) == "real text line"
+    assert imgs == []

@@ -588,6 +588,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_type0(
             pages, predefined="GBK-EUC-H", charset="gbk"
         ),
+        lambda: P.build_pdf_scanned(pages, image_filter="inline"),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
