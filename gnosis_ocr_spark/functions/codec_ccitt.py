@@ -129,37 +129,83 @@ _BLACK_DEC = _dec_table(_BLACK_TERM, _BLACK_MAKEUP)
 _MAX_CODE_LEN = 13
 
 
+def _run_lut(dec: dict[tuple[int, int], int]) -> list:
+    """13-bit prefix LUT: one peek + one index per MH code word."""
+    lut: list = [None] * (1 << _MAX_CODE_LEN)
+    for (length, value), run in dec.items():
+        base = value << (_MAX_CODE_LEN - length)
+        for i in range(1 << (_MAX_CODE_LEN - length)):
+            lut[base + i] = (run, length)
+    return lut
+
+
+_WHITE_LUT = _run_lut(_WHITE_DEC)
+_BLACK_LUT = _run_lut(_BLACK_DEC)
+
+# 7-bit prefix LUT for the T.6 mode codes; None = EOL prefix / corrupt
+_MODE_LUT: list = [None] * 128
+for _prefix, _mode in (
+    ("1", "v0"), ("011", "vr1"), ("010", "vl1"), ("001", "h"),
+    ("0001", "p"), ("000011", "vr2"), ("000010", "vl2"),
+    ("0000011", "vr3"), ("0000010", "vl3"),
+):
+    _base = int(_prefix, 2) << (7 - len(_prefix))
+    for _i in range(1 << (7 - len(_prefix))):
+        _MODE_LUT[_base + _i] = (_mode, len(_prefix))
+_V_DELTA = {"v0": 0, "vr1": 1, "vl1": -1, "vr2": 2, "vl2": -2,
+            "vr3": 3, "vl3": -3}
+
+
 class _BitReader:
-    __slots__ = ("data", "pos", "n")
+    """Accumulator bit reader (MSB-first): one peek + one skip per code
+    word instead of per-bit Python calls — the same shape as
+    codec_jpeg's reader. Past-EOF fills are ZEROS (tracked in ``pad``):
+    zero runs decode as the EOL prefix, so corrupt/truncated streams
+    terminate with a clean ValueError instead of looping."""
+
+    __slots__ = ("data", "nbytes", "pos", "acc", "nbits", "pad")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
-        self.n = len(data) * 8
+        self.nbytes = len(data)
+        self.pos = 0  # next byte index
+        self.acc = 0
+        self.nbits = 0
+        self.pad = 0  # zero-padding bits currently buffered (LSB side)
 
     def eof(self) -> bool:
-        return self.pos >= self.n
+        return (self.nbytes - self.pos) * 8 + self.nbits - self.pad <= 0
+
+    def peek(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos < self.nbytes:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8
+                self.pad += 8
+            self.nbits += 8
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            self.peek(n)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        if self.nbits < self.pad:  # consumed into the padding
+            raise ValueError("CCITT: truncated stream")
 
     def read_bit(self) -> int:
-        if self.pos >= self.n:
-            raise ValueError("CCITT: truncated stream")
-        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
+        v = self.peek(1)
+        self.skip(1)
+        return v
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        if self.nbits % 8:
+            self.skip(self.nbits % 8)
 
     def peek12(self) -> int:
-        """Next 12 bits (zero-padded past EOF) without consuming."""
-        v = 0
-        for i in range(12):
-            p = self.pos + i
-            if p < self.n:
-                v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
-            else:
-                v <<= 1
-        return v
+        return self.peek(12)
 
 
 class _BitWriter:
@@ -193,20 +239,14 @@ class _BitWriter:
 def _read_run(br: _BitReader, black: bool) -> int:
     """One complete MH run length: zero or more makeup codes + a
     terminating code (<64). Raises on unknown code words."""
-    table = _BLACK_DEC if black else _WHITE_DEC
+    lut = _BLACK_LUT if black else _WHITE_LUT
     total = 0
     while True:
-        length = 0
-        value = 0
-        run = None
-        while length < _MAX_CODE_LEN:
-            value = (value << 1) | br.read_bit()
-            length += 1
-            run = table.get((length, value))
-            if run is not None:
-                break
-        if run is None:
+        hit = lut[br.peek(_MAX_CODE_LEN)]
+        if hit is None:
             raise ValueError("CCITT: bad run code")
+        run, length = hit
+        br.skip(length)
         total += run
         if run < 64:  # terminating code ends the run
             return total
@@ -280,45 +320,35 @@ def decode_g4(
         cur: list[int] = []
         a0 = -1
         color = 0
+        lo = 0  # monotonic cursor into ref (a0 strictly increases)
+        nref = len(ref)
         while a0 < columns:
-            i = _b1_index(ref, a0, color)
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            # mode code prefix tree (T.6 Table 1)
-            if br.read_bit():  # 1 -> V0
-                a1 = b1
-                cur.append(min(a1, columns))
-                a0, color = a1, color ^ 1
-            elif br.read_bit():  # 01x
-                d = 1 if br.read_bit() else -1  # 011=VR1 / 010=VL1
-                a1 = b1 + d
-                cur.append(min(max(a1, 0), columns))
-                a0, color = a1, color ^ 1
-            elif br.read_bit():  # 001 -> horizontal: two MH runs
+            while lo < nref and ref[lo] <= a0:
+                lo += 1
+            i = lo if (lo & 1) == color else lo + 1
+            b1 = ref[i] if i < nref else columns
+            hit = _MODE_LUT[br.peek(7)]
+            if hit is None:  # EOL prefix mid-row = EOFB / corrupt end
+                raise ValueError("CCITT: unexpected EOL in G4 row")
+            mode, length = hit
+            br.skip(length)
+            if mode == "h":  # horizontal: two MH runs
                 start = a0 if a0 > 0 else 0
                 r1 = _read_run(br, black=bool(color))
                 r2 = _read_run(br, black=not bool(color))
                 a1 = start + r1
                 a2 = a1 + r2
-                cur.append(min(a1, columns))
-                cur.append(min(a2, columns))
+                cur.append(a1 if a1 < columns else columns)
+                cur.append(a2 if a2 < columns else columns)
                 a0 = a2
-            elif br.read_bit():  # 0001 -> pass
-                a0 = b2
-            elif br.read_bit():  # 00001x -> V2
-                d = 2 if br.read_bit() else -2
-                a1 = b1 + d
-                cur.append(min(max(a1, 0), columns))
+            elif mode == "p":  # pass
+                a0 = ref[i + 1] if i + 1 < nref else columns
+            else:  # vertical family
+                a1 = b1 + _V_DELTA[mode]
+                # clamp to [0, columns] (corrupt streams can overshoot)
+                c = a1 if a1 < columns else columns
+                cur.append(c if c > 0 else 0)
                 a0, color = a1, color ^ 1
-            elif br.read_bit():  # 000001x -> V3
-                d = 3 if br.read_bit() else -3
-                a1 = b1 + d
-                cur.append(min(max(a1, 0), columns))
-                a0, color = a1, color ^ 1
-            else:  # 0000000... EOL prefix mid-row = EOFB / corrupt end
-                raise ValueError("CCITT: unexpected EOL in G4 row")
-        # cap at the right edge (corrupt streams can overshoot)
-        cur = [min(max(c, 0), columns) for c in cur]
         out_rows.append(_row_from_transitions(cur, columns))
         ref = cur
         if rows <= 0 and br.eof():
@@ -350,8 +380,7 @@ def decode_g3_1d(
         if byte_align:
             br.align()
         while not br.eof() and br.peek12() == eol:
-            for _ in range(12):
-                br.read_bit()
+            br.skip(12)
         if br.eof():
             break
         pos = 0

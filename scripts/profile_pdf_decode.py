@@ -38,6 +38,27 @@ WRITERS: dict[str, callable] = {
     "scanned": lambda p: cp.build_pdf_scanned(p),
     "scanned_jpeg": lambda p: cp.build_pdf_scanned(p, image_filter="jpeg"),
     "type0_ucs2": lambda p: cp.build_pdf_type0(p, predefined="UniGB-UCS2-H"),
+    "type0_gbk": lambda p: cp.build_pdf_type0(
+        p, predefined="GBK-EUC-H", charset="gbk"
+    ),
+    "scanned_g4": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="g4"
+    ),
+    "scanned_1bit": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="raw1"
+    ),
+    "scanned_jpeg_prog": lambda p: cp.build_pdf_scanned(
+        p, image_filter="jpeg_prog"
+    ),
+    "scanned_inline": lambda p: cp.build_pdf_scanned(p, image_filter="inline"),
+}
+
+# scanned classes pay their cost in the IMAGE path (extract_pages_with_
+# images + _gray_pixels + scan decode), not the text path — time the same
+# work the production split stage does
+_SCANNED = {
+    "scanned", "scanned_jpeg", "scanned_g4", "scanned_1bit",
+    "scanned_jpeg_prog", "scanned_inline",
 }
 
 PAGES = [
@@ -56,13 +77,24 @@ def main() -> None:
         docs = [
             build([p + f" v{i}" for p in PAGES]) for i in range(reps)
         ]
-        cp.page_count(docs[0])  # warm-up (regex compilation, tables)
-        [cp.page_text(s) for s in cp.extract_pages(docs[0])]
+        from gnosis_ocr_spark.operators.pdf_split import _scan_png
+
+        def work(pdf: bytes) -> None:
+            cp.page_count(pdf)
+            if name in _SCANNED:
+                for spans, imgs in cp.extract_pages_with_images(pdf):
+                    if spans:
+                        cp.page_text(spans)
+                    else:
+                        _scan_png(imgs)
+            else:
+                for spans in cp.extract_pages(pdf):
+                    cp.page_text(spans)
+
+        work(docs[0])  # warm-up (regex compilation, tables)
         t0 = time.perf_counter()
         for pdf in docs:
-            cp.page_count(pdf)
-            for spans in cp.extract_pages(pdf):
-                cp.page_text(spans)
+            work(pdf)
         results[name] = (time.perf_counter() - t0) / reps * 1000.0  # ms/doc
     base = results["plain"]
     print("| writer | ms/doc (2 pages) | × plain |")
