@@ -477,12 +477,19 @@ def encode_g4(
 
 
 def encode_g3_1d(
-    data: bytes, columns: int, rows: int, black_is_1: bool = False
+    data: bytes,
+    columns: int,
+    rows: int,
+    black_is_1: bool = False,
+    byte_align: bool = False,
 ) -> bytes:
-    """Encode packed 1-bpp rows as ITU-T T.4 1-D MH (PDF /K 0, no EOLs)."""
+    """Encode packed 1-bpp rows as ITU-T T.4 1-D MH (PDF /K 0, no EOLs);
+    ``byte_align`` starts each row on a byte boundary."""
     black = _unpack_rows(data, columns, rows, black_is_1)
     bw = _BitWriter()
     for y in range(rows):
+        if byte_align:
+            bw.align()
         cur = _transitions(black[y]) + [columns]
         pos = 0
         color = 0

@@ -45,16 +45,16 @@ def test_g4_roundtrip_property(seed, black_is_1, byte_align):
         assert C.decode_g4(enc, w, 0, black_is_1) == packed
 
 
-@given(st.integers(0, 10_000), st.booleans())
+@given(st.integers(0, 10_000), st.booleans(), st.booleans())
 @settings(max_examples=40, deadline=None)
-def test_g3_1d_roundtrip_property(seed, black_is_1):
+def test_g3_1d_roundtrip_property(seed, black_is_1, byte_align):
     rng = np.random.default_rng(seed)
     w = int(rng.integers(1, 200))
     h = int(rng.integers(1, 30))
     black = _rand_bilevel(rng, w, h)
     packed = np.packbits(black if black_is_1 else ~black, axis=1).tobytes()
-    enc = C.encode_g3_1d(packed, w, h, black_is_1)
-    assert C.decode_g3_1d(enc, w, h, black_is_1) == packed
+    enc = C.encode_g3_1d(packed, w, h, black_is_1, byte_align)
+    assert C.decode_g3_1d(enc, w, h, black_is_1, byte_align) == packed
 
 
 def test_g4_spec_goldens_hand_derived():

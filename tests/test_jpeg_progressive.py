@@ -107,3 +107,122 @@ def test_progressive_scanned_pdf_extracts_exact_text():
         [img] = images
         assert img.codec == "dct" and img.data.find(b"\xff\xc2") > 0
         assert decode_scan_png_text(_scan_png(images)) == page
+
+
+def _encode_prog_color_444(y, dri: int = 0) -> bytes:
+    """Test-only 3-component 4:4:4 PROGRESSIVE encoder (constant-128
+    chroma): one interleaved DC scan over all components (optionally with
+    RSTn restarts) + three non-interleaved full-band AC scans — the
+    multi-component progressive geometry the decoder must walk."""
+    import struct
+
+    import numpy as np
+
+    from gnosis_ocr_spark.functions import codec_jpeg as J
+
+    h, w = y.shape
+    assert h % 8 == 0 and w % 8 == 0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2" + struct.pack(">H", 8 + 9) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    )
+    for tc, bits, vals in ((0, J._ENC_DC_BITS, J._ENC_DC_VALS),
+                           (1, J._ENC_AC_BITS, J._ENC_AC_VALS)):
+        out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([tc << 4]) + bytes(bits) + vals)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    def zz_of(block):
+        coef = J._M @ (block - 128.0) @ J._M.T
+        return np.rint(coef.reshape(64)[J._ZZ_FLAT]).astype(np.int64)
+
+    blocks = {1: [], 2: [], 3: []}
+    chroma = np.full((8, 8), 128.0)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blocks[1].append(zz_of(
+                y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)))
+            blocks[2].append(zz_of(chroma))
+            blocks[3].append(zz_of(chroma))
+
+    # scan 1: interleaved DC (Ss=Se=0, Al=0) over all three components
+    out += (b"\xff\xda" + struct.pack(">H", 6 + 6)
+            + b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x00")
+    bw = J._BitWriter()
+    dc = {1: 0, 2: 0, 3: 0}
+    rst = 0
+    for i in range(len(blocks[1])):
+        if dri and i and i % dri == 0:
+            out += bw.flush()
+            bw = J._BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            dc = {1: 0, 2: 0, 3: 0}
+        for cid in (1, 2, 3):
+            v = int(blocks[cid][i][0])
+            diff = v - dc[cid]
+            dc[cid] = v
+            s = J._category(diff)
+            ln, code = J._ENC_DC.code[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # scans 2-4: per-component AC 1-63 first (Al=0), non-interleaved.
+    # DRI persists across scans (T.81): comp 1's AC scan emits RSTn every
+    # dri BLOCKS (exercising the per-scan eobrun/restart reset); a DRI 0
+    # marker then disables restarts for the chroma scans.
+    for cid in (1, 2, 3):
+        if dri and cid == 2:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, 0)
+        out += (b"\xff\xda" + struct.pack(">H", 6 + 2)
+                + bytes([1, cid, 0, 1, 63, 0]))
+        bw = J._BitWriter()
+        rst = 0
+        for bi, zzb in enumerate(blocks[cid]):
+            if dri and cid == 1 and bi and bi % dri == 0:
+                out += bw.flush()
+                bw = J._BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            run = 0
+            for k in range(1, 64):
+                v = int(zzb[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = J._ENC_AC.code[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = J._category(v)
+                ln, code = J._ENC_AC.code[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = J._ENC_AC.code[0x00]
+                bw.write(code, ln)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("dri", [0, 3])
+def test_progressive_multi_component_with_restarts(dri):
+    """Color progressive: interleaved multi-component DC scan (with RSTn
+    resets at dri=3) + per-component non-interleaved AC scans reconstruct
+    the luma plane bit-identically to the grayscale sequential encoding
+    of the same pixels (identical quantized coefficients)."""
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    jp = _encode_prog_color_444(y, dri=dri)
+    w, h, nc, out = decode_jpeg(jp)
+    assert (w, h, nc) == (32, 24, 3)
+    seq = decode_jpeg(encode_gray_jpeg(y.tobytes(), 32, 24))
+    assert out == seq[3]
