@@ -1,4 +1,5 @@
-"""CCITT Group 4 (ITU-T T.6, 2-D MMR) and Group 3 1-D (ITU-T T.4, MH) codec.
+"""CCITT Group 4 (ITU-T T.6, 2-D MMR) and Group 3 (ITU-T T.4, 1-D MH and
+K>0 mixed two-dimensional) codec.
 
 Real-crawl scanned black-and-white documents are predominantly 1-bit
 CCITT-G4 fax-encoded images inside PDF ``/CCITTFaxDecode`` streams — the
@@ -7,9 +8,11 @@ reference rasterizes those pages transparently via poppler
 implementation of the public ITU-T T.6 / T.4 specifications (same class of
 work as the LZW/Flate/JPEG codecs already in this package): the modified
 Huffman run-length tables, the 2-D vertical/horizontal/pass coding modes,
-and EOFB handling. Both the encoder (fixture writer + property tests) and
-the decoder (the crawl-facing path, wired behind codec_pdf's
-``_apply_one_filter``) live here.
+EOFB handling, and the T.4 §4.2.1 mixed mode (PDF ``/K > 0``: every line
+prefixed by EOL + a tag bit choosing 1-D or 2-D coding, RTC terminator).
+Both the encoder (fixture writer + property tests) and the decoder (the
+crawl-facing path, wired behind codec_pdf's ``_apply_one_filter``) live
+here.
 
 Bit conventions
 ---------------
@@ -291,6 +294,57 @@ def _b1_index(ref: list[int], a0: int, color: int) -> int:
     return i
 
 
+def _decode_2d_row(br: _BitReader, ref: list[int], columns: int) -> list[int]:
+    """Decode one 2-D-coded row (T.6 / T.4 §4.2.1 mode words) against the
+    reference line's changing elements; returns the new changing elements."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    lo = 0  # monotonic cursor into ref (a0 strictly increases)
+    nref = len(ref)
+    while a0 < columns:
+        while lo < nref and ref[lo] <= a0:
+            lo += 1
+        i = lo if (lo & 1) == color else lo + 1
+        b1 = ref[i] if i < nref else columns
+        hit = _MODE_LUT[br.peek(7)]
+        if hit is None:  # EOL prefix mid-row = EOFB / corrupt end
+            raise ValueError("CCITT: unexpected EOL in G4 row")
+        mode, length = hit
+        br.skip(length)
+        if mode == "h":  # horizontal: two MH runs
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(br, black=bool(color))
+            r2 = _read_run(br, black=not bool(color))
+            a1 = start + r1
+            a2 = a1 + r2
+            cur.append(a1 if a1 < columns else columns)
+            cur.append(a2 if a2 < columns else columns)
+            a0 = a2
+        elif mode == "p":  # pass
+            a0 = ref[i + 1] if i + 1 < nref else columns
+        else:  # vertical family
+            a1 = b1 + _V_DELTA[mode]
+            # clamp to [0, columns] (corrupt streams can overshoot)
+            c = a1 if a1 < columns else columns
+            cur.append(c if c > 0 else 0)
+            a0, color = a1, color ^ 1
+    return cur
+
+
+def _decode_1d_row(br: _BitReader, columns: int) -> list[int]:
+    """Decode one 1-D MH-coded row; returns its changing elements."""
+    pos = 0
+    color = 0
+    cur: list[int] = []
+    while pos < columns:
+        run = _read_run(br, black=bool(color))
+        pos += run
+        cur.append(min(pos, columns))
+        color ^= 1
+    return cur
+
+
 def decode_g4(
     data: bytes,
     columns: int,
@@ -317,42 +371,63 @@ def decode_g4(
             break
         if br.peek12() == int(_EOL, 2):  # EOFB (or stray EOL) terminates
             break
-        cur: list[int] = []
-        a0 = -1
-        color = 0
-        lo = 0  # monotonic cursor into ref (a0 strictly increases)
-        nref = len(ref)
-        while a0 < columns:
-            while lo < nref and ref[lo] <= a0:
-                lo += 1
-            i = lo if (lo & 1) == color else lo + 1
-            b1 = ref[i] if i < nref else columns
-            hit = _MODE_LUT[br.peek(7)]
-            if hit is None:  # EOL prefix mid-row = EOFB / corrupt end
-                raise ValueError("CCITT: unexpected EOL in G4 row")
-            mode, length = hit
-            br.skip(length)
-            if mode == "h":  # horizontal: two MH runs
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(br, black=bool(color))
-                r2 = _read_run(br, black=not bool(color))
-                a1 = start + r1
-                a2 = a1 + r2
-                cur.append(a1 if a1 < columns else columns)
-                cur.append(a2 if a2 < columns else columns)
-                a0 = a2
-            elif mode == "p":  # pass
-                a0 = ref[i + 1] if i + 1 < nref else columns
-            else:  # vertical family
-                a1 = b1 + _V_DELTA[mode]
-                # clamp to [0, columns] (corrupt streams can overshoot)
-                c = a1 if a1 < columns else columns
-                cur.append(c if c > 0 else 0)
-                a0, color = a1, color ^ 1
+        cur = _decode_2d_row(br, ref, columns)
         out_rows.append(_row_from_transitions(cur, columns))
         ref = cur
         if rows <= 0 and br.eof():
             break
+    if rows > 0 and len(out_rows) < rows:
+        raise ValueError("CCITT: truncated image")
+    return _pack_rows(out_rows, columns, black_is_1)
+
+
+def decode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: int = 0,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Decode ITU-T T.4 §4.2.1 mixed two-dimensional data — PDF
+    ``/CCITTFaxDecode`` with ``/K > 0``. Every coded line is preceded by an
+    EOL (000000000001) plus one tag bit: 1 = the line is 1-D (MH) coded,
+    0 = 2-D coded against the previous line (same mode words as G4). The
+    EOLs make the format self-delimiting, so K itself (the encoder's cap on
+    consecutive 2-D lines) never appears on the wire. Terminates at RTC
+    (an EOL+tag immediately followed by another EOL), explicit ``rows``,
+    or data end. ``byte_align`` aligns before each EOL search."""
+    if columns <= 0 or columns > 1 << 20:
+        raise ValueError("CCITT: bad Columns")
+    if rows > 0 and rows * columns > MAX_PIXELS:
+        raise ValueError("CCITT: image exceeds pixel bound")
+    br = _BitReader(data)
+    eol = int(_EOL, 2)
+    ref: list[int] = []
+    out_rows: list[np.ndarray] = []
+    max_rows = rows if rows > 0 else max(1, MAX_PIXELS // columns)
+    while len(out_rows) < max_rows:
+        if byte_align:
+            br.align()
+        # zero fill bits are permitted before each EOL (T.4 §4.1.2)
+        found = False
+        while not br.eof():
+            if br.peek12() == eol:
+                br.skip(12)
+                found = True
+                break
+            if br.peek(1) != 0:
+                raise ValueError("CCITT: expected EOL in K>0 stream")
+            br.skip(1)
+        if not found or br.eof():
+            break
+        tag = br.read_bit()
+        if br.eof() or br.peek12() == eol:
+            break  # RTC: EOL+tag pairs with no line data between them
+        cur = _decode_1d_row(br, columns) if tag else _decode_2d_row(
+            br, ref, columns
+        )
+        out_rows.append(_row_from_transitions(cur, columns))
+        ref = cur
     if rows > 0 and len(out_rows) < rows:
         raise ValueError("CCITT: truncated image")
     return _pack_rows(out_rows, columns, black_is_1)
@@ -383,14 +458,7 @@ def decode_g3_1d(
             br.skip(12)
         if br.eof():
             break
-        pos = 0
-        color = 0
-        cur: list[int] = []
-        while pos < columns:
-            run = _read_run(br, black=bool(color))
-            pos += run
-            cur.append(min(pos, columns))
-            color ^= 1
+        cur = _decode_1d_row(br, columns)
         out_rows.append(_row_from_transitions(cur, columns))
         if rows <= 0 and br.eof():
             break
@@ -439,40 +507,105 @@ def encode_g4(
         if byte_align:
             bw.align()
         cur = _transitions(black[y])
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of the next transition > a0 for this color
-        while a0 < columns:
-            i = _b1_index(ref, a0, color)
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            # a1: next changing element on the coding line after a0
-            while ci < len(cur) and cur[ci] <= a0:
-                ci += 1
-            a1 = cur[ci] if ci < len(cur) else columns
-            if b2 < a1:  # pass mode
-                bw.write(0b0001, 4)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:  # vertical mode
-                d = a1 - b1
-                code, length = {
-                    0: (0b1, 1),
-                    1: (0b011, 3), -1: (0b010, 3),
-                    2: (0b000011, 6), -2: (0b000010, 6),
-                    3: (0b0000011, 7), -3: (0b0000010, 7),
-                }[d]
-                bw.write(code, length)
-                a0, color = a1, color ^ 1
-            else:  # horizontal mode: 001 + run(a0a1) + run(a1a2)
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
-                start = a0 if a0 > 0 else 0
-                bw.write(0b001, 3)
-                _write_run(bw, a1 - start, black=bool(color))
-                _write_run(bw, a2 - a1, black=not bool(color))
-                a0 = a2
+        _encode_2d_row(bw, cur, ref, columns)
         ref = cur
     bw.write(int(_EOL, 2), 12)  # EOFB = two EOLs
     bw.write(int(_EOL, 2), 12)
+    return bw.getvalue()
+
+
+def _encode_2d_row(
+    bw: _BitWriter, cur: list[int], ref: list[int], columns: int
+) -> None:
+    """Emit one 2-D-coded row (T.6 mode words) for changing elements
+    ``cur`` against reference line ``ref``."""
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of the next transition > a0 for this color
+    while a0 < columns:
+        i = _b1_index(ref, a0, color)
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        # a1: next changing element on the coding line after a0
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else columns
+        if b2 < a1:  # pass mode
+            bw.write(0b0001, 4)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:  # vertical mode
+            d = a1 - b1
+            code, length = {
+                0: (0b1, 1),
+                1: (0b011, 3), -1: (0b010, 3),
+                2: (0b000011, 6), -2: (0b000010, 6),
+                3: (0b0000011, 7), -3: (0b0000010, 7),
+            }[d]
+            bw.write(code, length)
+            a0, color = a1, color ^ 1
+        else:  # horizontal mode: 001 + run(a0a1) + run(a1a2)
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+            start = a0 if a0 > 0 else 0
+            bw.write(0b001, 3)
+            _write_run(bw, a1 - start, black=bool(color))
+            _write_run(bw, a2 - a1, black=not bool(color))
+            a0 = a2
+
+
+def _encode_1d_row(bw: _BitWriter, cur: list[int], columns: int) -> None:
+    """Emit one 1-D MH-coded row for changing elements ``cur``."""
+    pos = 0
+    color = 0
+    for t in cur + [columns]:
+        _write_run(bw, t - pos, black=bool(color))
+        pos = t
+        color ^= 1
+        if pos >= columns:
+            break
+
+
+def encode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: int,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+    k: int = 4,
+) -> bytes:
+    """Encode packed 1-bpp rows as ITU-T T.4 §4.2.1 mixed two-dimensional
+    data (PDF ``/K > 0``): every line gets EOL + tag bit, lines at indices
+    divisible by ``k`` are 1-D coded and the rest 2-D coded (so at most
+    k-1 consecutive 2-D lines, the spec's constraint for /K = k). Ends
+    with RTC (six EOL+1). ``byte_align`` pads to a byte boundary before
+    each EOL."""
+    if k <= 0:
+        raise ValueError("CCITT: encode_g3_2d requires k > 0")
+    black = _unpack_rows(data, columns, rows, black_is_1)
+    bw = _BitWriter()
+    eol = int(_EOL, 2)
+    ref: list[int] = []
+    for y in range(rows):
+        if byte_align:
+            bw.align()
+        one_d = y % k == 0
+        bw.write(eol, 12)
+        bw.write(1 if one_d else 0, 1)
+        cur = _transitions(black[y])
+        if one_d:
+            _encode_1d_row(bw, cur, columns)
+        else:
+            _encode_2d_row(bw, cur, ref, columns)
+        ref = cur
+    # RTC: six EOL+1 with no fill BETWEEN entries (alignment only before
+    # the first, like any other EOL) — the decoder detects RTC as an
+    # EOL+tag immediately followed by another EOL, so padding between
+    # entries would defeat rows=0 termination. Real PDFs carry /Rows and
+    # stop before RTC anyway.
+    if byte_align:
+        bw.align()
+    for _ in range(6):
+        bw.write(eol, 12)
+        bw.write(1, 1)
     return bw.getvalue()
 
 
@@ -490,13 +623,5 @@ def encode_g3_1d(
     for y in range(rows):
         if byte_align:
             bw.align()
-        cur = _transitions(black[y]) + [columns]
-        pos = 0
-        color = 0
-        for t in cur:
-            _write_run(bw, t - pos, black=bool(color))
-            pos = t
-            color ^= 1
-            if pos >= columns:
-                break
+        _encode_1d_row(bw, _transitions(black[y]), columns)
     return bw.getvalue()

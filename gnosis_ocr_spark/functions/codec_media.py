@@ -140,6 +140,248 @@ def mp4_duration(data: bytes) -> float:
     return dur
 
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each box in [start, end);
+    handles 64-bit largesize and size-0 (to end) boxes, stops on corrupt
+    sizes instead of looping."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _child(buf: bytes, start: int, end: int, fourcc: bytes):
+    for bt, bs, be in _walk_boxes(buf, start, end):
+        if bt == fourcc:
+            return bs, be
+    return None
+
+
+MAX_VIDEO_SAMPLES = 1_000_000  # hostile-input bound: stsz can claim 2^32
+
+
+def mp4_video_samples(data: bytes) -> dict:
+    """Container-level video sample map from the first ``vide`` track's
+    sample tables (ISO 14496-12 §8.5-8.7): per-sample file offset, size,
+    decode timestamp, and sync (keyframe) flag, reconstructed from
+    stsd/stts/stss/stsz/stsc/stco|co64. This is the real work a frame
+    sampler does BEFORE any codec touches bytes — locating keyframes in a
+    100 TB crawl without decoding is exactly this table walk. Timestamps
+    are decode times (ctts composition offsets ignored — sync samples are
+    IDR frames where dt == pt for the common case). Returns ``{"codec",
+    "width", "height", "timescale", "samples": [(offset, size, ts_sec,
+    is_sync), ...]}``. Raises ValueError when no parseable video track
+    exists (callers fall back to their stub path)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for bt, bs, be in _walk_boxes(data, *moov):
+        if bt != b"trak":
+            continue
+        mdia = _child(data, bs, be, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _child(data, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak without mdhd")
+        ver = data[mdhd[0]]
+        timescale = struct.unpack(
+            ">I", data[mdhd[0] + (20 if ver else 12) :][:4]
+        )[0]
+        if timescale == 0:
+            raise ValueError("zero timescale")
+        minf = _child(data, *mdia, b"minf")
+        stbl = minf and _child(data, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("video trak without stbl")
+
+        def table(fourcc: bytes) -> tuple[int, int] | None:
+            return _child(data, *stbl, fourcc)
+
+        stsd = table(b"stsd")
+        codec, width, height = "unknown", None, None
+        if stsd:
+            # full box (4) + entry_count (4) + first sample entry
+            es = stsd[0] + 8
+            if es + 34 <= stsd[1]:
+                codec = data[es + 4 : es + 8].decode("latin-1")
+                width, height = struct.unpack(">HH", data[es + 32 : es + 36])
+        stsz = table(b"stsz")
+        if stsz is None:
+            raise ValueError("no stsz")
+        fixed_size, count = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
+        if count > MAX_VIDEO_SAMPLES:
+            raise ValueError("sample count exceeds bound")
+        if fixed_size:
+            sizes = [fixed_size] * count
+        else:
+            sizes = list(
+                struct.unpack(
+                    ">%dI" % count, data[stsz[0] + 12 : stsz[0] + 12 + 4 * count]
+                )
+            )
+        # decode timestamps from stts run-lengths
+        stts = table(b"stts")
+        if stts is None:
+            raise ValueError("no stts")
+        (n_runs,) = struct.unpack(">I", data[stts[0] + 4 : stts[0] + 8])
+        ts_list: list[int] = []
+        t = 0
+        p = stts[0] + 8
+        for _ in range(min(n_runs, count)):
+            cnt, delta = struct.unpack(">II", data[p : p + 8])
+            p += 8
+            for _ in range(min(cnt, count - len(ts_list))):
+                ts_list.append(t)
+                t += delta
+        while len(ts_list) < count:  # short stts: extend with last delta
+            ts_list.append(t)
+            t += delta if n_runs else 1
+        # sync table (absent = every sample is sync, §8.6.2)
+        stss = table(b"stss")
+        if stss is None:
+            sync = set(range(1, count + 1))
+        else:
+            (n_sync,) = struct.unpack(">I", data[stss[0] + 4 : stss[0] + 8])
+            sync = set(
+                struct.unpack(
+                    ">%dI" % n_sync, data[stss[0] + 8 : stss[0] + 8 + 4 * n_sync]
+                )
+            )
+        # chunk offsets (stco 32-bit / co64 64-bit)
+        stco = table(b"stco")
+        wide = False
+        if stco is None:
+            stco = table(b"co64")
+            wide = True
+        stsc = table(b"stsc")
+        if stco is None or stsc is None:
+            raise ValueError("no stco/stsc")
+        (n_chunks,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
+        fmt = ">%d%s" % (n_chunks, "Q" if wide else "I")
+        width_b = 8 if wide else 4
+        chunk_off = struct.unpack(
+            fmt, data[stco[0] + 8 : stco[0] + 8 + width_b * n_chunks]
+        )
+        (n_sc,) = struct.unpack(">I", data[stsc[0] + 4 : stsc[0] + 8])
+        sc_runs = [
+            struct.unpack(">III", data[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i])
+            for i in range(n_sc)
+        ]
+        samples: list[tuple[int, int, float, bool]] = []
+        si = 0  # 0-based sample index
+        for ci in range(n_chunks):
+            # samples_per_chunk for chunk ci+1: last run with first_chunk <= ci+1
+            per = 0
+            for first, cnt, _desc in sc_runs:
+                if first <= ci + 1:
+                    per = cnt
+                else:
+                    break
+            off = chunk_off[ci]
+            for _ in range(per):
+                if si >= count:
+                    break
+                samples.append(
+                    (off, sizes[si], ts_list[si] / timescale, (si + 1) in sync)
+                )
+                off += sizes[si]
+                si += 1
+        return {
+            "codec": codec,
+            "width": width,
+            "height": height,
+            "timescale": timescale,
+            "samples": samples,
+        }
+    raise ValueError("no video track")
+
+
+def build_mp4_video(
+    payloads: list[bytes],
+    fps: int = 10,
+    width: int = 64,
+    height: int = 48,
+    sync_every: int = 5,
+    timescale: int = 1000,
+) -> bytes:
+    """Fixture writer: valid ISO-BMFF with one ``vide`` track carrying the
+    given sample payloads in a single mdat chunk — full stsd(avc1+avcC)/
+    stts/stss/stsz/stsc/stco tables so :func:`mp4_video_samples` (and any
+    real demuxer) can locate every sample. Payload bytes are opaque (tests
+    use deterministic fakes — no H.264 encoder here, by design)."""
+    n = len(payloads)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    mdat_body = b"".join(payloads)
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    mdat = struct.pack(">I", 8 + len(mdat_body)) + b"mdat"
+    first_off = len(ftyp) + 8  # payloads start right after the mdat header
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def full(fourcc: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(fourcc, bytes([ver, 0, 0, 0]) + body)
+
+    delta = timescale // fps
+    dur = n * delta
+    mvhd = full(b"mvhd", struct.pack(">II", 0, 0) + struct.pack(">II", timescale, dur)
+                + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(">II", 0, 0) + struct.pack(">II", 1, 0)
+                + struct.pack(">I", dur) + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+                + struct.pack(">II", width << 16, height << 16), ver=0)
+    mdhd = full(b"mdhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, dur) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"VideoHandler\x00")
+    # stsd: one avc1 visual sample entry with a minimal avcC config record
+    avcc = box(b"avcC", bytes([1, 66, 0, 30, 0xFF, 0xE1, 0, 2, 0x67, 0x42,
+                               1, 0, 2, 0x68, 0xCE]))
+    avc1_body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+                 + struct.pack(">H", 0x18) + struct.pack(">h", -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"avc1", avc1_body + avcc))
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    syncs = list(range(1, n + 1, sync_every))
+    stss = full(b"stss", struct.pack(">I", len(syncs))
+                + struct.pack(">%dI" % len(syncs), *syncs))
+    stsz = full(b"stsz", struct.pack(">II", 0, n)
+                + struct.pack(">%dI" % n, *[len(p) for p in payloads]))
+    stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stco = full(b"stco", struct.pack(">I", 1) + struct.pack(">I", first_off))
+    stbl = box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0))
+    # dref with one self-contained url entry (flags bit 0 = data in file)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + struct.pack(">I", 12) + b"url \x00\x00\x00\x01"))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + mdat_body + moov
+
+
 def build_mp4(duration_sec: float, timescale: int = 1000) -> bytes:
     """Fixture writer: minimal valid ISO-BMFF file — ftyp + moov(mvhd)."""
     dur = int(round(duration_sec * timescale))

@@ -938,9 +938,11 @@ def build_pdf_scanned(
     width/height >= 128 so page text fits): ``'g4'`` = /CCITTFaxDecode
     /K -1 (ITU-T T.6 via codec_ccitt); ``'g4_black1'`` = G4 with
     /BlackIs1 true plus the matching /Decode [1 0] normalization;
-    ``'g4_align'`` = G4 with /EncodedByteAlign true; ``'raw1'`` =
-    FlateDecode-compressed raw 1-bit DeviceGray samples; ``'raw1_mask'``
-    = the same samples as an /ImageMask stencil (no ColorSpace).
+    ``'g4_align'`` = G4 with /EncodedByteAlign true; ``'g3_2d'`` =
+    /K 4 mixed two-dimensional G3 (T.4 §4.2.1, EOL+tag-bit lines — the
+    fax-originated shape); ``'raw1'`` = FlateDecode-compressed raw 1-bit
+    DeviceGray samples; ``'raw1_mask'`` = the same samples as an
+    /ImageMask stencil (no ColorSpace).
     """
     import zlib
 
@@ -1044,6 +1046,17 @@ def build_pdf_scanned(
                 + (b" /EncodedByteAlign true" if align else b"")
             )
             extra += b"/DecodeParms << %s >> " % parms
+            filt = b"/CCITTFaxDecode"
+        elif image_filter == "g3_2d":
+            from gnosis_ocr_spark.functions.codec_ccitt import encode_g3_2d
+
+            packed = encode_scan_bits(page_text_, width, height)
+            data = encode_g3_2d(packed, width, height, k=4)
+            bpc = 1
+            extra += (
+                b"/DecodeParms << /K 4 /Columns %d /Rows %d >> "
+                % (width, height)
+            )
             filt = b"/CCITTFaxDecode"
         elif image_filter in ("raw1", "raw1_mask"):
             packed = encode_scan_bits(page_text_, width, height)
@@ -1787,10 +1800,10 @@ class PdfImage:
     after the decodable prefix of the chain — opaque bytes + typed metadata.
     Downstream, ``operators/pdf_split._gray_pixels`` decodes ``'dct'``
     payloads in-engine via :mod:`codec_jpeg` (baseline sequential +
-    progressive); CCITT G4/G3 decodes right here in the filter chain via
-    :mod:`codec_ccitt` (so those arrive as ``codec='raw'`` 1-bit); only
-    genuinely undecodable codecs (JPX/JBIG2, /K>0 mixed G3) stay
-    opaque."""
+    progressive); CCITT G4 / G3 1-D / K>0 mixed 2-D all decode right here
+    in the filter chain via :mod:`codec_ccitt` (so those arrive as
+    ``codec='raw'`` 1-bit); only genuinely undecodable codecs (JPX/JBIG2)
+    stay opaque."""
 
     width: int
     height: int
@@ -2535,6 +2548,7 @@ def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
         align = bool(am) and am.group(1) == b"true"
         from gnosis_ocr_spark.functions.codec_ccitt import (
             decode_g3_1d,
+            decode_g3_2d,
             decode_g4,
         )
 
@@ -2542,7 +2556,8 @@ def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
             return decode_g4(raw, columns, rows, black_is_1, align)
         if k == 0:  # 1-D MH (ITU-T T.4)
             return decode_g3_1d(raw, columns, rows, black_is_1, align)
-        return None  # mixed 2-D G3 (K>0): rare in PDFs, opaque carry
+        # mixed 2-D G3 (K>0, T.4 §4.2.1): EOL+tag-bit per line
+        return decode_g3_2d(raw, columns, rows, black_is_1, align)
     return None
 
 

@@ -11,7 +11,10 @@ Sniffing is real: magic-byte dispatch for PNG/JPEG/GIF/WAV/MP4. As of
 round 4 the metadata layer is REAL for every sniffed type (PNG/JPEG/GIF
 dimensions, WAV/MP4 duration — functions/codec_media.py, codec_jpeg.py),
 pixel decode is real for PNG/baseline-JPEG/GIF, and audio features are
-real DSP over 16-bit PCM. Only full VIDEO decode (H.264 frames) remains a
+real DSP over 16-bit PCM. Video keyframe SAMPLING is real at the
+container level (round 5): sample_frames walks the MP4 sample tables
+(codec_media.mp4_video_samples) and emits actual encoded keyframe bytes
++ true timestamps. Only pixel decode of those payloads (H.264) remains a
 deterministic fake — an honest container bound, clearly marked in
 sample_frames.
 """
@@ -235,7 +238,10 @@ RESIZED_SCHEMA = (
     "url string, media_type string, width int, height int, data binary, "
     "status string"
 )
-FRAME_SCHEMA = "url string, frame_no int, ts_sec double, frame binary"
+FRAME_SCHEMA = (
+    "url string, frame_no int, ts_sec double, frame binary, "
+    "payload binary, is_sync boolean, codec string"
+)
 
 
 def _resize_gray_nn(px: bytes, w: int, h: int, max_dim: int) -> tuple[bytes, int, int]:
@@ -362,19 +368,59 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
     real ffmpeg-backed sampler uses: rows multiply inside the partition, no
     driver involvement, downstream image ops consume the frame column).
 
-    STUB decode: frames are deterministic real PNGs derived from the video
-    bytes + timestamp (no ffmpeg in this container); duration comes from the
-    stub metadata decoder. Non-video rows emit nothing."""
+    Container-level sampling is REAL: when the MP4 carries a parseable
+    video track (codec_media.mp4_video_samples), the sampler walks the
+    stss/stsz/stsc/stco tables and emits the actual encoded keyframe bytes
+    (``payload``), true timestamps, and the codec fourcc — selecting sync
+    samples at >= every_sec spacing, exactly what a 100 TB pipeline does
+    before shipping keyframes to GPU decoders. Pixel DECODE of those
+    payloads stays stubbed (no H.264 decoder in this container — the
+    ``frame`` column is a deterministic real PNG derived from the payload
+    bytes + timestamp). Table-less MP4s fall back to mvhd-duration pacing
+    with ``payload`` null / ``codec`` 'stub'. Non-video rows emit
+    nothing."""
     from gnosis_ocr_spark.functions.codec_png import encode_page_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        cols = ("url", "frame_no", "ts_sec", "frame", "payload", "is_sync",
+                "codec")
         for b in it:
-            rows = {k: [] for k in ("url", "frame_no", "ts_sec", "frame")}
+            rows = {k: [] for k in cols}
             for url, blob in zip(b["url"], b["data"]):
                 data = bytes(blob) if blob is not None else b""
                 if sniff_media_type(data) != "video/mp4":
+                    continue
+                sig = zlib.crc32(data)
+                try:
+                    from gnosis_ocr_spark.functions.codec_media import (
+                        mp4_video_samples,
+                    )
+
+                    info = mp4_video_samples(data)
+                except Exception:
+                    info = None
+                if info is not None:
+                    picked: list[tuple[int, int, float, bool]] = []
+                    next_ts = 0.0
+                    for off, size, ts, sync in info["samples"]:
+                        if not sync or ts < next_ts:
+                            continue
+                        picked.append((off, size, ts, sync))
+                        next_ts = ts + every_sec
+                        if len(picked) >= max_frames:
+                            break
+                    for i, (off, size, ts, sync) in enumerate(picked):
+                        rows["url"].append(url)
+                        rows["frame_no"].append(i)
+                        rows["ts_sec"].append(round(ts, 3))
+                        rows["payload"].append(data[off : off + size])
+                        rows["is_sync"].append(sync)
+                        rows["codec"].append(info["codec"])
+                        rows["frame"].append(
+                            encode_page_png(f"frame:{sig}:{i}", 32, 32)
+                        )
                     continue
                 try:  # REAL duration from the mvhd box when parseable
                     from gnosis_ocr_spark.functions.codec_media import (
@@ -385,12 +431,14 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
                 except Exception:
                     _, _, dur = _decode_stub_meta(data)
                 n = min(max_frames, max(1, int((dur or 0) / every_sec)))
-                sig = zlib.crc32(data)
                 for i in range(n):
                     ts = round(i * every_sec, 3)
                     rows["url"].append(url)
                     rows["frame_no"].append(i)
                     rows["ts_sec"].append(ts)
+                    rows["payload"].append(None)
+                    rows["is_sync"].append(None)
+                    rows["codec"].append("stub")
                     # STUB frame: deterministic, decodable PNG
                     rows["frame"].append(encode_page_png(f"frame:{sig}:{i}", 32, 32))
             yield pd.DataFrame(rows)

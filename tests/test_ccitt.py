@@ -126,7 +126,7 @@ PAGES = ["ccitt scanned page one\nline two", "page two body"]
 
 
 @pytest.mark.parametrize(
-    "variant", ["g4", "g4_black1", "g4_align", "raw1", "raw1_mask"]
+    "variant", ["g4", "g4_black1", "g4_align", "g3_2d", "raw1", "raw1_mask"]
 )
 def test_bilevel_scanned_variants_extract_exact_text(variant):
     """Every bilevel writer shape — G4 (plain, /BlackIs1 + /Decode [1 0],
@@ -181,15 +181,66 @@ def test_gray_pixels_unpacks_2_and_4_bit_depths():
         assert list(px) == expect
 
 
-def test_k_positive_mixed_g3_stays_opaque_carry():
-    """/K > 0 (mixed 2-D G3) is rare in PDFs and undecoded: the image must
-    carry opaque ('ccittfax') — never garbage, never a crash."""
-    pdf = P.build_pdf_scanned(PAGES[:1], width=128, height=128, image_filter="g4")
-    pdf = pdf.replace(b"/K -1", b"/K 1\x20")
+def test_k_positive_mixed_g3_decodes_and_mislabel_degrades_clean():
+    """/K > 0 (mixed 2-D G3, T.4 §4.2.1) decodes in-engine now; a stream
+    whose bits don't actually carry EOL+tag lines (G4 bits mislabeled
+    /K 1) must degrade to a clean no-image page — never garbage text,
+    never a crash."""
+    pdf = P.build_pdf_scanned(
+        PAGES[:1], width=128, height=128, image_filter="g3_2d"
+    )
     [(spans, images)] = P.extract_pages_with_images(pdf)
     [img] = images
-    assert img.codec == "ccittfax"
-    assert _scan_png(images) is None  # honest degradation: empty text
+    assert img.codec == "raw" and img.bits == 1
+    assert G.decode_scan_png_text(_scan_png(images)) == PAGES[0]
+
+    bad = P.build_pdf_scanned(PAGES[:1], width=128, height=128, image_filter="g4")
+    bad = bad.replace(b"/K -1", b"/K 1\x20")
+    [(spans_b, images_b)] = P.extract_pages_with_images(bad)
+    assert images_b == []  # decoder raised -> failure sentinel, no image
+    assert _scan_png(images_b) is None  # honest degradation: empty text
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.booleans(),
+       st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_g3_2d_roundtrip_property(seed, black_is_1, byte_align, k):
+    """K>0 mixed-mode roundtrip across 1-D/2-D line mixes (k=1 -> all 1-D,
+    k large -> mostly 2-D), both polarities, both alignments, and rows=0
+    RTC termination."""
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(1, 200))
+    h = int(rng.integers(1, 30))
+    black = _rand_bilevel(rng, w, h)
+    packed = np.packbits(black if black_is_1 else ~black, axis=1).tobytes()
+    enc = C.encode_g3_2d(packed, w, h, black_is_1, byte_align, k=k)
+    assert C.decode_g3_2d(enc, w, h, black_is_1, byte_align) == packed
+    # rows=0: row count recovered from RTC
+    assert C.decode_g3_2d(enc, w, 0, black_is_1, byte_align) == packed
+
+
+def test_g3_2d_spec_bits_hand_derived():
+    """Hand-derived from ITU-T T.4 §4.2.1: each line = EOL (000000000001)
+    + tag (1 = 1-D). An all-white 8x2 image with k=1: line 1 = EOL+1 +
+    MH white-8 (10011); RTC = six EOL+1."""
+    white = np.packbits(~np.zeros((2, 8), dtype=bool), axis=1).tobytes()
+    bits = "".join(f"{b:08b}" for b in C.encode_g3_2d(white, 8, 2, k=1))
+    line = "000000000001" + "1" + "10011"
+    assert bits.startswith(line + line + ("000000000001" + "1") * 6)
+    # k=2: second line is 2-D coded -> EOL+0 + V0 (all-white vs all-white)
+    bits2 = "".join(f"{b:08b}" for b in C.encode_g3_2d(white, 8, 2, k=2))
+    assert bits2.startswith(line + "000000000001" + "0" + "1")
+
+
+@given(st.integers(0, 10**6), st.binary(min_size=1, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_mutated_g3_2d_never_escapes_exception_contract(seed, junk):
+    try:
+        C.decode_g3_2d(junk, 1 + seed % 300, 0)
+    except (RecursionError, MemoryError):
+        raise
+    except ValueError:
+        pass
 
 
 def test_frozen_g4_golden_extracts_end_to_end(spark):

@@ -306,3 +306,81 @@ def test_cross_format_near_dup_via_media_features(spark):
         assert set(ranked[:2]) == a_all - {q}, (q, by_query[q])
         sims = dict(by_query[q])
         assert all(sims[o] > 0.99 for o in a_all - {q}), by_query[q]
+
+
+def test_mp4_video_sample_table_roundtrip():
+    """build_mp4_video writes full stsd/stts/stss/stsz/stsc/stco tables;
+    mp4_video_samples recovers every sample's exact bytes, true decode
+    timestamp, and sync flag — the container-level keyframe map a 100 TB
+    frame sampler needs before any codec runs."""
+    from gnosis_ocr_spark.functions.codec_media import (
+        build_mp4_video,
+        mp4_duration,
+        mp4_video_samples,
+    )
+
+    payloads = [bytes([i]) * (20 + 3 * i) for i in range(12)]
+    mp4 = build_mp4_video(payloads, fps=10, width=64, height=48, sync_every=5)
+    info = mp4_video_samples(mp4)
+    assert info["codec"] == "avc1"
+    assert (info["width"], info["height"]) == (64, 48)
+    assert len(info["samples"]) == len(payloads)
+    for i, (off, size, ts, sync) in enumerate(info["samples"]):
+        assert mp4[off : off + size] == payloads[i]
+        assert abs(ts - i * 0.1) < 1e-9
+        assert sync == (i % 5 == 0)
+    # mvhd duration agrees with the track's sample count / fps
+    assert abs(mp4_duration(mp4) - 1.2) < 1e-9
+    # no-stss variant: every sample is sync (ISO 14496-12 §8.6.2)
+    import re as _re
+
+    no_stss = _re.sub(
+        rb"(....)stss", rb"\1free", mp4, count=1, flags=_re.DOTALL
+    )
+    info2 = mp4_video_samples(no_stss)
+    assert all(s[3] for s in info2["samples"])
+
+
+def test_mp4_video_samples_hostile_and_absent():
+    from gnosis_ocr_spark.functions.codec_media import (
+        build_mp4,
+        mp4_video_samples,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mp4_video_samples(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
+    with _pytest.raises(ValueError):  # audio-only / no video trak
+        mp4_video_samples(build_mp4(3.0))
+    with _pytest.raises(ValueError):
+        mp4_video_samples(b"not a video at all")
+
+
+def test_sample_frames_real_keyframe_payloads(spark):
+    """sample_frames over a sample-table MP4 emits the ACTUAL encoded
+    keyframe bytes with true timestamps and codec fourcc; the table-less
+    MP4 falls back to the stub path with payload null."""
+    from gnosis_ocr_spark.functions.codec_media import build_mp4, build_mp4_video
+    from gnosis_ocr_spark.operators.multimodal import sample_frames
+
+    payloads = [bytes([0x65, i]) * 30 for i in range(20)]
+    real = build_mp4_video(payloads, fps=10, sync_every=5)  # syncs at 0,5,10,15
+    legacy = build_mp4(2.0)
+    df = spark.createDataFrame(
+        [("real", bytearray(real)), ("legacy", bytearray(legacy))],
+        schema="url string, data binary",
+    )
+    rows = sample_frames(df, every_sec=0.25, max_frames=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["url"], []).append(r)
+    real_rows = sorted(got["real"], key=lambda r: r["frame_no"])
+    # sync samples are 0.1 s apart in sync index steps of 5 -> 0.0, 0.5, 1.0
+    assert [r["ts_sec"] for r in real_rows] == [0.0, 0.5, 1.0]
+    assert [bytes(r["payload"]) for r in real_rows] == [
+        payloads[0], payloads[5], payloads[10]
+    ]
+    assert all(r["is_sync"] and r["codec"] == "avc1" for r in real_rows)
+    legacy_rows = got["legacy"]
+    assert all(r["payload"] is None and r["codec"] == "stub" for r in legacy_rows)
