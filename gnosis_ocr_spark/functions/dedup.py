@@ -588,17 +588,41 @@ def connected_components(
     recomputing). Pass a reliable directory (HDFS/object store) to switch to
     ``checkpoint()``, which survives executor loss — the right choice for any
     long multi-executor run; localCheckpoint remains the low-latency local
-    default."""
+    default.
+
+    Superseded rounds are unpersisted EAGERLY (only the final label table
+    stays pinned): localCheckpoint blocks are otherwise held until the
+    async ContextCleaner notices the dropped references, so every round of
+    every clustering call would stack ~3 materialized tables into executor
+    storage — measured here as a broad slowdown of every query that shares
+    the session afterwards, and at 100 TB the same residue evicts useful
+    cache and forces shuffle spill."""
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {
+            e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()
+        }
+
+    def _unpersist(ids: set[int]) -> None:
+        for e in jsc.getPersistentRDDs().entrySet().toArray():
+            if e.getKey() in ids:
+                e.getValue().unpersist(False)
+
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-        def _save(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _save(df: DataFrame) -> tuple[DataFrame, set[int]]:
+            # reliable checkpoint: files, not storage blocks — cleanup is
+            # spark.cleaner.referenceTracking.cleanCheckpoints territory
+            return df.checkpoint(eager=True), set()
 
     else:
 
-        def _save(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _save(df: DataFrame) -> tuple[DataFrame, set[int]]:
+            before = _persistent_ids()
+            out = df.localCheckpoint(eager=True)
+            return out, _persistent_ids() - before
 
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -606,7 +630,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    labels = _save(labels)
+    labels, cur_ids = _save(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -625,7 +649,7 @@ def connected_components(
         # materialize before the self-join below: both sides of the
         # pointer-jump reference this plan and would execute the
         # propagation join twice per round otherwise
-        stepped = _save(stepped)
+        stepped, stepped_ids = _save(stepped)
         # pointer jumping: follow the label's own label (comp[comp]) — the
         # doubling step that turns O(diameter) convergence into O(log d)
         parent = stepped.select(
@@ -640,14 +664,17 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        new_labels = _save(new_labels)
+        new_labels, new_ids = _save(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        # this round's intermediate + the superseded label table are dead
+        # now that new_labels is materialized and the count consumed both
+        _unpersist(stepped_ids | cur_ids)
+        labels, cur_ids = new_labels, new_ids
         if changed == 0:
             break
     else:
