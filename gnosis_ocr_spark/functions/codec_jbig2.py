@@ -1,0 +1,651 @@
+"""JBIG2 (ITU-T T.88) generic-region codec — the embedded stream format PDF
+``/JBIG2Decode`` carries.
+
+JBIG2 is the other dominant scanned-B/W encoding in real-crawl PDFs (next
+to CCITT G4): the reference rasterizes those pages transparently via
+poppler (/root/reference/app/jobs.py:386-390). This module is a
+from-scratch implementation of the public ITU-T T.88 specification — the
+MQ arithmetic coder (Annex E, the same coder JPEG 2000 uses), generic
+region decoding (§6.2) with all four GB templates, adaptive (AT) pixels
+and typical-prediction (TPGDON), and the embedded-organization segment
+layer (§7.2, the headerless form PDF uses). Both the encoder (fixture
+writer + property tests) and the decoder (the crawl-facing path behind
+codec_pdf's ``_apply_one_filter``) live here, mirroring codec_ccitt.
+
+Scope: generic regions only — arithmetic (MQ) and MMR variants (MMR
+reuses the T.6 coder from codec_ccitt). Symbol-dictionary / text-region /
+halftone / refinement segments raise ValueError, which codec_pdf maps to
+the opaque carry (same honest degradation as JPX). Those subsets need the
+segment-spanning symbol state real encoders put in /JBIG2Globals; a
+stream that references globals is likewise carried opaque.
+
+Bit conventions
+---------------
+JBIG2 bitmaps are 1 = black (T.88 §4). PDF's imaging model feeds 1-bit
+/DeviceGray where sample 0 = black, so :func:`decode_jbig2` inverts on
+the way out and :func:`encode_jbig2_generic` inverts on the way in — the
+packed rows at this API boundary use the PDF sample convention (0 bit =
+black, rows padded to byte boundaries, stride = ceil(columns/8)), exactly
+like codec_ccitt's defaults.
+
+Throughput honesty: MQ decoding is inherently per-pixel (one arithmetic
+decision per pixel — there is no run-length shortcut like fax MH/MMR), so
+the decoder is O(pixels) Python with an incremental-context fast path for
+nominal AT positions. Same honesty class as codec_jpeg's entropy decoder;
+the jbig2dec swap seam is the same.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_PIXELS = 50_000_000  # hostile-input allocation bound (codec_jpeg rationale)
+
+# ---------------------------------------------------------------------------
+# MQ-coder probability state table (ITU-T T.88 Table E.1; identical to
+# JPEG 2000 T.800 Table C.2): (Qe, NMPS, NLPS, SWITCH) per state.
+# ---------------------------------------------------------------------------
+
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class _MQDecoder:
+    """MQ arithmetic decoder (T.88 Annex E software conventions: INITDEC /
+    DECODE / BYTEIN / RENORMD). Context state lives in a caller-owned
+    bytearray of ``(index << 1) | MPS`` cells so independent context sets
+    (region vs TPGDON) share one decoder. Reads past the end of ``data``
+    feed 1-bits per the spec's marker convention."""
+
+    __slots__ = ("data", "n", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.n = len(data)
+        self.bp = 0
+        b0 = data[0] if self.n > 0 else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp, n = self.data, self.bp, self.n
+        b = data[bp] if bp < n else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < n else 0xFF
+            if b1 > 0x8F:  # marker / end of data: feed 1-bits, don't advance
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            self.c += (data[bp + 1] if bp + 1 < n else 0xFF) << 8
+            self.ct = 8
+
+    def decode(self, states: bytearray, cx: int) -> int:
+        st = states[cx]
+        icx = st >> 1
+        mps = st & 1
+        qe, nmps, nlps, switch = _QE[icx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS sub-interval selected (conditional exchange per size)
+            if self.a < qe:
+                d = mps
+                states[cx] = (nmps << 1) | mps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                states[cx] = (nlps << 1) | mps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                states[cx] = (nlps << 1) | mps
+            else:
+                d = mps
+                states[cx] = (nmps << 1) | mps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class _MQEncoder:
+    """MQ arithmetic encoder (T.88 Annex E: INITENC / CODEMPS / CODELPS /
+    BYTEOUT / FLUSH). The leading sentinel byte models the spec's B at
+    BPST-1; the coder invariant C < A·2^k keeps carries out of it."""
+
+    __slots__ = ("_out", "a", "c", "ct")
+
+    def __init__(self) -> None:
+        self._out = bytearray([0])
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+
+    def _byteout(self) -> None:
+        out = self._out
+        if out[-1] == 0xFF:  # bit-stuff after 0xFF: next byte carries 7 bits
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:  # carry: propagate into the finished byte (at most one step)
+            out[-1] += 1
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def encode(self, states: bytearray, cx: int, d: int) -> None:
+        st = states[cx]
+        icx = st >> 1
+        mps = st & 1
+        qe, nmps, nlps, switch = _QE[icx]
+        self.a -= qe
+        if d == mps:  # CODEMPS
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            states[cx] = (nmps << 1) | mps
+        else:  # CODELPS
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps ^= 1
+            states[cx] = (nlps << 1) | mps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS (T.88 E.2.9): push C to the largest value inside [C, C+A)
+        # whose low 16 bits are all ones, then clock out the remainder
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        return bytes(self._out[1:])
+
+
+# ---------------------------------------------------------------------------
+# Generic region templates (T.88 §6.2.5.3, Figures 4-7). Each entry is the
+# context's bit layout, most-significant first, in the spec figure's
+# reading order (top row left-to-right, then down). AT pixels keep their
+# figure slot regardless of where the A_k coordinates actually point.
+# 'a1'..'a4' name AT slots; pairs are fixed (dx, dy) offsets.
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_SLOTS = (
+    # GBTEMPLATE 0: 16-bit context
+    ("a4", (-1, -2), (0, -2), (1, -2), "a3",
+     "a2", (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), "a1",
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    # GBTEMPLATE 1: 13-bit context
+    ((-1, -2), (0, -2), (1, -2), (2, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), "a1",
+     (-3, 0), (-2, 0), (-1, 0)),
+    # GBTEMPLATE 2: 10-bit context
+    ((-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), "a1",
+     (-2, 0), (-1, 0)),
+    # GBTEMPLATE 3: 10-bit context, single reference row
+    ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), "a1",
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+)
+
+# nominal AT positions (T.88 §6.2.5.3) — a1..a4 defaults per template
+_NOMINAL_AT = (
+    ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    ((3, -1),),
+    ((2, -1),),
+    ((2, -1),),
+)
+
+# TPGDON pseudo-context per template (T.88 §6.2.5.7)
+_TPGD_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
+
+_N_AT = (4, 1, 1, 1)
+
+
+def _template_offsets(
+    template: int, at: tuple[tuple[int, int], ...]
+) -> list[tuple[int, int]]:
+    """Resolve a template's slot list to concrete (dx, dy) offsets, MSB
+    slot first. Validates AT pixels reference only already-decoded pixels
+    (dy < 0, or dy == 0 and dx < 0)."""
+    slots = _TEMPLATE_SLOTS[template]
+    out: list[tuple[int, int]] = []
+    for slot in slots:
+        if isinstance(slot, str):
+            dx, dy = at[int(slot[1]) - 1]
+            if dy > 0 or (dy == 0 and dx >= 0):
+                raise ValueError("JBIG2: AT pixel references undecoded area")
+        else:
+            dx, dy = slot
+        out.append((dx, dy))
+    return out
+
+
+def _decode_region_arith(
+    data: bytes,
+    width: int,
+    height: int,
+    template: int,
+    at: tuple[tuple[int, int], ...],
+    tpgdon: bool,
+) -> np.ndarray:
+    """Decode one arithmetic generic region to a (height, width) uint8
+    bitmap, 1 = black. Nominal-AT layouts take the incremental-context
+    fast path (3 shift-registers per row); any custom AT falls back to
+    the per-slot generic loop."""
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError("JBIG2: bad region dimensions")
+    n_ctx_bits = len(_TEMPLATE_SLOTS[template])
+    states = bytearray(1 << n_ctx_bits)
+    dec = _MQDecoder(data)
+    bitmap = np.zeros((height, width), dtype=np.uint8)
+    tpgd_ctx = _TPGD_CTX[template]
+    nominal = at == _NOMINAL_AT[template]
+    offsets = None if nominal else _template_offsets(template, at)
+    ltp = 0
+    decode = dec.decode
+    for y in range(height):
+        if tpgdon:
+            if decode(states, tpgd_ctx):
+                ltp ^= 1
+            if ltp:  # typical row: copy the line above (all-zero for y=0)
+                if y > 0:
+                    bitmap[y] = bitmap[y - 1]
+                continue
+        if nominal:
+            _decode_row_nominal(decode, states, bitmap, y, width, template)
+        else:
+            _decode_row_generic(decode, states, bitmap, y, width, offsets)
+    return bitmap
+
+
+# per-template (row-2 span, row-1 span, row-0 length) for nominal ATs —
+# contiguous column windows, so each row's context bits form one field
+_NOMINAL_SPANS = (
+    ((-2, 2), (-3, 3), 4),   # t0: 5 + 7 + 4 bits
+    ((-1, 2), (-2, 3), 3),   # t1: 4 + 6 + 3 bits
+    ((-1, 1), (-2, 2), 2),   # t2: 3 + 5 + 2 bits
+    (None, (-3, 2), 4),      # t3: 6 + 4 bits, single reference row
+)
+
+
+def _decode_row_nominal(
+    decode, states: bytearray, bitmap: np.ndarray, y: int, width: int,
+    template: int,
+) -> None:
+    """Incremental-context row decode for nominal AT positions: each
+    reference row's window is contiguous, so the context is three shift
+    registers updated with one new bit per column step."""
+    s2, s1, n0 = _NOMINAL_SPANS[template]
+    row = bitmap[y]
+    r1 = bitmap[y - 1] if y >= 1 else None
+    r2 = bitmap[y - 2] if y >= 2 else None
+
+    def bit(r, x: int) -> int:
+        if r is None or x < 0 or x >= width:
+            return 0
+        return int(r[x])
+
+    if s2 is not None:
+        w2 = s2[1] - s2[0] + 1
+        m2 = (1 << w2) - 1
+        c2 = 0
+        for x in range(s2[0], s2[1]):  # seed bits for x=0, minus the last
+            c2 = (c2 << 1) | bit(r2, x)
+    w1 = s1[1] - s1[0] + 1
+    m1 = (1 << w1) - 1
+    c1 = 0
+    for x in range(s1[0], s1[1]):
+        c1 = (c1 << 1) | bit(r1, x)
+    m0 = (1 << n0) - 1
+    c0 = 0  # row-0 window x-n0..x-1 is all left of x: zeros at x=0
+    sh0 = n0
+    sh1 = w1 + n0
+    for x in range(width):
+        c1 = ((c1 << 1) | bit(r1, x + s1[1])) & m1
+        if s2 is not None:
+            c2 = ((c2 << 1) | bit(r2, x + s2[1])) & m2
+            cx = (c2 << sh1) | (c1 << sh0) | c0
+        else:
+            cx = (c1 << sh0) | c0
+        d = decode(states, cx)
+        row[x] = d
+        c0 = ((c0 << 1) | d) & m0
+
+
+def _decode_row_generic(
+    decode, states: bytearray, bitmap: np.ndarray, y: int, width: int,
+    offsets: list[tuple[int, int]],
+) -> None:
+    row = bitmap[y]
+    for x in range(width):
+        cx = 0
+        for dx, dy in offsets:
+            yy = y + dy
+            xx = x + dx
+            if yy < 0 or xx < 0 or xx >= width:
+                v = 0
+            else:
+                v = int(bitmap[yy, xx])
+            cx = (cx << 1) | v
+        row[x] = decode(states, cx)
+
+
+def _encode_region_arith(
+    black: np.ndarray,
+    template: int,
+    at: tuple[tuple[int, int], ...],
+    tpgdon: bool,
+) -> bytes:
+    """Encode a (height, width) 1-=-black bitmap as one arithmetic generic
+    region. Context values are computed vectorized (every pixel is known
+    up front — only the decoder has the feedback loop), then the MQ
+    encoder consumes them pixel by pixel."""
+    height, width = black.shape
+    offsets = _template_offsets(template, at)
+    # ctx[y, x] as a sum of shifted neighbor planes; out-of-bounds = 0
+    ctx = np.zeros((height, width), dtype=np.uint32)
+    for i, (dx, dy) in enumerate(offsets):
+        shift = len(offsets) - 1 - i
+        plane = np.zeros((height, width), dtype=np.uint32)
+        ys, yd = max(0, -dy), max(0, dy)
+        xs, xd = max(0, -dx), max(0, dx)
+        h = height - abs(dy)
+        w = width - abs(dx)
+        if h > 0 and w > 0:
+            plane[ys : ys + h, xs : xs + w] = black[yd : yd + h, xd : xd + w]
+        ctx |= plane << shift
+    states = bytearray(1 << len(offsets))
+    enc = _MQEncoder()
+    tpgd_ctx = _TPGD_CTX[template]
+    ltp = 0
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        if tpgdon:
+            typical = bool(np.array_equal(black[y], prev))
+            enc.encode(states, tpgd_ctx, 1 if typical != bool(ltp) else 0)
+            ltp = typical
+            prev = black[y]
+            if typical:
+                continue
+        row = black[y]
+        crow = ctx[y]
+        encode = enc.encode
+        for x in range(width):
+            encode(states, int(crow[x]), int(row[x]))
+        if not tpgdon:
+            prev = row
+    return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Embedded-organization segment layer (T.88 §7.2): the headerless stream
+# PDF /JBIG2Decode carries — a sequence of segments, each with a header
+# (number, flags/type, referred-to list, page association, data length).
+# ---------------------------------------------------------------------------
+
+_SEG_PAGE_INFO = 48
+_SEG_GENERIC_IMMEDIATE = 38
+_SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
+_SEG_GENERIC_INTERMEDIATE = 36
+_SEG_END_OF_PAGE = 49
+_SEG_END_OF_STRIPE = 50
+_SEG_END_OF_FILE = 51
+# segment types needing symbol/pattern state we don't implement: symbol
+# dict (0), text regions (4,6,7), pattern dict (16), halftone (20,22,23),
+# refinement (40,42,43)
+_SEG_UNSUPPORTED = frozenset({0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43})
+
+
+def _seg_header(number: int, seg_type: int, page: int, length: int) -> bytes:
+    """One segment header: no referred-to segments, 1-byte page assoc."""
+    return struct.pack(">IBBBI", number, seg_type & 0x3F, 0x00, page, length)
+
+
+def encode_jbig2_generic(
+    data: bytes,
+    columns: int,
+    rows: int,
+    template: int = 0,
+    tpgdon: bool = True,
+    mmr: bool = False,
+    at: tuple[tuple[int, int], ...] | None = None,
+) -> bytes:
+    """Encode packed 1-bpp rows (PDF sample convention: 0 bit = black,
+    stride = ceil(columns/8)) as an embedded-organization JBIG2 stream —
+    page info + one immediate lossless generic region + end-of-page —
+    ready for a PDF ``/JBIG2Decode`` stream. ``mmr`` selects the T.6 MMR
+    variant (reusing codec_ccitt); otherwise the MQ arithmetic coder with
+    the given ``template``/``at``/``tpgdon``."""
+    if not 0 <= template <= 3:
+        raise ValueError("JBIG2: bad template")
+    stride = (columns + 7) // 8
+    if len(data) < stride * rows:
+        raise ValueError("JBIG2: sample buffer too small")
+    if mmr:
+        from gnosis_ocr_spark.functions.codec_ccitt import encode_g4
+
+        # MMR inside JBIG2 is T.6 row coding (T.88 §6.2.6); the trailing
+        # EOFB encode_g4 emits is tolerated by decode_g4's row-bounded loop
+        coded = encode_g4(data, columns, rows)
+        flags = 0x01
+        at_bytes = b""
+    else:
+        arr = np.frombuffer(data[: stride * rows], dtype=np.uint8)
+        bits = np.unpackbits(arr.reshape(rows, stride), axis=1)[:, :columns]
+        black = (1 - bits).astype(np.uint8)  # PDF 0-=-black → JBIG2 1-=-black
+        at = tuple(at) if at is not None else _NOMINAL_AT[template]
+        if len(at) != _N_AT[template]:
+            raise ValueError("JBIG2: wrong AT pixel count for template")
+        coded = _encode_region_arith(black, template, at, tpgdon)
+        flags = (template << 1) | (0x08 if tpgdon else 0)
+        at_bytes = b"".join(
+            struct.pack(">bb", dx, dy) for dx, dy in at
+        )
+    # region segment info (T.88 §7.4.1): w, h, x, y, combination operator
+    region_info = struct.pack(">IIIIB", columns, rows, 0, 0, 0)  # OR
+    region_data = region_info + bytes([flags]) + at_bytes + coded
+    page_info = struct.pack(">IIIIBH", columns, rows, 0, 0, 0x01, 0)
+    out = bytearray()
+    out += _seg_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+    out += page_info
+    out += _seg_header(
+        1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, len(region_data)
+    )
+    out += region_data
+    out += _seg_header(2, _SEG_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def _parse_seg_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse one segment header at ``pos``; returns (seg_type, data_length,
+    data_start, next_pos). Raises on truncation or the unknown-length
+    sentinel."""
+    if pos + 11 > len(data):
+        raise ValueError("JBIG2: truncated segment header")
+    number, flags = struct.unpack_from(">IB", data, pos)
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    pos += 5
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:  # long form: 29-bit count + retain-bit bytes
+        count = struct.unpack_from(">I", data, pos)[0] & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    pos += count * ref_size
+    pos += 4 if page_assoc_4 else 1
+    if pos + 4 > len(data):
+        raise ValueError("JBIG2: truncated segment header")
+    (length,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    if length == 0xFFFFFFFF:  # unknown-length generic region (§7.2.7)
+        raise ValueError("JBIG2: unknown segment data length unsupported")
+    if pos + length > len(data):
+        raise ValueError("JBIG2: truncated segment data")
+    return seg_type, length, pos, pos + length
+
+
+def decode_jbig2(data: bytes, globals_data: bytes = b"") -> tuple[int, int, bytes]:
+    """Decode an embedded-organization JBIG2 stream (the PDF
+    ``/JBIG2Decode`` payload) of generic regions. Returns ``(columns,
+    rows, samples)`` with ``samples`` packed 1-bpp rows in the PDF
+    /DeviceGray convention (0 bit = black) — the polarity PDF viewers
+    deliver to the imaging model (JBIG2's own bitmaps are 1 = black).
+
+    ``globals_data`` (/JBIG2Globals) is scanned for page-info defaults
+    only; any symbol/text/halftone segment in either stream raises
+    ValueError (→ opaque carry upstream)."""
+    page_w = page_h = 0
+    regions: list[tuple[int, int, int, np.ndarray]] = []
+    for blob in (globals_data, data):
+        pos = 0
+        while pos < len(blob):
+            seg_type, length, start, pos = _parse_seg_header(blob, pos)
+            body = blob[start : start + length]
+            if seg_type in _SEG_UNSUPPORTED:
+                raise ValueError(
+                    f"JBIG2: segment type {seg_type} (symbol/halftone/"
+                    "refinement) unsupported"
+                )
+            if seg_type == _SEG_PAGE_INFO:
+                if len(body) < 19:
+                    raise ValueError("JBIG2: short page info segment")
+                page_w, page_h = struct.unpack_from(">II", body, 0)
+                continue
+            if seg_type in (
+                _SEG_GENERIC_IMMEDIATE,
+                _SEG_GENERIC_IMMEDIATE_LOSSLESS,
+                _SEG_GENERIC_INTERMEDIATE,
+            ):
+                regions.append(_decode_region_segment(body))
+                continue
+            # end-of-page/stripe/file, extensions: ignore
+    if not regions:
+        raise ValueError("JBIG2: no generic region segment")
+    if page_h in (0, 0xFFFFFFFF):  # unknown/auto page height: fit regions
+        page_h = max(y + bm.shape[0] for _, y, _, bm in regions)
+    if page_w == 0:
+        page_w = max(x + bm.shape[1] for x, _, _, bm in regions)
+    if page_w * page_h > MAX_PIXELS:
+        raise ValueError("JBIG2: page exceeds pixel bound")
+    page = np.zeros((page_h, page_w), dtype=np.uint8)
+    for x, y, comb, bm in regions:
+        h, w = bm.shape
+        if y + h > page_h or x + w > page_w:
+            raise ValueError("JBIG2: region outside page")
+        window = page[y : y + h, x : x + w]
+        if comb == 0:  # OR
+            window |= bm
+        elif comb == 1:  # AND
+            window &= bm
+        elif comb == 2:  # XOR
+            window ^= bm
+        elif comb == 3:  # XNOR
+            window[:] = 1 - (window ^ bm)
+        else:  # REPLACE
+            window[:] = bm
+    # JBIG2 1-=-black → PDF /DeviceGray 0-=-black
+    return page_w, page_h, np.packbits(1 - page, axis=1).tobytes()
+
+
+def _decode_region_segment(body: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode one generic region segment body → (x, y, comb_op, bitmap)."""
+    if len(body) < 18:
+        raise ValueError("JBIG2: short region segment")
+    w, h, x, y, ext_flags = struct.unpack_from(">IIIIB", body, 0)
+    comb = ext_flags & 0x07
+    gflags = body[17]
+    mmr = gflags & 0x01
+    template = (gflags >> 1) & 0x03
+    tpgdon = bool(gflags & 0x08)
+    pos = 18
+    if mmr:
+        if tpgdon:
+            raise ValueError("JBIG2: MMR with TPGDON is invalid")
+        from gnosis_ocr_spark.functions.codec_ccitt import decode_g4
+
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise ValueError("JBIG2: bad region dimensions")
+        packed = decode_g4(body[pos:], w, h, black_is_1=True)
+        stride = (w + 7) // 8
+        arr = np.frombuffer(packed[: stride * h], dtype=np.uint8)
+        bitmap = np.unpackbits(arr.reshape(h, stride), axis=1)[:, :w].copy()
+    else:
+        n_at = _N_AT[template]
+        if pos + 2 * n_at > len(body):
+            raise ValueError("JBIG2: truncated AT pixels")
+        at = tuple(
+            struct.unpack_from(">bb", body, pos + 2 * i) for i in range(n_at)
+        )
+        pos += 2 * n_at
+        bitmap = _decode_region_arith(
+            body[pos:], w, h, template, at, tpgdon
+        )
+    return x, y, comb, bitmap

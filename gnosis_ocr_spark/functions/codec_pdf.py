@@ -940,8 +940,11 @@ def build_pdf_scanned(
     /BlackIs1 true plus the matching /Decode [1 0] normalization;
     ``'g4_align'`` = G4 with /EncodedByteAlign true; ``'g3_2d'`` =
     /K 4 mixed two-dimensional G3 (T.4 §4.2.1, EOL+tag-bit lines — the
-    fax-originated shape); ``'raw1'`` = FlateDecode-compressed raw 1-bit
-    DeviceGray samples; ``'raw1_mask'`` = the same samples as an
+    fax-originated shape); ``'jbig2'`` = /JBIG2Decode embedded stream
+    with one arithmetic (MQ) generic region, TPGDON on (ITU-T T.88 via
+    codec_jbig2 — the other dominant scanned-B/W codec); ``'jbig2_mmr'``
+    = the same region MMR-coded; ``'raw1'`` = FlateDecode-compressed raw
+    1-bit DeviceGray samples; ``'raw1_mask'`` = the same samples as an
     /ImageMask stencil (no ColorSpace).
     """
     import zlib
@@ -1058,6 +1061,18 @@ def build_pdf_scanned(
                 % (width, height)
             )
             filt = b"/CCITTFaxDecode"
+        elif image_filter in ("jbig2", "jbig2_mmr"):
+            from gnosis_ocr_spark.functions.codec_jbig2 import (
+                encode_jbig2_generic,
+            )
+
+            packed = encode_scan_bits(page_text_, width, height)
+            data = encode_jbig2_generic(
+                packed, width, height,
+                tpgdon=True, mmr=image_filter == "jbig2_mmr",
+            )
+            bpc = 1
+            filt = b"/JBIG2Decode"
         elif image_filter in ("raw1", "raw1_mask"):
             packed = encode_scan_bits(page_text_, width, height)
             data = zlib.compress(packed, 6)
@@ -1801,9 +1816,10 @@ class PdfImage:
     Downstream, ``operators/pdf_split._gray_pixels`` decodes ``'dct'``
     payloads in-engine via :mod:`codec_jpeg` (baseline sequential +
     progressive); CCITT G4 / G3 1-D / K>0 mixed 2-D all decode right here
-    in the filter chain via :mod:`codec_ccitt` (so those arrive as
-    ``codec='raw'`` 1-bit); only genuinely undecodable codecs (JPX/JBIG2)
-    stay opaque."""
+    in the filter chain via :mod:`codec_ccitt`, and JBIG2 generic regions
+    (arithmetic + MMR) via :mod:`codec_jbig2` (so those arrive as
+    ``codec='raw'`` 1-bit); only JPX and the symbol-coded / globals-backed
+    JBIG2 subsets stay opaque."""
 
     width: int
     height: int
@@ -2558,6 +2574,20 @@ def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
             return decode_g3_1d(raw, columns, rows, black_is_1, align)
         # mixed 2-D G3 (K>0, T.4 §4.2.1): EOL+tag-bit per line
         return decode_g3_2d(raw, columns, rows, black_is_1, align)
+    if name == b"JBIG2Decode":
+        if b"JBIG2Globals" in parm:
+            # symbol state lives in an indirect globals stream we can't
+            # resolve from here — carry opaque (honest degradation)
+            return None
+        from gnosis_ocr_spark.functions.codec_jbig2 import decode_jbig2
+
+        try:
+            # generic-region streams (ITU-T T.88, arithmetic + MMR) decode
+            # in-engine; symbol/text/halftone subsets and malformed
+            # segment structure raise → opaque carry
+            return decode_jbig2(raw)[2]
+        except Exception:
+            return None
     return None
 
 

@@ -150,9 +150,9 @@ def _scan_png(images) -> bytes | None:
     """A page's drawn images as ONE grayscale PNG for the OCR stage.
     Multiple decodable images stack vertically in draw order (scanners
     routinely emit a page as horizontal strips), padded to the widest
-    strip. None when nothing decodes in-container (JPX, JBIG2,
-    arithmetic-coded JPEG — the page then extracts as empty text, the
-    honest degradation documented in PdfImage)."""
+    strip. None when nothing decodes in-container (JPX, symbol-coded
+    JBIG2, arithmetic-coded JPEG — the page then extracts as empty text,
+    the honest degradation documented in PdfImage)."""
     strips = [g for g in (_gray_pixels(img) for img in images) if g is not None]
     if not strips:
         return None

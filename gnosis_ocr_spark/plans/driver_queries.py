@@ -151,7 +151,9 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # XObject pages (/Fm Do with a /Matrix translation), AES-128 /V 4
     # /CFM /AESV2 encrypted files, and scanned/image-only pages (a single
     # DeviceGray image XObject, zero text operators — exercises the
-    # image-decode → OCR-seam path end-to-end). All writers
+    # image-decode → OCR-seam path end-to-end) in raw-Flate, baseline-
+    # JPEG, CCITT-G4 fax, and JBIG2 generic-region encodings (the
+    # dominant real-crawl scanned-B/W codecs). All writers
     # emit the identical page text, so the oracle stays a pure SQL
     # function of `text`.
     writers = (
@@ -171,6 +173,12 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_scanned(p),
         lambda p: _cp.build_pdf_type0(p, predefined="UniGB-UCS2-H"),
         lambda p: _cp.build_pdf_scanned(p, image_filter="jpeg"),
+        lambda p: _cp.build_pdf_scanned(
+            p, width=128, height=128, image_filter="g4"
+        ),
+        lambda p: _cp.build_pdf_scanned(
+            p, width=128, height=128, image_filter="jbig2"
+        ),
     )
     for b in batches:
         out = {"url": [], "html": []}
