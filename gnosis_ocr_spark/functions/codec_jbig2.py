@@ -12,12 +12,16 @@ layer (§7.2, the headerless form PDF uses). Both the encoder (fixture
 writer + property tests) and the decoder (the crawl-facing path behind
 codec_pdf's ``_apply_one_filter``) live here, mirroring codec_ccitt.
 
-Scope: generic regions only — arithmetic (MQ) and MMR variants (MMR
-reuses the T.6 coder from codec_ccitt). Symbol-dictionary / text-region /
-halftone / refinement segments raise ValueError, which codec_pdf maps to
-the opaque carry (same honest degradation as JPX). Those subsets need the
-segment-spanning symbol state real encoders put in /JBIG2Globals; a
-stream that references globals is likewise carried opaque.
+Scope: generic regions — arithmetic (MQ) and MMR variants (MMR reuses
+the T.6 coder from codec_ccitt) — plus the symbol-coded subset real
+scanned-text encoders (jbig2enc) emit: symbol dictionaries (§6.5, height
+classes of delta-coded widths over ONE shared MQ stream) and text
+regions (§6.4, strip-placed symbol instances via the Annex A arithmetic
+integer contexts), including dictionaries shared across pages through
+PDF's /JBIG2Globals (resolved by codec_pdf's image path). Halftone /
+refinement segments and the Huffman-coded variants raise ValueError,
+which codec_pdf maps to the opaque carry (same honest degradation as
+JPX).
 
 Bit conventions
 ---------------
@@ -297,11 +301,26 @@ def _decode_region_arith(
     bitmap, 1 = black. Nominal-AT layouts take the incremental-context
     fast path (3 shift-registers per row); any custom AT falls back to
     the per-slot generic loop."""
+    states = bytearray(1 << len(_TEMPLATE_SLOTS[template]))
+    return _decode_bitmap(
+        _MQDecoder(data), states, width, height, template, at, tpgdon
+    )
+
+
+def _decode_bitmap(
+    dec: _MQDecoder,
+    states: bytearray,
+    width: int,
+    height: int,
+    template: int,
+    at: tuple[tuple[int, int], ...],
+    tpgdon: bool,
+) -> np.ndarray:
+    """Generic bitmap decoding procedure (T.88 §6.2.5.7) against a
+    caller-owned MQ decoder + GB context state — symbol dictionaries
+    decode every symbol bitmap through ONE shared decoder/context set."""
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError("JBIG2: bad region dimensions")
-    n_ctx_bits = len(_TEMPLATE_SLOTS[template])
-    states = bytearray(1 << n_ctx_bits)
-    dec = _MQDecoder(data)
     bitmap = np.zeros((height, width), dtype=np.uint8)
     tpgd_ctx = _TPGD_CTX[template]
     nominal = at == _NOMINAL_AT[template]
@@ -402,9 +421,26 @@ def _encode_region_arith(
     tpgdon: bool,
 ) -> bytes:
     """Encode a (height, width) 1-=-black bitmap as one arithmetic generic
-    region. Context values are computed vectorized (every pixel is known
-    up front — only the decoder has the feedback loop), then the MQ
-    encoder consumes them pixel by pixel."""
+    region (fresh MQ encoder + contexts, flushed)."""
+    states = bytearray(1 << len(_TEMPLATE_SLOTS[template]))
+    enc = _MQEncoder()
+    _encode_bitmap(enc, states, black, template, at, tpgdon)
+    return enc.flush()
+
+
+def _encode_bitmap(
+    enc: _MQEncoder,
+    states: bytearray,
+    black: np.ndarray,
+    template: int,
+    at: tuple[tuple[int, int], ...],
+    tpgdon: bool,
+) -> None:
+    """Generic bitmap encoding against a caller-owned MQ encoder + GB
+    context state (unflushed — symbol dictionaries chain many bitmaps
+    into one arithmetic stream). Context values are computed vectorized
+    (every pixel is known up front — only the decoder has the feedback
+    loop), then the MQ encoder consumes them pixel by pixel."""
     height, width = black.shape
     offsets = _template_offsets(template, at)
     # ctx[y, x] as a sum of shifted neighbor planes; out-of-bounds = 0
@@ -419,8 +455,6 @@ def _encode_region_arith(
         if h > 0 and w > 0:
             plane[ys : ys + h, xs : xs + w] = black[yd : yd + h, xd : xd + w]
         ctx |= plane << shift
-    states = bytearray(1 << len(offsets))
-    enc = _MQEncoder()
     tpgd_ctx = _TPGD_CTX[template]
     ltp = 0
     prev = np.zeros(width, dtype=np.uint8)
@@ -439,7 +473,6 @@ def _encode_region_arith(
             encode(states, int(crow[x]), int(row[x]))
         if not tpgdon:
             prev = row
-    return enc.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -448,6 +481,10 @@ def _encode_region_arith(
 # (number, flags/type, referred-to list, page association, data length).
 # ---------------------------------------------------------------------------
 
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
+_SEG_TEXT_INTERMEDIATE = 4
 _SEG_PAGE_INFO = 48
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
@@ -455,15 +492,29 @@ _SEG_GENERIC_INTERMEDIATE = 36
 _SEG_END_OF_PAGE = 49
 _SEG_END_OF_STRIPE = 50
 _SEG_END_OF_FILE = 51
-# segment types needing symbol/pattern state we don't implement: symbol
-# dict (0), text regions (4,6,7), pattern dict (16), halftone (20,22,23),
-# refinement (40,42,43)
-_SEG_UNSUPPORTED = frozenset({0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43})
+# segment types needing state we don't implement: pattern dict (16),
+# halftone regions (20,22,23), refinement regions (40,42,43)
+_SEG_UNSUPPORTED = frozenset({16, 20, 22, 23, 40, 42, 43})
 
 
-def _seg_header(number: int, seg_type: int, page: int, length: int) -> bytes:
-    """One segment header: no referred-to segments, 1-byte page assoc."""
-    return struct.pack(">IBBBI", number, seg_type & 0x3F, 0x00, page, length)
+def _seg_header(
+    number: int,
+    seg_type: int,
+    page: int,
+    length: int,
+    referred: tuple[int, ...] = (),
+) -> bytes:
+    """One segment header (short referred-to form, 1-byte page assoc;
+    writer fixtures keep segment numbers ≤ 256 so referred numbers are
+    1 byte each)."""
+    if len(referred) > 4 or number > 256:
+        raise ValueError("JBIG2 writer: short-form header limits exceeded")
+    rts = bytes([len(referred) << 5]) + bytes(referred)
+    return (
+        struct.pack(">IB", number, seg_type & 0x3F)
+        + rts
+        + struct.pack(">BI", page, length)
+    )
 
 
 def encode_jbig2_generic(
@@ -521,10 +572,12 @@ def encode_jbig2_generic(
     return bytes(out)
 
 
-def _parse_seg_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
-    """Parse one segment header at ``pos``; returns (seg_type, data_length,
-    data_start, next_pos). Raises on truncation or the unknown-length
-    sentinel."""
+def _parse_seg_header(
+    data: bytes, pos: int
+) -> tuple[int, int, tuple[int, ...], int, int, int]:
+    """Parse one segment header at ``pos``; returns (seg_number, seg_type,
+    referred_numbers, data_length, data_start, next_pos). Raises on
+    truncation or the unknown-length sentinel."""
     if pos + 11 > len(data):
         raise ValueError("JBIG2: truncated segment header")
     number, flags = struct.unpack_from(">IB", data, pos)
@@ -539,6 +592,13 @@ def _parse_seg_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
     else:
         pos += 1
     ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    if pos + count * ref_size > len(data):
+        raise ValueError("JBIG2: truncated referred-to list")
+    fmt = {1: ">B", 2: ">H", 4: ">I"}[ref_size]
+    referred = tuple(
+        struct.unpack_from(fmt, data, pos + i * ref_size)[0]
+        for i in range(count)
+    )
     pos += count * ref_size
     pos += 4 if page_assoc_4 else 1
     if pos + 4 > len(data):
@@ -549,7 +609,7 @@ def _parse_seg_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
         raise ValueError("JBIG2: unknown segment data length unsupported")
     if pos + length > len(data):
         raise ValueError("JBIG2: truncated segment data")
-    return seg_type, length, pos, pos + length
+    return number, seg_type, referred, length, pos, pos + length
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> tuple[int, int, bytes]:
@@ -559,25 +619,48 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> tuple[int, int, byte
     /DeviceGray convention (0 bit = black) — the polarity PDF viewers
     deliver to the imaging model (JBIG2's own bitmaps are 1 = black).
 
-    ``globals_data`` (/JBIG2Globals) is scanned for page-info defaults
-    only; any symbol/text/halftone segment in either stream raises
-    ValueError (→ opaque carry upstream)."""
+    Symbol dictionaries (arithmetic, non-refinement) decode and register
+    by segment number — ``globals_data`` (/JBIG2Globals) is parsed first,
+    exactly so dictionaries shared across pages resolve; text regions
+    gather their symbols from the referred-to dictionaries in referred
+    order (T.88 §7.4.3.1.1). Halftone/refinement segments, Huffman-coded
+    variants, and refinement-aggregate symbols raise ValueError (→ opaque
+    carry upstream)."""
     page_w = page_h = 0
     regions: list[tuple[int, int, int, np.ndarray]] = []
+    sym_dicts: dict[int, list[np.ndarray]] = {}
     for blob in (globals_data, data):
         pos = 0
         while pos < len(blob):
-            seg_type, length, start, pos = _parse_seg_header(blob, pos)
+            number, seg_type, referred, length, start, pos = (
+                _parse_seg_header(blob, pos)
+            )
             body = blob[start : start + length]
             if seg_type in _SEG_UNSUPPORTED:
                 raise ValueError(
-                    f"JBIG2: segment type {seg_type} (symbol/halftone/"
-                    "refinement) unsupported"
+                    f"JBIG2: segment type {seg_type} (halftone/refinement)"
+                    " unsupported"
                 )
             if seg_type == _SEG_PAGE_INFO:
                 if len(body) < 19:
                     raise ValueError("JBIG2: short page info segment")
                 page_w, page_h = struct.unpack_from(">II", body, 0)
+                continue
+            if seg_type == _SEG_SYMBOL_DICT:
+                inputs: list[np.ndarray] = []
+                for r in referred:
+                    inputs.extend(sym_dicts.get(r, []))
+                sym_dicts[number] = _decode_symbol_dict(body, inputs)
+                continue
+            if seg_type in (
+                _SEG_TEXT_IMMEDIATE,
+                _SEG_TEXT_IMMEDIATE_LOSSLESS,
+                _SEG_TEXT_INTERMEDIATE,
+            ):
+                syms: list[np.ndarray] = []
+                for r in referred:
+                    syms.extend(sym_dicts.get(r, []))
+                regions.append(_decode_text_region(body, syms))
                 continue
             if seg_type in (
                 _SEG_GENERIC_IMMEDIATE,
@@ -649,3 +732,433 @@ def _decode_region_segment(body: bytes) -> tuple[int, int, int, np.ndarray]:
             body[pos:], w, h, template, at, tpgdon
         )
     return x, y, comb, bitmap
+
+
+# ---------------------------------------------------------------------------
+# Symbol coding (T.88 §6.4/§6.5 + Annex A): the mode real scanned-text
+# encoders (jbig2enc-style) emit — a symbol dictionary of distinct glyph
+# bitmaps plus text regions placing symbol instances. Arithmetic variant
+# only (SDHUFF/SBHUFF/REFINE raise → opaque carry upstream).
+# ---------------------------------------------------------------------------
+
+_OOB = object()  # Annex A out-of-band marker (ends runs/strips)
+
+_MAX_SYMBOLS = 1 << 16
+_MAX_SYM_DIM = 1 << 12
+
+
+class _ArithInt:
+    """One arithmetic integer decoding context (T.88 Annex A: IADH, IADW,
+    IAEX, IADT, IAFS, IADS, IAIT, …) — a 512-state prefix-tree context
+    over a shared MQ coder. The encoder side is the exact inverse."""
+
+    __slots__ = ("states",)
+
+    # (prefix bits as (value, length), value bit count, offset)
+    _RANGES = (
+        ((0b0, 1), 2, 0),
+        ((0b10, 2), 4, 4),
+        ((0b110, 3), 6, 20),
+        ((0b1110, 4), 8, 84),
+        ((0b11110, 5), 12, 340),
+        ((0b11111, 5), 32, 4436),
+    )
+
+    def __init__(self) -> None:
+        self.states = bytearray(512)
+
+    def decode(self, mq: _MQDecoder):
+        states = self.states
+        prev = 1
+
+        def bit() -> int:
+            nonlocal prev
+            b = mq.decode(states, prev)
+            prev = (
+                (prev << 1) | b
+                if prev < 256
+                else ((((prev << 1) | b) & 511) | 256)
+            )
+            return b
+
+        s = bit()
+        if not bit():
+            n, off = 2, 0
+        elif not bit():
+            n, off = 4, 4
+        elif not bit():
+            n, off = 6, 20
+        elif not bit():
+            n, off = 8, 84
+        elif not bit():
+            n, off = 12, 340
+        else:
+            n, off = 32, 4436
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        v += off
+        if s and v == 0:
+            return _OOB
+        return -v if s else v
+
+    def encode(self, mq: _MQEncoder, value) -> None:
+        states = self.states
+        prev = 1
+
+        def bit(b: int) -> None:
+            nonlocal prev
+            mq.encode(states, prev, b)
+            prev = (
+                (prev << 1) | b
+                if prev < 256
+                else ((((prev << 1) | b) & 511) | 256)
+            )
+
+        if value is _OOB:
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        bit(s)
+        for (pfx, pfx_len), n, off in self._RANGES:
+            if v < off + (1 << n) or n == 32:
+                for i in range(pfx_len - 1, -1, -1):
+                    bit((pfx >> i) & 1)
+                rem = v - off
+                for i in range(n - 1, -1, -1):
+                    bit((rem >> i) & 1)
+                return
+        raise AssertionError("unreachable")
+
+
+class _ArithIaid:
+    """Symbol-ID decoding context (T.88 A.3): a SYMCODELEN-deep balanced
+    prefix tree over the shared MQ coder."""
+
+    __slots__ = ("states", "codelen")
+
+    def __init__(self, n_syms: int) -> None:
+        self.codelen = max(1, (max(1, n_syms - 1)).bit_length())
+        self.states = bytearray(1 << (self.codelen + 1))
+
+    def decode(self, mq: _MQDecoder) -> int:
+        prev = 1
+        for _ in range(self.codelen):
+            prev = (prev << 1) | mq.decode(self.states, prev)
+        return prev - (1 << self.codelen)
+
+    def encode(self, mq: _MQEncoder, sym_id: int) -> None:
+        prev = 1
+        for i in range(self.codelen - 1, -1, -1):
+            b = (sym_id >> i) & 1
+            mq.encode(self.states, prev, b)
+            prev = (prev << 1) | b
+
+
+def _decode_symbol_dict(
+    body: bytes, inputs: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Symbol dictionary decoding (T.88 §6.5.5, arithmetic non-refinement):
+    height classes of delta-coded widths, each symbol bitmap decoded via
+    the generic procedure against ONE shared MQ decoder + GB context set;
+    the export phase (IAEX runs over input ∪ new symbols) selects the
+    dictionary's output."""
+    if len(body) < 12:
+        raise ValueError("JBIG2: short symbol dictionary")
+    (flags,) = struct.unpack_from(">H", body, 0)
+    if flags & 0x01:
+        raise ValueError("JBIG2: Huffman symbol dictionary unsupported")
+    if flags & 0x02:
+        raise ValueError("JBIG2: refinement-aggregate symbols unsupported")
+    template = (flags >> 10) & 0x03
+    pos = 2
+    n_at = _N_AT[template]
+    if pos + 2 * n_at + 8 > len(body):
+        raise ValueError("JBIG2: truncated symbol dictionary header")
+    at = tuple(
+        struct.unpack_from(">bb", body, pos + 2 * i) for i in range(n_at)
+    )
+    pos += 2 * n_at
+    n_ex, n_new = struct.unpack_from(">II", body, pos)
+    pos += 8
+    if n_new > _MAX_SYMBOLS or n_ex > _MAX_SYMBOLS:
+        raise ValueError("JBIG2: symbol count exceeds bound")
+    mq = _MQDecoder(body[pos:])
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gb_states = bytearray(1 << len(_TEMPLATE_SLOTS[template]))
+    new_syms: list[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = iadh.decode(mq)
+        if dh is _OOB:
+            raise ValueError("JBIG2: OOB height-class delta")
+        hc_height += dh
+        if not 0 < hc_height <= _MAX_SYM_DIM:
+            raise ValueError("JBIG2: bad symbol height")
+        sym_width = 0
+        while True:
+            dw = iadw.decode(mq)
+            if dw is _OOB:
+                break
+            sym_width += dw
+            if not 0 < sym_width <= _MAX_SYM_DIM:
+                raise ValueError("JBIG2: bad symbol width")
+            if len(new_syms) >= n_new:
+                raise ValueError("JBIG2: more symbols than declared")
+            new_syms.append(
+                _decode_bitmap(
+                    mq, gb_states, sym_width, hc_height, template, at, False
+                )
+            )
+    # export phase: alternating skip/export runs over inputs + new symbols
+    pool = inputs + new_syms
+    exported: list[np.ndarray] = []
+    ex_flag = False
+    idx = 0
+    while idx < len(pool) and len(exported) < n_ex:
+        run = iaex.decode(mq)
+        if run is _OOB or run < 0:
+            raise ValueError("JBIG2: bad export run")
+        if ex_flag:
+            exported.extend(pool[idx : idx + run])
+        idx += run
+        ex_flag = not ex_flag
+    if len(exported) != n_ex:
+        raise ValueError("JBIG2: export count mismatch")
+    return exported
+
+
+def _decode_text_region(
+    body: bytes, syms: list[np.ndarray]
+) -> tuple[int, int, int, np.ndarray]:
+    """Text region decoding (T.88 §6.4.5, arithmetic non-refinement,
+    non-transposed) → (x, y, comb_op, bitmap). Symbol instances are
+    placed strip by strip: IADT strip deltas, IAFS/IADS S-coordinates,
+    IAIT in-strip T offsets, IAID symbol selection."""
+    if len(body) < 23:
+        raise ValueError("JBIG2: short text region")
+    w, h, x, y, ext_flags = struct.unpack_from(">IIIIB", body, 0)
+    comb = ext_flags & 0x07
+    (flags,) = struct.unpack_from(">H", body, 17)
+    if flags & 0x01:
+        raise ValueError("JBIG2: Huffman text region unsupported")
+    if flags & 0x02:
+        raise ValueError("JBIG2: refinement text region unsupported")
+    log_strips = (flags >> 2) & 0x03
+    strips = 1 << log_strips
+    ref_corner = (flags >> 4) & 0x03
+    transposed = (flags >> 6) & 0x01
+    sb_comb = (flags >> 7) & 0x03
+    def_pixel = (flags >> 9) & 0x01
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if transposed:
+        raise ValueError("JBIG2: transposed text region unsupported")
+    (n_instances,) = struct.unpack_from(">I", body, 19)
+    if not syms:
+        raise ValueError("JBIG2: text region with no referred symbols")
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError("JBIG2: bad region dimensions")
+    if n_instances > MAX_PIXELS:
+        raise ValueError("JBIG2: instance count exceeds bound")
+    bitmap = np.full((h, w), def_pixel, dtype=np.uint8)
+    mq = _MQDecoder(body[23:])
+    iadt, iafs, iads, iait = (
+        _ArithInt(), _ArithInt(), _ArithInt(), _ArithInt(),
+    )
+    iaid = _ArithIaid(len(syms))
+    dt0 = iadt.decode(mq)
+    if dt0 is _OOB:
+        raise ValueError("JBIG2: OOB strip T")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = iadt.decode(mq)
+        if dt is _OOB:
+            raise ValueError("JBIG2: OOB strip T")
+        strip_t += dt * strips
+        cur_s = 0
+        first = True
+        while n_done < n_instances:
+            if first:
+                dfs = iafs.decode(mq)
+                if dfs is _OOB:
+                    raise ValueError("JBIG2: OOB first S")
+                first_s += dfs
+                cur_s = first_s
+                first = False
+            else:
+                ids = iads.decode(mq)
+                if ids is _OOB:
+                    break  # end of strip
+                cur_s += ids + ds_offset
+            cur_t = iait.decode(mq) if strips > 1 else 0
+            if cur_t is _OOB:
+                raise ValueError("JBIG2: OOB in-strip T")
+            t = strip_t + cur_t
+            sym_id = iaid.decode(mq)
+            if not 0 <= sym_id < len(syms):
+                raise ValueError("JBIG2: symbol id out of range")
+            sym = syms[sym_id]
+            sh, sw = sym.shape
+            if ref_corner in (2, 3):  # right corners: advance, then place
+                cur_s += sw - 1
+                left = cur_s - sw + 1
+            else:
+                left = cur_s
+            top = t if ref_corner & 1 else t - sh + 1
+            if not (0 <= left and left + sw <= w and 0 <= top and top + sh <= h):
+                raise ValueError("JBIG2: symbol instance outside region")
+            window = bitmap[top : top + sh, left : left + sw]
+            if sb_comb == 0:
+                window |= sym
+            elif sb_comb == 1:
+                window &= sym
+            elif sb_comb == 2:
+                window ^= sym
+            else:
+                window[:] = 1 - (window ^ sym)
+            if ref_corner in (0, 1):  # left corners: place, then advance
+                cur_s += sw - 1
+            n_done += 1
+    return x, y, comb, bitmap
+
+
+def encode_jbig2_symbol(
+    data: bytes,
+    columns: int,
+    rows: int,
+    cell: int = 16,
+    use_globals: bool = False,
+) -> tuple[bytes, bytes]:
+    """Encode packed 1-bpp rows (PDF convention, 0 bit = black) as a
+    symbol-mode JBIG2 stream — the shape real scanned-text encoders emit:
+    the page is partitioned into ``cell``×``cell`` tiles, distinct
+    non-blank tile patterns become dictionary symbols (the trivial exact
+    pattern-matcher), and one text region places every instance
+    (TOPLEFT corner, SBSTRIPS=1).
+
+    Returns ``(stream, globals)``: with ``use_globals`` the symbol
+    dictionary moves into the second blob (the PDF /JBIG2Globals layout,
+    shared across pages); otherwise it is inline and ``globals`` is
+    empty."""
+    stride = (columns + 7) // 8
+    if len(data) < stride * rows:
+        raise ValueError("JBIG2: sample buffer too small")
+    arr = np.frombuffer(data[: stride * rows], dtype=np.uint8)
+    bits = np.unpackbits(arr.reshape(rows, stride), axis=1)[:, :columns]
+    black = (1 - bits).astype(np.uint8)
+    # edge tiles keep their natural (cropped) size — symbol dictionaries
+    # carry per-height classes of per-width symbols, so mixed sizes are
+    # the normal case, and no instance ever overflows the region
+    sym_index: dict[bytes, int] = {}
+    tiles: list[np.ndarray] = []
+    raw_instances: list[tuple[int, int, int]] = []  # (y, x, tile_id)
+    for cy in range(0, rows, cell):
+        for cx in range(0, columns, cell):
+            tile = black[cy : cy + cell, cx : cx + cell]
+            if not tile.any():
+                continue  # blank tiles are background, not symbols
+            key = tile.shape[0].to_bytes(2, "big") + tile.tobytes()
+            sid = sym_index.get(key)
+            if sid is None:
+                sid = len(tiles)
+                sym_index[key] = sid
+                tiles.append(np.ascontiguousarray(tile))
+            raw_instances.append((cy, cx, sid))
+    if not tiles:  # fully blank page: one blank symbol, one instance
+        tiles.append(np.zeros((min(cell, rows), min(cell, columns)), np.uint8))
+        raw_instances.append((0, 0, 0))
+
+    # dictionary decode order = (height class asc, insertion) — remap ids
+    order = sorted(range(len(tiles)), key=lambda i: (tiles[i].shape[0], i))
+    remap = {old: new for new, old in enumerate(order)}
+    symbols = [tiles[i] for i in order]
+    instances = [(y, x, remap[tid]) for y, x, tid in raw_instances]
+
+    # ---- symbol dictionary segment (arith, template 0, nominal AT)
+    mq = _MQEncoder()
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gb_states = bytearray(1 << 16)
+    at = _NOMINAL_AT[0]
+    hc_height = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        iadh.encode(mq, h - hc_height)
+        hc_height = h
+        prev_w = 0
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            iadw.encode(mq, w - prev_w)
+            prev_w = w
+            _encode_bitmap(mq, gb_states, symbols[i], 0, at, False)
+            i += 1
+        iadw.encode(mq, _OOB)  # end of height class
+    iaex.encode(mq, 0)  # skip run (no input symbols)
+    iaex.encode(mq, len(symbols))  # export every new symbol
+    sd_body = (
+        struct.pack(">H", 0x0000)  # arith, no refagg, template 0
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + struct.pack(">II", len(symbols), len(symbols))
+        + mq.flush()
+    )
+
+    # ---- text region segment (TOPLEFT, SBSTRIPS=1, OR, dsoffset 0)
+    mq = _MQEncoder()
+    iadt, iafs, iads, iait = (
+        _ArithInt(), _ArithInt(), _ArithInt(), _ArithInt(),
+    )
+    iaid = _ArithIaid(len(symbols))
+    del iait  # SBSTRIPS == 1: in-strip T is never coded
+    instances.sort()
+    iadt.encode(mq, 0)  # STRIPT starts at 0
+    strip_t = 0
+    first_s = 0
+    i = 0
+    while i < len(instances):
+        t = instances[i][0]
+        iadt.encode(mq, t - strip_t)
+        strip_t = t
+        first = True
+        cur_s = 0
+        while i < len(instances) and instances[i][0] == strip_t:
+            _, sx, sid = instances[i]
+            if first:
+                iafs.encode(mq, sx - first_s)
+                first_s = sx
+                first = False
+            else:
+                iads.encode(mq, sx - cur_s)
+            iaid.encode(mq, sid)
+            # TOPLEFT: decoder advances by the symbol's own width
+            cur_s = sx + symbols[sid].shape[1] - 1
+            i += 1
+        iads.encode(mq, _OOB)  # end of strip
+    tr_body = (
+        struct.pack(">IIIIB", columns, rows, 0, 0, 0)  # region info, OR
+        + struct.pack(">H", (1 << 4))  # arith, TL corner, strips=1
+        + struct.pack(">I", len(instances))
+        + mq.flush()
+    )
+
+    page_info = struct.pack(">IIIIBH", columns, rows, 0, 0, 0x01, 0)
+    sd_seg = _seg_header(1, _SEG_SYMBOL_DICT, 1, len(sd_body)) + sd_body
+    stream = bytearray()
+    if not use_globals:
+        stream += _seg_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+        stream += page_info
+        stream += sd_seg
+    else:
+        stream += _seg_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+        stream += page_info
+    stream += (
+        _seg_header(
+            2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr_body), referred=(1,)
+        )
+        + tr_body
+    )
+    stream += _seg_header(3, _SEG_END_OF_PAGE, 1, 0)
+    return bytes(stream), bytes(sd_seg) if use_globals else b""

@@ -943,7 +943,10 @@ def build_pdf_scanned(
     fax-originated shape); ``'jbig2'`` = /JBIG2Decode embedded stream
     with one arithmetic (MQ) generic region, TPGDON on (ITU-T T.88 via
     codec_jbig2 — the other dominant scanned-B/W codec); ``'jbig2_mmr'``
-    = the same region MMR-coded; ``'raw1'`` = FlateDecode-compressed raw
+    = the same region MMR-coded; ``'jbig2_sym'`` = symbol-coded (symbol
+    dictionary + text region, the jbig2enc shape); ``'jbig2_globals'`` =
+    symbol-coded with the dictionary in a shared /JBIG2Globals stream
+    referenced from /DecodeParms; ``'raw1'`` = FlateDecode-compressed raw
     1-bit DeviceGray samples; ``'raw1_mask'`` = the same samples as an
     /ImageMask stencil (no ColorSpace).
     """
@@ -963,6 +966,7 @@ def build_pdf_scanned(
         b"<< /Type /Catalog /Pages 2 0 R >>",
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
     ]
+    trailing: list[bytes] = []  # /JBIG2Globals streams, after the page objs
     for i, page_text_ in enumerate(pages):
         page_no = 3 + 3 * i
         content_no, img_no = page_no + 1, page_no + 2
@@ -1073,6 +1077,31 @@ def build_pdf_scanned(
             )
             bpc = 1
             filt = b"/JBIG2Decode"
+        elif image_filter in ("jbig2_sym", "jbig2_globals"):
+            # symbol-coded JBIG2 (symbol dictionary + text region — the
+            # jbig2enc shape real scanned-text PDFs carry); the _globals
+            # variant moves the dictionary into a shared /JBIG2Globals
+            # stream object referenced from /DecodeParms
+            from gnosis_ocr_spark.functions.codec_jbig2 import (
+                encode_jbig2_symbol,
+            )
+
+            packed = encode_scan_bits(page_text_, width, height)
+            data, glob = encode_jbig2_symbol(
+                packed, width, height,
+                use_globals=image_filter == "jbig2_globals",
+            )
+            if glob:
+                glob_no = 3 + 3 * n_pages + len(trailing)
+                trailing.append(
+                    b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(glob), glob)
+                )
+                extra += (
+                    b"/DecodeParms << /JBIG2Globals %d 0 R >> " % glob_no
+                )
+            bpc = 1
+            filt = b"/JBIG2Decode"
         elif image_filter in ("raw1", "raw1_mask"):
             packed = encode_scan_bits(page_text_, width, height)
             data = zlib.compress(packed, 6)
@@ -1089,6 +1118,7 @@ def build_pdf_scanned(
             b"/Length %d >>\nstream\n%s\nendstream"
             % (width, height, extra, bpc, filt, len(data), data)
         )
+    objects.extend(trailing)
     return _assemble_classic(objects)
 
 
@@ -1801,6 +1831,7 @@ _CCITT_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)\b")
 _CCITT_ROWS_RE = re.compile(rb"/Rows\s+(\d+)\b")
 _CCITT_BLACKIS1_RE = re.compile(rb"/BlackIs1\s+(true|false)")
 _CCITT_ALIGN_RE = re.compile(rb"/EncodedByteAlign\s+(true|false)")
+_JBIG2_GLOBALS_RE = re.compile(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R")
 # XOR-0xFF table: inverts every packed field for bits 1/2/4/8 gray
 # ((2^n - 1) - v per field == bitwise NOT of the byte)
 _INVERT_TABLE = bytes(255 - i for i in range(256))
@@ -1816,10 +1847,11 @@ class PdfImage:
     Downstream, ``operators/pdf_split._gray_pixels`` decodes ``'dct'``
     payloads in-engine via :mod:`codec_jpeg` (baseline sequential +
     progressive); CCITT G4 / G3 1-D / K>0 mixed 2-D all decode right here
-    in the filter chain via :mod:`codec_ccitt`, and JBIG2 generic regions
-    (arithmetic + MMR) via :mod:`codec_jbig2` (so those arrive as
-    ``codec='raw'`` 1-bit); only JPX and the symbol-coded / globals-backed
-    JBIG2 subsets stay opaque."""
+    in the filter chain via :mod:`codec_ccitt`, and JBIG2 — generic
+    regions (arithmetic + MMR) AND symbol-coded streams incl. indirect
+    /JBIG2Globals — via :mod:`codec_jbig2` (so those arrive as
+    ``codec='raw'`` 1-bit); only JPX and the JBIG2 halftone/refinement/
+    Huffman subsets stay opaque."""
 
     width: int
     height: int
@@ -1829,10 +1861,13 @@ class PdfImage:
     data: bytes
 
 
-def _decode_image(head: bytes, raw: bytes) -> PdfImage | None:
+def _decode_image(head: bytes, raw: bytes, resolve=None) -> PdfImage | None:
     """Shared image-decode core (XObject + inline): dimensions + sample
     metadata from the dict ``head``, filter chain applied to ``raw``
-    (opaque codecs carried), /ImageMask + /Decode [1 0] normalized."""
+    (opaque codecs carried), /ImageMask + /Decode [1 0] normalized.
+    ``resolve`` forwards to :func:`_apply_one_filter` for indirect
+    /JBIG2Globals streams (XObject path only — inline images cannot
+    legally carry JBIG2)."""
     wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
     if not wm or not hm:
         return None
@@ -1848,7 +1883,7 @@ def _decode_image(head: bytes, raw: bytes) -> PdfImage | None:
     names, parms = _filter_chain(head)
     for i, (name, parm) in enumerate(zip(names, parms)):
         try:
-            decoded = _apply_one_filter(name, parm, raw)
+            decoded = _apply_one_filter(name, parm, raw, resolve)
             if decoded is None:  # opaque image codec: carry bytes + metadata
                 codec = name.decode("latin-1")
                 if codec.endswith("Decode"):
@@ -1880,7 +1915,15 @@ def _image_from_obj(
     decrypt = _obj_dec(dec, no)
     if decrypt is not None:
         raw = decrypt(raw)
-    return _decode_image(head, raw)
+
+    def resolve(num: int) -> bytes | None:
+        # decoded /JBIG2Globals stream (own object key when encrypted)
+        body = objs.get(num)
+        if body is None:
+            return None
+        return _stream_bytes(body, _obj_dec(dec, num), objs)
+
+    return _decode_image(head, raw, resolve)
 
 
 # inline images (BI <dict> ID <data> EI — PDF spec §8.9.7): the dict uses
@@ -2533,9 +2576,14 @@ def _raw_stream_payload(
     return head, raw
 
 
-def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
+def _apply_one_filter(
+    name: bytes, parm: bytes, raw: bytes, resolve=None
+) -> bytes | None:
     """Decode one /Filter step; None marks an unknown (opaque image) codec.
-    Raises on malformed data — callers map that to their failure sentinel."""
+    Raises on malformed data — callers map that to their failure sentinel.
+    ``resolve`` (object number → decoded stream bytes or None) lets
+    /JBIG2Decode fetch its indirect /JBIG2Globals stream — only the image
+    path supplies it; content streams never carry image codecs."""
     if name == b"FlateDecode":
         import zlib
 
@@ -2575,17 +2623,25 @@ def _apply_one_filter(name: bytes, parm: bytes, raw: bytes) -> bytes | None:
         # mixed 2-D G3 (K>0, T.4 §4.2.1): EOL+tag-bit per line
         return decode_g3_2d(raw, columns, rows, black_is_1, align)
     if name == b"JBIG2Decode":
-        if b"JBIG2Globals" in parm:
-            # symbol state lives in an indirect globals stream we can't
-            # resolve from here — carry opaque (honest degradation)
-            return None
+        globals_data = b""
+        gm = _JBIG2_GLOBALS_RE.search(parm)
+        if gm:
+            # symbol state shared across pages lives in an indirect
+            # /JBIG2Globals stream; resolvable only from the image path
+            # (which supplies ``resolve``) — else carry opaque
+            if resolve is None:
+                return None
+            globals_data = resolve(int(gm.group(1)))
+            if globals_data is None:
+                return None
         from gnosis_ocr_spark.functions.codec_jbig2 import decode_jbig2
 
         try:
-            # generic-region streams (ITU-T T.88, arithmetic + MMR) decode
-            # in-engine; symbol/text/halftone subsets and malformed
-            # segment structure raise → opaque carry
-            return decode_jbig2(raw)[2]
+            # generic regions (arithmetic + MMR) AND symbol-coded streams
+            # (symbol dictionary + text region, the jbig2enc shape) decode
+            # in-engine (ITU-T T.88); halftone/refinement/Huffman subsets
+            # and malformed segment structure raise → opaque carry
+            return decode_jbig2(raw, globals_data)[2]
         except Exception:
             return None
     return None

@@ -160,23 +160,73 @@ def test_mutated_stream_never_escapes_exception_contract(seed, junk):
             pass
 
 
-def test_symbol_segments_and_globals_carry_opaque():
-    """The unsupported JBIG2 subsets degrade exactly like JPX: the image
-    arrives codec='jbig2' with the payload intact, never garbage. A
-    /JBIG2Globals reference short-circuits the same way."""
-    # a symbol-dictionary segment (type 0) ahead of anything else
-    sym = J._seg_header(0, 0, 1, 4) + b"\x00\x00\x00\x00"
+def test_unsupported_subsets_carry_opaque():
+    """The still-unsupported JBIG2 subsets — halftone/refinement segments
+    and the Huffman-coded variants — degrade exactly like JPX: ValueError
+    from the codec, opaque carry from codec_pdf, never garbage. An
+    unresolvable /JBIG2Globals reference (no object map at the call site)
+    short-circuits the same way."""
+    # a pattern-dictionary segment (type 16) ahead of anything else
+    pat = J._seg_header(0, 16, 1, 4) + b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="unsupported"):
-        J.decode_jbig2(sym)
+        J.decode_jbig2(pat)
+    # Huffman symbol dictionary (SDHUFF flag) and a text region that
+    # references it: both reject before any MQ decoding
+    huff_sd = J._seg_header(1, 0, 1, 12) + struct.pack(
+        ">H", 0x0001
+    ) + b"\x00" * 10
+    with pytest.raises(ValueError, match="Huffman"):
+        J.decode_jbig2(huff_sd)
     from gnosis_ocr_spark.functions.codec_pdf import _apply_one_filter
 
-    assert _apply_one_filter(b"JBIG2Decode", b"", bytes(sym)) is None
+    assert _apply_one_filter(b"JBIG2Decode", b"", bytes(pat)) is None
     valid = J.encode_jbig2_generic(bytes(64), 16, 32)
+    # globals ref with no resolver (content-stream path) → opaque carry
     assert _apply_one_filter(
         b"JBIG2Decode", b"<< /JBIG2Globals 9 0 R >>", valid
     ) is None
     # and the supported path decodes through the same dispatch
     assert _apply_one_filter(b"JBIG2Decode", b"", valid) == bytes(64)
+
+
+# ------------------------------------------------------- symbol coding
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_symbol_mode_roundtrip_property(seed):
+    """encode_jbig2_symbol → decode_jbig2 identity: the page re-tiles into
+    a symbol dictionary + text region (the jbig2enc shape) and the decoder
+    reassembles it bit-exactly, inline-dictionary and /JBIG2Globals
+    layouts alike."""
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(1, 150))
+    h = int(rng.integers(1, 80))
+    density = float(rng.choice([0.0, 0.05, 0.5, 0.97]))
+    black = rng.random((h, w)) < density
+    packed = np.packbits(~black, axis=1).tobytes()  # PDF 0 = black
+    use_globals = bool(rng.integers(0, 2))
+    stream, glob = J.encode_jbig2_symbol(
+        packed, w, h, use_globals=use_globals
+    )
+    assert (glob != b"") == use_globals
+    assert J.decode_jbig2(stream, glob) == (w, h, packed)
+
+
+def test_symbol_dictionary_shared_across_pages_via_globals():
+    """One /JBIG2Globals dictionary serves several page streams — the PDF
+    layout globals exist for. Each page's text region places instances of
+    the SHARED symbols, so pages drawing the same tiles decode exactly."""
+    rng = np.random.default_rng(11)
+    black = (rng.random((48, 64)) < 0.3).astype(np.uint8)
+    packed = np.packbits(1 - black, axis=1).tobytes()
+    stream, glob = J.encode_jbig2_symbol(packed, 64, 48, use_globals=True)
+    # the same stream decoded twice against the same globals (two pages
+    # of a doc referencing one globals object) is deterministic
+    assert J.decode_jbig2(stream, glob) == J.decode_jbig2(stream, glob)
+    # without its globals the stream's text region has no symbols → raises
+    with pytest.raises(ValueError):
+        J.decode_jbig2(stream)
 
 
 # ------------------------------------------------- PDF image-XObject path
@@ -185,11 +235,15 @@ def test_symbol_segments_and_globals_carry_opaque():
 PAGES = ["jbig2 scanned page one\nline two", "page two body"]
 
 
-@pytest.mark.parametrize("variant", ["jbig2", "jbig2_mmr"])
+@pytest.mark.parametrize(
+    "variant", ["jbig2", "jbig2_mmr", "jbig2_sym", "jbig2_globals"]
+)
 def test_jbig2_scanned_variants_extract_exact_text(variant):
-    """Both JBIG2 writer shapes — arithmetic generic region (TPGDON) and
-    MMR — decode through extract_pages_with_images into pixels whose
-    scan-bits matrix recovers the exact page text."""
+    """All four JBIG2 writer shapes — arithmetic generic region (TPGDON),
+    MMR, symbol-coded (dictionary + text region), and symbol-coded with a
+    shared /JBIG2Globals stream — decode through
+    extract_pages_with_images into pixels whose scan-bits matrix recovers
+    the exact page text."""
     pdf = P.build_pdf_scanned(
         PAGES, width=128, height=128, image_filter=variant
     )
@@ -206,7 +260,8 @@ def test_jbig2_samples_identical_to_g4_and_raw1():
     """All bilevel writers normalize to the same DeviceGray sample bytes —
     JBIG2's internal 1-=-black polarity is inverted on the way out."""
     imgs = {}
-    for variant in ("jbig2", "jbig2_mmr", "g4", "raw1"):
+    for variant in ("jbig2", "jbig2_mmr", "jbig2_sym", "jbig2_globals",
+                    "g4", "raw1"):
         pdf = P.build_pdf_scanned(
             PAGES[:1], width=128, height=128, image_filter=variant
         )
