@@ -71,6 +71,21 @@ _QE = (
     (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 )
 
+# per-STATE-BYTE flattenings ((index << 1) | MPS → value): one list index
+# replaces the 4-tuple unpack in the decode/encode hot path (~20% of a
+# JBIG2/JPX page decode). _NMPS_ST/_NLPS_ST are the full NEXT state byte,
+# with SWITCH folded into the LPS transition.
+_QE_ST = [0] * 94
+_NMPS_ST = [0] * 94
+_NLPS_ST = [0] * 94
+for _i, (_qe, _nmps, _nlps, _sw) in enumerate(_QE):
+    for _mps in (0, 1):
+        _st = (_i << 1) | _mps
+        _QE_ST[_st] = _qe
+        _NMPS_ST[_st] = (_nmps << 1) | _mps
+        _NLPS_ST[_st] = (_nlps << 1) | (_mps ^ 1 if _sw else _mps)
+del _i, _qe, _nmps, _nlps, _sw, _mps, _st
+
 
 class _MQDecoder:
     """MQ arithmetic decoder (T.88 Annex E software conventions: INITDEC /
@@ -111,41 +126,40 @@ class _MQDecoder:
 
     def decode(self, states: bytearray, cx: int) -> int:
         st = states[cx]
-        icx = st >> 1
-        mps = st & 1
-        qe, nmps, nlps, switch = _QE[icx]
-        self.a -= qe
+        qe = _QE_ST[st]
+        a = self.a - qe
         if ((self.c >> 16) & 0xFFFF) < qe:
             # LPS sub-interval selected (conditional exchange per size)
-            if self.a < qe:
-                d = mps
-                states[cx] = (nmps << 1) | mps
+            if a < qe:
+                d = st & 1
+                states[cx] = _NMPS_ST[st]
             else:
-                d = mps ^ 1
-                if switch:
-                    mps ^= 1
-                states[cx] = (nlps << 1) | mps
-            self.a = qe
+                d = (st & 1) ^ 1
+                states[cx] = _NLPS_ST[st]
+            a = qe
         else:
             self.c -= qe << 16
-            if self.a & 0x8000:
-                return mps
-            if self.a < qe:
-                d = mps ^ 1
-                if switch:
-                    mps ^= 1
-                states[cx] = (nlps << 1) | mps
+            if a & 0x8000:
+                self.a = a
+                return st & 1
+            if a < qe:
+                d = (st & 1) ^ 1
+                states[cx] = _NLPS_ST[st]
             else:
-                d = mps
-                states[cx] = (nmps << 1) | mps
+                d = st & 1
+                states[cx] = _NMPS_ST[st]
+        c, ct = self.c, self.ct
         while True:  # RENORMD
-            if self.ct == 0:
+            if ct == 0:
+                self.c = c
                 self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
-            if self.a & 0x8000:
+                c, ct = self.c, self.ct
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
                 break
+        self.a, self.c, self.ct = a, c, ct
         return d
 
 
@@ -186,35 +200,34 @@ class _MQEncoder:
 
     def encode(self, states: bytearray, cx: int, d: int) -> None:
         st = states[cx]
-        icx = st >> 1
-        mps = st & 1
-        qe, nmps, nlps, switch = _QE[icx]
-        self.a -= qe
-        if d == mps:  # CODEMPS
-            if self.a & 0x8000:
+        qe = _QE_ST[st]
+        a = self.a - qe
+        if d == st & 1:  # CODEMPS
+            if a & 0x8000:
+                self.a = a
                 self.c += qe
                 return
-            if self.a < qe:
-                self.a = qe
+            if a < qe:
+                a = qe
             else:
                 self.c += qe
-            states[cx] = (nmps << 1) | mps
+            states[cx] = _NMPS_ST[st]
         else:  # CODELPS
-            if self.a < qe:
+            if a < qe:
                 self.c += qe
             else:
-                self.a = qe
-            if switch:
-                mps ^= 1
-            states[cx] = (nlps << 1) | mps
+                a = qe
+            states[cx] = _NLPS_ST[st]
         while True:  # RENORME
-            self.a = (self.a << 1) & 0xFFFF
+            a = (a << 1) & 0xFFFF
             self.c <<= 1
             self.ct -= 1
             if self.ct == 0:
+                self.a = a
                 self._byteout()
-            if self.a & 0x8000:
+            if a & 0x8000:
                 break
+        self.a = a
 
     def flush(self) -> bytes:
         # SETBITS (T.88 E.2.9): push C to the largest value inside [C, C+A)

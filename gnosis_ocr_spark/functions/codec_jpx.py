@@ -1,0 +1,1593 @@
+"""JPEG 2000 (ITU-T T.800 / ISO 15444-1) codec — the PDF ``/JPXDecode``
+payload, and the last image codec in the scanned-PDF path that used to
+carry opaque.
+
+The reference rasterizes JPX-compressed scanned pages transparently via
+poppler (/root/reference/app/jobs.py:386-390); here they decode through a
+from-scratch implementation of the public spec: JP2 container boxes +
+raw codestreams, main/tile marker parsing (SIZ/COD/QCD + per-component
+overrides), Tier-2 packet decoding (tag trees, inclusion, zero
+bit-planes, Lblock lengths, all five progression orders, precincts),
+Tier-1 EBCOT bit-plane coding (significance propagation / magnitude
+refinement / cleanup passes over the SAME MQ arithmetic coder JBIG2
+uses — T.800 Annex C and T.88 Annex E specify the identical coder, so
+:class:`codec_jbig2._MQDecoder` is reused verbatim), dequantization
+(reversible / scalar derived / scalar expounded), inverse 5/3 and 9/7
+lifting DWT with symmetric extension, and RCT/ICT component transforms.
+
+Both the decoder (the crawl-facing path behind codec_pdf's opaque-image
+carry) and a fixture encoder (single-tile, LRCP, lossless 5/3 or lossy
+9/7) live here, mirroring codec_jpeg / codec_jbig2: the encoder exists
+so round-trip properties and corpus writer classes can certify the
+decoder without any external JPX file in the container.
+
+Scope honesty: code-block styles beyond the default (selective
+arithmetic bypass, per-pass termination, vertically-causal contexts,
+segmentation symbols), ROI (RGN), and progression-order changes (POC)
+raise ValueError → codec_pdf/pdf_split map that to the opaque carry
+(same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
+Python like every entropy coder here — linear, Arrow-batched across
+pages, same honesty class as codec_jpeg's note.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gnosis_ocr_spark.functions.codec_jbig2 import _MQDecoder, _MQEncoder
+
+MAX_PIXELS = 50_000_000  # hostile-input allocation bound (codec_jpeg rationale)
+
+# ---------------------------------------------------------------------------
+# Tier-1 context assignment (T.800 Annex D). 19 MQ contexts:
+# 0-8 zero coding, 9-13 sign coding, 14-16 magnitude refinement,
+# 17 run-length, 18 uniform. Initial (index, MPS=0) per Table D.7.
+# ---------------------------------------------------------------------------
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _fresh_states() -> bytearray:
+    states = bytearray(_N_CTX)
+    states[0] = 4 << 1   # ZC context 0 starts at state 4
+    states[_CTX_RL] = 3 << 1
+    states[_CTX_UNI] = 46 << 1
+    return states
+
+
+def _zc_tables() -> np.ndarray:
+    """Zero-coding context LUTs, indexed [band][h*9 + v*3 + d_cap] where
+    h, v ∈ 0..2 are significant horizontal/vertical neighbor counts and
+    d_cap = min(d, 2)... HH needs d to 4 so the index is h*15+v*5+d
+    (d ∈ 0..4). One flat table per band orientation (Table D.1)."""
+    lut = np.zeros((4, 3 * 3 * 5), dtype=np.uint8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                i = (h * 3 + v) * 5 + d
+                # LL and LH orientation (h primary)
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                elif v == 2:
+                    c = 4
+                elif v == 1:
+                    c = 3
+                elif d >= 2:
+                    c = 2
+                else:
+                    c = d  # 1 or 0
+                lut[0, i] = c
+                lut[2, i] = c
+                # HL: swap h and v
+                if v == 2:
+                    c = 8
+                elif v == 1:
+                    c = 7 if h >= 1 else (6 if d >= 1 else 5)
+                elif h == 2:
+                    c = 4
+                elif h == 1:
+                    c = 3
+                elif d >= 2:
+                    c = 2
+                else:
+                    c = d
+                lut[1, i] = c
+                # HH: d primary
+                hv = h + v
+                if d >= 3:
+                    c = 8
+                elif d == 2:
+                    c = 7 if hv >= 1 else 6
+                elif d == 1:
+                    c = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                else:
+                    c = 2 if hv >= 2 else hv
+                lut[3, i] = c
+    return lut
+
+
+_ZC_LUT = _zc_tables()
+# band index: 0=LL, 1=HL, 2=LH, 3=HH
+_BAND_IDX = {"LL": 0, "HL": 1, "LH": 2, "HH": 3}
+
+# sign-coding (context, xor) by (H+1)*3 + (V+1), H/V ∈ {-1,0,1} (Table D.3)
+_SC_LUT = (
+    (13, 1), (12, 1), (11, 1),   # H=-1: V=-1,0,1
+    (10, 1), (9, 0), (10, 0),    # H=0
+    (11, 0), (12, 0), (13, 0),   # H=1
+)
+# flat per-band ZC tables for the hot loops (bytes index ~3x faster than
+# a 2-D numpy scalar read)
+_ZC_FLAT = tuple(bytes(_ZC_LUT[b]) for b in range(4))
+# sign contribution+1 of a neighbor pair, each coded 0=none/1=pos/2=neg:
+# same sign → that sign, opposite signs cancel, a lone sign wins
+_SC_PAIR = bytes([1, 2, 0, 2, 2, 1, 0, 1, 0])
+
+
+class _BlockCoder:
+    """EBCOT Tier-1 code-block coder (T.800 Annex D, default code-block
+    style): shared state machine driven either by an MQ decoder (filling
+    magnitudes/signs) or an MQ encoder (emitting them). One instance per
+    code-block.
+
+    Hot-loop honesty: EBCOT is per-symbol with in-pass feedback (a bit
+    decoded at (y, x) changes the context of the very next column), so
+    the passes are Python loops — but over FLAT bytearrays with inlined
+    neighbor reads, not numpy scalar indexing (measured ~10x). Same
+    throughput class as codec_jpeg's entropy decoder; the OpenJPEG swap
+    seam is the same."""
+
+    __slots__ = (
+        "h", "w", "stride", "zlut", "sig", "sgn", "visited", "refined",
+        "mag",
+    )
+
+    def __init__(self, h: int, w: int, band: int) -> None:
+        self.h, self.w = h, w
+        self.stride = w + 2                    # 1-px apron on all sides
+        self.zlut = _ZC_FLAT[band]
+        self.sig = bytearray((h + 2) * (w + 2))
+        self.sgn = bytearray((h + 2) * (w + 2))  # 0 none, 1 pos, 2 neg
+        self.visited = bytearray(h * w)
+        self.refined = bytearray(h * w)
+        self.mag = [0] * (h * w)
+
+    # -- decoding passes
+
+    def dec_sig_pass(self, mq, states, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited, mag = self.sig, self.sgn, self.visited, self.mag
+        zlut, pair, sclut = self.zlut, _SC_PAIR, _SC_LUT
+        decode = mq.decode
+        bit = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if not sig[i]:
+                        ctx = zlut[
+                            ((sig[i - 1] + sig[i + 1]) * 3
+                             + sig[i - W2] + sig[i + W2]) * 5
+                            + sig[i - W2 - 1] + sig[i - W2 + 1]
+                            + sig[i + W2 - 1] + sig[i + W2 + 1]
+                        ]
+                        if ctx == 0:
+                            visited[j] = 0
+                        else:
+                            visited[j] = 1
+                            if decode(states, ctx):
+                                sc, xor = sclut[
+                                    pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                                    + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                                ]
+                                sig[i] = 1
+                                sgn[i] = 1 + (decode(states, sc) ^ xor)
+                                mag[j] = bit
+                    i += W2
+                    j += w
+
+    def dec_mag_pass(self, mq, states, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, visited, refined, mag = (
+            self.sig, self.visited, self.refined, self.mag,
+        )
+        decode = mq.decode
+        bit = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if sig[i] and not visited[j]:
+                        if refined[j]:
+                            ctx = 16
+                        elif (
+                            sig[i - 1] or sig[i + 1] or sig[i - W2]
+                            or sig[i + W2] or sig[i - W2 - 1]
+                            or sig[i - W2 + 1] or sig[i + W2 - 1]
+                            or sig[i + W2 + 1]
+                        ):
+                            ctx = 15
+                        else:
+                            ctx = 14
+                        if decode(states, ctx):
+                            mag[j] |= bit
+                        refined[j] = 1
+                        visited[j] = 1
+                    i += W2
+                    j += w
+
+    def dec_cleanup_pass(self, mq, states, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited, mag = self.sig, self.sgn, self.visited, self.mag
+        zlut, pair, sclut = self.zlut, _SC_PAIR, _SC_LUT
+        decode = mq.decode
+        bit = 1 << plane
+        z3 = b"\x00\x00\x00"
+        for y0 in range(0, h, 4):
+            full = y0 + 4 <= h
+            rows = min(4, h - y0)
+            for x in range(w):
+                i0 = (y0 + 1) * W2 + x + 1
+                j0 = y0 * w + x
+                start = 0
+                if full and not (
+                    visited[j0] or visited[j0 + w] or visited[j0 + 2 * w]
+                    or visited[j0 + 3 * w]
+                ):
+                    # run-length mode: the whole 6x3 neighborhood window
+                    # insignificant == the 4 samples and all their ZC
+                    # contexts are zero (T.800 D.4.4)
+                    p = i0 - W2 - 1
+                    if (
+                        sig[p : p + 3] == z3
+                        and sig[p + W2 : p + W2 + 3] == z3
+                        and sig[p + 2 * W2 : p + 2 * W2 + 3] == z3
+                        and sig[p + 3 * W2 : p + 3 * W2 + 3] == z3
+                        and sig[p + 4 * W2 : p + 4 * W2 + 3] == z3
+                        and sig[p + 5 * W2 : p + 5 * W2 + 3] == z3
+                    ):
+                        if not decode(states, _CTX_RL):
+                            continue  # whole column stays insignificant
+                        r = (decode(states, _CTX_UNI) << 1) | decode(
+                            states, _CTX_UNI
+                        )
+                        i = i0 + r * W2
+                        # sample r is significant (ZC bit implied)
+                        sc, xor = sclut[
+                            pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                            + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                        ]
+                        sig[i] = 1
+                        sgn[i] = 1 + (decode(states, sc) ^ xor)
+                        mag[j0 + r * w] = bit
+                        start = r + 1
+                i = i0 + start * W2
+                j = j0 + start * w
+                for _y in range(rows - start):
+                    if not sig[i] and not visited[j]:
+                        ctx = zlut[
+                            ((sig[i - 1] + sig[i + 1]) * 3
+                             + sig[i - W2] + sig[i + W2]) * 5
+                            + sig[i - W2 - 1] + sig[i - W2 + 1]
+                            + sig[i + W2 - 1] + sig[i + W2 + 1]
+                        ]
+                        if decode(states, ctx):
+                            sc, xor = sclut[
+                                pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                                + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                            ]
+                            sig[i] = 1
+                            sgn[i] = 1 + (decode(states, sc) ^ xor)
+                            mag[j] = bit
+                    i += W2
+                    j += w
+        self.visited = bytearray(h * w)
+
+    # -- encoding passes (exact mirrors; absval/neg are flat h*w arrays)
+
+    def enc_sig_pass(self, mq, states, absval, neg, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited = self.sig, self.sgn, self.visited
+        zlut, pair, sclut = self.zlut, _SC_PAIR, _SC_LUT
+        encode = mq.encode
+        bitmask = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if not sig[i]:
+                        ctx = zlut[
+                            ((sig[i - 1] + sig[i + 1]) * 3
+                             + sig[i - W2] + sig[i + W2]) * 5
+                            + sig[i - W2 - 1] + sig[i - W2 + 1]
+                            + sig[i + W2 - 1] + sig[i + W2 + 1]
+                        ]
+                        if ctx == 0:
+                            visited[j] = 0
+                        else:
+                            visited[j] = 1
+                            b = 1 if absval[j] & bitmask else 0
+                            encode(states, ctx, b)
+                            if b:
+                                sc, xor = sclut[
+                                    pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                                    + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                                ]
+                                encode(states, sc, neg[j] ^ xor)
+                                sig[i] = 1
+                                sgn[i] = 1 + neg[j]
+                    i += W2
+                    j += w
+
+    def enc_mag_pass(self, mq, states, absval, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, visited, refined = self.sig, self.visited, self.refined
+        encode = mq.encode
+        bitmask = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if sig[i] and not visited[j]:
+                        if refined[j]:
+                            ctx = 16
+                        elif (
+                            sig[i - 1] or sig[i + 1] or sig[i - W2]
+                            or sig[i + W2] or sig[i - W2 - 1]
+                            or sig[i - W2 + 1] or sig[i + W2 - 1]
+                            or sig[i + W2 + 1]
+                        ):
+                            ctx = 15
+                        else:
+                            ctx = 14
+                        encode(states, ctx, 1 if absval[j] & bitmask else 0)
+                        refined[j] = 1
+                        visited[j] = 1
+                    i += W2
+                    j += w
+
+    def enc_cleanup_pass(self, mq, states, absval, neg, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited = self.sig, self.sgn, self.visited
+        zlut, pair, sclut = self.zlut, _SC_PAIR, _SC_LUT
+        encode = mq.encode
+        bitmask = 1 << plane
+        z3 = b"\x00\x00\x00"
+        for y0 in range(0, h, 4):
+            full = y0 + 4 <= h
+            rows = min(4, h - y0)
+            for x in range(w):
+                i0 = (y0 + 1) * W2 + x + 1
+                j0 = y0 * w + x
+                start = 0
+                if full and not (
+                    visited[j0] or visited[j0 + w] or visited[j0 + 2 * w]
+                    or visited[j0 + 3 * w]
+                ):
+                    p = i0 - W2 - 1
+                    if (
+                        sig[p : p + 3] == z3
+                        and sig[p + W2 : p + W2 + 3] == z3
+                        and sig[p + 2 * W2 : p + 2 * W2 + 3] == z3
+                        and sig[p + 3 * W2 : p + 3 * W2 + 3] == z3
+                        and sig[p + 4 * W2 : p + 4 * W2 + 3] == z3
+                        and sig[p + 5 * W2 : p + 5 * W2 + 3] == z3
+                    ):
+                        r = -1
+                        for k in range(4):
+                            if absval[j0 + k * w] & bitmask:
+                                r = k
+                                break
+                        if r < 0:
+                            encode(states, _CTX_RL, 0)
+                            continue
+                        encode(states, _CTX_RL, 1)
+                        encode(states, _CTX_UNI, (r >> 1) & 1)
+                        encode(states, _CTX_UNI, r & 1)
+                        i = i0 + r * W2
+                        j = j0 + r * w
+                        sc, xor = sclut[
+                            pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                            + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                        ]
+                        encode(states, sc, neg[j] ^ xor)
+                        sig[i] = 1
+                        sgn[i] = 1 + neg[j]
+                        start = r + 1
+                i = i0 + start * W2
+                j = j0 + start * w
+                for _y in range(rows - start):
+                    if not sig[i] and not visited[j]:
+                        ctx = zlut[
+                            ((sig[i - 1] + sig[i + 1]) * 3
+                             + sig[i - W2] + sig[i + W2]) * 5
+                            + sig[i - W2 - 1] + sig[i - W2 + 1]
+                            + sig[i + W2 - 1] + sig[i + W2 + 1]
+                        ]
+                        b = 1 if absval[j] & bitmask else 0
+                        encode(states, ctx, b)
+                        if b:
+                            sc, xor = sclut[
+                                pair[sgn[i - 1] * 3 + sgn[i + 1]] * 3
+                                + pair[sgn[i - W2] * 3 + sgn[i + W2]]
+                            ]
+                            encode(states, sc, neg[j] ^ xor)
+                            sig[i] = 1
+                            sgn[i] = 1 + neg[j]
+                    i += W2
+                    j += w
+        self.visited = bytearray(h * w)
+
+
+def decode_block(
+    data: bytes, h: int, w: int, band: int, n_planes: int, n_passes: int
+) -> np.ndarray:
+    """Decode one code-block's MQ segment into signed coefficients.
+    ``n_planes`` = magnitude bit-planes possibly coded (Mb − zero
+    bit-planes), ``n_passes`` = coding passes present (1 = cleanup of the
+    first plane, then SPP/MRP/CUP triplets)."""
+    if n_planes < 0 or n_passes < 1:
+        raise ValueError("JPX: bad block pass/plane counts")
+    if n_passes > 3 * max(n_planes, 1):
+        raise ValueError("JPX: more passes than planes allow")
+    coder = _BlockCoder(h, w, band)
+    mq = _MQDecoder(data)
+    states = _fresh_states()
+    done = 0
+    for p in range(n_planes):
+        plane = n_planes - 1 - p
+        if p == 0:
+            coder.dec_cleanup_pass(mq, states, plane)
+            done += 1
+        else:
+            coder.dec_sig_pass(mq, states, plane)
+            done += 1
+            if done >= n_passes:
+                break
+            coder.dec_mag_pass(mq, states, plane)
+            done += 1
+            if done >= n_passes:
+                break
+            coder.dec_cleanup_pass(mq, states, plane)
+            done += 1
+        if done >= n_passes:
+            break
+    mag = np.array(coder.mag, dtype=np.int64).reshape(h, w)
+    sgn = np.frombuffer(bytes(coder.sgn), dtype=np.uint8).reshape(
+        h + 2, w + 2
+    )[1:-1, 1:-1]
+    return np.where(sgn == 2, -mag, mag)
+
+
+def encode_block(
+    coeffs: np.ndarray, band: int, n_planes: int
+) -> tuple[bytes, int]:
+    """Encode signed coefficients as one MQ codeword segment spanning all
+    passes of ``n_planes`` bit-planes. Returns (segment, n_passes)."""
+    h, w = coeffs.shape
+    absarr = np.abs(coeffs).astype(np.int64)
+    if n_planes <= 0 or (absarr >> n_planes).any():
+        raise ValueError("JPX: coefficients exceed declared bit-planes")
+    absval = absarr.ravel().tolist()
+    neg = bytearray((coeffs < 0).astype(np.uint8).ravel().tobytes())
+    coder = _BlockCoder(h, w, band)
+    mq = _MQEncoder()
+    states = _fresh_states()
+    n_passes = 0
+    for p in range(n_planes):
+        plane = n_planes - 1 - p
+        if p == 0:
+            coder.enc_cleanup_pass(mq, states, absval, neg, plane)
+            n_passes += 1
+        else:
+            coder.enc_sig_pass(mq, states, absval, neg, plane)
+            coder.enc_mag_pass(mq, states, absval, plane)
+            coder.enc_cleanup_pass(mq, states, absval, neg, plane)
+            n_passes += 3
+    return mq.flush(), n_passes
+
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (T.800 B.10.2): quad-tree minima over a W×H grid, queried with
+# rising thresholds during packet-header coding.
+# ---------------------------------------------------------------------------
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int) -> None:
+        self.levels: list[tuple[int, int]] = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        # per level: current lower bound + final-value-known flag
+        self.low = [np.zeros((lh, lw), dtype=np.int32) for lw, lh in self.levels]
+        self.known = [
+            np.zeros((lh, lw), dtype=np.uint8) for lw, lh in self.levels
+        ]
+        self.value = [
+            np.zeros((lh, lw), dtype=np.int32) for lw, lh in self.levels
+        ]
+
+    def set_values(self, vals: np.ndarray) -> None:
+        """Encoder side: fill every node with the min of its children."""
+        self.value[0][:, :] = vals
+        for li in range(1, len(self.levels)):
+            prev = self.value[li - 1]
+            lw, lh = self.levels[li]
+            cur = np.full((lh, lw), 2**30, dtype=np.int32)
+            ph, pw = prev.shape
+            for y in range(ph):
+                for x in range(pw):
+                    yy, xx = y // 2, x // 2
+                    if prev[y, x] < cur[yy, xx]:
+                        cur[yy, xx] = prev[y, x]
+            self.value[li] = cur
+
+    def decode(self, br, x: int, y: int, threshold: int) -> bool:
+        """Is leaf (x, y)'s value < threshold? Consumes exactly the bits
+        the encoder emitted for this query."""
+        # walk root → leaf
+        path = []
+        lx, ly = x, y
+        for li in range(len(self.levels)):
+            path.append((li, lx, ly))
+            lx, ly = lx // 2, ly // 2
+        lower = 0
+        for li, nx, ny in reversed(path):
+            low, known, value = self.low[li], self.known[li], self.value[li]
+            if low[ny, nx] < lower:
+                low[ny, nx] = lower
+            while not known[ny, nx] and low[ny, nx] < threshold:
+                if br.bit():
+                    known[ny, nx] = 1
+                    value[ny, nx] = low[ny, nx]
+                else:
+                    low[ny, nx] += 1
+            if known[ny, nx]:
+                lower = value[ny, nx]
+                if value[ny, nx] >= threshold:
+                    return False
+            else:
+                lower = low[ny, nx]
+                return False  # still ≥ threshold as far as coded
+        return True
+
+    def encode(self, bw, x: int, y: int, threshold: int) -> None:
+        """Emit the bits that let the decoder answer value<threshold."""
+        path = []
+        lx, ly = x, y
+        for li in range(len(self.levels)):
+            path.append((li, lx, ly))
+            lx, ly = lx // 2, ly // 2
+        lower = 0
+        for li, nx, ny in reversed(path):
+            low, known, value = self.low[li], self.known[li], self.value[li]
+            if low[ny, nx] < lower:
+                low[ny, nx] = lower
+            while not known[ny, nx] and low[ny, nx] < threshold:
+                if low[ny, nx] == value[ny, nx]:
+                    bw.bit(1)
+                    known[ny, nx] = 1
+                else:
+                    bw.bit(0)
+                    low[ny, nx] += 1
+            if known[ny, nx]:
+                lower = value[ny, nx]
+                if value[ny, nx] >= threshold:
+                    return
+            else:
+                return
+
+
+# ---------------------------------------------------------------------------
+# Packet-header bit IO with JPEG 2000 bit-stuffing (a byte following 0xFF
+# carries 7 bits; 0xFF immediately followed by a byte > 0x8F never occurs
+# inside a header).
+# ---------------------------------------------------------------------------
+
+
+class _HeaderReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPX: truncated packet header")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                self.buf = b & 0x7F
+                self.nbits = 7
+                if b > 0x8F:
+                    raise ValueError("JPX: marker inside packet header")
+            else:
+                self.buf = b
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: skip to the byte boundary (a trailing 0xFF
+        is followed by a stuffed 0 bit that also ends here); returns the
+        position of the first body byte."""
+        self.nbits = 0
+        if self.prev_ff:
+            # stuffing byte required after a final 0xFF
+            if self.pos >= len(self.data):
+                raise ValueError("JPX: truncated packet header")
+            self.pos += 1
+        self.prev_ff = False
+        return self.pos
+
+
+class _HeaderWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def _room(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def bit(self, b: int) -> None:
+        self.buf = (self.buf << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == self._room():
+            self.out.append(self.buf)
+            self.buf = 0
+            self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        room = self._room()
+        if self.nbits:
+            self.out.append(self.buf << (room - self.nbits))
+            self.buf = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # stuffing byte terminates a trailing 0xFF
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet transforms (T.800 Annex F): 1-D lifting with whole-sample
+# symmetric extension, applied separably. Arrays are float64 (9/7) or
+# int64 (5/3); split layout [low | high] along the transformed axis.
+# ---------------------------------------------------------------------------
+
+
+def _sym_idx(i: np.ndarray, n: int) -> np.ndarray:
+    """Whole-sample symmetric extension index map for positions -k..n+k."""
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * (n - 1)
+    j = np.abs(i) % period
+    return np.where(j >= n, period - j, j)
+
+
+def _fdwt53_1d(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """One 5/3 reversible level along ``axis`` → (low, high). Integer
+    lifting (T.800 F.4.8.2 inverted): d = odd − ⌊(left+right)/2⌋ over the
+    symmetrically extended signal, s = even + ⌊(d_left+d_right+2)/4⌋."""
+    x = np.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    xe = x[_sym_idx(np.arange(-2, n + 2), n)]  # xe[i+2] = x(i)
+    odd = np.arange(-1, n + 1, 2)  # every odd position the s step touches
+    dvals = xe[odd + 2] - ((xe[odd + 1] + xe[odd + 3]) >> 1)
+    ns = (n + 1) // 2
+    s = xe[np.arange(0, n, 2) + 2] + (
+        (dvals[:ns] + dvals[1 : ns + 1] + 2) >> 2
+    )
+    d = dvals[1 : 1 + n // 2]
+    return np.moveaxis(s, 0, axis), np.moveaxis(d, 0, axis)
+
+
+def _idwt53_1d(s: np.ndarray, d: np.ndarray, axis: int) -> np.ndarray:
+    s = np.moveaxis(s, axis, 0)
+    d = np.moveaxis(d, axis, 0)
+    ns, nd = s.shape[0], d.shape[0]
+    n = ns + nd
+    if n == 1:
+        return np.moveaxis(s, 0, axis)
+    de = np.concatenate([d[:1], d, d[-1:]], axis=0)  # d(2k+1) = de[k+1]
+    even = s - ((de[:ns] + de[1 : ns + 1] + 2) >> 2)
+    ee = np.concatenate([even, even[-1:]], axis=0)
+    oddv = d + ((ee[:nd] + ee[1 : nd + 1]) >> 1)
+    out = np.zeros((n,) + s.shape[1:], dtype=s.dtype)
+    out[0::2] = even
+    out[1::2] = oddv
+    return np.moveaxis(out, 0, axis)
+
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift97(x: np.ndarray, coef: float, n: int) -> None:
+    """In-place odd-update lifting step on interleaved signal x (length n):
+    x[odd] += coef * (x[odd-1] + x[odd+1]) with symmetric extension."""
+    no = np.arange(1, n, 2)
+    left = x[np.clip(no - 1, 0, n - 1)]
+    right = x[_sym_idx(no + 1, n)]
+    x[no] += coef * (left + right)
+
+
+def _lift97_even(x: np.ndarray, coef: float, n: int) -> None:
+    ne = np.arange(0, n, 2)
+    left = x[_sym_idx(ne - 1, n)]
+    right = x[_sym_idx(ne + 1, n)]
+    x[ne] += coef * (left + right)
+
+
+def _fdwt97_1d(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    x = np.moveaxis(x.astype(np.float64), axis, 0).copy()
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    _lift97(x, _A97, n)
+    _lift97_even(x, _B97, n)
+    _lift97(x, _G97, n)
+    _lift97_even(x, _D97, n)
+    s = x[0::2] / _K97
+    d = x[1::2] * _K97
+    return np.moveaxis(s, 0, axis), np.moveaxis(d, 0, axis)
+
+
+def _idwt97_1d(s: np.ndarray, d: np.ndarray, axis: int) -> np.ndarray:
+    s = np.moveaxis(s, axis, 0)
+    d = np.moveaxis(d, axis, 0)
+    n = s.shape[0] + d.shape[0]
+    if n == 1:
+        return np.moveaxis(s.astype(np.float64), 0, axis)
+    x = np.zeros((n,) + s.shape[1:], dtype=np.float64)
+    x[0::2] = s * _K97
+    x[1::2] = d / _K97
+    _lift97_even(x, -_D97, n)
+    _lift97(x, -_G97, n)
+    _lift97_even(x, -_B97, n)
+    _lift97(x, -_A97, n)
+    return np.moveaxis(x, 0, axis)
+
+
+# ---------------------------------------------------------------------------
+# Geometry (T.800 B.5, zero offsets): per component, W_l = ceil(w / 2^l).
+# Resolution 0 is LL_N; resolution r >= 1 holds HL/LH/HH of decomposition
+# level l = N - r + 1.
+# ---------------------------------------------------------------------------
+
+
+def _band_geometry(
+    wc: int, hc: int, levels: int
+) -> list[list[tuple[str, int, int, int]]]:
+    """[(name, level, w, h), ...] per resolution r = 0..levels."""
+    W = [(wc + (1 << l) - 1) >> l for l in range(levels + 1)]
+    H = [(hc + (1 << l) - 1) >> l for l in range(levels + 1)]
+    res: list[list[tuple[str, int, int, int]]] = [
+        [("LL", levels, W[levels], H[levels])]
+    ]
+    for r in range(1, levels + 1):
+        l = levels - r + 1
+        res.append([
+            ("HL", l, W[l - 1] - W[l], H[l]),
+            ("LH", l, W[l], H[l - 1] - H[l]),
+            ("HH", l, W[l - 1] - W[l], H[l - 1] - H[l]),
+        ])
+    return res
+
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _qcd_index(name: str, level: int, levels: int) -> int:
+    """Index of a subband's entry in the QCD/QCC list (packet order)."""
+    if name == "LL":
+        return 0
+    return 1 + 3 * (levels - level) + ("HL", "LH", "HH").index(name)
+
+
+def _subband_q(
+    qstyle: int, qvals: list[tuple[int, int]], name: str, level: int,
+    levels: int,
+) -> tuple[int, int]:
+    """(exponent, mantissa) for one subband under the QCD style."""
+    if qstyle == 1:  # scalar derived: one pair, scaled by level depth
+        eps0, mu0 = qvals[0]
+        nb = level if name != "LL" else levels
+        return eps0 - levels + nb, mu0
+    idx = _qcd_index(name, level, levels)
+    if idx >= len(qvals):
+        raise ValueError("JPX: quantization list too short")
+    return qvals[idx]
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: packet headers over single-precinct resolutions.
+# ---------------------------------------------------------------------------
+
+
+class _Blk:
+    __slots__ = ("included", "lblock", "passes", "data", "n_planes")
+
+    def __init__(self) -> None:
+        self.included = False
+        self.lblock = 3
+        self.passes = 0
+        self.data = bytearray()
+        self.n_planes = 0
+
+
+class _SubDec:
+    """One subband's Tier-2 state: code-block grid + the two tag trees."""
+
+    def __init__(
+        self, name: str, level: int, w: int, h: int, mb: int,
+        cbw: int, cbh: int,
+    ) -> None:
+        self.name, self.level, self.w, self.h = name, level, w, h
+        self.mb = mb
+        self.cbw, self.cbh = cbw, cbh
+        self.nbx = (w + cbw - 1) // cbw if w > 0 else 0
+        self.nby = (h + cbh - 1) // cbh if h > 0 else 0
+        n = max(1, self.nbx), max(1, self.nby)
+        self.incl = _TagTree(n[0], n[1])
+        self.zb = _TagTree(n[0], n[1])
+        self.blks = [
+            [_Blk() for _ in range(self.nbx)] for _ in range(self.nby)
+        ]
+
+
+def _read_npasses(br: _HeaderReader) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+def _write_npasses(bw: _HeaderWriter, n: int) -> None:
+    if n == 1:
+        bw.bit(0)
+    elif n == 2:
+        bw.bits(0b10, 2)
+    elif n <= 5:
+        bw.bits(0b11, 2)
+        bw.bits(n - 3, 2)
+    elif n <= 36:
+        bw.bits(0b1111, 4)
+        bw.bits(n - 6, 5)
+    elif n <= 164:
+        bw.bits(0b111111111, 9)
+        bw.bits(n - 37, 7)
+    else:
+        raise ValueError("JPX: pass count exceeds header code")
+
+
+def _tag_value(br: _HeaderReader, tree: _TagTree, x: int, y: int) -> int:
+    t = 1
+    while not tree.decode(br, x, y, t):
+        t += 1
+        if t > 64:
+            raise ValueError("JPX: runaway tag-tree value")
+    return t - 1
+
+
+def _decode_packet(
+    data: bytes, pos: int, subbands: list[_SubDec], layer: int,
+    use_sop: bool, use_eph: bool,
+) -> int:
+    """Decode one packet (header + included block bodies) starting at
+    ``pos``; mutates the blocks' data/pass state; returns the next pos."""
+    if use_sop and data[pos : pos + 2] == b"\xff\x91":
+        pos += 6
+    br = _HeaderReader(data, pos)
+    contributions: list[tuple[_Blk, int, int]] = []
+    if br.bit():  # non-empty packet
+        for sb in subbands:
+            for by in range(sb.nby):
+                for bx in range(sb.nbx):
+                    blk = sb.blks[by][bx]
+                    if not blk.included:
+                        inc = sb.incl.decode(br, bx, by, layer + 1)
+                    else:
+                        inc = br.bit()
+                    if not inc:
+                        continue
+                    if not blk.included:
+                        zb = _tag_value(br, sb.zb, bx, by)
+                        blk.n_planes = sb.mb - zb
+                        if blk.n_planes < 0:
+                            raise ValueError("JPX: zero bit-planes > Mb")
+                        blk.included = True
+                    np_new = _read_npasses(br)
+                    while br.bit():
+                        blk.lblock += 1
+                    nbits = blk.lblock + (np_new.bit_length() - 1)
+                    if nbits > 32:
+                        raise ValueError("JPX: absurd segment length bits")
+                    seg_len = br.bits(nbits)
+                    contributions.append((blk, np_new, seg_len))
+    pos = br.align()
+    if use_eph:
+        if data[pos : pos + 2] != b"\xff\x92":
+            raise ValueError("JPX: missing EPH marker")
+        pos += 2
+    for blk, np_new, seg_len in contributions:
+        if pos + seg_len > len(data):
+            raise ValueError("JPX: truncated packet body")
+        blk.data += data[pos : pos + seg_len]
+        blk.passes += np_new
+        pos += seg_len
+    return pos
+
+
+def _packet_order(
+    progression: int, n_layers: int, n_res: int, n_comp: int
+) -> list[tuple[int, int, int]]:
+    """(layer, resolution, component) sequence for single-precinct tiles
+    under all five progression orders (positions collapse to one)."""
+    out: list[tuple[int, int, int]] = []
+    if progression == 0:  # LRCP
+        for l in range(n_layers):
+            for r in range(n_res):
+                for c in range(n_comp):
+                    out.append((l, r, c))
+    elif progression == 1:  # RLCP
+        for r in range(n_res):
+            for l in range(n_layers):
+                for c in range(n_comp):
+                    out.append((l, r, c))
+    elif progression == 2:  # RPCL
+        for r in range(n_res):
+            for c in range(n_comp):
+                for l in range(n_layers):
+                    out.append((l, r, c))
+    elif progression in (3, 4):  # PCRL / CPRL
+        for c in range(n_comp):
+            for r in range(n_res):
+                for l in range(n_layers):
+                    out.append((l, r, c))
+    else:
+        raise ValueError("JPX: unknown progression order")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Codestream parsing (T.800 Annex A).
+# ---------------------------------------------------------------------------
+
+
+def _parse_cod(body: bytes) -> dict:
+    if len(body) < 10:
+        raise ValueError("JPX: short COD")
+    scod = body[0]
+    if scod & 0x01:
+        raise ValueError("JPX: user-defined precincts unsupported")
+    prog = body[1]
+    layers = struct.unpack_from(">H", body, 2)[0]
+    mct = body[4]
+    levels = body[5]
+    if levels > 32:
+        raise ValueError("JPX: too many decomposition levels")
+    cbw = 1 << (min(body[6] & 0x0F, 8) + 2)
+    cbh = 1 << (min(body[7] & 0x0F, 8) + 2)
+    if (body[6] & 0x0F) + (body[7] & 0x0F) > 8:
+        raise ValueError("JPX: code-block size exceeds 4096")
+    cbstyle = body[8]
+    if cbstyle != 0:
+        raise ValueError(
+            "JPX: non-default code-block style (bypass/reset/termination/"
+            "causal/segmentation) unsupported"
+        )
+    transform = body[9]
+    if transform > 1:
+        raise ValueError("JPX: unknown wavelet transform")
+    return {
+        "sop": bool(scod & 0x02),
+        "eph": bool(scod & 0x04),
+        "prog": prog,
+        "layers": layers,
+        "mct": mct,
+        "levels": levels,
+        "cbw": cbw,
+        "cbh": cbh,
+        "transform": transform,  # 0 = 9/7 irreversible, 1 = 5/3 reversible
+    }
+
+
+def _parse_qcd(body: bytes) -> dict:
+    if len(body) < 2:
+        raise ValueError("JPX: short QCD")
+    sq = body[0]
+    style = sq & 0x1F
+    guard = sq >> 5
+    vals: list[tuple[int, int]] = []
+    if style == 0:  # no quantization: 1-byte exponents
+        for b in body[1:]:
+            vals.append((b >> 3, 0))
+    elif style in (1, 2):  # scalar derived / expounded: 2-byte (eps, mu)
+        for i in range(1, len(body) - 1, 2):
+            v = struct.unpack_from(">H", body, i)[0]
+            vals.append((v >> 11, v & 0x7FF))
+    else:
+        raise ValueError("JPX: unknown quantization style")
+    if not vals:
+        raise ValueError("JPX: empty quantization list")
+    return {"style": style, "guard": guard, "vals": vals}
+
+
+def _find_jp2_codestream(data: bytes) -> bytes:
+    """Walk JP2 boxes to the contiguous-codestream box."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        ln, btype = struct.unpack_from(">I4s", data, pos)
+        if ln == 1:
+            if pos + 16 > n:
+                break
+            xl = struct.unpack_from(">Q", data, pos + 8)[0]
+            body_off, ln = 16, xl
+        else:
+            body_off = 8
+            if ln == 0:
+                ln = n - pos
+        if ln < body_off or pos + ln > n:
+            raise ValueError("JPX: malformed JP2 box")
+        if btype == b"jp2c":
+            return data[pos + body_off : pos + ln]
+        pos += ln
+    raise ValueError("JPX: no codestream box in JP2 container")
+
+
+def decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
+    """Decode a JPEG 2000 codestream (raw or JP2-boxed) → (width, height,
+    component arrays, per-component bit precisions). Components arrive at
+    full image resolution (subsampled components are unsupported and
+    raise), int32, already DC-shifted back to unsigned range. Malformed
+    input raises ValueError only (executor-safety contract shared by
+    every codec here)."""
+    try:
+        return _decode_jpx(data)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"JPX: malformed stream ({exc})") from exc
+
+
+def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+        data = _find_jp2_codestream(data)
+    if data[:2] != b"\xff\x4f":
+        raise ValueError("JPX: missing SOC")
+    pos = 2
+    siz = None
+    cod = None
+    qcd = None
+    qcc: dict[int, dict] = {}
+    coc: dict[int, dict] = {}
+    tile_parts: list[tuple[int, int]] = []  # (body start, body end)
+    n = len(data)
+    while pos + 2 <= n:
+        marker = data[pos : pos + 2]
+        pos += 2
+        if marker == b"\xff\xd9":  # EOC
+            break
+        if marker == b"\xff\x93":
+            raise ValueError("JPX: SOD outside tile")
+        if pos + 2 > n:
+            raise ValueError("JPX: truncated marker segment")
+        (lseg,) = struct.unpack_from(">H", data, pos)
+        if lseg < 2 or pos + lseg > n:
+            raise ValueError("JPX: bad marker length")
+        body = data[pos + 2 : pos + lseg]
+        if marker == b"\xff\x51":  # SIZ
+            if len(body) < 36:
+                raise ValueError("JPX: short SIZ")
+            (
+                _rsiz, xs, ys, xo, yo, xts, yts, xto, yto, csiz,
+            ) = struct.unpack_from(">HIIIIIIIIH", body, 0)
+            if xo or yo or xto or yto:
+                raise ValueError("JPX: image/tile offsets unsupported")
+            if xts < xs or yts < ys:
+                raise ValueError("JPX: multiple tiles unsupported")
+            if not (0 < xs and 0 < ys) or xs * ys > MAX_PIXELS:
+                raise ValueError("JPX: image size out of bounds")
+            if not 1 <= csiz <= 4:
+                raise ValueError("JPX: component count unsupported")
+            comps = []
+            for c in range(csiz):
+                ssiz, xr, yr = struct.unpack_from(">BBB", body, 36 + 3 * c)
+                if xr != 1 or yr != 1:
+                    raise ValueError("JPX: subsampled components unsupported")
+                comps.append({
+                    "prec": (ssiz & 0x7F) + 1,
+                    "signed": bool(ssiz & 0x80),
+                })
+            siz = {"w": xs, "h": ys, "comps": comps}
+        elif marker == b"\xff\x52":
+            cod = _parse_cod(body)
+        elif marker == b"\xff\x5c":
+            qcd = _parse_qcd(body)
+        elif marker == b"\xff\x53":  # COC
+            if siz is None:
+                raise ValueError("JPX: COC before SIZ")
+            csel = body[0] if len(siz["comps"]) < 257 else (
+                struct.unpack_from(">H", body, 0)[0]
+            )
+            off = 1 if len(siz["comps"]) < 257 else 2
+            # Scoc + SPcod-shaped tail; reuse the COD parser via a shim
+            shim = bytes([body[off] & 0x01, 0, 0, 1, 0]) + body[off + 1 :]
+            coc[csel] = _parse_cod(shim)
+        elif marker == b"\xff\x5d":  # QCC
+            if siz is None:
+                raise ValueError("JPX: QCC before SIZ")
+            off = 1 if len(siz["comps"]) < 257 else 2
+            csel = body[0] if off == 1 else struct.unpack_from(">H", body, 0)[0]
+            qcc[csel] = _parse_qcd(body[off:])
+        elif marker in (b"\xff\x5f", b"\xff\x5e"):
+            raise ValueError("JPX: POC/RGN unsupported")
+        elif marker == b"\xff\x90":  # SOT
+            if len(body) < 8:
+                raise ValueError("JPX: short SOT")
+            isot, psot, _tpsot, _tnsot = struct.unpack_from(">HIBB", body, 0)
+            if isot != 0:
+                raise ValueError("JPX: multiple tiles unsupported")
+            sot_start = pos - 2
+            tile_end = sot_start + psot if psot else n
+            if tile_end > n:
+                raise ValueError("JPX: tile length out of range")
+            # tile-part header: markers until SOD
+            tpos = pos + lseg
+            while tpos + 2 <= tile_end:
+                tm = data[tpos : tpos + 2]
+                tpos += 2
+                if tm == b"\xff\x93":  # SOD
+                    tile_parts.append((tpos, tile_end))
+                    break
+                if tpos + 2 > tile_end:
+                    raise ValueError("JPX: truncated tile header")
+                (tl,) = struct.unpack_from(">H", data, tpos)
+                if tl < 2 or tpos + tl > tile_end:
+                    raise ValueError("JPX: bad tile marker length")
+                tbody = data[tpos + 2 : tpos + tl]
+                if tm == b"\xff\x52":
+                    cod = _parse_cod(tbody)
+                elif tm == b"\xff\x5c":
+                    qcd = _parse_qcd(tbody)
+                elif tm in (b"\xff\x5f", b"\xff\x5e"):
+                    raise ValueError("JPX: POC/RGN unsupported")
+                tpos += tl
+            else:
+                raise ValueError("JPX: tile without SOD")
+            pos = tile_end
+            continue
+        pos += lseg
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("JPX: missing SIZ/COD/QCD")
+    if not tile_parts:
+        raise ValueError("JPX: no tile data")
+
+    w, h = siz["w"], siz["h"]
+    n_comp = len(siz["comps"])
+    # per-component Tier-2 state
+    comp_cod = [coc.get(c, cod) for c in range(n_comp)]
+    comp_qcd = [qcc.get(c, qcd) for c in range(n_comp)]
+    comp_res: list[list[list[_SubDec]]] = []
+    for c in range(n_comp):
+        cc, qq = comp_cod[c], comp_qcd[c]
+        geom = _band_geometry(w, h, cc["levels"])
+        res_list: list[list[_SubDec]] = []
+        for bands in geom:
+            subs = []
+            for name, level, bw_, bh_ in bands:
+                eps, _mu = _subband_q(
+                    qq["style"], qq["vals"], name, level, cc["levels"]
+                )
+                mb = qq["guard"] + eps - 1
+                if not 0 < mb <= 40:
+                    raise ValueError("JPX: implausible Mb")
+                subs.append(
+                    _SubDec(name, level, bw_, bh_, mb, cc["cbw"], cc["cbh"])
+                )
+            res_list.append(subs)
+        comp_res.append(res_list)
+
+    n_res = max(cc["levels"] for cc in comp_cod) + 1
+    n_layers = cod["layers"]
+    order = _packet_order(cod["prog"], n_layers, n_res, n_comp)
+    for start, end in tile_parts:
+        pos = start
+        for l, r, c in order:
+            if r >= len(comp_res[c]):
+                continue
+            if pos >= end:
+                raise ValueError("JPX: ran out of packet data")
+            pos = _decode_packet(
+                data[:end], pos, comp_res[c][r], l,
+                comp_cod[c]["sop"], comp_cod[c]["eph"],
+            )
+
+    # Tier-1 + dequant + inverse DWT per component
+    out: list[np.ndarray] = []
+    precs: list[int] = []
+    for c in range(n_comp):
+        cc, qq = comp_cod[c], comp_qcd[c]
+        prec = siz["comps"][c]["prec"]
+        reversible = cc["transform"] == 1
+        levels = cc["levels"]
+        band_arrays: dict[tuple[str, int], np.ndarray] = {}
+        for subs in comp_res[c]:
+            for sb in subs:
+                coeff = np.zeros((sb.h, sb.w), dtype=np.int64)
+                for by in range(sb.nby):
+                    for bx in range(sb.nbx):
+                        blk = sb.blks[by][bx]
+                        if not blk.included or blk.passes == 0:
+                            continue
+                        bh_ = min(sb.cbh, sb.h - by * sb.cbh)
+                        bw_ = min(sb.cbw, sb.w - bx * sb.cbw)
+                        vals = decode_block(
+                            bytes(blk.data), bh_, bw_,
+                            _BAND_IDX[sb.name], blk.n_planes, blk.passes,
+                        )
+                        coeff[
+                            by * sb.cbh : by * sb.cbh + bh_,
+                            bx * sb.cbw : bx * sb.cbw + bw_,
+                        ] = vals
+                if reversible:
+                    band_arrays[(sb.name, sb.level)] = coeff
+                else:
+                    eps, mu = _subband_q(
+                        qq["style"], qq["vals"], sb.name, sb.level, levels
+                    )
+                    rb = prec + _GAIN[sb.name]
+                    delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                    vals_f = np.where(
+                        coeff == 0, 0.0,
+                        (np.abs(coeff) + 0.5) * np.sign(coeff) * delta,
+                    )
+                    band_arrays[(sb.name, sb.level)] = vals_f
+        # inverse multi-level DWT
+        cur = band_arrays[("LL", levels)]
+        for l in range(levels, 0, -1):
+            hl = band_arrays[("HL", l)]
+            lh = band_arrays[("LH", l)]
+            hh = band_arrays[("HH", l)]
+            if reversible:
+                s_l = _idwt53_1d(cur, lh, 0)
+                s_h = _idwt53_1d(hl, hh, 0)
+                cur = _idwt53_1d(s_l, s_h, 1)
+            else:
+                s_l = _idwt97_1d(cur, lh, 0)
+                s_h = _idwt97_1d(hl, hh, 0)
+                cur = _idwt97_1d(s_l, s_h, 1)
+        out.append(cur)
+        precs.append(prec)
+
+    # inverse component transform + DC shift
+    if cod["mct"] and n_comp >= 3:
+        y0, u, v = out[0], out[1], out[2]
+        if cod["transform"] == 1:  # RCT (integers)
+            g = y0 - ((u + v) >> 2)
+            r_ = v + g
+            b_ = u + g
+        else:  # ICT
+            r_ = y0 + 1.402 * v
+            g = y0 - 0.344136 * u - 0.714136 * v
+            b_ = y0 + 1.772 * u
+        out[0], out[1], out[2] = r_, g, b_
+    final: list[np.ndarray] = []
+    for c in range(n_comp):
+        prec = precs[c]
+        arr = out[c]
+        if arr.dtype != np.int64:
+            arr = np.rint(arr).astype(np.int64)
+        if not siz["comps"][c]["signed"]:
+            arr = arr + (1 << (prec - 1))
+            arr = np.clip(arr, 0, (1 << prec) - 1)
+        final.append(arr.astype(np.int32))
+    return w, h, final, precs
+
+
+def decode_jpx_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode to one 8-bit grayscale plane (integer luma for color) — the
+    shape the scanned-page OCR seam consumes."""
+    w, h, comps, precs = decode_jpx(data)
+    if len(comps) >= 3:
+        r_, g, b_ = comps[0], comps[1], comps[2]
+        gray = (
+            r_.astype(np.int64) * 299 + g.astype(np.int64) * 587
+            + b_.astype(np.int64) * 114
+        ) // 1000
+        prec = precs[0]
+    else:
+        gray = comps[0].astype(np.int64)
+        prec = precs[0]
+    if prec > 8:
+        gray >>= prec - 8
+    elif prec < 8:
+        gray = gray * 255 // ((1 << prec) - 1)
+    return w, h, np.clip(gray, 0, 255).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder: single tile, single layer, LRCP, 64x64 code-blocks,
+# one codeword segment per block. Lossless 5/3 (exact round-trip) or
+# lossy 9/7 with scalar-expounded quantization.
+# ---------------------------------------------------------------------------
+
+
+def _quant_params_for_delta(delta: float, rb: int) -> tuple[int, int]:
+    """(eps, mu) whose T.800 E.3 step is as close as possible to delta."""
+    import math
+
+    e = math.floor(math.log2(delta))
+    m = delta / (2.0 ** e) - 1.0
+    mu = int(round(m * 2048.0))
+    if mu > 2047:
+        mu = 0
+        e += 1
+    eps = rb - e
+    if not 1 <= eps <= 31:
+        raise ValueError("JPX: quantization step out of range")
+    return eps, mu
+
+
+def encode_jpx(
+    comps: list[np.ndarray],
+    lossless: bool = True,
+    levels: int = 3,
+    quality_step: float = 1.0 / 32,
+    progression: int = 0,
+) -> bytes:
+    """Encode 1 (gray) or 3 (RGB) uint8 planes as a raw JPEG 2000
+    codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
+    otherwise 9/7 + ICT with a uniform base quantization step of
+    ``quality_step`` (scalar expounded). ``progression`` picks the packet
+    order (0..4 = LRCP/RLCP/RPCL/PCRL/CPRL); packets are physically
+    emitted in that order."""
+    if not 0 <= progression <= 4:
+        raise ValueError("JPX: bad progression order")
+    if not comps or len(comps) not in (1, 3):
+        raise ValueError("JPX: encoder takes 1 or 3 components")
+    h, w = comps[0].shape
+    if any(c.shape != (h, w) for c in comps) or w * h > MAX_PIXELS:
+        raise ValueError("JPX: bad component shapes")
+    levels = max(0, min(levels, max(0, (min(w, h) - 1).bit_length() - 2)))
+    n_comp = len(comps)
+    prec = 8
+    guard = 2
+    planes = [c.astype(np.int64) - 128 for c in comps]  # DC shift
+    mct = 1 if n_comp == 3 else 0
+    if mct:
+        r_, g, b_ = planes
+        if lossless:  # RCT
+            y0 = (r_ + 2 * g + b_) >> 2
+            u = b_ - g
+            v = r_ - g
+        else:  # ICT
+            y0 = 0.299 * r_ + 0.587 * g + 0.114 * b_
+            u = -0.168736 * r_ - 0.331264 * g + 0.5 * b_
+            v = 0.5 * r_ - 0.418688 * g - 0.081312 * b_
+        planes = [y0, u, v]
+
+    geom = _band_geometry(w, h, levels)
+    # forward DWT per component → {(name, level): coeffs}
+    comp_bands: list[dict[tuple[str, int], np.ndarray]] = []
+    for p in planes:
+        cur = p if lossless else p.astype(np.float64)
+        bands: dict[tuple[str, int], np.ndarray] = {}
+        for l in range(1, levels + 1):
+            if lossless:
+                s_l, s_h = _fdwt53_1d(cur, 1)
+                ll, lh = _fdwt53_1d(s_l, 0)
+                hl, hh = _fdwt53_1d(s_h, 0)
+            else:
+                s_l, s_h = _fdwt97_1d(cur, 1)
+                ll, lh = _fdwt97_1d(s_l, 0)
+                hl, hh = _fdwt97_1d(s_h, 0)
+            bands[("HL", l)] = hl
+            bands[("LH", l)] = lh
+            bands[("HH", l)] = hh
+            cur = ll
+        bands[("LL", levels)] = cur
+        comp_bands.append(bands)
+
+    # per-subband (eps, mu): the QCD default serves EVERY component, so
+    # lossless exponents come from the max magnitude across all of them
+    qvals: list[tuple[int, int]] = []
+    for r, blist in enumerate(geom):
+        for name, level, bw_, bh_ in blist:
+            if lossless:
+                mx = 0
+                for bands in comp_bands:
+                    arr = bands[(name, level)]
+                    if arr.size:
+                        mx = max(mx, int(np.abs(arr).max()))
+                qvals.append((max(1, mx.bit_length() + 1 - guard), 0))
+            else:
+                rb = prec + _GAIN[name]
+                # uniform base step, scaled down for deeper levels so
+                # coarse subbands keep more precision
+                delta = quality_step * (2.0 ** -(levels - level))
+                qvals.append(_quant_params_for_delta(delta, rb))
+
+    # quantize (lossy) / keep integers (lossless)
+    comp_quant: list[dict[tuple[str, int], np.ndarray]] = []
+    for bands in comp_bands:
+        qb: dict[tuple[str, int], np.ndarray] = {}
+        for r, blist in enumerate(geom):
+            for name, level, bw_, bh_ in blist:
+                arr = bands[(name, level)]
+                eps, mu = qvals[_qcd_index(name, level, levels)]
+                if lossless:
+                    q = arr.astype(np.int64)
+                else:
+                    rb = prec + _GAIN[name]
+                    delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                    q = (
+                        np.sign(arr) * (np.abs(arr) / delta).astype(np.int64)
+                    ).astype(np.int64)
+                mb = guard + eps - 1
+                if q.size and int(np.abs(q).max()) >= (1 << mb):
+                    raise ValueError("JPX: coefficients exceed Mb")
+                qb[(name, level)] = q
+        comp_quant.append(qb)
+
+    # ---- markers
+    out = bytearray(b"\xff\x4f")  # SOC
+    sizb = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, n_comp
+    ) + b"".join(struct.pack(">BBB", prec - 1, 1, 1) for _ in range(n_comp))
+    out += b"\xff\x51" + struct.pack(">H", len(sizb) + 2) + sizb
+    codb = bytes([
+        0, progression,  # Scod, progression order
+    ]) + struct.pack(">H", 1) + bytes([
+        mct, levels, 4, 4, 0, 1 if lossless else 0,
+    ])
+    out += b"\xff\x52" + struct.pack(">H", len(codb) + 2) + codb
+    if lossless:
+        qcdb = bytes([(guard << 5) | 0]) + bytes(
+            (eps << 3) for eps, _ in qvals
+        )
+    else:
+        qcdb = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (eps << 11) | mu) for eps, mu in qvals
+        )
+    out += b"\xff\x5c" + struct.pack(">H", len(qcdb) + 2) + qcdb
+
+    # ---- tile: single-layer packets, physically in progression order
+    body = bytearray()
+    for _l, r, ci in _packet_order(progression, 1, levels + 1, n_comp):
+        blist = geom[r]
+        subs = []
+        for name, level, bw_, bh_ in blist:
+            eps, mu = qvals[_qcd_index(name, level, levels)]
+            mb = guard + eps - 1
+            subs.append((name, level, bw_, bh_, mb))
+        bw = _HeaderWriter()
+        seg_parts: list[bytes] = []
+        bw.bit(1)  # non-empty packet
+        for name, level, bw_, bh_, mb in subs:
+            if bw_ <= 0 or bh_ <= 0:
+                continue
+            nbx = (bw_ + 63) // 64
+            nby = (bh_ + 63) // 64
+            q = comp_quant[ci][(name, level)]
+            incl = _TagTree(nbx, nby)
+            zb = _TagTree(nbx, nby)
+            ivals = np.zeros((nby, nbx), dtype=np.int32)
+            zvals = np.zeros((nby, nbx), dtype=np.int32)
+            blocks: dict[tuple[int, int], tuple[bytes, int, int]] = {}
+            for by in range(nby):
+                for bx in range(nbx):
+                    blkq = q[
+                        by * 64 : min((by + 1) * 64, bh_),
+                        bx * 64 : min((bx + 1) * 64, bw_),
+                    ]
+                    mx = int(np.abs(blkq).max()) if blkq.size else 0
+                    if mx == 0:
+                        ivals[by, bx] = 1  # never included
+                        continue
+                    n_planes = mx.bit_length()
+                    seg, n_passes = encode_block(
+                        blkq, _BAND_IDX[name], n_planes
+                    )
+                    zvals[by, bx] = mb - n_planes
+                    blocks[(by, bx)] = (seg, n_passes, n_planes)
+            incl.set_values(ivals)
+            zb.set_values(zvals)
+            for by in range(nby):
+                for bx in range(nbx):
+                    incl.encode(bw, bx, by, 1)
+                    if (by, bx) not in blocks:
+                        continue
+                    seg, n_passes, _np_ = blocks[(by, bx)]
+                    for t in range(1, zvals[by, bx] + 2):
+                        zb.encode(bw, bx, by, t)
+                    _write_npasses(bw, n_passes)
+                    lblock = 3
+                    nbits_avail = lblock + (n_passes.bit_length() - 1)
+                    need = max(1, len(seg).bit_length())
+                    k = max(0, need - nbits_avail)
+                    for _ in range(k):
+                        bw.bit(1)
+                    bw.bit(0)
+                    lblock += k
+                    bw.bits(len(seg), lblock + (n_passes.bit_length() - 1))
+                    seg_parts.append(seg)
+        body += bw.flush()
+        for seg in seg_parts:
+            body += seg
+    psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"  # EOC
+    return bytes(out)
+
+
+def encode_jp2(
+    comps: list[np.ndarray], lossless: bool = True, levels: int = 3,
+    quality_step: float = 1.0 / 32,
+) -> bytes:
+    """Wrap :func:`encode_jpx` in the JP2 container (signature, ftyp,
+    jp2h with ihdr + colr, jp2c) — the box layout real .jp2 files and
+    many PDF /JPXDecode payloads use."""
+    cs = encode_jpx(comps, lossless, levels, quality_step)
+    h, w = comps[0].shape
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(
+        b"ihdr",
+        struct.pack(">IIHBBBB", h, w, len(comps), 7, 7, 0, 0),
+    )
+    colr = box(
+        b"colr",
+        bytes([1, 0, 0]) + struct.pack(">I", 16 if len(comps) == 3 else 17),
+    )
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", cs)

@@ -946,7 +946,10 @@ def build_pdf_scanned(
     = the same region MMR-coded; ``'jbig2_sym'`` = symbol-coded (symbol
     dictionary + text region, the jbig2enc shape); ``'jbig2_globals'`` =
     symbol-coded with the dictionary in a shared /JBIG2Globals stream
-    referenced from /DecodeParms; ``'raw1'`` = FlateDecode-compressed raw
+    referenced from /DecodeParms; ``'jpx'`` = /JPXDecode raw JPEG 2000
+    codestream (lossless 5/3 via codec_jpx); ``'jpx_jp2'`` = /JPXDecode
+    JP2-boxed lossy 9/7 codestream of the noise-tolerant scan matrix;
+    ``'raw1'`` = FlateDecode-compressed raw
     1-bit DeviceGray samples; ``'raw1_mask'`` = the same samples as an
     /ImageMask stencil (no ColorSpace).
     """
@@ -1033,6 +1036,31 @@ def build_pdf_scanned(
                 page_text_, width, height
             )
             filt = b"/DCTDecode"
+        elif image_filter in ("jpx", "jpx_jp2"):
+            # JPEG 2000 scanned page via codec_jpx: raw codestream
+            # (lossless 5/3) or JP2-boxed lossy 9/7 of the robust matrix
+            import numpy as _np
+
+            from gnosis_ocr_spark.functions.codec_jpx import (
+                encode_jp2,
+                encode_jpx,
+            )
+
+            if image_filter == "jpx":
+                px = encode_scan_pixels(page_text_, width, height)
+                arr = _np.frombuffer(px, dtype=_np.uint8).reshape(
+                    height, width
+                )
+                data = encode_jpx([arr], lossless=True)
+            else:
+                px = encode_scan_pixels_robust(page_text_, width, height)
+                arr = _np.frombuffer(px, dtype=_np.uint8).reshape(
+                    height, width
+                )
+                data = encode_jp2(
+                    [arr], lossless=False, quality_step=1.0 / 8
+                )
+            filt = b"/JPXDecode"
         elif image_filter in ("g4", "g4_black1", "g4_align"):
             packed = encode_scan_bits(page_text_, width, height)
             black_is_1 = image_filter == "g4_black1"
@@ -1850,8 +1878,10 @@ class PdfImage:
     in the filter chain via :mod:`codec_ccitt`, and JBIG2 — generic
     regions (arithmetic + MMR) AND symbol-coded streams incl. indirect
     /JBIG2Globals — via :mod:`codec_jbig2` (so those arrive as
-    ``codec='raw'`` 1-bit); only JPX and the JBIG2 halftone/refinement/
-    Huffman subsets stay opaque."""
+    ``codec='raw'`` 1-bit); ``'jpx'`` payloads decode downstream via
+    :mod:`codec_jpx` (JPEG 2000, raw or JP2-boxed). Only the JBIG2
+    halftone/refinement/Huffman subsets and exotic JPX shapes (multi-
+    tile, subsampled, bypass-coded) stay opaque."""
 
     width: int
     height: int

@@ -91,7 +91,8 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
     raw 8-bit DeviceGray directly, raw 1/2/4-bit packed DeviceGray
     (CCITT-G4 fax and bilevel scans decode to this shape) scaled to 8-bit,
     raw 24-bit DeviceRGB via integer luma, /DCTDecode through the baseline
-    JPEG decoder (luma plane)."""
+    JPEG decoder (luma plane), /JPXDecode through the JPEG 2000 decoder
+    (codec_jpx, gray/luma plane)."""
     if (
         img.codec == "raw"
         and img.bits in (1, 2, 4)
@@ -143,16 +144,99 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
             return luma, w, h
         except Exception:
             return None  # arithmetic-coded/lossless/corrupt JPEG
+    if img.codec == "jpx":
+        try:
+            from gnosis_ocr_spark.functions.codec_jpx import decode_jpx_gray
+
+            w, h, gray = decode_jpx_gray(img.data)
+            return gray, w, h
+        except Exception:
+            return None  # unsupported JPX subset / corrupt codestream
     return None
+
+
+_PACK_MAGIC = b"GIMG"  # deferred-image container marker in page_png
+
+
+def _pack_images(images) -> bytes | None:
+    """Serialize a page's PdfImage list into one compact blob WITHOUT
+    decoding the pixel payloads. The split stage used to decode heavy
+    codecs (JPX/JBIG2/JPEG are per-symbol entropy coders) inline, which
+    serialized a skew document's whole decode on ONE task; packing the
+    still-compressed payloads and decoding in the fused raster+OCR stage
+    puts the heavy work AFTER the page respread, where a 120-page scanned
+    document spreads across the cluster. Compressed payloads are also
+    smaller than decoded-PNG on real scans, so the shuffle shrinks too."""
+    if not images:
+        return None
+    import struct as _st
+
+    parts = [_PACK_MAGIC, _st.pack(">H", len(images))]
+    for im in images:
+        cs = im.colorspace.encode("utf-8")
+        co = im.codec.encode("utf-8")
+        parts.append(
+            _st.pack(">IIBBBI", im.width, im.height, im.bits,
+                     len(cs), len(co), len(im.data))
+        )
+        parts.append(cs)
+        parts.append(co)
+        parts.append(im.data)
+    return b"".join(parts)
+
+
+def _unpack_images(blob: bytes) -> list:
+    from gnosis_ocr_spark.functions.codec_pdf import PdfImage
+    import struct as _st
+
+    (n,) = _st.unpack_from(">H", blob, 4)
+    pos = 6
+    out = []
+    for _ in range(n):
+        w, h, bits, ncs, nco, nd = _st.unpack_from(">IIBBBI", blob, pos)
+        pos += 15
+        cs = blob[pos : pos + ncs].decode("utf-8")
+        pos += ncs
+        co = blob[pos : pos + nco].decode("utf-8")
+        pos += nco
+        data = blob[pos : pos + nd]
+        pos += nd
+        out.append(PdfImage(w, h, bits, cs, co, data))
+    return out
+
+
+def _materialize_scan(blob, w: int, h: int) -> bytes | None:
+    """page_png cell → real PNG bytes: deferred containers decode here
+    (the page-parallel stage), already-PNG cells pass through. A deferred
+    page whose images all fail to decode renders as a blank page (the
+    same empty-text degradation the inline-decode form produced)."""
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if b[:4] == _PACK_MAGIC:
+        return _scan_png(_unpack_images(b)) or encode_page_png("", w, h)
+    return b
+
+
+def make_materialize_png_udf(raster: str | None = None):
+    """Vectorized page_png → PNG materializer for the unfused/debug
+    paths (the fused raster+OCR stage inlines the same conversion)."""
+    w, h = _raster_size(raster)
+
+    @pandas_udf(BinaryType())
+    def materialize_udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda b: _materialize_scan(b, w, h))
+
+    return materialize_udf
 
 
 def _scan_png(images) -> bytes | None:
     """A page's drawn images as ONE grayscale PNG for the OCR stage.
     Multiple decodable images stack vertically in draw order (scanners
     routinely emit a page as horizontal strips), padded to the widest
-    strip. None when nothing decodes in-container (JPX, symbol-coded
-    JBIG2, arithmetic-coded JPEG — the page then extracts as empty text,
-    the honest degradation documented in PdfImage)."""
+    strip. None when nothing decodes in-container (JBIG2 halftone,
+    arithmetic-coded JPEG, exotic JPX shapes — the page then extracts as
+    empty text, the honest degradation documented in PdfImage)."""
     strips = [g for g in (_gray_pixels(img) for img in images) if g is not None]
     if not strips:
         return None
@@ -188,7 +272,10 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     end = min(start + EXTRACT_BATCH_PAGES - 1, total)
                     window = extract_pages_with_images(data, start, end)
                     for off, (spans, images) in enumerate(window):
-                        png = _scan_png(images) if not spans else None
+                        # image-only page: ship the still-compressed
+                        # payloads; decode happens page-parallel in the
+                        # raster+OCR stage (see _pack_images)
+                        png = _pack_images(images) if not spans else None
                         out_url.append(url)
                         out_no.append(start + off)
                         # image-only page: text comes from the OCR stage
@@ -277,8 +364,9 @@ def raster_ocr_pages(
                 b["page_png"] if "page_png" in b.columns else [None] * len(b)
             )
             pngs = [
-                # scanned page: pixels came from the document itself
-                bytes(s) if s is not None
+                # scanned page: pixels come from the document itself —
+                # deferred payloads decode HERE, after the page respread
+                _materialize_scan(s, w, h) if s is not None
                 else (None if t is None else encode_page_png(t, w, h))
                 for t, s in zip(b["page_text"], scans)
             ]
@@ -309,8 +397,9 @@ def split_pdf_pages(pdf_rows: DataFrame, raster: str | None = None) -> DataFrame
     return pages.select(
         "url",
         "page_no",
-        # scanned pages already carry their raster; text pages render one
+        # scanned pages carry their (deferred) raster; text pages render one
         F.coalesce(
-            F.col("page_png"), make_rasterize_udf(raster)(F.col("page_text"))
+            make_materialize_png_udf(raster)(F.col("page_png")),
+            make_rasterize_udf(raster)(F.col("page_text")),
         ).alias("png"),
     )

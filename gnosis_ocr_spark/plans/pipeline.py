@@ -106,13 +106,18 @@ def extract_corpus(
         # and OCR reads the materialized column — slower (pixels cross the
         # Arrow boundary) but inspectable. Production stays fused.
         from gnosis_ocr_spark.operators.ocr import make_ocr_udf
-        from gnosis_ocr_spark.operators.pdf_split import make_rasterize_udf
+        from gnosis_ocr_spark.operators.pdf_split import (
+            make_materialize_png_udf,
+            make_rasterize_udf,
+        )
 
         rastered = pages.withColumn(
             "png",
-            # scanned pages carry their own raster; text pages render one
+            # scanned pages carry their own (deferred) raster; text pages
+            # render one
             F.coalesce(
-                F.col("page_png"), make_rasterize_udf(raster)(F.col("page_text"))
+                make_materialize_png_udf(raster)(F.col("page_png")),
+                make_rasterize_udf(raster)(F.col("page_text")),
             ),
         )
         rastered.write.mode("overwrite").parquet(debug_pages_path)

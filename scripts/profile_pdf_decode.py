@@ -51,6 +51,18 @@ WRITERS: dict[str, callable] = {
         p, image_filter="jpeg_prog"
     ),
     "scanned_inline": lambda p: cp.build_pdf_scanned(p, image_filter="inline"),
+    "scanned_g3_2d": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="g3_2d"
+    ),
+    "scanned_jbig2": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="jbig2"
+    ),
+    "scanned_jbig2_sym": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="jbig2_globals"
+    ),
+    "scanned_jpx": lambda p: cp.build_pdf_scanned(
+        p, width=128, height=128, image_filter="jpx_jp2"
+    ),
 }
 
 # scanned classes pay their cost in the IMAGE path (extract_pages_with_
@@ -58,7 +70,8 @@ WRITERS: dict[str, callable] = {
 # work the production split stage does
 _SCANNED = {
     "scanned", "scanned_jpeg", "scanned_g4", "scanned_1bit",
-    "scanned_jpeg_prog", "scanned_inline",
+    "scanned_jpeg_prog", "scanned_inline", "scanned_g3_2d",
+    "scanned_jbig2", "scanned_jbig2_sym", "scanned_jpx",
 }
 
 PAGES = [

@@ -1,0 +1,298 @@
+"""JPEG 2000 (ITU-T T.800) codec + the scanned-PDF path: /JPXDecode was
+the last image codec in the pipeline that carried opaque — the reference
+rasterizes those pages transparently via poppler
+(/root/reference/app/jobs.py:386-390); here they decode through the
+from-scratch Tier-2/Tier-1/DWT stack in functions/codec_jpx.py (the MQ
+arithmetic coder is codec_jbig2's — T.800 Annex C and T.88 Annex E
+specify the identical coder) into the same OCR seam as every other
+scanned shape."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gnosis_ocr_spark.functions import codec_jpx as X
+from gnosis_ocr_spark.functions import codec_pdf as P
+from gnosis_ocr_spark.functions import codec_png as G
+from gnosis_ocr_spark.operators.pdf_split import _scan_png
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+# ----------------------------------------------------------------- DWT
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_dwt53_roundtrip_property(seed):
+    """5/3 reversible lifting is the exact identity for any integer
+    signal, every length parity, both axes."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    x = rng.integers(-(2**20), 2**20, size=(h, w)).astype(np.int64)
+    for axis in (0, 1):
+        s, d = X._fdwt53_1d(x, axis)
+        assert np.array_equal(X._idwt53_1d(s, d, axis), x)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_dwt97_roundtrip_property(seed):
+    """9/7 irreversible lifting inverts to float precision."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 200))
+    x = rng.normal(0, 1000, size=(n,))
+    s, d = X._fdwt97_1d(x, 0)
+    assert np.allclose(X._idwt97_1d(s, d, 0), x, atol=1e-8)
+
+
+def test_multilevel_dwt_geometry_matches_band_table():
+    """_band_geometry's subband sizes equal what the recursive split
+    actually produces — the packet walk and the coefficients must agree
+    on every dimension, including degenerate 1-px edges."""
+    rng = np.random.default_rng(4)
+    for (h, w, levels) in ((37, 61, 3), (8, 8, 2), (5, 200, 4), (1, 17, 2)):
+        x = rng.integers(-100, 100, size=(h, w)).astype(np.int64)
+        geom = X._band_geometry(w, h, levels)
+        cur = x
+        sizes = {}
+        for l in range(1, levels + 1):
+            s_l, s_h = X._fdwt53_1d(cur, 1)
+            ll, lh = X._fdwt53_1d(s_l, 0)
+            hl, hh = X._fdwt53_1d(s_h, 0)
+            sizes[("HL", l)] = hl.shape
+            sizes[("LH", l)] = lh.shape
+            sizes[("HH", l)] = hh.shape
+            cur = ll
+        sizes[("LL", levels)] = cur.shape
+        for bands in geom:
+            for name, level, bw_, bh_ in bands:
+                assert sizes[(name, level)] == (bh_, bw_), (name, level)
+
+
+# ------------------------------------------------------------ block coder
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_block_coder_roundtrip_property(seed):
+    """EBCOT encode → decode identity over all four band context tables,
+    sparse through dense blocks, including full 64-wide stripes."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 64))
+    w = int(rng.integers(1, 64))
+    band = int(rng.integers(0, 4))
+    density = float(rng.choice([0.01, 0.2, 0.7, 1.0]))
+    mags = rng.integers(0, 1 << int(rng.integers(1, 12)), size=(h, w))
+    mask = rng.random((h, w)) < density
+    signs = rng.choice([-1, 1], size=(h, w))
+    coeffs = (mags * mask * signs).astype(np.int64)
+    n_planes = max(1, int(np.abs(coeffs).max()).bit_length())
+    seg, n_passes = X.encode_block(coeffs, band, n_planes)
+    got = X.decode_block(seg, h, w, band, n_planes, n_passes)
+    assert np.array_equal(got, coeffs)
+
+
+def test_block_truncated_passes_degrade_not_crash():
+    """Decoding fewer passes than encoded (a truncated quality layer)
+    yields coarser magnitudes, never an exception — the progressive
+    contract real streams rely on."""
+    rng = np.random.default_rng(9)
+    coeffs = (rng.integers(0, 200, size=(32, 32))
+              * (rng.random((32, 32)) < 0.3)).astype(np.int64)
+    n_planes = max(1, int(np.abs(coeffs).max()).bit_length())
+    seg, n_passes = X.encode_block(coeffs, 0, n_planes)
+    for keep in range(1, n_passes + 1):
+        got = X.decode_block(seg, 32, 32, 0, n_planes, keep)
+        assert got.shape == (32, 32)
+    assert np.array_equal(
+        X.decode_block(seg, 32, 32, 0, n_planes, n_passes), coeffs
+    )
+
+
+# -------------------------------------------------------- full codestream
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_lossless_roundtrip_property(seed):
+    """encode_jpx(lossless) → decode_jpx is the identity for arbitrary
+    gray and RGB images across sizes, levels, and the RCT."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 80))
+    w = int(rng.integers(1, 80))
+    n_comp = int(rng.choice([1, 3]))
+    levels = int(rng.integers(0, 4))
+    comps = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        for _ in range(n_comp)
+    ]
+    cs = X.encode_jpx(comps, lossless=True, levels=levels)
+    gw, gh, got, precs = X.decode_jpx(cs)
+    assert (gw, gh) == (w, h) and precs == [8] * n_comp
+    for a, b in zip(got, comps):
+        assert np.array_equal(a, b)
+
+
+def test_lossy_97_bounded_error_and_rate_distortion():
+    """9/7 + scalar-expounded quantization: reconstruction error is
+    bounded by the step, and a coarser step yields a smaller stream —
+    the codec actually trades rate for distortion rather than hiding a
+    lossless path behind the lossy flag."""
+    yy, xx = np.mgrid[0:100, 0:120]
+    img = (128 + 100 * np.sin(xx / 15.0) * np.cos(yy / 18.0)).astype(np.uint8)
+    sizes = []
+    for step, tol in ((1 / 32, 2), (1.0, 4), (4.0, 12)):
+        cs = X.encode_jpx([img], lossless=False, levels=3, quality_step=step)
+        w, h, comps, _ = X.decode_jpx(cs)
+        err = np.abs(comps[0].astype(int) - img.astype(int))
+        assert err.max() <= tol, (step, err.max())
+        sizes.append(len(cs))
+    assert sizes[0] > sizes[1] > sizes[2]
+
+
+def test_jp2_container_and_gray_seam():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(50, 70)).astype(np.uint8)
+    jp2 = X.encode_jp2([img], lossless=True)
+    w, h, comps, _ = X.decode_jpx(jp2)
+    assert np.array_equal(comps[0], img)
+    w, h, gray = X.decode_jpx_gray(jp2)
+    assert np.array_equal(np.frombuffer(gray, np.uint8).reshape(h, w), img)
+    # RGB luma reduction in the gray seam
+    rgb = [rng.integers(0, 256, size=(20, 30)).astype(np.uint8) for _ in range(3)]
+    w, h, gray = X.decode_jpx_gray(X.encode_jpx(rgb, lossless=True))
+    r_, g_, b_ = (c.astype(np.int64) for c in rgb)
+    expect = ((r_ * 299 + g_ * 587 + b_ * 114) // 1000).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(gray, np.uint8).reshape(h, w), expect)
+
+
+def test_all_progression_orders_roundtrip():
+    """Packets physically emitted in each of the five progression orders
+    (LRCP/RLCP/RPCL/PCRL/CPRL) decode identically — the decoder's packet
+    walk follows the COD order, not a fixed sequence."""
+    rng = np.random.default_rng(5)
+    comps = [rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
+             for _ in range(3)]
+    streams = set()
+    for prog in (0, 1, 2, 3, 4):
+        cs = X.encode_jpx(comps, lossless=True, levels=2, progression=prog)
+        streams.add(cs)
+        w, h, got, _ = X.decode_jpx(cs)
+        for a, b in zip(got, comps):
+            assert np.array_equal(a, b), prog
+    # PCRL/CPRL really reorder the packet bytes vs the R-major orders
+    assert len(streams) >= 2
+
+
+def test_hostile_dimensions_and_truncation_rejected():
+    """Crafted SIZ dimensions must raise before allocation; truncations
+    of a valid stream raise ValueError (never MemoryError/hangs)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    cs = bytearray(X.encode_jpx([img], lossless=True))
+    # blow up Xsiz/Ysiz in SIZ (offsets 4: Lsiz(2)+Rsiz(2) → Xsiz at +6)
+    siz_at = bytes(cs).find(b"\xff\x51")
+    evil = bytearray(cs)
+    evil[siz_at + 6 : siz_at + 14] = (0x7FFFFFFF).to_bytes(4, "big") * 2
+    with pytest.raises(ValueError):
+        X.decode_jpx(bytes(evil))
+    for cut in (3, 10, len(cs) // 2, len(cs) - 3):
+        with pytest.raises(ValueError):
+            X.decode_jpx(bytes(cs[:cut]))
+
+
+@given(st.integers(0, 10_000), st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_mutated_stream_never_escapes_exception_contract(seed, junk):
+    """Arbitrary bytes and random mutations of a valid codestream:
+    ValueError or a clean decode only — never RecursionError/MemoryError
+    (the executor-killing classes)."""
+    rng = random.Random(seed)
+    base = bytearray(
+        X.encode_jpx(
+            [np.full((16, 16), seed % 256, dtype=np.uint8)], lossless=True
+        )
+    )
+    for _ in range(rng.randint(1, 6)):
+        base[rng.randrange(len(base))] = rng.randrange(256)
+    for data in (junk, bytes(base)):
+        try:
+            X.decode_jpx(data)
+        except (RecursionError, MemoryError):
+            raise
+        except ValueError:
+            pass
+
+
+def test_unsupported_subsets_raise_for_opaque_carry():
+    """POC/RGN markers, subsampled components, and non-default
+    code-block styles raise — codec_pdf/pdf_split map that to the
+    opaque carry."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    cs = bytearray(X.encode_jpx([img], lossless=True))
+    cod_at = bytes(cs).find(b"\xff\x52")
+    evil = bytearray(cs)
+    evil[cod_at + 12] = 0x01  # cbstyle: selective bypass
+    with pytest.raises(ValueError, match="code-block style"):
+        X.decode_jpx(bytes(evil))
+    siz_at = bytes(cs).find(b"\xff\x51")
+    evil = bytearray(cs)
+    evil[siz_at + 41] = 2  # XRsiz = 2: subsampled component
+    with pytest.raises(ValueError, match="subsampled"):
+        X.decode_jpx(bytes(evil))
+
+
+# ------------------------------------------------- PDF image-XObject path
+
+
+PAGES = ["jpx scanned page one\nline two", "page two body"]
+
+
+@pytest.mark.parametrize("variant", ["jpx", "jpx_jp2"])
+def test_jpx_scanned_variants_extract_exact_text(variant):
+    """Both /JPXDecode writer shapes — raw lossless 5/3 codestream and
+    JP2-boxed lossy 9/7 — decode through extract_pages_with_images into
+    pixels whose scan matrix recovers the exact page text."""
+    pdf = P.build_pdf_scanned(
+        PAGES, width=128, height=128, image_filter=variant
+    )
+    win = P.extract_pages_with_images(pdf)
+    assert [len(spans) for spans, _ in win] == [0, 0]
+    for (spans, images), page in zip(win, PAGES):
+        [img] = images
+        assert img.codec == "jpx"
+        assert G.decode_scan_png_text(_scan_png(images)) == page
+
+
+def test_frozen_jpx_golden_extracts_end_to_end(spark):
+    """Byte-frozen JPX-only PDF (sha256-pinned) through the production
+    fused split→OCR Spark path extracts byte-pinned text."""
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+    from gnosis_ocr_spark.operators.pdf_split import (
+        raster_ocr_pages,
+        split_pdf_text_pages,
+    )
+
+    pdf = (GOLDEN / "scanned_jpx.pdf").read_bytes()
+    assert hashlib.sha256(pdf).hexdigest() == (
+        "1ec494dde2b033a32414e534fd926c6c3633aa26656101871f5078a33096a55f"
+    )
+    pages = ["jpx wavelet page\nline two here", "second scanned page"]
+    df = spark.createDataFrame(
+        [("jpx", bytearray(pdf))], schema="url string, html binary"
+    )
+    out = assemble_documents(
+        raster_ocr_pages(split_pdf_text_pages(df), ocr_engine="stub")
+    ).collect()
+    assert out[0]["extracted_text"] == "\n\n".join(pages)
+    assert out[0]["n_pages"] == 2
