@@ -1329,6 +1329,26 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
     return w, h, final, precs
 
 
+def decode_jpx_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SIZ marker alone — the
+    cheap metadata path (no entropy decode), raw or JP2-boxed."""
+    try:
+        if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+            data = _find_jp2_codestream(data)
+        if data[:2] != b"\xff\x4f":
+            raise ValueError("JPX: missing SOC")
+        at = data.find(b"\xff\x51")
+        if at < 0 or at + 40 > len(data):
+            raise ValueError("JPX: missing SIZ")
+        xs, ys = struct.unpack_from(">II", data, at + 6)
+        (csiz,) = struct.unpack_from(">H", data, at + 38)
+        if not (0 < xs and 0 < ys and 0 < csiz <= 16384):
+            raise ValueError("JPX: bad SIZ fields")
+        return xs, ys, csiz
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"JPX: malformed header ({exc})") from exc
+
+
 def decode_jpx_gray(data: bytes) -> tuple[int, int, bytes]:
     """Decode to one 8-bit grayscale plane (integer luma for color) — the
     shape the scanned-page OCR seam consumes."""

@@ -42,6 +42,8 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"RIFF", "audio/wav"),  # refined below via 'WAVE' at offset 8
     (b"%PDF-", "application/pdf"),
+    (b"\x00\x00\x00\x0cjP  \r\n\x87\n", "image/jp2"),  # JP2 signature box
+    (b"\xff\x4f\xff\x51", "image/jp2"),  # raw JPEG 2000 codestream (SOC+SIZ)
 ]
 
 
@@ -96,6 +98,14 @@ def _decode_mp4_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return None, None, round(mp4_duration(data), 3)
 
 
+def _decode_jp2_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL JPEG 2000 dimensions from the SIZ marker (codec_jpx)."""
+    from gnosis_ocr_spark.functions.codec_jpx import decode_jpx_dimensions
+
+    w, h, _ = decode_jpx_dimensions(data)
+    return w, h, None
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -113,6 +123,7 @@ DECODERS = {
     "image/gif": _decode_gif_meta,  # real (codec_media LSD parse)
     "audio/wav": _decode_wav_meta,  # real (RIFF fmt/data duration)
     "video/mp4": _decode_mp4_meta,  # real (mvhd duration; no frame decode)
+    "image/jp2": _decode_jp2_meta,  # real (codec_jpx SIZ parse)
 }
 
 
@@ -186,6 +197,17 @@ def _feature_batches(dim: int):
                         )
 
                         _, _, gray = decode_gif_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "image/jp2":
+                    # real wavelet decode to gray/luma (codec_jpx)
+                    try:
+                        from gnosis_ocr_spark.functions.codec_jpx import (
+                            decode_jpx_gray,
+                        )
+
+                        _, _, gray = decode_jpx_gray(data)
                         px = np.frombuffer(gray, dtype=np.uint8)
                     except Exception:
                         px = None

@@ -71,13 +71,18 @@ def test_multimodal_metadata_is_real_for_all_sniffed_types(spark):
     from gnosis_ocr_spark.functions.codec_png import encode_page_png
     from gnosis_ocr_spark.operators.multimodal import media_metadata
 
+    from gnosis_ocr_spark.functions.codec_jpx import encode_jp2, encode_jpx
+
     wav = M.build_wav(np.zeros(8000, dtype=np.float32), 16000)
+    j2arr = np.zeros((20, 35), dtype=np.uint8)
     rows = [
         ("png", bytearray(encode_page_png("x", 30, 20))),
         ("jpg", bytearray(encode_gray_jpeg(bytes(50 * 40), 50, 40))),
         ("gif", bytearray(M.encode_gray_gif(bytes(25 * 10), 25, 10))),
         ("wav", bytearray(wav)),
         ("mp4", bytearray(M.build_mp4(3.25))),
+        ("jp2", bytearray(encode_jp2([j2arr]))),
+        ("j2c", bytearray(encode_jpx([j2arr]))),  # raw codestream form
     ]
     df = spark.createDataFrame(rows, schema="url string, data binary")
     got = {r["url"]: r.asDict() for r in media_metadata(df).collect()}
@@ -86,6 +91,9 @@ def test_multimodal_metadata_is_real_for_all_sniffed_types(spark):
     assert (got["gif"]["width"], got["gif"]["height"]) == (25, 10)
     assert got["wav"]["duration_sec"] == 0.5
     assert got["mp4"]["duration_sec"] == 3.25
+    for k in ("jp2", "j2c"):
+        assert got[k]["media_type"] == "image/jp2"
+        assert (got[k]["width"], got[k]["height"]) == (35, 20)
 
 
 def test_multimodal_features_real_for_decodable_media(spark):
@@ -95,16 +103,22 @@ def test_multimodal_features_real_for_decodable_media(spark):
     from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
     from gnosis_ocr_spark.operators.multimodal import media_features
 
+    from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
+
     px = bytes((x * 11 + 5) % 256 for x in range(48 * 48))
+    jp2 = encode_jp2([np.frombuffer(px, np.uint8).reshape(48, 48)])
     rows = [
         ("jpg", bytearray(encode_gray_jpeg(px, 48, 48))),
         ("gif", bytearray(M.encode_gray_gif(px, 48, 48))),
+        ("jp2", bytearray(jp2)),
         ("silence", bytearray(M.build_wav(np.zeros(4000, dtype=np.float32)))),
     ]
     df = spark.createDataFrame(rows, schema="url string, data binary")
     got = {r["url"]: np.array(r["feature"]) for r in media_features(df, dim=8).collect()}
     # same pixels through two real decoders → same histogram (±jpeg noise)
     assert float(np.abs(got["jpg"] - got["gif"]).max()) < 0.02
+    # lossless wavelet decode → histogram EXACTLY equals the GIF''s
+    assert float(np.abs(got["jp2"] - got["gif"]).max()) == 0.0
     assert got["silence"][0] == pytest.approx(1.0)
     assert float(got["silence"][1:].sum()) == 0.0
 
