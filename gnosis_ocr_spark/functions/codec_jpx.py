@@ -6,8 +6,11 @@ The reference rasterizes JPX-compressed scanned pages transparently via
 poppler (/root/reference/app/jobs.py:386-390); here they decode through a
 from-scratch implementation of the public spec: JP2 container boxes +
 raw codestreams, main/tile marker parsing (SIZ/COD/QCD + per-component
-overrides), Tier-2 packet decoding (tag trees, inclusion, zero
-bit-planes, Lblock lengths, all five progression orders, precincts),
+overrides), multi-tile images (per-tile tile-parts, power-of-two-aligned
+grids), subsampled components (4:2:0/4:2:2 chroma, upsampled to the
+full-resolution output contract), Tier-2 packet decoding (tag trees,
+inclusion, zero bit-planes, Lblock lengths, all five progression
+orders),
 Tier-1 EBCOT bit-plane coding (significance propagation / magnitude
 refinement / cleanup passes over the SAME MQ arithmetic coder JBIG2
 uses — T.800 Annex C and T.88 Annex E specify the identical coder, so
@@ -23,8 +26,10 @@ decoder without any external JPX file in the container.
 
 Scope honesty: code-block styles beyond the default (selective
 arithmetic bypass, per-pass termination, vertically-causal contexts,
-segmentation symbols), ROI (RGN), and progression-order changes (POC)
-raise ValueError → codec_pdf/pdf_split map that to the opaque carry
+segmentation symbols), ROI (RGN), progression-order changes (POC),
+user-defined precincts, and tile grids whose origins go odd at some DWT
+level (non-power-of-two-aligned tile sizes — real encoders emit aligned
+ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
 (same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
 Python like every entropy coder here — linear, Arrow-batched across
 pages, same honesty class as codec_jpeg's note.
@@ -1105,7 +1110,8 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
     qcd = None
     qcc: dict[int, dict] = {}
     coc: dict[int, dict] = {}
-    tile_parts: list[tuple[int, int]] = []  # (body start, body end)
+    # per tile index: tile-part spans (in part order) + tile-local COD/QCD
+    tiles: dict[int, dict] = {}
     n = len(data)
     while pos + 2 <= n:
         marker = data[pos : pos + 2]
@@ -1128,22 +1134,24 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             ) = struct.unpack_from(">HIIIIIIIIH", body, 0)
             if xo or yo or xto or yto:
                 raise ValueError("JPX: image/tile offsets unsupported")
-            if xts < xs or yts < ys:
-                raise ValueError("JPX: multiple tiles unsupported")
             if not (0 < xs and 0 < ys) or xs * ys > MAX_PIXELS:
                 raise ValueError("JPX: image size out of bounds")
+            if not (0 < xts and 0 < yts):
+                raise ValueError("JPX: bad tile size")
             if not 1 <= csiz <= 4:
                 raise ValueError("JPX: component count unsupported")
             comps = []
             for c in range(csiz):
                 ssiz, xr, yr = struct.unpack_from(">BBB", body, 36 + 3 * c)
-                if xr != 1 or yr != 1:
-                    raise ValueError("JPX: subsampled components unsupported")
+                if xr not in (1, 2, 4) or yr not in (1, 2, 4):
+                    raise ValueError("JPX: subsampling factor unsupported")
                 comps.append({
                     "prec": (ssiz & 0x7F) + 1,
                     "signed": bool(ssiz & 0x80),
+                    "xr": xr,
+                    "yr": yr,
                 })
-            siz = {"w": xs, "h": ys, "comps": comps}
+            siz = {"w": xs, "h": ys, "xts": xts, "yts": yts, "comps": comps}
         elif marker == b"\xff\x52":
             cod = _parse_cod(body)
         elif marker == b"\xff\x5c":
@@ -1170,19 +1178,18 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             if len(body) < 8:
                 raise ValueError("JPX: short SOT")
             isot, psot, _tpsot, _tnsot = struct.unpack_from(">HIBB", body, 0)
-            if isot != 0:
-                raise ValueError("JPX: multiple tiles unsupported")
             sot_start = pos - 2
             tile_end = sot_start + psot if psot else n
             if tile_end > n:
                 raise ValueError("JPX: tile length out of range")
+            rec = tiles.setdefault(isot, {"parts": [], "cod": None, "qcd": None})
             # tile-part header: markers until SOD
             tpos = pos + lseg
             while tpos + 2 <= tile_end:
                 tm = data[tpos : tpos + 2]
                 tpos += 2
                 if tm == b"\xff\x93":  # SOD
-                    tile_parts.append((tpos, tile_end))
+                    rec["parts"].append((tpos, tile_end))
                     break
                 if tpos + 2 > tile_end:
                     raise ValueError("JPX: truncated tile header")
@@ -1191,11 +1198,13 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                     raise ValueError("JPX: bad tile marker length")
                 tbody = data[tpos + 2 : tpos + tl]
                 if tm == b"\xff\x52":
-                    cod = _parse_cod(tbody)
+                    rec["cod"] = _parse_cod(tbody)
                 elif tm == b"\xff\x5c":
-                    qcd = _parse_qcd(tbody)
+                    rec["qcd"] = _parse_qcd(tbody)
                 elif tm in (b"\xff\x5f", b"\xff\x5e"):
                     raise ValueError("JPX: POC/RGN unsupported")
+                elif tm in (b"\xff\x53", b"\xff\x5d"):
+                    raise ValueError("JPX: tile-part COC/QCC unsupported")
                 tpos += tl
             else:
                 raise ValueError("JPX: tile without SOD")
@@ -1204,108 +1213,161 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
         pos += lseg
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPX: missing SIZ/COD/QCD")
-    if not tile_parts:
+    if not tiles:
         raise ValueError("JPX: no tile data")
 
     w, h = siz["w"], siz["h"]
+    xts, yts = siz["xts"], siz["yts"]
     n_comp = len(siz["comps"])
-    # per-component Tier-2 state
+    ntx = (w + xts - 1) // xts
+    nty = (h + yts - 1) // yts
+    if ntx * nty > 65535:
+        raise ValueError("JPX: tile count out of bounds")
     comp_cod = [coc.get(c, cod) for c in range(n_comp)]
     comp_qcd = [qcc.get(c, qcd) for c in range(n_comp)]
-    comp_res: list[list[list[_SubDec]]] = []
-    for c in range(n_comp):
-        cc, qq = comp_cod[c], comp_qcd[c]
-        geom = _band_geometry(w, h, cc["levels"])
-        res_list: list[list[_SubDec]] = []
-        for bands in geom:
-            subs = []
-            for name, level, bw_, bh_ in bands:
-                eps, _mu = _subband_q(
-                    qq["style"], qq["vals"], name, level, cc["levels"]
+    # tile-origin alignment: origins must stay EVEN at every DWT level in
+    # every component's domain (true for the power-of-two tile sizes real
+    # encoders emit) — the lifting here assumes even-parity starts
+    if ntx * nty > 1:
+        for c in range(n_comp):
+            cc = siz["comps"][c]
+            lv = comp_cod[c]["levels"]
+            if xts % (cc["xr"] << lv) or yts % (cc["yr"] << lv):
+                raise ValueError(
+                    "JPX: tile size not aligned to decomposition levels"
                 )
-                mb = qq["guard"] + eps - 1
-                if not 0 < mb <= 40:
-                    raise ValueError("JPX: implausible Mb")
-                subs.append(
-                    _SubDec(name, level, bw_, bh_, mb, cc["cbw"], cc["cbh"])
-                )
-            res_list.append(subs)
-        comp_res.append(res_list)
 
-    n_res = max(cc["levels"] for cc in comp_cod) + 1
-    n_layers = cod["layers"]
-    order = _packet_order(cod["prog"], n_layers, n_res, n_comp)
-    for start, end in tile_parts:
-        pos = start
+    # component planes (component grid = ceil(size / sampling))
+    planes: list[np.ndarray] = []
+    for c in range(n_comp):
+        cc = siz["comps"][c]
+        cw = (w + cc["xr"] - 1) // cc["xr"]
+        ch = (h + cc["yr"] - 1) // cc["yr"]
+        reversible = comp_cod[c]["transform"] == 1
+        planes.append(
+            np.zeros((ch, cw), dtype=np.int64 if reversible else np.float64)
+        )
+
+    for isot, rec in sorted(tiles.items()):
+        if isot >= ntx * nty:
+            raise ValueError("JPX: tile index out of range")
+        tx, ty = isot % ntx, isot // ntx
+        tx0, ty0 = tx * xts, ty * yts
+        tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)
+        t_cod = [rec["cod"] or comp_cod[c] for c in range(n_comp)]
+        t_qcd = [rec["qcd"] or comp_qcd[c] for c in range(n_comp)]
+        # Tier-2 state per component for THIS tile
+        comp_res: list[list[list[_SubDec]]] = []
+        tc_geom: list[tuple[int, int, int, int]] = []  # component-domain box
+        for c in range(n_comp):
+            cc, qq = t_cod[c], t_qcd[c]
+            xr, yr = siz["comps"][c]["xr"], siz["comps"][c]["yr"]
+            cx0, cx1 = -(-tx0 // xr), -(-tx1 // xr)
+            cy0, cy1 = -(-ty0 // yr), -(-ty1 // yr)
+            tc_geom.append((cx0, cy0, cx1 - cx0, cy1 - cy0))
+            geom = _band_geometry(cx1 - cx0, cy1 - cy0, cc["levels"])
+            res_list: list[list[_SubDec]] = []
+            for bands in geom:
+                subs = []
+                for name, level, bw_, bh_ in bands:
+                    eps, _mu = _subband_q(
+                        qq["style"], qq["vals"], name, level, cc["levels"]
+                    )
+                    mb = qq["guard"] + eps - 1
+                    if not 0 < mb <= 40:
+                        raise ValueError("JPX: implausible Mb")
+                    subs.append(
+                        _SubDec(
+                            name, level, bw_, bh_, mb, cc["cbw"], cc["cbh"]
+                        )
+                    )
+                res_list.append(subs)
+            comp_res.append(res_list)
+
+        n_res = max(cc["levels"] for cc in t_cod) + 1
+        order = _packet_order(
+            (rec["cod"] or cod)["prog"], (rec["cod"] or cod)["layers"],
+            n_res, n_comp,
+        )
+        parts = list(rec["parts"])
+        if not parts:
+            raise ValueError("JPX: tile with no data")
+        pi = 0
+        pos, end = parts[0]
         for l, r, c in order:
             if r >= len(comp_res[c]):
                 continue
+            while pos >= end and pi + 1 < len(parts):
+                pi += 1
+                pos, end = parts[pi]
             if pos >= end:
                 raise ValueError("JPX: ran out of packet data")
             pos = _decode_packet(
                 data[:end], pos, comp_res[c][r], l,
-                comp_cod[c]["sop"], comp_cod[c]["eph"],
+                t_cod[c]["sop"], t_cod[c]["eph"],
             )
 
-    # Tier-1 + dequant + inverse DWT per component
-    out: list[np.ndarray] = []
-    precs: list[int] = []
-    for c in range(n_comp):
-        cc, qq = comp_cod[c], comp_qcd[c]
-        prec = siz["comps"][c]["prec"]
-        reversible = cc["transform"] == 1
-        levels = cc["levels"]
-        band_arrays: dict[tuple[str, int], np.ndarray] = {}
-        for subs in comp_res[c]:
-            for sb in subs:
-                coeff = np.zeros((sb.h, sb.w), dtype=np.int64)
-                for by in range(sb.nby):
-                    for bx in range(sb.nbx):
-                        blk = sb.blks[by][bx]
-                        if not blk.included or blk.passes == 0:
-                            continue
-                        bh_ = min(sb.cbh, sb.h - by * sb.cbh)
-                        bw_ = min(sb.cbw, sb.w - bx * sb.cbw)
-                        vals = decode_block(
-                            bytes(blk.data), bh_, bw_,
-                            _BAND_IDX[sb.name], blk.n_planes, blk.passes,
+        # Tier-1 + dequant + inverse DWT per tile-component, then paste
+        for c in range(n_comp):
+            cc, qq = t_cod[c], t_qcd[c]
+            prec = siz["comps"][c]["prec"]
+            reversible = cc["transform"] == 1
+            levels = cc["levels"]
+            band_arrays: dict[tuple[str, int], np.ndarray] = {}
+            for subs in comp_res[c]:
+                for sb in subs:
+                    coeff = np.zeros((sb.h, sb.w), dtype=np.int64)
+                    for by in range(sb.nby):
+                        for bx in range(sb.nbx):
+                            blk = sb.blks[by][bx]
+                            if not blk.included or blk.passes == 0:
+                                continue
+                            bh_ = min(sb.cbh, sb.h - by * sb.cbh)
+                            bw_ = min(sb.cbw, sb.w - bx * sb.cbw)
+                            vals = decode_block(
+                                bytes(blk.data), bh_, bw_,
+                                _BAND_IDX[sb.name], blk.n_planes, blk.passes,
+                            )
+                            coeff[
+                                by * sb.cbh : by * sb.cbh + bh_,
+                                bx * sb.cbw : bx * sb.cbw + bw_,
+                            ] = vals
+                    if reversible:
+                        band_arrays[(sb.name, sb.level)] = coeff
+                    else:
+                        eps, mu = _subband_q(
+                            qq["style"], qq["vals"], sb.name, sb.level, levels
                         )
-                        coeff[
-                            by * sb.cbh : by * sb.cbh + bh_,
-                            bx * sb.cbw : bx * sb.cbw + bw_,
-                        ] = vals
+                        rb = prec + _GAIN[sb.name]
+                        delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                        vals_f = np.where(
+                            coeff == 0, 0.0,
+                            (np.abs(coeff) + 0.5) * np.sign(coeff) * delta,
+                        )
+                        band_arrays[(sb.name, sb.level)] = vals_f
+            cur = band_arrays[("LL", levels)]
+            for l in range(levels, 0, -1):
+                hl = band_arrays[("HL", l)]
+                lh = band_arrays[("LH", l)]
+                hh = band_arrays[("HH", l)]
                 if reversible:
-                    band_arrays[(sb.name, sb.level)] = coeff
+                    s_l = _idwt53_1d(cur, lh, 0)
+                    s_h = _idwt53_1d(hl, hh, 0)
+                    cur = _idwt53_1d(s_l, s_h, 1)
                 else:
-                    eps, mu = _subband_q(
-                        qq["style"], qq["vals"], sb.name, sb.level, levels
-                    )
-                    rb = prec + _GAIN[sb.name]
-                    delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
-                    vals_f = np.where(
-                        coeff == 0, 0.0,
-                        (np.abs(coeff) + 0.5) * np.sign(coeff) * delta,
-                    )
-                    band_arrays[(sb.name, sb.level)] = vals_f
-        # inverse multi-level DWT
-        cur = band_arrays[("LL", levels)]
-        for l in range(levels, 0, -1):
-            hl = band_arrays[("HL", l)]
-            lh = band_arrays[("LH", l)]
-            hh = band_arrays[("HH", l)]
-            if reversible:
-                s_l = _idwt53_1d(cur, lh, 0)
-                s_h = _idwt53_1d(hl, hh, 0)
-                cur = _idwt53_1d(s_l, s_h, 1)
-            else:
-                s_l = _idwt97_1d(cur, lh, 0)
-                s_h = _idwt97_1d(hl, hh, 0)
-                cur = _idwt97_1d(s_l, s_h, 1)
-        out.append(cur)
-        precs.append(prec)
+                    s_l = _idwt97_1d(cur, lh, 0)
+                    s_h = _idwt97_1d(hl, hh, 0)
+                    cur = _idwt97_1d(s_l, s_h, 1)
+            cx0, cy0, cw_, ch_ = tc_geom[c]
+            if cur.shape != (ch_, cw_):
+                raise ValueError("JPX: tile reconstruction shape mismatch")
+            planes[c][cy0 : cy0 + ch_, cx0 : cx0 + cw_] = cur
 
-    # inverse component transform + DC shift
+    # inverse component transform (components must share one grid) + DC shift
+    out = planes
     if cod["mct"] and n_comp >= 3:
+        if not (out[0].shape == out[1].shape == out[2].shape):
+            raise ValueError("JPX: MCT over mismatched component grids")
         y0, u, v = out[0], out[1], out[2]
         if cod["transform"] == 1:  # RCT (integers)
             g = y0 - ((u + v) >> 2)
@@ -1317,15 +1379,22 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             b_ = y0 + 1.772 * u
         out[0], out[1], out[2] = r_, g, b_
     final: list[np.ndarray] = []
+    precs: list[int] = []
     for c in range(n_comp):
-        prec = precs[c]
+        prec = siz["comps"][c]["prec"]
         arr = out[c]
         if arr.dtype != np.int64:
             arr = np.rint(arr).astype(np.int64)
         if not siz["comps"][c]["signed"]:
             arr = arr + (1 << (prec - 1))
             arr = np.clip(arr, 0, (1 << prec) - 1)
+        xr, yr = siz["comps"][c]["xr"], siz["comps"][c]["yr"]
+        if xr > 1 or yr > 1:
+            # contract: components arrive at FULL image resolution —
+            # nearest-neighbor upsample of subsampled (e.g. 4:2:0) chroma
+            arr = np.repeat(np.repeat(arr, yr, axis=0), xr, axis=1)[:h, :w]
         final.append(arr.astype(np.int32))
+        precs.append(prec)
     return w, h, final, precs
 
 
@@ -1399,26 +1468,51 @@ def encode_jpx(
     levels: int = 3,
     quality_step: float = 1.0 / 32,
     progression: int = 0,
+    tile_size: tuple[int, int] | None = None,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Encode 1 (gray) or 3 (RGB) uint8 planes as a raw JPEG 2000
+    """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
     otherwise 9/7 + ICT with a uniform base quantization step of
     ``quality_step`` (scalar expounded). ``progression`` picks the packet
     order (0..4 = LRCP/RLCP/RPCL/PCRL/CPRL); packets are physically
-    emitted in that order."""
+    emitted in that order. ``tile_size`` (w, h) partitions the image into
+    independent tiles (each a SOT..SOD tile-part; sizes must keep tile
+    origins aligned to 2^levels). ``sampling`` gives per-component
+    (XRsiz, YRsiz) — e.g. [(1, 1), (2, 2), (2, 2)] is 4:2:0; component 0
+    must be (1, 1), planes arrive pre-subsampled at their own grid, and
+    the component transform is disabled (mismatched grids)."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
     if not comps or len(comps) not in (1, 3):
         raise ValueError("JPX: encoder takes 1 or 3 components")
-    h, w = comps[0].shape
-    if any(c.shape != (h, w) for c in comps) or w * h > MAX_PIXELS:
-        raise ValueError("JPX: bad component shapes")
-    levels = max(0, min(levels, max(0, (min(w, h) - 1).bit_length() - 2)))
     n_comp = len(comps)
+    sampling = list(sampling) if sampling is not None else [(1, 1)] * n_comp
+    if len(sampling) != n_comp or sampling[0] != (1, 1):
+        raise ValueError("JPX: bad sampling spec (component 0 must be 1:1)")
+    h, w = comps[0].shape
+    if w * h > MAX_PIXELS:
+        raise ValueError("JPX: image too large")
+    for c, (xr, yr) in enumerate(sampling):
+        if xr not in (1, 2, 4) or yr not in (1, 2, 4):
+            raise ValueError("JPX: sampling factor unsupported")
+        exp = (-(-h // yr), -(-w // xr))
+        if comps[c].shape != exp:
+            raise ValueError("JPX: component shape does not match sampling")
+    xts, yts = tile_size if tile_size is not None else (w, h)
+    ntx, nty = -(-w // xts), -(-h // yts)
+    multi_tile = ntx * nty > 1
+    levels = max(0, min(levels, max(0, (min(w, h) - 1).bit_length() - 2)))
+    if multi_tile:
+        for xr, yr in sampling:
+            if xts % (xr << levels) or yts % (yr << levels):
+                raise ValueError(
+                    "JPX: tile size must align tile origins to 2^levels"
+                )
     prec = 8
     guard = 2
     planes = [c.astype(np.int64) - 128 for c in comps]  # DC shift
-    mct = 1 if n_comp == 3 else 0
+    mct = 1 if n_comp == 3 and all(sp == (1, 1) for sp in sampling) else 0
     if mct:
         r_, g, b_ = planes
         if lossless:  # RCT
@@ -1431,10 +1525,9 @@ def encode_jpx(
             v = 0.5 * r_ - 0.418688 * g - 0.081312 * b_
         planes = [y0, u, v]
 
-    geom = _band_geometry(w, h, levels)
-    # forward DWT per component → {(name, level): coeffs}
-    comp_bands: list[dict[tuple[str, int], np.ndarray]] = []
-    for p in planes:
+    geom = _band_geometry(w, h, levels)  # subband NAME/level enumeration
+
+    def fwd_dwt(p: np.ndarray) -> dict[tuple[str, int], np.ndarray]:
         cur = p if lossless else p.astype(np.float64)
         bands: dict[tuple[str, int], np.ndarray] = {}
         for l in range(1, levels + 1):
@@ -1451,19 +1544,34 @@ def encode_jpx(
             bands[("HH", l)] = hh
             cur = ll
         bands[("LL", levels)] = cur
-        comp_bands.append(bands)
+        return bands
 
-    # per-subband (eps, mu): the QCD default serves EVERY component, so
-    # lossless exponents come from the max magnitude across all of them
+    # per-tile, per-component forward DWT over the tile-component windows
+    tile_bands: list[list[dict[tuple[str, int], np.ndarray]]] = []
+    for ti in range(ntx * nty):
+        tx, ty = ti % ntx, ti // ntx
+        tx0, ty0 = tx * xts, ty * yts
+        tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)
+        per_comp = []
+        for c in range(n_comp):
+            xr, yr = sampling[c]
+            cx0, cx1 = -(-tx0 // xr), -(-tx1 // xr)
+            cy0, cy1 = -(-ty0 // yr), -(-ty1 // yr)
+            per_comp.append(fwd_dwt(planes[c][cy0:cy1, cx0:cx1]))
+        tile_bands.append(per_comp)
+
+    # per-subband (eps, mu): the QCD default serves EVERY component and
+    # tile, so lossless exponents come from the global max magnitude
     qvals: list[tuple[int, int]] = []
     for r, blist in enumerate(geom):
-        for name, level, bw_, bh_ in blist:
+        for name, level, _bw, _bh in blist:
             if lossless:
                 mx = 0
-                for bands in comp_bands:
-                    arr = bands[(name, level)]
-                    if arr.size:
-                        mx = max(mx, int(np.abs(arr).max()))
+                for per_comp in tile_bands:
+                    for bands in per_comp:
+                        arr = bands.get((name, level))
+                        if arr is not None and arr.size:
+                            mx = max(mx, int(np.abs(arr).max()))
                 qvals.append((max(1, mx.bit_length() + 1 - guard), 0))
             else:
                 rb = prec + _GAIN[name]
@@ -1472,33 +1580,32 @@ def encode_jpx(
                 delta = quality_step * (2.0 ** -(levels - level))
                 qvals.append(_quant_params_for_delta(delta, rb))
 
-    # quantize (lossy) / keep integers (lossless)
-    comp_quant: list[dict[tuple[str, int], np.ndarray]] = []
-    for bands in comp_bands:
+    def quantize(bands: dict) -> dict:
         qb: dict[tuple[str, int], np.ndarray] = {}
-        for r, blist in enumerate(geom):
-            for name, level, bw_, bh_ in blist:
-                arr = bands[(name, level)]
-                eps, mu = qvals[_qcd_index(name, level, levels)]
-                if lossless:
-                    q = arr.astype(np.int64)
-                else:
-                    rb = prec + _GAIN[name]
-                    delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
-                    q = (
-                        np.sign(arr) * (np.abs(arr) / delta).astype(np.int64)
-                    ).astype(np.int64)
-                mb = guard + eps - 1
-                if q.size and int(np.abs(q).max()) >= (1 << mb):
-                    raise ValueError("JPX: coefficients exceed Mb")
-                qb[(name, level)] = q
-        comp_quant.append(qb)
+        for key, arr in bands.items():
+            name, level = key
+            eps, mu = qvals[_qcd_index(name, level, levels)]
+            if lossless:
+                q = arr.astype(np.int64)
+            else:
+                rb = prec + _GAIN[name]
+                delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                q = (
+                    np.sign(arr) * (np.abs(arr) / delta).astype(np.int64)
+                ).astype(np.int64)
+            mb = guard + eps - 1
+            if q.size and int(np.abs(q).max()) >= (1 << mb):
+                raise ValueError("JPX: coefficients exceed Mb")
+            qb[key] = q
+        return qb
 
     # ---- markers
     out = bytearray(b"\xff\x4f")  # SOC
     sizb = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, n_comp
-    ) + b"".join(struct.pack(">BBB", prec - 1, 1, 1) for _ in range(n_comp))
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xts, yts, 0, 0, n_comp
+    ) + b"".join(
+        struct.pack(">BBB", prec - 1, xr, yr) for xr, yr in sampling
+    )
     out += b"\xff\x51" + struct.pack(">H", len(sizb) + 2) + sizb
     codb = bytes([
         0, progression,  # Scod, progression order
@@ -1516,72 +1623,78 @@ def encode_jpx(
         )
     out += b"\xff\x5c" + struct.pack(">H", len(qcdb) + 2) + qcdb
 
-    # ---- tile: single-layer packets, physically in progression order
-    body = bytearray()
-    for _l, r, ci in _packet_order(progression, 1, levels + 1, n_comp):
-        blist = geom[r]
-        subs = []
-        for name, level, bw_, bh_ in blist:
-            eps, mu = qvals[_qcd_index(name, level, levels)]
-            mb = guard + eps - 1
-            subs.append((name, level, bw_, bh_, mb))
-        bw = _HeaderWriter()
-        seg_parts: list[bytes] = []
-        bw.bit(1)  # non-empty packet
-        for name, level, bw_, bh_, mb in subs:
-            if bw_ <= 0 or bh_ <= 0:
-                continue
-            nbx = (bw_ + 63) // 64
-            nby = (bh_ + 63) // 64
-            q = comp_quant[ci][(name, level)]
-            incl = _TagTree(nbx, nby)
-            zb = _TagTree(nbx, nby)
-            ivals = np.zeros((nby, nbx), dtype=np.int32)
-            zvals = np.zeros((nby, nbx), dtype=np.int32)
-            blocks: dict[tuple[int, int], tuple[bytes, int, int]] = {}
-            for by in range(nby):
-                for bx in range(nbx):
-                    blkq = q[
-                        by * 64 : min((by + 1) * 64, bh_),
-                        bx * 64 : min((bx + 1) * 64, bw_),
-                    ]
-                    mx = int(np.abs(blkq).max()) if blkq.size else 0
-                    if mx == 0:
-                        ivals[by, bx] = 1  # never included
-                        continue
-                    n_planes = mx.bit_length()
-                    seg, n_passes = encode_block(
-                        blkq, _BAND_IDX[name], n_planes
-                    )
-                    zvals[by, bx] = mb - n_planes
-                    blocks[(by, bx)] = (seg, n_passes, n_planes)
-            incl.set_values(ivals)
-            zb.set_values(zvals)
-            for by in range(nby):
-                for bx in range(nbx):
-                    incl.encode(bw, bx, by, 1)
-                    if (by, bx) not in blocks:
-                        continue
-                    seg, n_passes, _np_ = blocks[(by, bx)]
-                    for t in range(1, zvals[by, bx] + 2):
-                        zb.encode(bw, bx, by, t)
-                    _write_npasses(bw, n_passes)
-                    lblock = 3
-                    nbits_avail = lblock + (n_passes.bit_length() - 1)
-                    need = max(1, len(seg).bit_length())
-                    k = max(0, need - nbits_avail)
-                    for _ in range(k):
-                        bw.bit(1)
-                    bw.bit(0)
-                    lblock += k
-                    bw.bits(len(seg), lblock + (n_passes.bit_length() - 1))
-                    seg_parts.append(seg)
-        body += bw.flush()
-        for seg in seg_parts:
-            body += seg
-    psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body
+    # ---- tiles: single-layer packets, physically in progression order
+    for ti in range(ntx * nty):
+        comp_quant = [quantize(b) for b in tile_bands[ti]]
+        tx, ty = ti % ntx, ti // ntx
+        tx0, ty0 = tx * xts, ty * yts
+        tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)
+        body = bytearray()
+        for _l, r, ci in _packet_order(progression, 1, levels + 1, n_comp):
+            xr, yr = sampling[ci]
+            cw_ = -(-tx1 // xr) - (-(-tx0 // xr))
+            ch_ = -(-ty1 // yr) - (-(-ty0 // yr))
+            tgeom = _band_geometry(cw_, ch_, levels)
+            blist = tgeom[r]
+            bw = _HeaderWriter()
+            seg_parts: list[bytes] = []
+            bw.bit(1)  # non-empty packet
+            for name, level, bw_, bh_ in blist:
+                eps, mu = qvals[_qcd_index(name, level, levels)]
+                mb = guard + eps - 1
+                if bw_ <= 0 or bh_ <= 0:
+                    continue
+                nbx = (bw_ + 63) // 64
+                nby = (bh_ + 63) // 64
+                q = comp_quant[ci][(name, level)]
+                incl = _TagTree(nbx, nby)
+                zb = _TagTree(nbx, nby)
+                ivals = np.zeros((nby, nbx), dtype=np.int32)
+                zvals = np.zeros((nby, nbx), dtype=np.int32)
+                blocks: dict[tuple[int, int], tuple[bytes, int, int]] = {}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        blkq = q[
+                            by * 64 : min((by + 1) * 64, bh_),
+                            bx * 64 : min((bx + 1) * 64, bw_),
+                        ]
+                        mx = int(np.abs(blkq).max()) if blkq.size else 0
+                        if mx == 0:
+                            ivals[by, bx] = 1  # never included
+                            continue
+                        n_planes = mx.bit_length()
+                        seg, n_passes = encode_block(
+                            blkq, _BAND_IDX[name], n_planes
+                        )
+                        zvals[by, bx] = mb - n_planes
+                        blocks[(by, bx)] = (seg, n_passes, n_planes)
+                incl.set_values(ivals)
+                zb.set_values(zvals)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        incl.encode(bw, bx, by, 1)
+                        if (by, bx) not in blocks:
+                            continue
+                        seg, n_passes, _np_ = blocks[(by, bx)]
+                        for t in range(1, zvals[by, bx] + 2):
+                            zb.encode(bw, bx, by, t)
+                        _write_npasses(bw, n_passes)
+                        lblock = 3
+                        nbits_avail = lblock + (n_passes.bit_length() - 1)
+                        need = max(1, len(seg).bit_length())
+                        k = max(0, need - nbits_avail)
+                        for _ in range(k):
+                            bw.bit(1)
+                        bw.bit(0)
+                        lblock += k
+                        bw.bits(len(seg), lblock + (n_passes.bit_length() - 1))
+                        seg_parts.append(seg)
+            body += bw.flush()
+            for seg in seg_parts:
+                body += seg
+        psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 

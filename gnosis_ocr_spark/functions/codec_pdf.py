@@ -1879,9 +1879,9 @@ class PdfImage:
     regions (arithmetic + MMR) AND symbol-coded streams incl. indirect
     /JBIG2Globals — via :mod:`codec_jbig2` (so those arrive as
     ``codec='raw'`` 1-bit); ``'jpx'`` payloads decode downstream via
-    :mod:`codec_jpx` (JPEG 2000, raw or JP2-boxed). Only the JBIG2
-    halftone/refinement/Huffman subsets and exotic JPX shapes (multi-
-    tile, subsampled, bypass-coded) stay opaque."""
+    :mod:`codec_jpx` (JPEG 2000 — raw or JP2-boxed, multi-tile,
+    subsampled). Only the JBIG2 halftone/refinement/Huffman subsets and
+    bypass-coded/POC JPX shapes stay opaque."""
 
     width: int
     height: int

@@ -247,8 +247,8 @@ def test_unsupported_subsets_raise_for_opaque_carry():
         X.decode_jpx(bytes(evil))
     siz_at = bytes(cs).find(b"\xff\x51")
     evil = bytearray(cs)
-    evil[siz_at + 41] = 2  # XRsiz = 2: subsampled component
-    with pytest.raises(ValueError, match="subsampled"):
+    evil[siz_at + 41] = 3  # XRsiz = 3: only 1/2/4 sampling supported
+    with pytest.raises(ValueError, match="sampling factor"):
         X.decode_jpx(bytes(evil))
 
 
@@ -296,3 +296,73 @@ def test_frozen_jpx_golden_extracts_end_to_end(spark):
     ).collect()
     assert out[0]["extracted_text"] == "\n\n".join(pages)
     assert out[0]["n_pages"] == 2
+
+
+# --------------------------------------------- tiles + subsampling
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None)
+def test_multi_tile_lossless_roundtrip_property(seed):
+    """Tiled codestreams (independent SOT..SOD tile-parts on an aligned
+    grid, incl. ragged right/bottom edge tiles) reassemble bit-exactly."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(40, 150))
+    w = int(rng.integers(40, 150))
+    levels = int(rng.integers(0, 3))
+    ts = int(rng.choice([32, 64])) if levels <= 3 else 64
+    n_comp = int(rng.choice([1, 3]))
+    comps = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        for _ in range(n_comp)
+    ]
+    cs = X.encode_jpx(comps, lossless=True, levels=levels, tile_size=(ts, ts))
+    gw, gh, got, _ = X.decode_jpx(cs)
+    assert (gw, gh) == (w, h)
+    for a, b in zip(got, comps):
+        assert np.array_equal(a, b)
+
+
+def test_subsampled_420_roundtrip_and_upsample_contract():
+    """4:2:0 chroma subsampling: planes are coded at their own grid, the
+    decoder returns every component at FULL image resolution (nearest
+    upsample), and the coded samples survive exactly (lossless)."""
+    rng = np.random.default_rng(8)
+    yp = rng.integers(0, 256, size=(60, 90)).astype(np.uint8)
+    cb = rng.integers(0, 256, size=(30, 45)).astype(np.uint8)
+    cr = rng.integers(0, 256, size=(30, 45)).astype(np.uint8)
+    cs = X.encode_jpx(
+        [yp, cb, cr], lossless=True, levels=2,
+        sampling=[(1, 1), (2, 2), (2, 2)],
+    )
+    w, h, comps, _ = X.decode_jpx(cs)
+    assert all(c.shape == (60, 90) for c in comps)
+    assert np.array_equal(comps[0], yp)
+    assert np.array_equal(comps[1][::2, ::2], cb)
+    assert np.array_equal(comps[2][::2, ::2], cr)
+    # gray seam consumes the upsampled planes without error
+    gw, gh, gray = X.decode_jpx_gray(cs)
+    assert (gw, gh) == (90, 60) and len(gray) == 90 * 60
+
+
+def test_tiled_subsampled_lossy_combination():
+    rng = np.random.default_rng(4)
+    yp = rng.integers(0, 256, size=(64, 96)).astype(np.uint8)
+    cb = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    cr = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    cs = X.encode_jpx(
+        [yp, cb, cr], lossless=False, levels=1, quality_step=0.5,
+        sampling=[(1, 1), (2, 2), (2, 2)], tile_size=(32, 32),
+    )
+    w, h, comps, _ = X.decode_jpx(cs)
+    assert np.abs(comps[0].astype(int) - yp.astype(int)).max() <= 4
+
+
+def test_unaligned_tile_grid_rejected():
+    """A tile size whose origins go odd at some DWT level raises (the
+    lifting here assumes even-parity starts; real encoders emit aligned
+    power-of-two tile sizes)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(100, 100)).astype(np.uint8)
+    with pytest.raises(ValueError, match="align"):
+        X.encode_jpx([img], lossless=True, levels=3, tile_size=(48, 48))
