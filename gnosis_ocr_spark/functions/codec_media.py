@@ -8,8 +8,10 @@ the metadata and simple-raster layers are pure public-format parsing:
   bits; data chunk size → REAL duration; 16-bit PCM samples decode to a
   numpy array for real amplitude features.
 - **MP4** (ISO 14496-12 box structure): walk top-level boxes → moov/mvhd →
-  timescale + duration (version 0 and 1 boxes). Frame DECODE stays out of
-  scope (a real H.264 decoder is not reasonable here) — documented.
+  timescale + duration (version 0 and 1 boxes); full sample-table walk for
+  keyframe location. Frame pixel decode is real for I_PCM-coded H.264
+  (codec_h264); entropy-coded frames stay out, loudly (see that module's
+  header for why).
 - **GIF** (GIF87a/89a): logical-screen dims, global palette, and a full
   LZW decoder for the first image frame (LSB-first variable-width codes —
   note this is the OPPOSITE bit order from PDF's /LZWDecode) with
@@ -217,12 +219,18 @@ def mp4_video_samples(data: bytes) -> dict:
 
         stsd = table(b"stsd")
         codec, width, height = "unknown", None, None
+        avcc = None
         if stsd:
             # full box (4) + entry_count (4) + first sample entry
             es = stsd[0] + 8
             if es + 34 <= stsd[1]:
                 codec = data[es + 4 : es + 8].decode("latin-1")
                 width, height = struct.unpack(">HH", data[es + 32 : es + 36])
+                # avc1 sample entries carry the avcC decoder-config record
+                # after the 78-byte VisualSampleEntry fields
+                cfg = _child(data, es + 8 + 78, stsd[1], b"avcC")
+                if cfg is not None:
+                    avcc = data[cfg[0] : cfg[1]]
         stsz = table(b"stsz")
         if stsz is None:
             raise ValueError("no stsz")
@@ -309,6 +317,7 @@ def mp4_video_samples(data: bytes) -> dict:
             "width": width,
             "height": height,
             "timescale": timescale,
+            "avcc": avcc,
             "samples": samples,
         }
     raise ValueError("no video track")
@@ -321,12 +330,14 @@ def build_mp4_video(
     height: int = 48,
     sync_every: int = 5,
     timescale: int = 1000,
+    avcc: bytes | None = None,
 ) -> bytes:
     """Fixture writer: valid ISO-BMFF with one ``vide`` track carrying the
     given sample payloads in a single mdat chunk — full stsd(avc1+avcC)/
     stts/stss/stsz/stsc/stco tables so :func:`mp4_video_samples` (and any
-    real demuxer) can locate every sample. Payload bytes are opaque (tests
-    use deterministic fakes — no H.264 encoder here, by design)."""
+    real demuxer) can locate every sample. ``avcc`` supplies a REAL
+    decoder-config record (see :func:`build_mp4_h264`); without it a
+    minimal placeholder record is written and payloads are opaque."""
     n = len(payloads)
     if n == 0:
         raise ValueError("need at least one sample")
@@ -353,9 +364,11 @@ def build_mp4_video(
                 + struct.pack(">II", timescale, dur) + struct.pack(">HH", 0x55C4, 0))
     hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
                 + b"VideoHandler\x00")
-    # stsd: one avc1 visual sample entry with a minimal avcC config record
-    avcc = box(b"avcC", bytes([1, 66, 0, 30, 0xFF, 0xE1, 0, 2, 0x67, 0x42,
-                               1, 0, 2, 0x68, 0xCE]))
+    # stsd: one avc1 visual sample entry with the avcC config record
+    if avcc is None:
+        avcc = bytes([1, 66, 0, 30, 0xFF, 0xE1, 0, 2, 0x67, 0x42,
+                      1, 0, 2, 0x68, 0xCE])
+    avcc = box(b"avcC", avcc)
     avc1_body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
                  + struct.pack(">HH", width, height)
                  + struct.pack(">II", 0x00480000, 0x00480000)
@@ -560,3 +573,32 @@ def encode_gray_gif(pixels: bytes, width: int, height: int) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def build_mp4_h264(
+    frames: list, fps: int = 10, sync_every: int = 1, timescale: int = 1000
+) -> bytes:
+    """Fixture writer: an MP4 whose video samples are REAL H.264 —
+    all-I_PCM IDR frames (codec_h264) with the matching avcC record, so
+    :func:`multimodal.sample_frames` decodes actual pixels. ``frames``
+    are (h, w) uint8 luma planes (even dims); every sample is a sync
+    sample by default (each frame is an IDR)."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_h264 import (
+        build_avcc,
+        encode_h264_ipcm,
+    )
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    sps, pps, _ = encode_h264_ipcm(np.asarray(frames[0], dtype=np.uint8))
+    payloads = []
+    for f in frames:
+        _, _, idr = encode_h264_ipcm(np.asarray(f, dtype=np.uint8))
+        payloads.append(len(idr).to_bytes(4, "big") + idr)
+    h, w = np.asarray(frames[0]).shape
+    return build_mp4_video(
+        payloads, fps=fps, width=w, height=h, sync_every=sync_every,
+        timescale=timescale, avcc=build_avcc(sps, pps),
+    )
