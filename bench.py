@@ -49,7 +49,12 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from gnosis_ocr_spark.corpus import CORPUS_VERSION, corpus_df, generate_rows
+    from gnosis_ocr_spark.corpus import (
+        CORPUS_VERSION,
+        corpus_df,
+        generate_rows,
+        golden_df,
+    )
     from gnosis_ocr_spark.plans.driver_queries import QUERIES
     from gnosis_ocr_spark.plans.pipeline import extract_corpus
     from gnosis_ocr_spark.session import get_spark
@@ -70,18 +75,30 @@ def main() -> None:
     n_docs = int(
         os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(200, int(sf * 20_000)))
     )
-    rows = generate_rows(n_docs)
-    n_pages_total = sum(r.n_pages for r in rows)
     # cache key carries the generator version: a rotation change must
     # invalidate cached parquet, not silently benchmark the old corpus
     corpus_dir = os.environ.get(
         "SPARK_GRAFT_CORPUS_DIR",
         f"/tmp/gnosis_bench_corpus_v{CORPUS_VERSION}_n{n_docs}",
     )
+    # sidecars let WARM runs skip the driver-side corpus generation
+    # entirely (minutes at sf0.1 with the entropy-codec writer classes):
+    # golden parquet for the byte-identity check, meta for page totals
+    golden_dir = corpus_dir + "_golden"
+    meta_path = corpus_dir + "_meta.json"
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        rows = generate_rows(n_docs)
         corpus_df(spark, n=n_docs, num_partitions=max(cpus * 2, 16)).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
+        golden_df(spark, n=n_docs).write.mode("overwrite").parquet(golden_dir)
+        with open(meta_path, "w") as fh:
+            json.dump({"n_pages_total": sum(r.n_pages for r in rows)}, fh)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            n_pages_total = json.load(fh)["n_pages_total"]
+    else:  # pre-sidecar cache: fall back to one (memoized) generation
+        n_pages_total = sum(r.n_pages for r in generate_rows(n_docs))
 
     # Optional untimed warmup (scaling bench sets this): one tiny extract
     # first so whole-stage codegen, Python-worker spawn + imports, and the
@@ -124,9 +141,10 @@ def main() -> None:
 
     # byte-identical pass rate vs goldens (the BASELINE.json headline
     # criterion) — verified on every bench run, untimed
-    from gnosis_ocr_spark.corpus import golden_df
-
-    golden = golden_df(spark, n=n_docs).alias("g")
+    if os.path.exists(os.path.join(golden_dir, "_SUCCESS")):
+        golden = spark.read.parquet(golden_dir).alias("g")
+    else:
+        golden = golden_df(spark, n=n_docs).alias("g")
     matches = (
         result.alias("o")
         .join(golden, F.col("o.url") == F.col("g.url"), "inner")

@@ -88,7 +88,14 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # region (steady-state throughput is what the north rule's two-cluster
     # criterion is about; session warmup amortizes on a real cluster)
     env.setdefault("SPARK_GRAFT_BENCH_WARMUP", "1")
-    env.setdefault("SPARK_GRAFT_CORPUS_DIR", "/tmp/gnosis_scaling_corpus")
+    # keyed on the generator version — a rotation change must invalidate
+    # this cache too, not silently measure the previous round's corpus
+    sys.path.insert(0, str(REPO))
+    from gnosis_ocr_spark.corpus import CORPUS_VERSION
+
+    env.setdefault(
+        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/gnosis_scaling_corpus_v{CORPUS_VERSION}"
+    )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
