@@ -365,4 +365,14 @@ def test_unaligned_tile_grid_rejected():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, size=(100, 100)).astype(np.uint8)
     with pytest.raises(ValueError, match="align"):
-        X.encode_jpx([img], lossless=True, levels=3, tile_size=(48, 48))
+        X.encode_jpx([img], lossless=True, levels=3, tile_size=(36, 36))
+    # and the decoder rejects the same grid in a crafted SIZ: a valid
+    # single-tile stream whose XTsiz/YTsiz are patched to 36 declares
+    # 36-px tile origins that go odd at level 3
+    cs = bytearray(X.encode_jpx([img[:64, :64]], lossless=True, levels=3))
+    siz_at = bytes(cs).find(b"\xff\x51")
+    import struct as _st
+
+    _st.pack_into(">II", cs, siz_at + 22, 36, 36)  # XTsiz, YTsiz
+    with pytest.raises(ValueError):
+        X.decode_jpx(bytes(cs))
