@@ -8,9 +8,10 @@ from-scratch implementation of the public spec: JP2 container boxes +
 raw codestreams, main/tile marker parsing (SIZ/COD/QCD + per-component
 overrides), multi-tile images (per-tile tile-parts, power-of-two-aligned
 grids), subsampled components (4:2:0/4:2:2 chroma, upsampled to the
-full-resolution output contract), Tier-2 packet decoding (tag trees,
-inclusion, zero bit-planes, Lblock lengths, all five progression
-orders),
+full-resolution output contract), Tier-2 packet decoding (per-precinct
+tag trees incl. user-defined precinct grids with precinct-capped
+code-blocks, inclusion, zero bit-planes, Lblock lengths, all five
+progression orders),
 Tier-1 EBCOT bit-plane coding (significance propagation / magnitude
 refinement / cleanup passes over the SAME MQ arithmetic coder JBIG2
 uses — T.800 Annex C and T.88 Annex E specify the identical coder, so
@@ -27,9 +28,9 @@ decoder without any external JPX file in the container.
 Scope honesty: code-block styles beyond the default (selective
 arithmetic bypass, per-pass termination, vertically-causal contexts,
 segmentation symbols), ROI (RGN), progression-order changes (POC),
-user-defined precincts, and tile grids whose origins go odd at some DWT
-level (non-power-of-two-aligned tile sizes — real encoders emit aligned
-ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
+position-major progressions combined with multiple precincts, and tile
+grids whose origins go odd at some DWT level (non-power-of-two-aligned
+tile sizes — real encoders emit aligned ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
 (same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
 Python like every entropy coder here — linear, Arrow-batched across
 pages, same honesty class as codec_jpeg's note.
@@ -859,7 +860,8 @@ class _Blk:
 
 
 class _SubDec:
-    """One subband's Tier-2 state: code-block grid + the two tag trees."""
+    """One subband's Tier-2 state: the code-block grid (tag trees live
+    per PRECINCT — see :func:`_precinct_entries`)."""
 
     def __init__(
         self, name: str, level: int, w: int, h: int, mb: int,
@@ -870,12 +872,56 @@ class _SubDec:
         self.cbw, self.cbh = cbw, cbh
         self.nbx = (w + cbw - 1) // cbw if w > 0 else 0
         self.nby = (h + cbh - 1) // cbh if h > 0 else 0
-        n = max(1, self.nbx), max(1, self.nby)
-        self.incl = _TagTree(n[0], n[1])
-        self.zb = _TagTree(n[0], n[1])
         self.blks = [
             [_Blk() for _ in range(self.nbx)] for _ in range(self.nby)
         ]
+
+
+class _PrecView:
+    """One precinct's window onto one subband's block grid, with the
+    precinct-scoped inclusion and zero-bit-plane tag trees (T.800 B.10.8:
+    tag trees span the code-blocks of a PRECINCT, not the subband)."""
+
+    __slots__ = ("sb", "bx0", "bx1", "by0", "by1", "incl", "zb")
+
+    def __init__(self, sb: _SubDec, bx0: int, bx1: int, by0: int, by1: int):
+        self.sb = sb
+        self.bx0, self.bx1, self.by0, self.by1 = bx0, bx1, by0, by1
+        n = max(1, bx1 - bx0), max(1, by1 - by0)
+        self.incl = _TagTree(n[0], n[1])
+        self.zb = _TagTree(n[0], n[1])
+
+
+def _precinct_entries(
+    subs: list[_SubDec], r: int, rw: int, rh: int,
+    pp: tuple[int, int] | None,
+) -> list[list[_PrecView]]:
+    """Per-precinct (raster order over the resolution grid) lists of
+    subband views. ``pp`` is (PPx, PPy) exponents on the RESOLUTION grid;
+    None = maximal (one precinct covering everything). Code-block sizes
+    in the subbands must already be precinct-capped."""
+    if pp is None:
+        return [[_PrecView(sb, 0, sb.nbx, 0, sb.nby) for sb in subs]]
+    ppx, ppy = pp
+    npx = max(1, -(-rw // (1 << ppx)))
+    npy = max(1, -(-rh // (1 << ppy)))
+    half = 1 if r > 0 else 0
+    out: list[list[_PrecView]] = []
+    for py in range(npy):
+        for px in range(npx):
+            views = []
+            for sb in subs:
+                psw = 1 << (ppx - half)
+                psh = 1 << (ppy - half)
+                bpx = max(1, psw // sb.cbw)
+                bpy = max(1, psh // sb.cbh)
+                bx0 = min(px * bpx, sb.nbx)
+                bx1 = min(bx0 + bpx, sb.nbx)
+                by0 = min(py * bpy, sb.nby)
+                by1 = min(by0 + bpy, sb.nby)
+                views.append(_PrecView(sb, bx0, bx1, by0, by1))
+            out.append(views)
+    return out
 
 
 def _read_npasses(br: _HeaderReader) -> int:
@@ -920,28 +966,31 @@ def _tag_value(br: _HeaderReader, tree: _TagTree, x: int, y: int) -> int:
 
 
 def _decode_packet(
-    data: bytes, pos: int, subbands: list[_SubDec], layer: int,
+    data: bytes, pos: int, views: list[_PrecView], layer: int,
     use_sop: bool, use_eph: bool,
 ) -> int:
-    """Decode one packet (header + included block bodies) starting at
-    ``pos``; mutates the blocks' data/pass state; returns the next pos."""
+    """Decode one packet (header + included block bodies) for one
+    precinct's subband views starting at ``pos``; mutates the blocks'
+    data/pass state; returns the next pos."""
     if use_sop and data[pos : pos + 2] == b"\xff\x91":
         pos += 6
     br = _HeaderReader(data, pos)
     contributions: list[tuple[_Blk, int, int]] = []
     if br.bit():  # non-empty packet
-        for sb in subbands:
-            for by in range(sb.nby):
-                for bx in range(sb.nbx):
+        for pv in views:
+            sb = pv.sb
+            for by in range(pv.by0, pv.by1):
+                for bx in range(pv.bx0, pv.bx1):
                     blk = sb.blks[by][bx]
+                    tx, ty = bx - pv.bx0, by - pv.by0
                     if not blk.included:
-                        inc = sb.incl.decode(br, bx, by, layer + 1)
+                        inc = pv.incl.decode(br, tx, ty, layer + 1)
                     else:
                         inc = br.bit()
                     if not inc:
                         continue
                     if not blk.included:
-                        zb = _tag_value(br, sb.zb, bx, by)
+                        zb = _tag_value(br, pv.zb, tx, ty)
                         blk.n_planes = sb.mb - zb
                         if blk.n_planes < 0:
                             raise ValueError("JPX: zero bit-planes > Mb")
@@ -1008,8 +1057,6 @@ def _parse_cod(body: bytes) -> dict:
     if len(body) < 10:
         raise ValueError("JPX: short COD")
     scod = body[0]
-    if scod & 0x01:
-        raise ValueError("JPX: user-defined precincts unsupported")
     prog = body[1]
     layers = struct.unpack_from(">H", body, 2)[0]
     mct = body[4]
@@ -1029,6 +1076,17 @@ def _parse_cod(body: bytes) -> dict:
     transform = body[9]
     if transform > 1:
         raise ValueError("JPX: unknown wavelet transform")
+    precincts = None
+    if scod & 0x01:  # user-defined precinct sizes, one byte per resolution
+        if len(body) < 10 + levels + 1:
+            raise ValueError("JPX: truncated precinct sizes")
+        precincts = []
+        for r in range(levels + 1):
+            b = body[10 + r]
+            ppx, ppy = b & 0x0F, b >> 4
+            if r > 0 and (ppx == 0 or ppy == 0):
+                raise ValueError("JPX: precinct size 1 invalid above r=0")
+            precincts.append((ppx, ppy))
     return {
         "sop": bool(scod & 0x02),
         "eph": bool(scod & 0x04),
@@ -1039,6 +1097,7 @@ def _parse_cod(body: bytes) -> dict:
         "cbw": cbw,
         "cbh": cbh,
         "transform": transform,  # 0 = 9/7 irreversible, 1 = 5/3 reversible
+        "precincts": precincts,  # None = maximal (one per subband)
     }
 
 
@@ -1258,16 +1317,27 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
         t_qcd = [rec["qcd"] or comp_qcd[c] for c in range(n_comp)]
         # Tier-2 state per component for THIS tile
         comp_res: list[list[list[_SubDec]]] = []
+        comp_prec: list[list[list[list[_PrecView]]]] = []  # [c][r][p]
         tc_geom: list[tuple[int, int, int, int]] = []  # component-domain box
         for c in range(n_comp):
             cc, qq = t_cod[c], t_qcd[c]
             xr, yr = siz["comps"][c]["xr"], siz["comps"][c]["yr"]
             cx0, cx1 = -(-tx0 // xr), -(-tx1 // xr)
             cy0, cy1 = -(-ty0 // yr), -(-ty1 // yr)
-            tc_geom.append((cx0, cy0, cx1 - cx0, cy1 - cy0))
-            geom = _band_geometry(cx1 - cx0, cy1 - cy0, cc["levels"])
+            cw_, ch_ = cx1 - cx0, cy1 - cy0
+            tc_geom.append((cx0, cy0, cw_, ch_))
+            geom = _band_geometry(cw_, ch_, cc["levels"])
             res_list: list[list[_SubDec]] = []
-            for bands in geom:
+            prec_list: list[list[list[_PrecView]]] = []
+            for r, bands in enumerate(geom):
+                pp = cc["precincts"][r] if cc["precincts"] else None
+                if pp is not None:
+                    # precinct-capped code-block sizes (T.800 B.7)
+                    half = 1 if r > 0 else 0
+                    cbw_eff = min(cc["cbw"], 1 << (pp[0] - half))
+                    cbh_eff = min(cc["cbh"], 1 << (pp[1] - half))
+                else:
+                    cbw_eff, cbh_eff = cc["cbw"], cc["cbh"]
                 subs = []
                 for name, level, bw_, bh_ in bands:
                     eps, _mu = _subband_q(
@@ -1277,17 +1347,30 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                     if not 0 < mb <= 40:
                         raise ValueError("JPX: implausible Mb")
                     subs.append(
-                        _SubDec(
-                            name, level, bw_, bh_, mb, cc["cbw"], cc["cbh"]
-                        )
+                        _SubDec(name, level, bw_, bh_, mb, cbw_eff, cbh_eff)
                     )
+                l = cc["levels"] - r
+                rw = (cw_ + (1 << l) - 1) >> l
+                rh = (ch_ + (1 << l) - 1) >> l
+                prec_list.append(_precinct_entries(subs, r, rw, rh, pp))
                 res_list.append(subs)
             comp_res.append(res_list)
+            comp_prec.append(prec_list)
 
         n_res = max(cc["levels"] for cc in t_cod) + 1
+        t_prog = (rec["cod"] or cod)["prog"]
+        multi_prec = any(
+            len(pr) > 1 for plist in comp_prec for pr in plist
+        )
+        if multi_prec and t_prog not in (0, 1):
+            # position-major orders interleave precincts spatially across
+            # resolutions/components — not implemented; LRCP/RLCP cover
+            # the dominant still-image layouts
+            raise ValueError(
+                "JPX: position-major progression with precincts unsupported"
+            )
         order = _packet_order(
-            (rec["cod"] or cod)["prog"], (rec["cod"] or cod)["layers"],
-            n_res, n_comp,
+            t_prog, (rec["cod"] or cod)["layers"], n_res, n_comp,
         )
         parts = list(rec["parts"])
         if not parts:
@@ -1297,15 +1380,16 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
         for l, r, c in order:
             if r >= len(comp_res[c]):
                 continue
-            while pos >= end and pi + 1 < len(parts):
-                pi += 1
-                pos, end = parts[pi]
-            if pos >= end:
-                raise ValueError("JPX: ran out of packet data")
-            pos = _decode_packet(
-                data[:end], pos, comp_res[c][r], l,
-                t_cod[c]["sop"], t_cod[c]["eph"],
-            )
+            for views in comp_prec[c][r]:
+                while pos >= end and pi + 1 < len(parts):
+                    pi += 1
+                    pos, end = parts[pi]
+                if pos >= end:
+                    raise ValueError("JPX: ran out of packet data")
+                pos = _decode_packet(
+                    data[:end], pos, views, l,
+                    t_cod[c]["sop"], t_cod[c]["eph"],
+                )
 
         # Tier-1 + dequant + inverse DWT per tile-component, then paste
         for c in range(n_comp):
@@ -1470,6 +1554,7 @@ def encode_jpx(
     progression: int = 0,
     tile_size: tuple[int, int] | None = None,
     sampling: list[tuple[int, int]] | None = None,
+    precincts: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
@@ -1481,9 +1566,21 @@ def encode_jpx(
     origins aligned to 2^levels). ``sampling`` gives per-component
     (XRsiz, YRsiz) — e.g. [(1, 1), (2, 2), (2, 2)] is 4:2:0; component 0
     must be (1, 1), planes arrive pre-subsampled at their own grid, and
-    the component transform is disabled (mismatched grids)."""
+    the component transform is disabled (mismatched grids). ``precincts``
+    gives (PPx, PPy) exponents on the resolution grid (same for every
+    resolution; requires an L-major progression), partitioning each
+    resolution into multiple packets — the Kakadu-style streaming
+    layout."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
+    if precincts is not None:
+        ppx, ppy = precincts
+        if not (1 <= ppx <= 15 and 1 <= ppy <= 15):
+            raise ValueError("JPX: bad precinct exponents")
+        if progression not in (0, 1):
+            raise ValueError(
+                "JPX: precincts require an L-major progression (LRCP/RLCP)"
+            )
     if not comps or len(comps) not in (1, 3):
         raise ValueError("JPX: encoder takes 1 or 3 components")
     n_comp = len(comps)
@@ -1608,10 +1705,13 @@ def encode_jpx(
     )
     out += b"\xff\x51" + struct.pack(">H", len(sizb) + 2) + sizb
     codb = bytes([
-        0, progression,  # Scod, progression order
+        1 if precincts is not None else 0, progression,  # Scod, order
     ]) + struct.pack(">H", 1) + bytes([
         mct, levels, 4, 4, 0, 1 if lossless else 0,
     ])
+    if precincts is not None:
+        ppx, ppy = precincts
+        codb += bytes([(ppy << 4) | ppx] * (levels + 1))
     out += b"\xff\x52" + struct.pack(">H", len(codb) + 2) + codb
     if lossless:
         qcdb = bytes([(guard << 5) | 0]) + bytes(
@@ -1636,31 +1736,42 @@ def encode_jpx(
             ch_ = -(-ty1 // yr) - (-(-ty0 // yr))
             tgeom = _band_geometry(cw_, ch_, levels)
             blist = tgeom[r]
-            bw = _HeaderWriter()
-            seg_parts: list[bytes] = []
-            bw.bit(1)  # non-empty packet
+            half = 1 if r > 0 else 0
+            if precincts is not None:
+                cbw_eff = min(64, 1 << (precincts[0] - half))
+                cbh_eff = min(64, 1 << (precincts[1] - half))
+                l = levels - r
+                rw = (cw_ + (1 << l) - 1) >> l
+                rh = (ch_ + (1 << l) - 1) >> l
+                npx = max(1, -(-rw // (1 << precincts[0])))
+                npy = max(1, -(-rh // (1 << precincts[1])))
+                psw = 1 << (precincts[0] - half)
+                psh = 1 << (precincts[1] - half)
+            else:
+                cbw_eff = cbh_eff = 64
+                npx = npy = 1
+                psw = psh = 1 << 30
+            # per-subband block data for this (resolution, component)
+            sb_blocks = []
             for name, level, bw_, bh_ in blist:
                 eps, mu = qvals[_qcd_index(name, level, levels)]
                 mb = guard + eps - 1
                 if bw_ <= 0 or bh_ <= 0:
+                    sb_blocks.append((name, 0, 0, {}, np.zeros((0, 0)), mb))
                     continue
-                nbx = (bw_ + 63) // 64
-                nby = (bh_ + 63) // 64
+                nbx = (bw_ + cbw_eff - 1) // cbw_eff
+                nby = (bh_ + cbh_eff - 1) // cbh_eff
                 q = comp_quant[ci][(name, level)]
-                incl = _TagTree(nbx, nby)
-                zb = _TagTree(nbx, nby)
-                ivals = np.zeros((nby, nbx), dtype=np.int32)
                 zvals = np.zeros((nby, nbx), dtype=np.int32)
                 blocks: dict[tuple[int, int], tuple[bytes, int, int]] = {}
                 for by in range(nby):
                     for bx in range(nbx):
                         blkq = q[
-                            by * 64 : min((by + 1) * 64, bh_),
-                            bx * 64 : min((bx + 1) * 64, bw_),
+                            by * cbh_eff : min((by + 1) * cbh_eff, bh_),
+                            bx * cbw_eff : min((bx + 1) * cbw_eff, bw_),
                         ]
                         mx = int(np.abs(blkq).max()) if blkq.size else 0
                         if mx == 0:
-                            ivals[by, bx] = 1  # never included
                             continue
                         n_planes = mx.bit_length()
                         seg, n_passes = encode_block(
@@ -1668,30 +1779,62 @@ def encode_jpx(
                         )
                         zvals[by, bx] = mb - n_planes
                         blocks[(by, bx)] = (seg, n_passes, n_planes)
-                incl.set_values(ivals)
-                zb.set_values(zvals)
-                for by in range(nby):
-                    for bx in range(nbx):
-                        incl.encode(bw, bx, by, 1)
-                        if (by, bx) not in blocks:
+                sb_blocks.append((name, nbx, nby, blocks, zvals, mb))
+            # one packet per precinct (raster over the resolution grid)
+            for py in range(npy):
+                for px in range(npx):
+                    bw = _HeaderWriter()
+                    seg_parts: list[bytes] = []
+                    bw.bit(1)  # non-empty packet
+                    for name, nbx, nby, blocks, zvals, mb in sb_blocks:
+                        if nbx == 0 or nby == 0:
                             continue
-                        seg, n_passes, _np_ = blocks[(by, bx)]
-                        for t in range(1, zvals[by, bx] + 2):
-                            zb.encode(bw, bx, by, t)
-                        _write_npasses(bw, n_passes)
-                        lblock = 3
-                        nbits_avail = lblock + (n_passes.bit_length() - 1)
-                        need = max(1, len(seg).bit_length())
-                        k = max(0, need - nbits_avail)
-                        for _ in range(k):
-                            bw.bit(1)
-                        bw.bit(0)
-                        lblock += k
-                        bw.bits(len(seg), lblock + (n_passes.bit_length() - 1))
-                        seg_parts.append(seg)
-            body += bw.flush()
-            for seg in seg_parts:
-                body += seg
+                        bpx = max(1, psw // cbw_eff)
+                        bpy = max(1, psh // cbh_eff)
+                        bx0 = min(px * bpx, nbx)
+                        bx1 = min(bx0 + bpx, nbx)
+                        by0 = min(py * bpy, nby)
+                        by1 = min(by0 + bpy, nby)
+                        vw, vh = max(1, bx1 - bx0), max(1, by1 - by0)
+                        incl = _TagTree(vw, vh)
+                        zb = _TagTree(vw, vh)
+                        ivals = np.ones((vh, vw), dtype=np.int32)
+                        zv = np.zeros((vh, vw), dtype=np.int32)
+                        for by in range(by0, by1):
+                            for bx in range(bx0, bx1):
+                                if (by, bx) in blocks:
+                                    ivals[by - by0, bx - bx0] = 0
+                                    zv[by - by0, bx - bx0] = zvals[by, bx]
+                        incl.set_values(ivals)
+                        zb.set_values(zv)
+                        for by in range(by0, by1):
+                            for bx in range(bx0, bx1):
+                                tx, ty = bx - bx0, by - by0
+                                incl.encode(bw, tx, ty, 1)
+                                if (by, bx) not in blocks:
+                                    continue
+                                seg, n_passes, _np_ = blocks[(by, bx)]
+                                for t in range(1, zv[ty, tx] + 2):
+                                    zb.encode(bw, tx, ty, t)
+                                _write_npasses(bw, n_passes)
+                                lblock = 3
+                                nbits_avail = lblock + (
+                                    n_passes.bit_length() - 1
+                                )
+                                need = max(1, len(seg).bit_length())
+                                k = max(0, need - nbits_avail)
+                                for _ in range(k):
+                                    bw.bit(1)
+                                bw.bit(0)
+                                lblock += k
+                                bw.bits(
+                                    len(seg),
+                                    lblock + (n_passes.bit_length() - 1),
+                                )
+                                seg_parts.append(seg)
+                    body += bw.flush()
+                    for seg in seg_parts:
+                        body += seg
         psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
         out += b"\xff\x93" + body

@@ -376,3 +376,66 @@ def test_unaligned_tile_grid_rejected():
     _st.pack_into(">II", cs, siz_at + 22, 36, 36)  # XTsiz, YTsiz
     with pytest.raises(ValueError):
         X.decode_jpx(bytes(cs))
+
+
+# ------------------------------------------------------------- precincts
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None)
+def test_precinct_roundtrip_property(seed):
+    """User-defined precinct grids (per-precinct tag trees,
+    precinct-capped code-blocks, one packet per precinct) reassemble
+    bit-exactly across sizes, levels, and both L-major orders."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(30, 140))
+    w = int(rng.integers(30, 140))
+    levels = int(rng.integers(0, 3))
+    pp = int(rng.choice([4, 5, 6]))
+    prog = int(rng.integers(0, 2))
+    n_comp = int(rng.choice([1, 3]))
+    comps = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        for _ in range(n_comp)
+    ]
+    cs = X.encode_jpx(
+        comps, lossless=True, levels=levels, precincts=(pp, pp),
+        progression=prog,
+    )
+    gw, gh, got, _ = X.decode_jpx(cs)
+    assert (gw, gh) == (w, h)
+    for a, b in zip(got, comps):
+        assert np.array_equal(a, b)
+
+
+def test_precincts_with_tiles_and_lossy():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(100, 130)).astype(np.uint8)
+    cs = X.encode_jpx(
+        [img], lossless=True, levels=1, precincts=(5, 5),
+        tile_size=(64, 64),
+    )
+    w, h, comps, _ = X.decode_jpx(cs)
+    assert np.array_equal(comps[0], img)
+    cs = X.encode_jpx(
+        [img], lossless=False, levels=2, precincts=(5, 6), quality_step=0.5
+    )
+    w, h, comps, _ = X.decode_jpx(cs)
+    assert np.abs(comps[0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_position_major_with_precincts_rejected():
+    """PCRL/CPRL/RPCL with multiple precincts stay opaque (the spatial
+    packet interleave is not implemented) — encoder refuses to emit the
+    shape and the decoder refuses a crafted COD claiming it."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(100, 100)).astype(np.uint8)
+    with pytest.raises(ValueError, match="L-major"):
+        X.encode_jpx([img], lossless=True, precincts=(5, 5), progression=2)
+    cs = bytearray(
+        X.encode_jpx([img], lossless=True, levels=2, precincts=(5, 5))
+    )
+    cod_at = bytes(cs).find(b"\xff\x52")
+    cs[cod_at + 5] = 2  # patch progression to RPCL
+    with pytest.raises(ValueError, match="position-major"):
+        X.decode_jpx(bytes(cs))
