@@ -359,6 +359,17 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         decoded = (gray, dw, dh)
                     except Exception:
                         w = h = None
+                elif mtype == "image/jp2":
+                    # real wavelet decode → gray/luma resize → PNG out
+                    try:
+                        from gnosis_ocr_spark.functions.codec_jpx import (
+                            decode_jpx_gray,
+                        )
+
+                        dw, dh, gray = decode_jpx_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None  # unsupported JPX subset: passthrough
                 if decoded is not None:
                     px, dw, dh = decoded
                     if max(dw, dh) <= max_dim:

@@ -123,20 +123,24 @@ def test_multimodal_features_real_for_decodable_media(spark):
     assert float(got["silence"][1:].sum()) == 0.0
 
 
-def test_resize_real_for_jpeg_and_gif(spark):
+def test_resize_real_for_jpeg_gif_and_jp2(spark):
     from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
     from gnosis_ocr_spark.functions.codec_png import decode_dimensions
     from gnosis_ocr_spark.operators.multimodal import resize_images
 
+    from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
+
     big = bytes((x * 3 + 1) % 256 for x in range(300 * 120))
+    jp2 = encode_jp2([np.frombuffer(big, np.uint8).reshape(120, 300)])
     rows = [
         ("jpg", bytearray(encode_gray_jpeg(big, 300, 120))),
         ("gif", bytearray(M.encode_gray_gif(big, 300, 120))),
+        ("jp2", bytearray(jp2)),
         ("badjpg", bytearray(b"\xff\xd8\xff\xe0junkjunkjunk")),
     ]
     df = spark.createDataFrame(rows, schema="url string, data binary")
     got = {r["url"]: r.asDict() for r in resize_images(df, max_dim=64).collect()}
-    for u in ("jpg", "gif"):
+    for u in ("jpg", "gif", "jp2"):
         assert got[u]["status"] == "resized"
         assert max(got[u]["width"], got[u]["height"]) <= 64
         # output is a REAL decodable PNG of the resized pixels
