@@ -602,3 +602,153 @@ def build_mp4_h264(
         payloads, fps=fps, width=w, height=h, sync_every=sync_every,
         timescale=timescale, avcc=build_avcc(sps, pps),
     )
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def bmp_dimensions(data: bytes) -> tuple[int, int]:
+    """Windows BMP (BITMAPINFOHEADER family) width/height; height is
+    |biHeight| (negative marks top-down row order)."""
+    if len(data) < 26 or data[:2] != b"BM":
+        raise ValueError("BMP: bad header")
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER: 16-bit dims
+        w, h = struct.unpack_from("<HH", data, 18)
+        return w, h
+    if hdr_size < 40:
+        raise ValueError("BMP: unknown DIB header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    return w, abs(h)
+
+
+def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit BMP → visual
+    8-bit grayscale (integer ITU-R 601 luma). Rows are 4-byte padded and
+    bottom-up unless biHeight < 0."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("BMP: bad header")
+    (px_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP: core-header pixels unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    (clr_used,) = struct.unpack_from("<I", data, 46)
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0 or w * h > 50_000_000:
+        raise ValueError("BMP: bad dimensions")
+    if comp != 0:  # BI_RGB only; RLE/bitfields are a vanishing crawl tail
+        raise ValueError(f"BMP: compression {comp} unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP: {bpp}-bpp unsupported")
+    stride = (w * bpp // 8 + 3) & ~3
+    need = px_off + stride * h
+    if need > len(data):
+        raise ValueError("BMP: truncated pixel array")
+    rows = np.frombuffer(
+        data[px_off : px_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n > px_off or pal_off + 4 * n > len(data):
+            raise ValueError("BMP: truncated palette")
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n], dtype=np.uint8
+        ).reshape(n, 4).astype(np.uint16)  # BGRA entries
+        luma = ((29 * pal[:, 0] + 150 * pal[:, 1] + 77 * pal[:, 2]) >> 8
+                ).astype(np.uint8)
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= n:
+            raise ValueError("BMP: palette index out of range")
+        return w, h, luma[idx].tobytes()
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch).astype(np.uint16)  # BGR(A)
+    luma = ((29 * px[:, :, 0] + 150 * px[:, :, 1] + 77 * px[:, :, 2]) >> 8
+            ).astype(np.uint8)
+    return w, h, luma.tobytes()
+
+
+def encode_gray_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Fixture writer: 8-bit grayscale → 8-bpp palette BMP (BI_RGB,
+    bottom-up, gray-identity palette) — any BMP reader opens it."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    stride = (width + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width] = arr[::-1]  # bottom-up
+    pal = bytearray()
+    for v in range(256):
+        pal += bytes((v, v, v, 0))  # BGRA gray identity
+    px_off = 14 + 40 + len(pal)
+    size = px_off + stride * height
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, px_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height,
+        2835, 2835, 256, 0,
+    )
+    return hdr + dib + bytes(pal) + rows.tobytes()
+
+
+# ---------------------------------------------------------------- WebP
+
+
+def webp_dimensions(data: bytes) -> tuple[int, int]:
+    """WebP canvas dimensions — REAL header parse for all three container
+    shapes (public RIFF/WebP spec): VP8X (extended: 24-bit canvas size
+    minus one), VP8 (lossy: the keyframe start code + 14-bit dims), VP8L
+    (lossless: signature 0x2F + two LSB-packed 14-bit dims minus one).
+    Pixel decode stays out, loudly: VP8 needs the full boolean-arithmetic
+    DCT codec and VP8L its Huffman/LZ77/transform stack — the documented
+    ffmpeg/PIL swap seam, same boundary class as codec_h264's header."""
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("WebP: bad container")
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8 ":
+        # frame tag (3 B) must mark a keyframe; then 3-byte start code
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("WebP: missing VP8 keyframe start code")
+        w = struct.unpack_from("<H", data, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", data, 28)[0] & 0x3FFF
+        return w, h
+    if fourcc == b"VP8L":
+        if data[20] != 0x2F:
+            raise ValueError("WebP: bad VP8L signature")
+        bits = int.from_bytes(data[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    raise ValueError("WebP: unknown chunk " + fourcc.decode("latin-1"))
+
+
+def build_webp_lossy_header(width: int, height: int) -> bytes:
+    """Fixture: a VP8 (lossy) WebP whose header fields are spec-exact and
+    whose coefficient payload is opaque filler — dimension parsing and
+    sniffing are REAL-testable; decode correctly refuses it."""
+    if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
+        raise ValueError("WebP: dims out of 14-bit range")
+    frame_tag = bytes((0x10, 0x00, 0x00))  # keyframe, version 0, show=1
+    vp8 = frame_tag + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+    vp8 += b"\x00" * 16  # opaque filler in place of coefficient data
+    if len(vp8) & 1:
+        vp8 += b"\x00"
+    riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def build_webp_lossless_header(width: int, height: int) -> bytes:
+    """Fixture: a VP8L WebP header (signature + LSB-packed dims)."""
+    if not (0 < width <= 0x4000 and 0 < height <= 0x4000):
+        raise ValueError("WebP: dims out of 14-bit range")
+    bits = (width - 1) | ((height - 1) << 14)  # + alpha=0, version=0
+    vp8l = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+    if len(vp8l) & 1:
+        vp8l += b"\x00"
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -2443,10 +2443,16 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+def _lzw_decode(
+    data: bytes, early_change: int = 1, max_out: int | None = None
+) -> bytes:
     """/LZWDecode (§7.4.4): MSB-first variable-width codes 9→12 bits,
     256 = clear table, 257 = EOD; PDF's /EarlyChange (default 1) widens the
-    code size one entry before the table fills (TIFF-style)."""
+    code size one entry before the table fills (TIFF-style). ``max_out``
+    bounds the decoded size (LZW expands up to O(codes²), so a small
+    hostile payload can otherwise allocate unbounded memory — same
+    rationale as codec_jpeg.MAX_PIXELS); callers that know the expected
+    size (TIFF strips) pass it."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -2479,6 +2485,8 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 raise ValueError("LZW code beyond table")
             out += entry
             prev = entry
+            if max_out is not None and len(out) > max_out:
+                raise ValueError("LZW output exceeds declared bound")
             if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)

@@ -1,0 +1,563 @@
+"""TIFF 6.0 (Adobe, 1992 public spec) — container parse, strip decode, and
+a fixture writer.
+
+TIFF is the canonical scanned-document interchange container: real-crawl
+scan archives ship 1-bit G3/G4 fax TIFFs, 8-bit gray/palette LZW TIFFs, and
+RGB Deflate TIFFs. Everything a baseline-TIFF reader needs already exists
+from scratch in this package — this module is deliberately thin
+COMPOSITION, not new codec work:
+
+- **CCITT G3/G4** strips (Compression 2/3/4) → :mod:`codec_ccitt`
+  (``decode_g4`` / ``decode_g3_1d`` / ``decode_g3_2d``), with TIFF's
+  T4Options/T6Options and FillOrder 2 (LSB-first) bit reversal handled
+  here.
+- **LZW** strips (Compression 5) → ``codec_pdf._lzw_decode`` (TIFF and PDF
+  share the exact MSB-first early-change wire format; PDF §7.4.4 says so).
+- **Deflate** strips (Compression 8 / legacy 32946) → zlib, output-bounded
+  via ``decompressobj`` (same zip-bomb rationale as codec_png/codec_jpeg).
+- **PackBits** (Compression 32773) → local 15-liner (PDF /RunLengthDecode
+  minus the EOD byte; 0x80 is a no-op in TIFF).
+- Predictor 2 (horizontal differencing) undone with a vectorized uint8
+  ``np.add.accumulate`` (int64 temporaries are a measured multi-core
+  scaling killer — see CLAUDE.md).
+
+Supported shapes: stripped baseline TIFF, bits 1/8, SamplesPerPixel 1/3,
+Photometric 0/1 (gray), 2 (RGB → integer luma), 3 (palette → luma),
+FillOrder 1/2, multi-strip, little- and big-endian, multi-page (first IFD
+decodes; ``tiff_num_pages`` counts the chain). Out, loudly (ValueError →
+callers degrade to their documented passthrough/stub path): tiled TIFFs
+(tags 322/323), planar configuration 2, 16-bit samples, JPEG-in-TIFF
+(Compression 6/7 — old-style JPEG is spec-deprecated; new-style can reuse
+codec_jpeg later).
+
+The writer emits spec-valid files for every supported compression so
+round-trip property tests certify real interop behavior in-container
+(reference behavior to match: poppler/libtiff read these transparently,
+/root/reference/app/jobs.py rasterizes scanned input via poppler).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAX_PIXELS = 50_000_000  # hostile-input bound, same as codec_ccitt/jpeg
+
+# IFD entry types → byte widths (the subset baseline TIFF uses)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+_REV8 = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)  # FillOrder 2: bit-reversal LUT
+
+
+class TiffError(ValueError):
+    pass
+
+
+def _read_ifd(data: bytes, off: int, fmt: str) -> tuple[dict[int, list], int]:
+    """One IFD at ``off`` → ({tag: values}, next_ifd_offset)."""
+    if off + 2 > len(data):
+        raise TiffError("TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(fmt + "H", data, off)
+    if n_entries > 4096:
+        raise TiffError("TIFF: implausible IFD entry count")
+    entries: dict[int, list] = {}
+    pos = off + 2
+    if pos + 12 * n_entries + 4 > len(data):
+        raise TiffError("TIFF: truncated IFD")
+    for _ in range(n_entries):
+        tag, typ, count = struct.unpack_from(fmt + "HHI", data, pos)
+        size = _TYPE_SIZE.get(typ)
+        if size is None or count > len(data):
+            pos += 12
+            continue  # unknown value type: skip, per spec guidance
+        total = size * count
+        if total <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(fmt + "I", data, pos + 8)
+            if voff + total > len(data):
+                raise TiffError("TIFF: value offset out of range")
+        if typ == 3:
+            vals = list(struct.unpack_from(f"{fmt}{count}H", data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(f"{fmt}{count}I", data, voff))
+        elif typ == 5:  # RATIONAL: keep as float
+            raw = struct.unpack_from(f"{fmt}{2 * count}I", data, voff)
+            vals = [raw[i] / raw[i + 1] if raw[i + 1] else 0.0
+                    for i in range(0, 2 * count, 2)]
+        else:  # BYTE/ASCII
+            vals = list(data[voff : voff + count])
+        entries[tag] = vals
+        pos += 12
+    (nxt,) = struct.unpack_from(fmt + "I", data, pos)
+    return entries, nxt
+
+
+def tiff_info(data: bytes) -> dict:
+    """Parse header + first IFD → the decode-relevant tag values."""
+    if len(data) < 8:
+        raise TiffError("TIFF: short header")
+    if data[:4] == b"II*\x00":
+        fmt = "<"
+    elif data[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise TiffError("TIFF: bad magic")
+    (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
+    tags, nxt = _read_ifd(data, ifd_off, fmt)
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    if 322 in tags or 323 in tags:
+        raise TiffError("TIFF: tiled images unsupported")
+    if one(284, 1) != 1:
+        raise TiffError("TIFF: planar configuration 2 unsupported")
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise TiffError("TIFF: missing dimensions")
+    if w * h > MAX_PIXELS:
+        raise TiffError("TIFF: image exceeds pixel bound")
+    spp = one(277, 1)
+    bits_list = tags.get(258, [1])
+    if len(set(bits_list)) != 1:
+        raise TiffError("TIFF: mixed per-sample bit depths unsupported")
+    return {
+        "fmt": fmt,
+        "width": w,
+        "height": h,
+        "bits": bits_list[0],
+        "spp": spp,
+        "compression": one(259, 1),
+        "photometric": one(262, 1),
+        "fill_order": one(266, 1),
+        "strip_offsets": tags.get(273, []),
+        "strip_counts": tags.get(279, []),
+        "rows_per_strip": one(278, h),
+        "predictor": one(317, 1),
+        "t4_options": one(292, 0),
+        "t6_options": one(293, 0),
+        "colormap": tags.get(320),
+        "next_ifd": nxt,
+    }
+
+
+def tiff_dimensions(data: bytes) -> tuple[int, int]:
+    info = tiff_info(data)
+    return info["width"], info["height"]
+
+
+def tiff_num_pages(data: bytes, max_pages: int = 10_000) -> int:
+    """Length of the IFD chain (multi-page scan TIFFs are common)."""
+    info = tiff_info(data)
+    fmt, nxt, n, seen = info["fmt"], info["next_ifd"], 1, set()
+    while nxt and n < max_pages and nxt not in seen:
+        seen.add(nxt)
+        _, nxt = _read_ifd(data, nxt, fmt)
+        n += 1
+    return n
+
+
+# ------------------------------------------------------------------ strips
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF PackBits: n in 0..127 copies n+1 literal bytes; n in 129..255
+    repeats the next byte 257−n times; 128 is a no-op (unlike PDF
+    /RunLengthDecode, where it is EOD)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        if n <= 127:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        elif n == 128:
+            i += 1
+        else:
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    lit_start = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            while lit_start < i:
+                n = min(128, i - lit_start)
+                out += bytes([n - 1]) + data[lit_start : lit_start + n]
+                lit_start += n
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < len(data):
+        n = min(128, len(data) - lit_start)
+        out += bytes([n - 1]) + data[lit_start : lit_start + n]
+        lit_start += n
+    return bytes(out)
+
+
+def _bounded_inflate(data: bytes, max_out: int) -> bytes:
+    dec = zlib.decompressobj()
+    out = dec.decompress(data, max_out)
+    if dec.decompress(b"", 1):
+        raise TiffError("TIFF: deflate strip exceeds declared size")
+    return out
+
+
+def _decode_strip(raw: bytes, info: dict, strip_rows: int) -> np.ndarray:
+    """One strip → uint8 array (strip_rows, width) of VISUAL gray
+    (0 = black, 255 = white), luma-folded for RGB/palette."""
+    w, bits, spp = info["width"], info["bits"], info["spp"]
+    comp, photo = info["compression"], info["photometric"]
+    if info["fill_order"] == 2 and comp in (2, 3, 4):
+        # FillOrder 2 (LSB-first) appears in the fax world; the CCITT
+        # decoder consumes MSB-first, so reverse each byte up front.
+        raw = _REV8[np.frombuffer(raw, dtype=np.uint8)].tobytes()
+
+    if comp in (2, 3, 4):  # fax: decodes straight to packed 1-bpp rows
+        if bits != 1 or spp != 1:
+            raise TiffError("TIFF: fax compression requires 1-bit gray")
+        from gnosis_ocr_spark.functions.codec_ccitt import (
+            decode_g3_1d,
+            decode_g3_2d,
+            decode_g4,
+        )
+
+        # black_is_1 chosen so decoded samples match the photometric tag:
+        # min-is-white (0) stores black as 1, min-is-black (1) as 0.
+        black1 = photo == 0
+        if comp == 4:
+            packed = decode_g4(raw, w, strip_rows, black_is_1=black1)
+        elif comp == 3 and info["t4_options"] & 1:
+            packed = decode_g3_2d(raw, w, strip_rows, black_is_1=black1)
+        elif comp == 3:
+            packed = decode_g3_1d(raw, w, strip_rows, black_is_1=black1)
+        else:  # 2: modified-Huffman RLE, every row byte-aligned, no EOLs
+            packed = decode_g3_1d(
+                raw, w, strip_rows, black_is_1=black1, byte_align=True
+            )
+        bits_arr = np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8).reshape(strip_rows, -1),
+            axis=1,
+        )[:, :w]
+    else:
+        stride = (w * spp * bits + 7) // 8
+        expected = stride * strip_rows
+        if comp == 1:
+            out = raw[:expected]
+        elif comp == 5:
+            from gnosis_ocr_spark.functions.codec_pdf import _lzw_decode
+
+            out = _lzw_decode(raw, early_change=1, max_out=expected)
+        elif comp in (8, 32946):
+            out = _bounded_inflate(raw, expected)
+        elif comp == 32773:
+            out = _packbits_decode(raw, expected)
+        else:
+            raise TiffError(f"TIFF: compression {comp} unsupported")
+        if len(out) < expected:
+            raise TiffError("TIFF: truncated strip")
+        arr = np.frombuffer(out[:expected], dtype=np.uint8).reshape(
+            strip_rows, stride
+        )
+        if bits == 1:
+            bits_arr = np.unpackbits(arr, axis=1)[:, :w]
+        elif bits == 8:
+            if info["predictor"] == 2:
+                # horizontal differencing: per-row cumsum per channel,
+                # uint8 accumulate (wraps mod 256 exactly like the spec)
+                px = arr.reshape(strip_rows, w, spp)
+                px = np.add.accumulate(px, axis=1, dtype=np.uint8)
+            else:
+                px = arr.reshape(strip_rows, w, spp)
+            if photo == 2:  # RGB → ITU-R 601 integer luma, uint16 math
+                if spp < 3:
+                    raise TiffError("TIFF: RGB needs 3 samples/pixel")
+                p16 = px.astype(np.uint16)
+                return (
+                    (77 * p16[:, :, 0] + 150 * p16[:, :, 1] + 29 * p16[:, :, 2])
+                    >> 8
+                ).astype(np.uint8)
+            if photo == 3:  # palette → luma of the 16-bit colormap
+                cmap = info["colormap"]
+                if not cmap or len(cmap) % 3:
+                    raise TiffError("TIFF: missing/odd colormap")
+                n = len(cmap) // 3
+                cm = np.asarray(cmap, dtype=np.uint32).reshape(3, n) >> 8
+                luma = ((77 * cm[0] + 150 * cm[1] + 29 * cm[2]) >> 8).astype(
+                    np.uint8
+                )
+                idx = px[:, :, 0]
+                if idx.max(initial=0) >= n:
+                    raise TiffError("TIFF: palette index out of range")
+                return luma[idx]
+            gray = px[:, :, 0]
+            return (255 - gray) if photo == 0 else gray
+        else:
+            raise TiffError(f"TIFF: {bits}-bit samples unsupported")
+    # 1-bit sample → visual gray under the photometric tag:
+    # min-is-white: 1 = black; min-is-black: 1 = white
+    if photo == 0:
+        return np.where(bits_arr == 1, 0, 255).astype(np.uint8)
+    return np.where(bits_arr == 1, 255, 0).astype(np.uint8)
+
+
+def decode_tiff_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the first IFD to visual 8-bit grayscale (0 = black). Strips
+    stack vertically, exactly like the multi-strip PDF scanned path."""
+    info = tiff_info(data)
+    w, h = info["width"], info["height"]
+    offs, cnts = info["strip_offsets"], info["strip_counts"]
+    if not offs or len(offs) != len(cnts):
+        raise TiffError("TIFF: bad strip tables")
+    rps = max(1, info["rows_per_strip"])
+    parts: list[np.ndarray] = []
+    remaining = h
+    for off, cnt in zip(offs, cnts):
+        if remaining <= 0:
+            break
+        if off + cnt > len(data):
+            raise TiffError("TIFF: strip out of range")
+        strip_rows = min(rps, remaining)
+        parts.append(_decode_strip(data[off : off + cnt], info, strip_rows))
+        remaining -= strip_rows
+    if remaining > 0:
+        raise TiffError("TIFF: missing strips")
+    return w, h, np.vstack(parts).tobytes()
+
+
+# ------------------------------------------------------------------ writer
+
+_COMP_CODES = {
+    "none": 1,
+    "rle": 2,  # CCITT modified-Huffman, byte-aligned rows
+    "g3": 3,
+    "g3_2d": 3,
+    "g4": 4,
+    "lzw": 5,
+    "deflate": 8,
+    "packbits": 32773,
+}
+
+
+def _encode_strip(gray: np.ndarray, compression: str, photometric: int,
+                  predictor: int) -> bytes:
+    rows, w = gray.shape
+    if compression in ("rle", "g3", "g3_2d", "g4"):
+        from gnosis_ocr_spark.functions.codec_ccitt import (
+            encode_g3_1d,
+            encode_g3_2d,
+            encode_g4,
+        )
+
+        black1 = photometric == 0
+        black_bits = (gray < 128).astype(np.uint8)
+        samples = black_bits if black1 else 1 - black_bits
+        packed = np.packbits(samples, axis=1).tobytes()
+        if compression == "g4":
+            return encode_g4(packed, w, rows, black_is_1=black1)
+        if compression == "g3_2d":
+            return encode_g3_2d(packed, w, rows, black_is_1=black1)
+        if compression == "g3":
+            return encode_g3_1d(packed, w, rows, black_is_1=black1)
+        return encode_g3_1d(packed, w, rows, black_is_1=black1,
+                            byte_align=True)
+    samples = (255 - gray) if photometric == 0 else gray
+    if predictor == 2:
+        samples = np.concatenate(
+            [samples[:, :1], np.diff(samples.astype(np.int16), axis=1)
+             .astype(np.uint8)], axis=1)
+    raw = samples.astype(np.uint8).tobytes()
+    if compression == "none":
+        return raw
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "lzw":
+        from gnosis_ocr_spark.functions.codec_pdf import _lzw_encode
+
+        return _lzw_encode(raw, early_change=1)
+    raise TiffError(f"unknown compression {compression!r}")
+
+
+def encode_tiff_gray(
+    gray: bytes,
+    width: int,
+    height: int,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    photometric: int = 1,
+    fill_order: int = 1,
+    predictor: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Fixture writer: 8-bit grayscale pixels → a spec-valid stripped TIFF.
+    Fax compressions threshold at 128 and write ``bits=1``; ``fill_order=2``
+    bit-reverses fax strips (the LSB-first fax-world shape); ``predictor=2``
+    applies horizontal differencing before lzw/deflate."""
+    if compression not in _COMP_CODES:
+        raise TiffError(f"unknown compression {compression!r}")
+    if predictor == 2 and compression not in ("lzw", "deflate"):
+        raise TiffError("predictor 2 is only meaningful for lzw/deflate")
+    fmt = ">" if big_endian else "<"
+    arr = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    fax = compression in ("rle", "g3", "g3_2d", "g4")
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        s = _encode_strip(arr[y0 : y0 + rps], compression, photometric,
+                          predictor)
+        if fax and fill_order == 2:
+            s = _REV8[np.frombuffer(s, dtype=np.uint8)].tobytes()
+        strips.append(s)
+
+    tags: list[tuple[int, int, list[int]]] = [
+        (256, _LONG, [width]),
+        (257, _LONG, [height]),
+        (258, _SHORT, [1 if fax else 8]),
+        (259, _SHORT, [_COMP_CODES[compression]]),
+        (262, _SHORT, [photometric]),
+        (277, _SHORT, [1]),
+        (278, _LONG, [rps]),
+    ]
+    if fill_order == 2 and fax:
+        tags.append((266, _SHORT, [2]))
+    if compression == "g3_2d":
+        tags.append((292, _LONG, [1]))
+    elif compression == "g3":
+        tags.append((292, _LONG, [0]))
+    if predictor == 2:
+        tags.append((317, _SHORT, [2]))
+    return _assemble_tiff(strips, tags, fmt)
+
+
+_SHORT, _LONG = 3, 4
+
+
+def _assemble_tiff(strips: list[bytes],
+                   tags: list[tuple[int, int, list[int]]], fmt: str) -> bytes:
+    """Strips + IFD tag list → a complete file.
+    Layout: header (8) | strip data | IFD | external values."""
+    header = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 0)
+    body = bytearray(header)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(len(body))
+        body += s
+        if len(body) & 1:
+            body += b"\x00"  # word-align values, per spec
+    tags = tags + [(273, _LONG, strip_offs),
+                   (279, _LONG, [len(s) for s in strips])]
+    tags.sort(key=lambda t: t[0])
+
+    ifd_off = len(body)
+    struct.pack_into(fmt + "I", body, 4, ifd_off)
+    n = len(tags)
+    ifd = bytearray(struct.pack(fmt + "H", n))
+    ext = bytearray()
+    ext_base = ifd_off + 2 + 12 * n + 4
+    for tag, typ, vals in tags:
+        size = _TYPE_SIZE[typ] * len(vals)
+        code = "H" if typ == _SHORT else "I"
+        packed = struct.pack(f"{fmt}{len(vals)}{code}", *vals)
+        if size <= 4:
+            val_field = packed + b"\x00" * (4 - size)
+        else:
+            val_field = struct.pack(fmt + "I", ext_base + len(ext))
+            ext += packed
+            if len(ext) & 1:
+                ext += b"\x00"
+        ifd += struct.pack(fmt + "HHI", tag, typ, len(vals)) + val_field
+    ifd += struct.pack(fmt + "I", 0)  # no next IFD
+    return bytes(body) + bytes(ifd) + bytes(ext)
+
+
+def encode_tiff_rgb(
+    rgb: bytes,
+    width: int,
+    height: int,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Fixture writer: interleaved 8-bit RGB → stripped TIFF
+    (none/packbits/deflate/lzw; predictor 2 differences per channel)."""
+    if compression not in ("none", "packbits", "deflate", "lzw"):
+        raise TiffError(f"RGB writer: compression {compression!r}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        block = arr[y0 : y0 + rps]
+        if predictor == 2:
+            block = np.concatenate(
+                [block[:, :1], np.diff(block.astype(np.int16), axis=1)
+                 .astype(np.uint8)], axis=1)
+        raw = block.astype(np.uint8).tobytes()
+        if compression == "packbits":
+            raw = _packbits_encode(raw)
+        elif compression == "deflate":
+            raw = zlib.compress(raw, 6)
+        elif compression == "lzw":
+            from gnosis_ocr_spark.functions.codec_pdf import _lzw_encode
+
+            raw = _lzw_encode(raw, early_change=1)
+        strips.append(raw)
+    tags = [
+        (256, _LONG, [width]),
+        (257, _LONG, [height]),
+        (258, _SHORT, [8, 8, 8]),
+        (259, _SHORT, [_COMP_CODES[compression]]),
+        (262, _SHORT, [2]),
+        (277, _SHORT, [3]),
+        (278, _LONG, [rps]),
+        (284, _SHORT, [1]),
+    ]
+    if predictor == 2:
+        tags.append((317, _SHORT, [2]))
+    return _assemble_tiff(strips, tags, "<")
+
+
+def encode_tiff_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    colormap: list[tuple[int, int, int]],
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Fixture writer: 8-bit palette indices + an RGB888 colormap →
+    uncompressed palette TIFF (ColorMap stores 16-bit channels, v << 8)."""
+    arr = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+    if arr.max(initial=0) >= len(colormap):
+        raise TiffError("palette writer: index out of colormap range")
+    n = 256  # baseline: colormap sized to 2**bits
+    cm = list(colormap) + [(0, 0, 0)] * (n - len(colormap))
+    rps = rows_per_strip or height
+    strips = [arr[y0 : y0 + rps].tobytes() for y0 in range(0, height, rps)]
+    cmap_vals = [c[ch] << 8 for ch in range(3) for c in cm]
+    tags = [
+        (256, _LONG, [width]),
+        (257, _LONG, [height]),
+        (258, _SHORT, [8]),
+        (259, _SHORT, [1]),
+        (262, _SHORT, [3]),
+        (277, _SHORT, [1]),
+        (278, _LONG, [rps]),
+        (320, _SHORT, cmap_vals),
+    ]
+    return _assemble_tiff(strips, tags, "<")

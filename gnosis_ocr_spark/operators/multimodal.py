@@ -7,11 +7,17 @@ absent from this container — is stubbed behind ``DECODERS`` with deterministic
 fakes, clearly marked. Swapping in real decoders changes only the inner
 function bodies, not the Spark plan.
 
-Sniffing is real: magic-byte dispatch for PNG/JPEG/GIF/WAV/MP4. As of
-round 4 the metadata layer is REAL for every sniffed type (PNG/JPEG/GIF
-dimensions, WAV/MP4 duration — functions/codec_media.py, codec_jpeg.py),
-pixel decode is real for PNG/baseline-JPEG/GIF, and audio features are
-real DSP over 16-bit PCM. Video keyframe SAMPLING is real at the
+Sniffing is real: magic-byte dispatch for PNG/JPEG/GIF/TIFF/BMP/WebP/
+WAV/MP4/JP2 (weak magics — RIFF, "BM" — are refined by structure checks
+before a type is claimed). The metadata layer is REAL for every sniffed
+type (image dimensions incl. TIFF IFD / BMP DIB / WebP VP8-header parses,
+WAV/MP4 duration — functions/codec_media.py, codec_jpeg.py,
+codec_tiff.py), pixel decode is real for PNG/baseline-JPEG/GIF/JP2 and
+for TIFF (all baseline strip compressions incl. CCITT fax — codec_tiff
+composes the in-repo G3/G4/LZW/deflate/PackBits decoders) and BMP, and
+audio features are real DSP over 16-bit PCM. WebP pixel decode stays
+out, loudly (the VP8 boolean-arithmetic codec — see
+codec_media.webp_dimensions' docstring for the boundary rationale). Video keyframe SAMPLING is real at the
 container level (round 5): sample_frames walks the MP4 sample tables
 (codec_media.mp4_video_samples) and emits actual encoded keyframe bytes
 + true timestamps, and pixel decode of those payloads is REAL for
@@ -41,10 +47,13 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),  # refined below via 'WAVE' at offset 8
+    (b"RIFF", "audio/wav"),  # refined below: WAVE → wav, WEBP → webp
     (b"%PDF-", "application/pdf"),
     (b"\x00\x00\x00\x0cjP  \r\n\x87\n", "image/jp2"),  # JP2 signature box
     (b"\xff\x4f\xff\x51", "image/jp2"),  # raw JPEG 2000 codestream (SOC+SIZ)
+    (b"II*\x00", "image/tiff"),  # little-endian TIFF
+    (b"MM\x00*", "image/tiff"),  # big-endian TIFF
+    (b"BM", "image/bmp"),  # refined below: 2-byte magic needs a DIB check
 ]
 
 
@@ -53,8 +62,19 @@ def sniff_media_type(data: bytes | None) -> str:
         return "empty"
     for magic, mtype in _MAGIC:
         if data[: len(magic)] == magic:
-            if mtype == "audio/wav" and data[8:12] != b"WAVE":
+            if mtype == "audio/wav":
+                if data[8:12] == b"WAVE":
+                    return "audio/wav"
+                if data[8:12] == b"WEBP":
+                    return "image/webp"
                 return "application/octet-stream"
+            if mtype == "image/bmp":
+                # "BM" alone matches text too; require a known DIB header
+                # size word at offset 14 before claiming BMP
+                if len(data) < 26 or data[14] not in (12, 40, 52, 56, 108, 124) \
+                        or data[15:18] != b"\x00\x00\x00":
+                    return "application/octet-stream"
+                return "image/bmp"
             return mtype
     if len(data) > 11 and data[4:8] == b"ftyp":
         return "video/mp4"
@@ -107,6 +127,30 @@ def _decode_jp2_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return w, h, None
 
 
+def _decode_tiff_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL TIFF dimensions from the first IFD (codec_tiff)."""
+    from gnosis_ocr_spark.functions.codec_tiff import tiff_dimensions
+
+    w, h = tiff_dimensions(data)
+    return w, h, None
+
+
+def _decode_bmp_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL BMP dimensions from the DIB header (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import bmp_dimensions
+
+    w, h = bmp_dimensions(data)
+    return w, h, None
+
+
+def _decode_webp_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL WebP canvas dimensions (VP8/VP8L/VP8X headers, codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import webp_dimensions
+
+    w, h = webp_dimensions(data)
+    return w, h, None
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -125,6 +169,9 @@ DECODERS = {
     "audio/wav": _decode_wav_meta,  # real (RIFF fmt/data duration)
     "video/mp4": _decode_mp4_meta,  # real (mvhd duration; no frame decode)
     "image/jp2": _decode_jp2_meta,  # real (codec_jpx SIZ parse)
+    "image/tiff": _decode_tiff_meta,  # real (codec_tiff IFD parse)
+    "image/bmp": _decode_bmp_meta,  # real (codec_media DIB parse)
+    "image/webp": _decode_webp_meta,  # real (codec_media VP8* headers)
 }
 
 
@@ -209,6 +256,27 @@ def _feature_batches(dim: int):
                         )
 
                         _, _, gray = decode_jpx_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "image/tiff":
+                    # real strip decode (fax/LZW/deflate/packbits → luma)
+                    try:
+                        from gnosis_ocr_spark.functions.codec_tiff import (
+                            decode_tiff_gray,
+                        )
+
+                        _, _, gray = decode_tiff_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "image/bmp":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_bmp_gray,
+                        )
+
+                        _, _, gray = decode_bmp_gray(data)
                         px = np.frombuffer(gray, dtype=np.uint8)
                     except Exception:
                         px = None
@@ -370,6 +438,27 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         decoded = (gray, dw, dh)
                     except Exception:
                         w = h = None  # unsupported JPX subset: passthrough
+                elif mtype == "image/tiff":
+                    # real strip decode (fax/LZW/deflate/packbits → luma)
+                    try:
+                        from gnosis_ocr_spark.functions.codec_tiff import (
+                            decode_tiff_gray,
+                        )
+
+                        dw, dh, gray = decode_tiff_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None  # tiled/16-bit/JPEG-in-TIFF: passthrough
+                elif mtype == "image/bmp":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_bmp_gray,
+                        )
+
+                        dw, dh, gray = decode_bmp_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None  # RLE/bitfields BMP: passthrough
                 if decoded is not None:
                     px, dw, dh = decoded
                     if max(dw, dh) <= max_dim:
