@@ -342,6 +342,8 @@ def decode_tiff_gray(data: bytes) -> tuple[int, int, bytes]:
 
 # ------------------------------------------------------------------ writer
 
+_SHORT, _LONG = 3, 4
+
 _COMP_CODES = {
     "none": 1,
     "rle": 2,  # CCITT modified-Huffman, byte-aligned rows
@@ -410,11 +412,23 @@ def encode_tiff_gray(
     Fax compressions threshold at 128 and write ``bits=1``; ``fill_order=2``
     bit-reverses fax strips (the LSB-first fax-world shape); ``predictor=2``
     applies horizontal differencing before lzw/deflate."""
+    return _assemble_tiff(
+        *_gray_page_parts(gray, width, height, compression, rows_per_strip,
+                          photometric, fill_order, predictor),
+        ">" if big_endian else "<",
+    )
+
+
+def _gray_page_parts(
+    gray: bytes, width: int, height: int, compression: str,
+    rows_per_strip: int | None, photometric: int, fill_order: int,
+    predictor: int,
+) -> tuple[list[bytes], list[tuple[int, int, list[int]]]]:
+    """One gray page → (strips, tags) for the assembler."""
     if compression not in _COMP_CODES:
         raise TiffError(f"unknown compression {compression!r}")
     if predictor == 2 and compression not in ("lzw", "deflate"):
         raise TiffError("predictor 2 is only meaningful for lzw/deflate")
-    fmt = ">" if big_endian else "<"
     arr = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
     fax = compression in ("rle", "g3", "g3_2d", "g4")
     rps = rows_per_strip or height
@@ -443,48 +457,163 @@ def encode_tiff_gray(
         tags.append((292, _LONG, [0]))
     if predictor == 2:
         tags.append((317, _SHORT, [2]))
-    return _assemble_tiff(strips, tags, fmt)
+    return strips, tags
 
 
-_SHORT, _LONG = 3, 4
+def encode_tiff_gray_pages(
+    pages: list[tuple[bytes, int, int]],
+    compression: str | list[str] = "g4",
+    rows_per_strip: int | None = None,
+    photometric: int = 0,
+    fill_order: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Fixture writer: [(gray, w, h), ...] → a multi-page TIFF (chained
+    IFDs — the standard multi-page scan-archive shape). ``compression``
+    may be one name or a per-page list; fax defaults (g4, min-is-white)
+    match what real scanner output ships."""
+    comps = (
+        compression if isinstance(compression, list)
+        else [compression] * len(pages)
+    )
+    if len(comps) != len(pages):
+        raise TiffError("one compression per page required")
+    parts = [
+        _gray_page_parts(g, w, h, c, rows_per_strip, photometric,
+                         fill_order, 1)
+        for (g, w, h), c in zip(pages, comps)
+    ]
+    return _assemble_tiff_multi(parts, ">" if big_endian else "<")
+
+
+# ---------------------------------------------------------------- splitting
+
+# decode-relevant tags copied (with canonical types) into each rebuilt
+# single-page file; everything else (resolution, software, EXIF…) is
+# irrelevant to pixel decode and dropped
+_PAGE_TAGS: list[tuple[int, int]] = [
+    (256, _LONG), (257, _LONG), (258, _SHORT), (259, _SHORT),
+    (262, _SHORT), (266, _SHORT), (277, _SHORT), (278, _LONG),
+    (284, _SHORT), (292, _LONG), (293, _LONG), (317, _SHORT),
+    (320, _SHORT),
+]
+
+
+def _rebuild_single_page(
+    data: bytes, tags: dict[int, list]
+) -> tuple[bytes | None, int, int, int]:
+    """One parsed IFD → (single-page TIFF bytes | None, w, h, bits).
+
+    Strip payloads are SLICED, never decoded — rebuilding a page is pure
+    memcpy, so the split stage stays cheap and ships still-compressed
+    bytes (same design as pdf_split._pack_images). Returns None bytes for
+    shapes that can't be rebuilt strip-wise (tiled, broken strip tables);
+    the caller emits those pages as undecodable → empty text, the same
+    honest degradation the PDF scanned path uses."""
+
+    def one(tag: int, default=0):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    bits = one(258, 1)
+    if not w or not h:
+        return None, 0, 0, 1
+    offs, cnts = tags.get(273), tags.get(279)
+    if (
+        322 in tags or 323 in tags or 324 in tags or 325 in tags  # tiled
+        or not offs or not cnts or len(offs) != len(cnts)
+    ):
+        return None, w, h, bits
+    strips = []
+    for off, cnt in zip(offs, cnts):
+        if off < 0 or cnt < 0 or off + cnt > len(data):
+            return None, w, h, bits
+        strips.append(data[off : off + cnt])
+    out_tags = [
+        (tag, typ, list(tags[tag]))
+        for tag, typ in _PAGE_TAGS
+        if tags.get(tag)
+    ]
+    return _assemble_tiff(strips, out_tags, "<"), w, h, bits
+
+
+def split_tiff_pages(
+    data: bytes, max_pages: int = 10_000
+) -> list[tuple[bytes | None, int, int, int]]:
+    """Multi-page TIFF → [(single-page TIFF | None, w, h, bits), ...], one
+    entry per IFD in the chain (cycle-safe, capped). Values are parsed in
+    the source byte order and re-assembled little-endian, so pages from
+    big-endian scans decode identically."""
+    if len(data) < 8:
+        raise TiffError("TIFF: short header")
+    if data[:4] == b"II*\x00":
+        fmt = "<"
+    elif data[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise TiffError("TIFF: bad magic")
+    (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
+    pages: list[tuple[bytes | None, int, int, int]] = []
+    seen: set[int] = set()
+    while ifd_off and len(pages) < max_pages and ifd_off not in seen:
+        seen.add(ifd_off)
+        tags, ifd_off = _read_ifd(data, ifd_off, fmt)
+        pages.append(_rebuild_single_page(data, tags))
+    if not pages:
+        raise TiffError("TIFF: empty IFD chain")
+    return pages
+
+
+def _assemble_tiff_multi(
+    pages: list[tuple[list[bytes], list[tuple[int, int, list[int]]]]],
+    fmt: str,
+) -> bytes:
+    """[(strips, tags), ...] → a complete (possibly multi-page) file.
+    Per-page layout: strip data | IFD | external values; each IFD's
+    next-IFD pointer links forward through the chain."""
+    body = bytearray(
+        struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 0)
+    )
+    link_pos = 4  # header's first-IFD-offset field
+    for strips, page_tags in pages:
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(len(body))
+            body += s
+            if len(body) & 1:
+                body += b"\x00"  # word-align values, per spec
+        tags = page_tags + [(273, _LONG, strip_offs),
+                            (279, _LONG, [len(s) for s in strips])]
+        tags.sort(key=lambda t: t[0])
+
+        ifd_off = len(body)
+        struct.pack_into(fmt + "I", body, link_pos, ifd_off)
+        n = len(tags)
+        ifd = bytearray(struct.pack(fmt + "H", n))
+        ext = bytearray()
+        ext_base = ifd_off + 2 + 12 * n + 4
+        for tag, typ, vals in tags:
+            size = _TYPE_SIZE[typ] * len(vals)
+            code = "H" if typ == _SHORT else "I"
+            packed = struct.pack(f"{fmt}{len(vals)}{code}", *vals)
+            if size <= 4:
+                val_field = packed + b"\x00" * (4 - size)
+            else:
+                val_field = struct.pack(fmt + "I", ext_base + len(ext))
+                ext += packed
+                if len(ext) & 1:
+                    ext += b"\x00"
+            ifd += struct.pack(fmt + "HHI", tag, typ, len(vals)) + val_field
+        link_pos = len(body) + len(ifd)  # this IFD's next-IFD field
+        ifd += struct.pack(fmt + "I", 0)  # patched if another page follows
+        body += ifd + ext
+    return bytes(body)
 
 
 def _assemble_tiff(strips: list[bytes],
                    tags: list[tuple[int, int, list[int]]], fmt: str) -> bytes:
-    """Strips + IFD tag list → a complete file.
-    Layout: header (8) | strip data | IFD | external values."""
-    header = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 0)
-    body = bytearray(header)
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(len(body))
-        body += s
-        if len(body) & 1:
-            body += b"\x00"  # word-align values, per spec
-    tags = tags + [(273, _LONG, strip_offs),
-                   (279, _LONG, [len(s) for s in strips])]
-    tags.sort(key=lambda t: t[0])
-
-    ifd_off = len(body)
-    struct.pack_into(fmt + "I", body, 4, ifd_off)
-    n = len(tags)
-    ifd = bytearray(struct.pack(fmt + "H", n))
-    ext = bytearray()
-    ext_base = ifd_off + 2 + 12 * n + 4
-    for tag, typ, vals in tags:
-        size = _TYPE_SIZE[typ] * len(vals)
-        code = "H" if typ == _SHORT else "I"
-        packed = struct.pack(f"{fmt}{len(vals)}{code}", *vals)
-        if size <= 4:
-            val_field = packed + b"\x00" * (4 - size)
-        else:
-            val_field = struct.pack(fmt + "I", ext_base + len(ext))
-            ext += packed
-            if len(ext) & 1:
-                ext += b"\x00"
-        ifd += struct.pack(fmt + "HHI", tag, typ, len(vals)) + val_field
-    ifd += struct.pack(fmt + "I", 0)  # no next IFD
-    return bytes(body) + bytes(ifd) + bytes(ext)
+    return _assemble_tiff_multi([(strips, tags)], fmt)
 
 
 def encode_tiff_rgb(

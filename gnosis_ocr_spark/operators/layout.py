@@ -66,6 +66,11 @@ def assemble_documents(
         aggs.append(
             F.coalesce(F.avg("ocr_conf"), F.lit(0.0)).alias("ocr_confidence")
         )
+    if "route" in page_texts.columns:
+        # every page row of a document carries the same format route
+        # (sniffed once from the bytes in the split stage); max() folds it
+        # into the SAME sort-aggregate — no extra shuffle, deterministic
+        aggs.append(F.max("route").alias("route"))
     return page_texts.groupBy(F.col(url_col).alias("url")).agg(*aggs)
 
 

@@ -152,6 +152,16 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
             return gray, w, h
         except Exception:
             return None  # unsupported JPX subset / corrupt codestream
+    if img.codec == "tiff":
+        # a rebuilt single-page TIFF from the TIFF-source split: strips
+        # (fax/LZW/deflate/packbits) decode here, page-parallel
+        try:
+            from gnosis_ocr_spark.functions.codec_tiff import decode_tiff_gray
+
+            w, h, gray = decode_tiff_gray(img.data)
+            return gray, w, h
+        except Exception:
+            return None  # tiled/16-bit/JPEG-in-TIFF page → blank
     return None
 
 
@@ -256,55 +266,108 @@ def _scan_png(images) -> bytes | None:
     return encode_gray_png(stacked.tobytes(), width, stacked.shape[0])
 
 
-def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf_batch in batches:
-        out_url: list[str] = []
-        out_no: list[int | None] = []
-        out_text: list[str | None] = []
-        out_png: list[bytes | None] = []
-        for url, blob in zip(pdf_batch["url"], pdf_batch["html"]):
-            emitted = 0
-            try:
-                data = bytes(blob)
-                total = min(page_count(data), MAX_PAGES)
-                # 10-page windows with range pushdown into the parser
-                for start in range(1, total + 1, EXTRACT_BATCH_PAGES):
-                    end = min(start + EXTRACT_BATCH_PAGES - 1, total)
-                    window = extract_pages_with_images(data, start, end)
-                    for off, (spans, images) in enumerate(window):
-                        # image-only page: ship the still-compressed
-                        # payloads; decode happens page-parallel in the
-                        # raster+OCR stage (see _pack_images)
-                        png = _pack_images(images) if not spans else None
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_page_rows(data: bytes) -> list[tuple[str | None, bytes | None]]:
+    """Multi-page TIFF bytes → [(page_text=None, page_png=GIMG pack)] —
+    one row per IFD. Each page ships as a rebuilt single-page TIFF
+    (strips sliced, never decoded — codec_tiff.split_tiff_pages), packed
+    in the same deferred-image container the PDF scanned path uses, so
+    strip decode happens page-parallel in the fused raster+OCR stage.
+    Un-rebuildable pages (tiled, broken strip tables) pack a loud
+    undecodable marker → blank page → empty text."""
+    from gnosis_ocr_spark.functions.codec_pdf import PdfImage
+    from gnosis_ocr_spark.functions.codec_tiff import split_tiff_pages
+
+    rows = []
+    for page_bytes, w, h, bits in split_tiff_pages(data, MAX_PAGES):
+        img = (
+            PdfImage(w, h, bits, "TIFF", "tiff", page_bytes)
+            if page_bytes is not None
+            else PdfImage(w, h, bits, "TIFF", "tiff-unsupported", b"")
+        )
+        rows.append((None, _pack_images([img])))
+    return rows
+
+
+def _pdf_page_rows(data: bytes) -> Iterator[tuple[str | None, bytes | None]]:
+    total = min(page_count(data), MAX_PAGES)
+    # 10-page windows with range pushdown into the parser
+    for start in range(1, total + 1, EXTRACT_BATCH_PAGES):
+        end = min(start + EXTRACT_BATCH_PAGES - 1, total)
+        window = extract_pages_with_images(data, start, end)
+        for spans, images in window:
+            # image-only page: ship the still-compressed payloads;
+            # decode happens page-parallel in the raster+OCR stage
+            # (see _pack_images); text comes from the OCR stage
+            png = _pack_images(images) if not spans else None
+            yield (None if png else page_text(spans)), png
+
+
+def _make_split_batches(with_route: bool):
+    def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out_url: list[str] = []
+            out_no: list[int | None] = []
+            out_text: list[str | None] = []
+            out_png: list[bytes | None] = []
+            out_route: list[str] = []
+            for url, blob in zip(pdf_batch["url"], pdf_batch["html"]):
+                emitted = 0
+                data = bytes(blob) if blob is not None else b""
+                is_tiff = data[:4] in _TIFF_MAGICS
+                route = "tiff" if is_tiff else "pdf"
+                try:
+                    page_rows = (
+                        _tiff_page_rows(data) if is_tiff else _pdf_page_rows(data)
+                    )
+                    for off, (text, png) in enumerate(page_rows):
                         out_url.append(url)
-                        out_no.append(start + off)
-                        # image-only page: text comes from the OCR stage
-                        out_text.append(None if png else page_text(spans))
+                        out_no.append(1 + off)
+                        out_text.append(text)
                         out_png.append(png)
+                        out_route.append(route)
                         emitted += 1
-            except Exception:
-                pass
-            if emitted == 0:  # sentinel so the url survives to assembly
-                out_url.append(url)
-                out_no.append(None)
-                out_text.append(None)
-                out_png.append(None)
-        yield pd.DataFrame(
-            {
+                except Exception:
+                    pass
+                if emitted == 0:  # sentinel so the url survives to assembly
+                    out_url.append(url)
+                    out_no.append(None)
+                    out_text.append(None)
+                    out_png.append(None)
+                    out_route.append(route)
+            cols = {
                 "url": out_url,
                 "page_no": out_no,
                 "page_text": out_text,
                 "page_png": out_png,
             }
-        )
+            if with_route:
+                cols["route"] = out_route
+            yield pd.DataFrame(cols)
+
+    return _split_batches
+
+
+_split_batches = _make_split_batches(with_route=False)
 
 
 def split_pdf_text_pages(
-    pdf_rows: DataFrame, url_col: str = "url", html_col: str = "html"
+    pdf_rows: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_route: bool = False,
 ) -> DataFrame:
-    """(url, html) → (url, page_no, page_text) — the U2 flat-map (cheap)."""
+    """(url, html) → (url, page_no, page_text, page_png[, route]) — the U2
+    flat-map (cheap). Handles BOTH heavy document formats on magic bytes:
+    PDF (text layer parsed; scanned pages pack deferred images) and
+    multi-page TIFF (every page packs a rebuilt still-compressed
+    single-page file). ``with_route`` adds the per-document format column
+    so a mixed heavy branch can report it without re-reading the bytes."""
     slim = pdf_rows.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
-    return slim.mapInPandas(_split_batches, schema=TEXT_PAGE_SCHEMA)
+    schema = TEXT_PAGE_SCHEMA + (", route string" if with_route else "")
+    return slim.mapInPandas(_make_split_batches(with_route), schema=schema)
 
 
 def make_rasterize_udf(raster: str | None = None):
@@ -354,6 +417,7 @@ def raster_ocr_pages(
     function of the page pixels) — the metrics-table input.
     """
     w, h = _raster_size(raster)
+    pass_route = "route" in pages.columns
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gnosis_ocr_spark.operators.ocr import get_engine
@@ -377,14 +441,19 @@ def raster_ocr_pages(
                 cols["ocr_conf"] = confs
             else:
                 cols["page_text"] = engine.ocr_batch(pngs)
+            if pass_route:
+                cols["route"] = b["route"]
             yield pd.DataFrame(cols)
 
     cols = ["url", "page_no", "page_text"]
     if "page_png" in pages.columns:
         cols.append("page_png")
-    return pages.select(*cols).mapInPandas(
-        fused, schema=OCR_PAGE_CONF_SCHEMA if with_confidence else OCR_PAGE_SCHEMA
-    )
+    if pass_route:
+        cols.append("route")
+    schema = OCR_PAGE_CONF_SCHEMA if with_confidence else OCR_PAGE_SCHEMA
+    if pass_route:
+        schema += ", route string"
+    return pages.select(*cols).mapInPandas(fused, schema=schema)
 
 
 def split_pdf_pages(pdf_rows: DataFrame, raster: str | None = None) -> DataFrame:

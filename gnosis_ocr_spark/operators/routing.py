@@ -3,6 +3,7 @@
 The reference routes by file extension (client: /root/reference/app/static/
 js/app.js:354-359; server allow-list: /root/reference/app/config.py:19,92-95).
 At web scale extensions lie, so we sniff content: ``%PDF-`` magic → PDF path,
+TIFF magic (``II*\\0`` / ``MM\\0*`` — multi-page scan archives) → TIFF path,
 empty/null → empty path, everything else → HTML path. Pure Column
 expressions — stays inside whole-stage codegen, no Python."""
 
@@ -12,20 +13,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ROUTE_PDF = "pdf"
+ROUTE_TIFF = "tiff"
 ROUTE_HTML = "html"
 ROUTE_EMPTY = "empty"
 
 _PDF_MAGIC = b"%PDF-"
+_TIFF_MAGIC_LE = b"II*\x00"
+_TIFF_MAGIC_BE = b"MM\x00*"
 
 
 def is_pdf_col(html: Column) -> Column:
     return F.substring(html, 1, 5) == F.lit(_PDF_MAGIC)
 
 
+def is_tiff_col(html: Column) -> Column:
+    head = F.substring(html, 1, 4)
+    return (head == F.lit(_TIFF_MAGIC_LE)) | (head == F.lit(_TIFF_MAGIC_BE))
+
+
 def route_col(html: Column) -> Column:
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit(ROUTE_EMPTY))
         .when(is_pdf_col(html), F.lit(ROUTE_PDF))
+        .when(is_tiff_col(html), F.lit(ROUTE_TIFF))
         .otherwise(F.lit(ROUTE_HTML))
     )
 

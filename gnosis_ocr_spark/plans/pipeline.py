@@ -1,16 +1,17 @@
 """The end-to-end extraction plan (SURVEY.md §7 phases 1–4 composed).
 
     documents (url, warc_ts, html, text, lang)
-      ├─ non-PDF branch (ONE scan): route on magic bytes → HTML rows get the
+      ├─ light branch (ONE scan): route on magic bytes → HTML rows get the
       │    vectorized boilerplate strip (U7), empty rows get ('' , 0)
       │    — narrow end-to-end, zero shuffles
-      └─ PDF branch (second scan): salted repartition (skew) → mapInPandas
-           page split (U2 parse, cheap) → page-level respread →
-           rasterize UDF (heavy) → iterator-UDF OCR (U3) →
-           sort-aggregate assembly (A6/U8)
+      └─ heavy branch (second scan, PDFs + multi-page TIFFs): salted
+           repartition (skew) → mapInPandas page split (U2 parse, cheap;
+           TIFF pages rebuilt as still-compressed single-page files) →
+           page-level respread → rasterize UDF (heavy) →
+           iterator-UDF OCR (U3) → sort-aggregate assembly (A6/U8)
       unionByName (SO2) → (url, extracted_text, n_pages, route)
 
-Shuffle census at scale: non-PDF branch 0 exchanges; PDF branch 3 (salted
+Shuffle census at scale: light branch 0 exchanges; heavy branch 3 (salted
 repartition, page respread, groupBy(url) assembly) — or 2 with
 ``page_level_parallelism=False``. The input is scanned twice, both scans
 column-pruned to (url, html); on an Iceberg deployment, partitioning the
@@ -39,7 +40,12 @@ from gnosis_ocr_spark.operators.pdf_split import (
     raster_ocr_pages,
     split_pdf_text_pages,
 )
-from gnosis_ocr_spark.operators.routing import ROUTE_HTML, ROUTE_PDF, with_route
+from gnosis_ocr_spark.operators.routing import (
+    ROUTE_HTML,
+    ROUTE_PDF,
+    ROUTE_TIFF,
+    with_route,
+)
 from gnosis_ocr_spark.operators.skew import salted_repartition
 
 RESULT_COLS = ["url", "extracted_text", "n_pages", "route"]
@@ -84,16 +90,23 @@ def extract_corpus(
         .alias("n_pages"),
         F.col("route"),
     ]
-    non_pdf = routed.filter(F.col("route") != ROUTE_PDF).select(*non_pdf_cols)
+    non_pdf = routed.filter(
+        ~F.col("route").isin(ROUTE_PDF, ROUTE_TIFF)
+    ).select(*non_pdf_cols)
     if with_confidence:
         non_pdf = non_pdf.withColumn(
             "ocr_confidence",
             F.when(F.length("extracted_text") > 0, F.lit(1.0)).otherwise(0.0),
         )
 
-    pdf_rows = routed.filter(F.col("route") == ROUTE_PDF).select("url", "html")
+    # heavy branch: PDFs AND multi-page TIFFs share one topology — the
+    # split stage re-sniffs the magic per blob and emits a route column
+    # that rides the existing exchanges (no extra shuffle)
+    pdf_rows = routed.filter(
+        F.col("route").isin(ROUTE_PDF, ROUTE_TIFF)
+    ).select("url", "html")
     pdf_rows = salted_repartition(pdf_rows, pdf_partitions)
-    pages = split_pdf_text_pages(pdf_rows)
+    pages = split_pdf_text_pages(pdf_rows, with_route=True)
     if page_level_parallelism:
         # spread a giant document's pages across the cluster BEFORE the
         # heavy per-page stages (raster + OCR)
@@ -125,6 +138,7 @@ def extract_corpus(
         ocred = rastered.select(
             "url", "page_no",
             make_ocr_udf(ocr_engine)(F.col("png")).alias("page_text"),
+            "route",
         )
         if with_confidence:  # debug path uses the unscored UDF: flat 1.0/0.0
             ocred = ocred.withColumn(
@@ -138,6 +152,7 @@ def extract_corpus(
             pages, ocr_engine=ocr_engine, raster=raster,
             with_confidence=with_confidence,
         )
-    pdf_branch = assemble_documents(ocred).withColumn("route", F.lit(ROUTE_PDF))
+    # assembly folds the per-page route into the same sort-aggregate
+    pdf_branch = assemble_documents(ocred)
 
     return non_pdf.unionByName(pdf_branch)
