@@ -13,8 +13,9 @@ before a type is claimed). The metadata layer is REAL for every sniffed
 type (image dimensions incl. TIFF IFD / BMP DIB / WebP VP8-header parses,
 WAV/MP4 duration — functions/codec_media.py, codec_jpeg.py,
 codec_tiff.py), pixel decode is real for PNG/baseline-JPEG/GIF/JP2 and
-for TIFF (all baseline strip compressions incl. CCITT fax — codec_tiff
-composes the in-repo G3/G4/LZW/deflate/PackBits decoders) and BMP, and
+for TIFF (stripped AND tiled, 1/8/16-bit, CCITT fax, LZW/deflate/
+PackBits, new-style JPEG-in-TIFF — codec_tiff composes the in-repo
+decoders) and BMP, and
 audio features are real DSP over 16-bit PCM. WebP pixel decode stays
 out, loudly (the VP8 boolean-arithmetic codec — see
 codec_media.webp_dimensions' docstring for the boundary rationale). Video keyframe SAMPLING is real at the
@@ -448,7 +449,7 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         dw, dh, gray = decode_tiff_gray(data)
                         decoded = (gray, dw, dh)
                     except Exception:
-                        w = h = None  # tiled/16-bit/JPEG-in-TIFF: passthrough
+                        w = h = None  # old-JPEG/planar-2 TIFF: passthrough
                 elif mtype == "image/bmp":
                     try:
                         from gnosis_ocr_spark.functions.codec_media import (

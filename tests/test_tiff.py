@@ -159,10 +159,11 @@ def test_hostile_inputs_raise_loudly():
         T.tiff_info(bytes(big))
 
 
-def test_tiled_and_planar_raise():
+def test_inconsistent_tile_tables_raise():
     gray = _doc_gray(16, 8)
     base = T.encode_tiff_gray(gray.tobytes(), 16, 8)
-    # append a TileWidth tag by rewriting RowsPerStrip's tag id (278 → 322)
+    # claim tiling by rewriting RowsPerStrip's tag id (278 → 322) — a
+    # TileWidth with no tile offset/count tables must fail loudly
     mod = bytearray(base)
     (ifd_off,) = struct.unpack_from("<I", mod, 4)
     (n,) = struct.unpack_from("<H", mod, ifd_off)
@@ -171,8 +172,101 @@ def test_tiled_and_planar_raise():
         (tag,) = struct.unpack_from("<H", mod, pos)
         if tag == 278:
             struct.pack_into("<H", mod, pos, 322)
-    with pytest.raises(ValueError, match="tiled"):
-        T.tiff_info(bytes(mod))
+    assert T.tiff_info(bytes(mod))["tiled"]
+    with pytest.raises(ValueError, match="tile"):
+        T.decode_tiff_gray(bytes(mod))
+
+
+# ------------------------------------------------------- tiled / 16-bit / JPEG
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits", "g4"])
+def test_tiled_roundtrip(comp):
+    """§15 tiles: row-major layout, right/bottom edge padding cropped."""
+    w, h = 83, 53  # not tile-aligned on purpose
+    gray = (
+        ((_doc_gray(w, h) > 127) * np.uint8(255))
+        if comp == "g4" else _doc_gray(w, h)
+    )
+    photometric = 0 if comp == "g4" else 1
+    blob = T.encode_tiff_gray_tiled(
+        gray.tobytes(), w, h, tile_width=32, tile_length=16,
+        compression=comp, photometric=photometric,
+    )
+    info = T.tiff_info(blob)
+    assert info["tiled"] and len(info["tile_offsets"]) == 3 * 4
+    assert T.decode_tiff_gray(blob) == (w, h, gray.tobytes())
+
+
+def test_tiled_big_endian_and_guards():
+    gray = _doc_gray(40, 40)
+    blob = T.encode_tiff_gray_tiled(
+        gray.tobytes(), 40, 40, tile_width=32, tile_length=32,
+        big_endian=True,
+    )
+    assert blob[:2] == b"MM"
+    assert T.decode_tiff_gray(blob) == (40, 40, gray.tobytes())
+    with pytest.raises(ValueError, match="multiples of 16"):
+        T.encode_tiff_gray_tiled(gray.tobytes(), 40, 40, tile_width=20)
+
+
+@pytest.mark.parametrize("comp,predictor", [
+    ("none", 1), ("deflate", 1), ("deflate", 2), ("lzw", 2), ("packbits", 1),
+])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_16bit_samples_fold_to_high_byte(comp, predictor, big_endian):
+    """16-bit samples (both byte orders, predictor 2 differencing 16-bit
+    values) fold to the high byte — v<<8|v widening round-trips exactly."""
+    w, h = 41, 23
+    gray = _doc_gray(w, h, seed=11)
+    blob = T.encode_tiff_gray16(
+        gray.tobytes(), w, h, compression=comp, predictor=predictor,
+        big_endian=big_endian,
+    )
+    assert T.tiff_info(blob)["bits"] == 16
+    assert T.decode_tiff_gray(blob) == (w, h, gray.tobytes())
+
+
+@pytest.mark.parametrize("shared_tables", [False, True])
+@pytest.mark.parametrize("rps", [None, 16])
+def test_jpeg_in_tiff_new_style(shared_tables, rps):
+    """Compression 7: per-strip JPEG datastreams, optionally with the
+    DQT/DHT tables shared via tag 347 (TechNote 2) — decodes through
+    codec_jpeg within its documented few-levels noise band."""
+    w, h = 48, 40
+    gray = _doc_gray(w, h, seed=3)
+    blob = T.encode_tiff_gray_jpeg(
+        gray.tobytes(), w, h, rows_per_strip=rps, shared_tables=shared_tables
+    )
+    info = T.tiff_info(blob)
+    assert info["compression"] == 7
+    assert (info["jpeg_tables"] is not None) == shared_tables
+    if shared_tables:
+        # strips must actually be abbreviated (no DQT/DHT of their own)
+        off, cnt = info["strip_offsets"][0], info["strip_counts"][0]
+        strip = blob[off : off + cnt]
+        assert b"\xff\xdb" not in strip[:40] and strip[:2] == b"\xff\xd8"
+    dw, dh, out = T.decode_tiff_gray(blob)
+    assert (dw, dh) == (w, h)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(np.int16)
+        - gray.reshape(-1).astype(np.int16)
+    )
+    assert int(err.max()) <= 8  # codec_jpeg all-ones-quant noise band
+
+
+def test_old_style_jpeg_raises_loudly():
+    gray = _doc_gray(16, 16)
+    blob = bytearray(T.encode_tiff_gray(gray.tobytes(), 16, 16))
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", blob, pos)
+        if tag == 259:
+            struct.pack_into("<H", blob, pos + 8, 6)  # Compression 6
+    with pytest.raises(ValueError, match="old-style"):
+        T.decode_tiff_gray(bytes(blob))
 
 
 def test_lzw_and_deflate_strips_are_output_bounded():

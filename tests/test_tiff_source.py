@@ -57,7 +57,9 @@ def test_split_tiff_pages_roundtrip_mixed_compressions():
         assert out == gray
 
 
-def test_split_big_endian_source_reassembles_little_endian():
+def test_split_big_endian_source_keeps_byte_order():
+    """Rebuilt pages preserve the source byte order — 16-bit sample
+    payloads inside the sliced blocks follow it and are never transcoded."""
     gray = _noise_gray(32, 32, 7)
     blob = T.encode_tiff_gray_pages(
         [(gray, 32, 32), (gray, 32, 32)],
@@ -66,20 +68,25 @@ def test_split_big_endian_source_reassembles_little_endian():
     split = T.split_tiff_pages(blob)
     assert len(split) == 2
     for page_bytes, w, h, bits in split:
-        assert page_bytes[:4] == b"II*\x00"  # canonical LE output
+        assert page_bytes[:4] == b"MM\x00*"
         assert T.decode_tiff_gray(page_bytes) == (32, 32, gray)
+    # the 16-bit case this rule exists for: BE samples survive the split
+    blob16 = T.encode_tiff_gray16(gray, 32, 32, big_endian=True)
+    [(p16, *_)] = T.split_tiff_pages(blob16)
+    assert T.decode_tiff_gray(p16) == (32, 32, gray)
 
 
 def test_split_unsupported_page_degrades_per_page():
-    """A tiled page in the middle of the chain rebuilds as None while its
-    neighbours survive — per-page honest degradation, never whole-file."""
+    """A broken page (claims tiling but carries no tile tables) in the
+    middle of the chain rebuilds as None while its neighbours survive —
+    per-page honest degradation, never whole-file."""
     ok = T._gray_page_parts(
         _noise_gray(16, 16, 9), 16, 16, "none", None, 1, 1, 1
     )
     tiled_tags = [
         (256, T._LONG, [16]), (257, T._LONG, [16]), (258, T._SHORT, [8]),
         (259, T._SHORT, [1]), (262, T._SHORT, [1]),
-        (322, T._LONG, [16]), (323, T._LONG, [16]),  # tile dims → out
+        (322, T._LONG, [16]), (323, T._LONG, [16]),  # tile dims, no tables
     ]
     blob = T._assemble_tiff_multi(
         [ok, ([b"\x00" * 256], tiled_tags), ok], "<"
@@ -106,6 +113,27 @@ def test_split_hostile_inputs_raise():
     struct.pack_into("<I", blob, ifd_off + 2 + 12 * n, ifd_off)
     split = T.split_tiff_pages(bytes(blob))
     assert len(split) == 1  # visited once, cycle broken
+
+
+def test_split_tiled_and_jpeg_pages_rebuild():
+    """Tiled pages rebuild with their tile structure intact and
+    JPEG-in-TIFF pages carry tag 347 through — both decode after the
+    split exactly like the original first IFD."""
+    gray = _noise_gray(48, 40, 21)
+    tiled = T.encode_tiff_gray_tiled(gray, 48, 40, tile_width=16,
+                                     tile_length=16, compression="deflate")
+    jpeg = T.encode_tiff_gray_jpeg(gray, 48, 40, rows_per_strip=16,
+                                   shared_tables=True)
+    # splice both single-page files into one two-page chain by re-packing
+    # their decoded tag sets is unnecessary: split each and compare
+    [(pt, w, h, bits)] = T.split_tiff_pages(tiled)
+    assert (w, h, bits) == (48, 40, 8)
+    assert T.tiff_info(pt)["tiled"]
+    assert T.decode_tiff_gray(pt) == T.decode_tiff_gray(tiled)
+    [(pj, w2, h2, _)] = T.split_tiff_pages(jpeg)
+    assert (w2, h2) == (48, 40)
+    assert T.tiff_info(pj)["jpeg_tables"] is not None
+    assert T.decode_tiff_gray(pj) == T.decode_tiff_gray(jpeg)
 
 
 def test_split_page_cap():
@@ -233,8 +261,9 @@ def test_mixed_pdf_and_tiff_share_one_heavy_branch(spark):
 
 
 def test_unsupported_tiff_page_extracts_empty_but_counts(spark):
-    """A chain mixing decodable and un-rebuildable pages keeps per-page
-    honesty through the full plan: good pages extract, bad pages blank."""
+    """A chain mixing decodable and un-rebuildable pages (tile dims with
+    no tile tables) keeps per-page honesty through the full plan: good
+    pages extract, bad pages blank."""
     from gnosis_ocr_spark.operators.layout import assemble_documents
     from gnosis_ocr_spark.operators.pdf_split import (
         raster_ocr_pages,
