@@ -702,8 +702,9 @@ def webp_dimensions(data: bytes) -> tuple[int, int]:
     shapes (public RIFF/WebP spec): VP8X (extended: 24-bit canvas size
     minus one), VP8 (lossy: the keyframe start code + 14-bit dims), VP8L
     (lossless: signature 0x2F + two LSB-packed 14-bit dims minus one).
-    Pixel decode stays out, loudly: VP8 needs the full boolean-arithmetic
-    DCT codec and VP8L its Huffman/LZ77/transform stack — the documented
+    VP8L pixel decode is REAL (codec_vp8l implements the full
+    Huffman/LZ77/transform stack); lossy VP8 pixel decode stays out,
+    loudly — the boolean-arithmetic DCT codec is the documented
     ffmpeg/PIL swap seam, same boundary class as codec_h264's header."""
     if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("WebP: bad container")

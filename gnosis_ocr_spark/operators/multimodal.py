@@ -16,9 +16,11 @@ codec_tiff.py), pixel decode is real for PNG/baseline-JPEG/GIF/JP2 and
 for TIFF (stripped AND tiled, 1/8/16-bit, CCITT fax, LZW/deflate/
 PackBits, new-style JPEG-in-TIFF — codec_tiff composes the in-repo
 decoders) and BMP, and
-audio features are real DSP over 16-bit PCM. WebP pixel decode stays
-out, loudly (the VP8 boolean-arithmetic codec — see
-codec_media.webp_dimensions' docstring for the boundary rationale). Video keyframe SAMPLING is real at the
+audio features are real DSP over 16-bit PCM. WebP pixel decode is REAL
+for lossless (VP8L) payloads — the full prefix-code/LZ77/transform stack
+in functions/codec_vp8l.py — while lossy VP8 stays out, loudly (the
+boolean-arithmetic DCT codec; see codec_media.webp_dimensions'
+docstring for the boundary rationale). Video keyframe SAMPLING is real at the
 container level (round 5): sample_frames walks the MP4 sample tables
 (codec_media.mp4_video_samples) and emits actual encoded keyframe bytes
 + true timestamps, and pixel decode of those payloads is REAL for
@@ -281,6 +283,18 @@ def _feature_batches(dim: int):
                         px = np.frombuffer(gray, dtype=np.uint8)
                     except Exception:
                         px = None
+                elif mtype == "image/webp":
+                    # real for LOSSLESS (VP8L) payloads (codec_vp8l);
+                    # lossy VP8 raises → bytes-histogram stub below
+                    try:
+                        from gnosis_ocr_spark.functions.codec_vp8l import (
+                            decode_webp_gray,
+                        )
+
+                        _, _, gray = decode_webp_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
                 elif mtype == "audio/wav":
                     # real DSP: amplitude histogram over 16-bit PCM samples
                     try:
@@ -460,6 +474,16 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         decoded = (gray, dw, dh)
                     except Exception:
                         w = h = None  # RLE/bitfields BMP: passthrough
+                elif mtype == "image/webp":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_vp8l import (
+                            decode_webp_gray,
+                        )
+
+                        dw, dh, gray = decode_webp_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None  # lossy VP8: passthrough (codec_vp8l)
                 if decoded is not None:
                     px, dw, dh = decoded
                     if max(dw, dh) <= max_dim:
