@@ -4,6 +4,7 @@ The reference routes by file extension (client: /root/reference/app/static/
 js/app.js:354-359; server allow-list: /root/reference/app/config.py:19,92-95).
 At web scale extensions lie, so we sniff content: ``%PDF-`` magic → PDF path,
 TIFF magic (``II*\\0`` / ``MM\\0*`` — multi-page scan archives) → TIFF path,
+``PK\\x03\\x04`` (OOXML/ODF/EPUB containers) and ``{\\rtf`` → office path,
 empty/null → empty path, everything else → HTML path. Pure Column
 expressions — stays inside whole-stage codegen, no Python."""
 
@@ -14,12 +15,15 @@ from pyspark.sql import functions as F
 
 ROUTE_PDF = "pdf"
 ROUTE_TIFF = "tiff"
+ROUTE_OFFICE = "office"
 ROUTE_HTML = "html"
 ROUTE_EMPTY = "empty"
 
 _PDF_MAGIC = b"%PDF-"
 _TIFF_MAGIC_LE = b"II*\x00"
 _TIFF_MAGIC_BE = b"MM\x00*"
+_ZIP_MAGIC = b"PK\x03\x04"
+_RTF_MAGIC = b"{\\rtf"
 
 
 def is_pdf_col(html: Column) -> Column:
@@ -31,11 +35,20 @@ def is_tiff_col(html: Column) -> Column:
     return (head == F.lit(_TIFF_MAGIC_LE)) | (head == F.lit(_TIFF_MAGIC_BE))
 
 
+def is_office_col(html: Column) -> Column:
+    # ZIP containers (docx/xlsx/pptx/odt/epub — the subtype is sniffed
+    # inside the extractor from the member names) and RTF
+    return (F.substring(html, 1, 4) == F.lit(_ZIP_MAGIC)) | (
+        F.substring(html, 1, 5) == F.lit(_RTF_MAGIC)
+    )
+
+
 def route_col(html: Column) -> Column:
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit(ROUTE_EMPTY))
         .when(is_pdf_col(html), F.lit(ROUTE_PDF))
         .when(is_tiff_col(html), F.lit(ROUTE_TIFF))
+        .when(is_office_col(html), F.lit(ROUTE_OFFICE))
         .otherwise(F.lit(ROUTE_HTML))
     )
 

@@ -65,6 +65,7 @@ from gnosis_ocr_spark.operators.chunks import (
 from gnosis_ocr_spark.operators.html_extract import extract_html_udf
 from gnosis_ocr_spark.operators.layout import assemble_documents, assemble_spans
 from gnosis_ocr_spark.operators.multimodal import media_metadata
+from gnosis_ocr_spark.operators.office_extract import extract_office_udf
 from gnosis_ocr_spark.operators.pdf_split import (
     raster_ocr_pages,
     split_pdf_text_pages,
@@ -97,9 +98,41 @@ _CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
 # --------------------------------------------------------------------------
 
 
+def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Office-format rotation on doc_id % 10 ∈ {4..9}: docx / rtf / epub /
+    odt / xlsx / pptx, every writer wrapping the SAME normalized text —
+    so the oracle stays a pure SQL function of `text` (the pdf_extract
+    writer-rotation convention)."""
+    from gnosis_ocr_spark.operators import office_extract as _oe
+
+    for b in batches:
+        out = {"doc_id": [], "html": []}
+        for doc_id, norm in zip(b["doc_id"], b["norm"]):
+            m = int(doc_id) % 10
+            if m == 4:
+                blob = _oe.build_docx([norm])
+            elif m == 5:
+                blob = _oe.build_rtf([norm])
+            elif m == 6:
+                blob = _oe.build_epub([[norm]])
+            elif m == 7:
+                blob = _oe.build_odt([norm])
+            elif m == 8:
+                blob = _oe.build_xlsx([[norm]])
+            else:
+                blob = _oe.build_pptx([[norm]])
+            out["doc_id"].append(doc_id)
+            out["html"].append(blob)
+        yield pd.DataFrame(out)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U7 end-to-end: wrap text in boilerplate HTML, extract, expect the
-    normalized text back (byte-identity via oracle)."""
+    """U7 + office extraction end-to-end: doc_id % 10 rotates the document
+    format — {0..3} boilerplate HTML in four transfer encodings (utf-8 /
+    BOM+utf-16le / BOM+utf-16be / Java "UTF-16"), {4..9} office containers
+    (docx / rtf / epub / odt / xlsx / pptx via the codec_zip + XML/RTF
+    extractors). Every format wraps the identical normalized text, so one
+    oracle certifies all ten writer/extractor paths byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit(
@@ -131,10 +164,26 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 3, F.encode(html, "UTF-16"))
         .otherwise(F.encode(html, "UTF-8"))
     )
-    return docs.select(
+    html_part = docs.filter(F.col("doc_id") % 10 < 4).select(
         "doc_id",
         extract_html_udf(payload).alias("extracted_text"),
     )
+    # office part: build the container in a mapInPandas stage (Python
+    # writers), then extract through the REAL office extractor UDF
+    office_src = docs.filter(F.col("doc_id") % 10 >= 4).select(
+        "doc_id", _norm(F.col("text")).alias("norm")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    office_blobs = office_src.repartition(n_part).mapInPandas(
+        _build_office_batches, schema="doc_id long, html binary"
+    )
+    office_part = office_blobs.select(
+        "doc_id",
+        extract_office_udf(F.col("html"))
+        .getField("extracted_text")
+        .alias("extracted_text"),
+    )
+    return html_part.unionByName(office_part)
 
 
 ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM documents"
@@ -219,11 +268,17 @@ FROM n WHERE length(norm) >= 120
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 magic-byte routing over a constructed mixed-payload corpus."""
+    """P2 magic-byte routing over a constructed mixed-payload corpus —
+    pdf / html / empty / ZIP-container (office) / RTF (office)."""
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
-        .when(F.col("doc_id") % 3 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        F.when(F.col("doc_id") % 5 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 5 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit(bytearray(b"PK\x03\x04")), F.encode(F.col("text"), "UTF-8")),
+        )
+        .when(F.col("doc_id") % 5 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
         .otherwise(F.encode(F.lit(""), "UTF-8"))
     )
     return (
@@ -234,7 +289,8 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUTE_COUNTS = """
-SELECT CASE WHEN doc_id % 3 = 0 THEN 'pdf' WHEN doc_id % 3 = 1 THEN 'html'
+SELECT CASE WHEN doc_id % 5 = 0 THEN 'pdf' WHEN doc_id % 5 = 1 THEN 'html'
+            WHEN doc_id % 5 IN (3, 4) THEN 'office'
             ELSE 'empty' END AS route, COUNT(*) AS cnt
 FROM documents GROUP BY 1
 """

@@ -2,8 +2,10 @@
 
     documents (url, warc_ts, html, text, lang)
       ├─ light branch (ONE scan): route on magic bytes → HTML rows get the
-      │    vectorized boilerplate strip (U7), empty rows get ('' , 0)
-      │    — narrow end-to-end, zero shuffles
+      │    vectorized boilerplate strip (U7), office containers
+      │    (docx/xlsx/pptx/odt/epub/rtf) get the codec_zip/XML extractors,
+      │    empty rows get ('', 0) — one fused UDF (bytes cross Arrow once),
+      │    narrow end-to-end, zero shuffles
       └─ heavy branch (second scan, PDFs + multi-page TIFFs): salted
            repartition (skew) → mapInPandas page split (U2 parse, cheap;
            TIFF pages rebuilt as still-compressed single-page files) →
@@ -34,14 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gnosis_ocr_spark.operators.html_extract import extract_html_udf
 from gnosis_ocr_spark.operators.layout import assemble_documents
+from gnosis_ocr_spark.operators.office_extract import light_extract_udf
 from gnosis_ocr_spark.operators.pdf_split import (
     raster_ocr_pages,
     split_pdf_text_pages,
 )
 from gnosis_ocr_spark.operators.routing import (
-    ROUTE_HTML,
     ROUTE_PDF,
     ROUTE_TIFF,
     with_route,
@@ -76,23 +77,21 @@ def extract_corpus(
 
     routed = with_route(docs)
 
-    # one scan for both narrow routes: html → U7 UDF, empty → ('', 0)
-    non_pdf_cols = [
-        "url",
-        F.when(
-            F.col("route") == ROUTE_HTML, extract_html_udf(F.col("html"))
+    # one scan for ALL narrow routes: html → U7 main-content strip, office
+    # (docx/xlsx/pptx/odt/epub/rtf containers) → codec_zip/XML extraction,
+    # empty → ('', 0). One fused UDF so the raw bytes cross Arrow once.
+    non_pdf = (
+        routed.filter(~F.col("route").isin(ROUTE_PDF, ROUTE_TIFF))
+        .withColumn(
+            "_lx", light_extract_udf(F.col("html"), F.col("route"))
         )
-        .otherwise(F.lit(""))
-        .alias("extracted_text"),
-        F.when(F.col("route") == ROUTE_HTML, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("n_pages"),
-        F.col("route"),
-    ]
-    non_pdf = routed.filter(
-        ~F.col("route").isin(ROUTE_PDF, ROUTE_TIFF)
-    ).select(*non_pdf_cols)
+        .select(
+            "url",
+            F.col("_lx.extracted_text").alias("extracted_text"),
+            F.col("_lx.n_pages").alias("n_pages"),
+            F.col("route"),
+        )
+    )
     if with_confidence:
         non_pdf = non_pdf.withColumn(
             "ocr_confidence",

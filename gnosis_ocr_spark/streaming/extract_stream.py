@@ -31,15 +31,23 @@ def read_document_stream(spark: SparkSession, in_dir: str,
 
 
 def html_extract_stream(docs: DataFrame) -> DataFrame:
-    """Stateless streaming transform: route + HTML extraction (the PDF branch
-    requires per-document aggregation → handled by the batch resume plan or a
-    foreachBatch sink; HTML is the high-volume path on real crawls)."""
+    """Stateless streaming transform: route + HTML/office extraction (the
+    PDF branch requires per-document aggregation → handled by the batch
+    resume plan or a foreachBatch sink; HTML + office containers are the
+    high-volume stateless paths on real crawls)."""
+    from gnosis_ocr_spark.operators.office_extract import light_extract_udf
+    from gnosis_ocr_spark.operators.routing import ROUTE_OFFICE
+
     routed = with_route(docs)
-    return routed.filter(F.col("route") == ROUTE_HTML).select(
-        "url",
-        "warc_ts",
-        extract_html_udf(F.col("html")).alias("extracted_text"),
-        F.lit(1).alias("n_pages"),
+    return (
+        routed.filter(F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE))
+        .withColumn("_lx", light_extract_udf(F.col("html"), F.col("route")))
+        .select(
+            "url",
+            "warc_ts",
+            F.col("_lx.extracted_text").alias("extracted_text"),
+            F.col("_lx.n_pages").alias("n_pages"),
+        )
     )
 
 
