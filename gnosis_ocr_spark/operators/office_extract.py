@@ -626,6 +626,10 @@ def extract_office(data: bytes | bytearray | None) -> tuple[str, int, str]:
         if data.startswith(b"{\\rtf"):
             text, np_ = extract_rtf(data)
             return text, np_, "rtf"
+        if data.startswith(b"\xd0\xcf\x11\xe0"):  # CFB/OLE2: doc/xls/ppt
+            from gnosis_ocr_spark.operators.legacy_office import extract_cfb
+
+            return extract_cfb(data)
         if data.startswith(b"PK\x03\x04") or data.startswith(b"PK\x05\x06"):
             view = ZipView(data)
             sub = sniff_zip_subtype(view)
@@ -642,6 +646,14 @@ def extract_office(data: bytes | bytearray | None) -> tuple[str, int, str]:
             else:
                 return "", 0, "zip"
             return text, np_, sub
+        from gnosis_ocr_spark.operators.legacy_office import (
+            extract_eml,
+            looks_like_eml,
+        )
+
+        if looks_like_eml(data):
+            text, np_ = extract_eml(data)
+            return text, np_, "eml"
     except Exception:
         return "", 0, "bad"
     return "", 0, "other"

@@ -24,6 +24,15 @@ _TIFF_MAGIC_LE = b"II*\x00"
 _TIFF_MAGIC_BE = b"MM\x00*"
 _ZIP_MAGIC = b"PK\x03\x04"
 _RTF_MAGIC = b"{\\rtf"
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0"  # OLE2 compound file: doc/xls/ppt
+# RFC 5322 header block ending in a canonical mail header — mirrors
+# legacy_office.looks_like_eml (the Python-side sniff the extractor
+# re-applies), so route and extractor agree
+_EML_RE = (
+    r"^(?:[!-9;-~]+:[ \t][^\r\n]*\r?\n)*"
+    r"(?i:From|To|Subject|Date|Received|Return-Path|MIME-Version|Message-ID)"
+    r":[ \t]"
+)
 
 
 def is_pdf_col(html: Column) -> Column:
@@ -37,9 +46,18 @@ def is_tiff_col(html: Column) -> Column:
 
 def is_office_col(html: Column) -> Column:
     # ZIP containers (docx/xlsx/pptx/odt/epub — the subtype is sniffed
-    # inside the extractor from the member names) and RTF
-    return (F.substring(html, 1, 4) == F.lit(_ZIP_MAGIC)) | (
-        F.substring(html, 1, 5) == F.lit(_RTF_MAGIC)
+    # inside the extractor from the member names), RTF, CFB/OLE2
+    # (doc/xls/ppt), and RFC 5322 mail header blocks (eml)
+    return (
+        (F.substring(html, 1, 4) == F.lit(_ZIP_MAGIC))
+        | (F.substring(html, 1, 5) == F.lit(_RTF_MAGIC))
+        | (F.substring(html, 1, 4) == F.lit(_CFB_MAGIC))
+        | (
+            (F.substring(html, 1, 1) != F.lit(b"<"))
+            # cast, not decode(): decode raises MALFORMED_CHARACTER_CODING
+            # on invalid UTF-8 crawl bytes; cast substitutes and never throws
+            & F.substring(html, 1, 512).cast("string").rlike(_EML_RE)
+        )
     )
 
 

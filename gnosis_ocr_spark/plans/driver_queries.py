@@ -98,41 +98,46 @@ _CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
 # --------------------------------------------------------------------------
 
 
+_OFFICE_MOD = 14  # doc_id % 14: {0..3} HTML charsets, {4..13} office formats
+
+
 def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Office-format rotation on doc_id % 10 ∈ {4..9}: docx / rtf / epub /
-    odt / xlsx / pptx, every writer wrapping the SAME normalized text —
-    so the oracle stays a pure SQL function of `text` (the pdf_extract
-    writer-rotation convention)."""
+    """Office-format rotation on doc_id % 14 ∈ {4..13}: docx / rtf / epub /
+    odt / xlsx / pptx / doc / ppt / xls / eml, every writer wrapping the
+    SAME normalized text — so the oracle stays a pure SQL function of
+    `text` (the pdf_extract writer-rotation convention)."""
+    from gnosis_ocr_spark.operators import legacy_office as _lo
     from gnosis_ocr_spark.operators import office_extract as _oe
 
+    builders = {
+        4: lambda t: _oe.build_docx([t]),
+        5: lambda t: _oe.build_rtf([t]),
+        6: lambda t: _oe.build_epub([[t]]),
+        7: lambda t: _oe.build_odt([t]),
+        8: lambda t: _oe.build_xlsx([[t]]),
+        9: lambda t: _oe.build_pptx([[t]]),
+        10: lambda t: _lo.build_doc([t]),
+        11: lambda t: _lo.build_ppt([[t]]),
+        12: lambda t: _lo.build_xls([[t]]),
+        13: lambda t: _lo.build_eml([t], html_alternative=True),
+    }
     for b in batches:
         out = {"doc_id": [], "html": []}
         for doc_id, norm in zip(b["doc_id"], b["norm"]):
-            m = int(doc_id) % 10
-            if m == 4:
-                blob = _oe.build_docx([norm])
-            elif m == 5:
-                blob = _oe.build_rtf([norm])
-            elif m == 6:
-                blob = _oe.build_epub([[norm]])
-            elif m == 7:
-                blob = _oe.build_odt([norm])
-            elif m == 8:
-                blob = _oe.build_xlsx([[norm]])
-            else:
-                blob = _oe.build_pptx([[norm]])
             out["doc_id"].append(doc_id)
-            out["html"].append(blob)
+            out["html"].append(builders[int(doc_id) % _OFFICE_MOD](norm))
         yield pd.DataFrame(out)
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U7 + office extraction end-to-end: doc_id % 10 rotates the document
+    """U7 + office extraction end-to-end: doc_id % 14 rotates the document
     format — {0..3} boilerplate HTML in four transfer encodings (utf-8 /
-    BOM+utf-16le / BOM+utf-16be / Java "UTF-16"), {4..9} office containers
-    (docx / rtf / epub / odt / xlsx / pptx via the codec_zip + XML/RTF
-    extractors). Every format wraps the identical normalized text, so one
-    oracle certifies all ten writer/extractor paths byte-identically."""
+    BOM+utf-16le / BOM+utf-16be / Java "UTF-16"), {4..13} office/e-book/
+    mail containers (docx / rtf / epub / odt / xlsx / pptx via codec_zip +
+    XML/RTF extractors; doc / ppt / xls via the from-scratch CFB container
+    and piece-table/record-walk extractors; eml MIME with a base64 HTML
+    part). Every format wraps the identical normalized text, so one oracle
+    certifies all fourteen writer/extractor paths byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit(
@@ -164,13 +169,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 3, F.encode(html, "UTF-16"))
         .otherwise(F.encode(html, "UTF-8"))
     )
-    html_part = docs.filter(F.col("doc_id") % 10 < 4).select(
+    html_part = docs.filter(F.col("doc_id") % _OFFICE_MOD < 4).select(
         "doc_id",
         extract_html_udf(payload).alias("extracted_text"),
     )
     # office part: build the container in a mapInPandas stage (Python
     # writers), then extract through the REAL office extractor UDF
-    office_src = docs.filter(F.col("doc_id") % 10 >= 4).select(
+    office_src = docs.filter(F.col("doc_id") % _OFFICE_MOD >= 4).select(
         "doc_id", _norm(F.col("text")).alias("norm")
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -269,16 +274,28 @@ FROM n WHERE length(norm) >= 120
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 magic-byte routing over a constructed mixed-payload corpus —
-    pdf / html / empty / ZIP-container (office) / RTF (office)."""
+    pdf / html / empty / ZIP container / RTF / CFB (OLE2) / RFC 5322 mail
+    (the last four all route 'office')."""
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 5 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
-        .when(F.col("doc_id") % 5 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        F.when(F.col("doc_id") % 7 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 7 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 5 == 3,
+            F.col("doc_id") % 7 == 3,
             F.concat(F.lit(bytearray(b"PK\x03\x04")), F.encode(F.col("text"), "UTF-8")),
         )
-        .when(F.col("doc_id") % 5 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 7 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.lit(bytearray(b"\xd0\xcf\x11\xe0")), F.encode(F.col("text"), "UTF-8")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 6,
+            F.encode(
+                F.concat(F.lit("Subject: t\r\nFrom: a@b.test\r\n\r\n"), F.col("text")),
+                "UTF-8",
+            ),
+        )
         .otherwise(F.encode(F.lit(""), "UTF-8"))
     )
     return (
@@ -289,8 +306,8 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUTE_COUNTS = """
-SELECT CASE WHEN doc_id % 5 = 0 THEN 'pdf' WHEN doc_id % 5 = 1 THEN 'html'
-            WHEN doc_id % 5 IN (3, 4) THEN 'office'
+SELECT CASE WHEN doc_id % 7 = 0 THEN 'pdf' WHEN doc_id % 7 = 1 THEN 'html'
+            WHEN doc_id % 7 IN (3, 4, 5, 6) THEN 'office'
             ELSE 'empty' END AS route, COUNT(*) AS cnt
 FROM documents GROUP BY 1
 """
