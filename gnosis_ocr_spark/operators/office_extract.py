@@ -51,7 +51,11 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-from gnosis_ocr_spark.functions.codec_zip import ZipView, build_zip
+from gnosis_ocr_spark.functions.codec_zip import (
+    MAX_ENTRY_BYTES,
+    ZipView,
+    build_zip,
+)
 from gnosis_ocr_spark.operators.html_extract import extract_main_text
 
 _WS_RE = re.compile(r"\s+")
@@ -615,14 +619,43 @@ def sniff_zip_subtype(view: ZipView) -> str:
     return "zip"
 
 
-def extract_office(data: bytes | bytearray | None) -> tuple[str, int, str]:
-    """(extracted_text, n_pages, subtype) for one office/e-book payload.
+def extract_office(
+    data: bytes | bytearray | None, _depth: int = 0
+) -> tuple[str, int, str]:
+    """(extracted_text, n_pages, subtype) for one office/e-book/mail or
+    still-content-encoded payload.
 
     Total over hostile input: undecodable → ("", 0, subtype)."""
     if not data:
         return "", 0, "empty"
     data = bytes(data)
     try:
+        if data.startswith(b"\x1f\x8b") and _depth < 2:
+            # still-content-encoded crawl payload: gunzip (bounded) and
+            # re-dispatch on the INNER bytes — gzipped HTML goes through
+            # the U7 extractor, gzipped containers recurse once
+            import zlib as _zlib
+
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            try:
+                inner = d.decompress(data, MAX_ENTRY_BYTES)
+            except _zlib.error:
+                return "", 0, "gz-bad"
+            if inner.startswith(b"%PDF-") or inner[:4] in (
+                b"II*\x00",
+                b"MM\x00*",
+            ):
+                # page-structured formats need the heavy branch (raster +
+                # OCR topology); a gzipped PDF in the light branch is a
+                # loud documented miss, not silent garbage
+                return "", 0, "gz-pdf"
+            if inner.startswith(b"\x1f\x8b") and _depth + 1 >= 2:
+                return "", 0, "gz-deep"  # nesting cap: refuse, don't garble
+            t, n, sub = extract_office(inner, _depth + 1)
+            if sub == "other":  # not a container: treat as a web page
+                t = extract_main_text(inner)
+                return t, 1 if t else 0, "gz-html"
+            return t, n, f"gz-{sub}"
         if data.startswith(b"{\\rtf"):
             text, np_ = extract_rtf(data)
             return text, np_, "rtf"

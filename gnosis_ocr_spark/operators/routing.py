@@ -25,6 +25,7 @@ _TIFF_MAGIC_BE = b"MM\x00*"
 _ZIP_MAGIC = b"PK\x03\x04"
 _RTF_MAGIC = b"{\\rtf"
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0"  # OLE2 compound file: doc/xls/ppt
+_GZIP_MAGIC = b"\x1f\x8b"  # still-content-encoded crawl payload
 # RFC 5322 header block ending in a canonical mail header — mirrors
 # legacy_office.looks_like_eml (the Python-side sniff the extractor
 # re-applies), so route and extractor agree
@@ -47,11 +48,13 @@ def is_tiff_col(html: Column) -> Column:
 def is_office_col(html: Column) -> Column:
     # ZIP containers (docx/xlsx/pptx/odt/epub — the subtype is sniffed
     # inside the extractor from the member names), RTF, CFB/OLE2
-    # (doc/xls/ppt), and RFC 5322 mail header blocks (eml)
+    # (doc/xls/ppt), gzip (still-content-encoded payloads — gunzipped and
+    # re-sniffed inside the extractor), and RFC 5322 mail headers (eml)
     return (
         (F.substring(html, 1, 4) == F.lit(_ZIP_MAGIC))
         | (F.substring(html, 1, 5) == F.lit(_RTF_MAGIC))
         | (F.substring(html, 1, 4) == F.lit(_CFB_MAGIC))
+        | (F.substring(html, 1, 2) == F.lit(_GZIP_MAGIC))
         | (
             (F.substring(html, 1, 1) != F.lit(b"<"))
             # cast, not decode(): decode raises MALFORMED_CHARACTER_CODING

@@ -98,16 +98,24 @@ _CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
 # --------------------------------------------------------------------------
 
 
-_OFFICE_MOD = 14  # doc_id % 14: {0..3} HTML charsets, {4..13} office formats
+# doc_id % 15: {0..3} HTML charsets, {4..13} office formats, {14} gzipped HTML
+_OFFICE_MOD = 15
 
 
 def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Office-format rotation on doc_id % 14 ∈ {4..13}: docx / rtf / epub /
-    odt / xlsx / pptx / doc / ppt / xls / eml, every writer wrapping the
-    SAME normalized text — so the oracle stays a pure SQL function of
-    `text` (the pdf_extract writer-rotation convention)."""
+    """Office-format rotation on doc_id % 15 ∈ {4..14}: docx / rtf / epub /
+    odt / xlsx / pptx / doc / ppt / xls / eml / gzipped-HTML, every writer
+    wrapping the SAME normalized text — so the oracle stays a pure SQL
+    function of `text` (the pdf_extract writer-rotation convention)."""
+    import gzip as _gz
+
     from gnosis_ocr_spark.operators import legacy_office as _lo
     from gnosis_ocr_spark.operators import office_extract as _oe
+
+    def _gz_html(t: str) -> bytes:
+        esc = t.replace("&", "&amp;").replace("<", "&lt;")
+        page = f"<html><body><article><p>{esc}</p></article></body></html>"
+        return _gz.compress(page.encode("utf-8"), mtime=0)  # deterministic
 
     builders = {
         4: lambda t: _oe.build_docx([t]),
@@ -120,6 +128,7 @@ def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         11: lambda t: _lo.build_ppt([[t]]),
         12: lambda t: _lo.build_xls([[t]]),
         13: lambda t: _lo.build_eml([t], html_alternative=True),
+        14: _gz_html,  # still-content-encoded crawl payload
     }
     for b in batches:
         out = {"doc_id": [], "html": []}
@@ -130,14 +139,15 @@ def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U7 + office extraction end-to-end: doc_id % 14 rotates the document
+    """U7 + office extraction end-to-end: doc_id % 15 rotates the document
     format — {0..3} boilerplate HTML in four transfer encodings (utf-8 /
     BOM+utf-16le / BOM+utf-16be / Java "UTF-16"), {4..13} office/e-book/
     mail containers (docx / rtf / epub / odt / xlsx / pptx via codec_zip +
     XML/RTF extractors; doc / ppt / xls via the from-scratch CFB container
     and piece-table/record-walk extractors; eml MIME with a base64 HTML
-    part). Every format wraps the identical normalized text, so one oracle
-    certifies all fourteen writer/extractor paths byte-identically."""
+    part), {14} a still-gzipped HTML payload (transparent content-encoding
+    path). Every format wraps the identical normalized text, so one oracle
+    certifies all fifteen writer/extractor paths byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit(
@@ -274,27 +284,31 @@ FROM n WHERE length(norm) >= 120
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 magic-byte routing over a constructed mixed-payload corpus —
-    pdf / html / empty / ZIP container / RTF / CFB (OLE2) / RFC 5322 mail
-    (the last four all route 'office')."""
+    pdf / html / empty / ZIP container / RTF / CFB (OLE2) / RFC 5322 mail /
+    gzip (the last five all route 'office')."""
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 7 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
-        .when(F.col("doc_id") % 7 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        F.when(F.col("doc_id") % 8 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 8 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 7 == 3,
+            F.col("doc_id") % 8 == 3,
             F.concat(F.lit(bytearray(b"PK\x03\x04")), F.encode(F.col("text"), "UTF-8")),
         )
-        .when(F.col("doc_id") % 7 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 8 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 7 == 5,
+            F.col("doc_id") % 8 == 5,
             F.concat(F.lit(bytearray(b"\xd0\xcf\x11\xe0")), F.encode(F.col("text"), "UTF-8")),
         )
         .when(
-            F.col("doc_id") % 7 == 6,
+            F.col("doc_id") % 8 == 6,
             F.encode(
                 F.concat(F.lit("Subject: t\r\nFrom: a@b.test\r\n\r\n"), F.col("text")),
                 "UTF-8",
             ),
+        )
+        .when(
+            F.col("doc_id") % 8 == 7,
+            F.concat(F.lit(bytearray(b"\x1f\x8b")), F.encode(F.col("text"), "UTF-8")),
         )
         .otherwise(F.encode(F.lit(""), "UTF-8"))
     )
@@ -306,8 +320,8 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUTE_COUNTS = """
-SELECT CASE WHEN doc_id % 7 = 0 THEN 'pdf' WHEN doc_id % 7 = 1 THEN 'html'
-            WHEN doc_id % 7 IN (3, 4, 5, 6) THEN 'office'
+SELECT CASE WHEN doc_id % 8 = 0 THEN 'pdf' WHEN doc_id % 8 = 1 THEN 'html'
+            WHEN doc_id % 8 IN (3, 4, 5, 6, 7) THEN 'office'
             ELSE 'empty' END AS route, COUNT(*) AS cnt
 FROM documents GROUP BY 1
 """

@@ -12,7 +12,11 @@ Format notes (public spec + Common Crawl practice):
   (so byte-range fetches decompress independently) — zlib handles the
   concatenated-members stream;
 - ``response`` records wrap an HTTP response; the body is everything
-  after the first CRLF CRLF of the HTTP block.
+  after the first CRLF CRLF of the HTTP block, de-chunked when the
+  server sent ``Transfer-Encoding: chunked`` and decompressed when it
+  sent ``Content-Encoding: gzip/x-gzip/deflate`` (bounded output — a
+  crafted bomb yields the raw bytes, never a MemoryError; failures keep
+  the raw body, never raise).
 
 Scale shape: one WARC file is one input row → ``mapInPandas`` explodes it
 into record rows inside the executor (Arrow-batched, no per-row Python
@@ -87,6 +91,54 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
     """Parse one WARC file (plain or per-record gzip) into a list of
+    record dicts — see module docstring for the HTTP payload decoding."""
+    return _parse_warc_impl(data)
+
+
+# output ceiling per HTTP body (same executor-safety rationale as
+# codec_zip.MAX_ENTRY_BYTES): a content-encoding bomb yields raw bytes
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked; on any malformation return the
+    prefix decoded so far (crawl responses are routinely cut mid-chunk)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[eol + 2 : eol + 2 + size]
+        pos = eol + 2 + size + 2  # skip the chunk's trailing CRLF
+        if len(out) > MAX_BODY_BYTES:
+            break
+    return bytes(out)
+
+
+def _content_decode(body: bytes, ce: str) -> bytes:
+    """Content-Encoding: gzip / x-gzip / deflate (both the spec-correct
+    zlib-wrapped form and the raw-deflate form real servers send)."""
+    for wbits in (16 + zlib.MAX_WBITS,) if ce != "deflate" else (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(body, MAX_BODY_BYTES)
+        except zlib.error:
+            continue
+        if out:
+            return out
+    return body  # undecodable: keep raw (total, never raise)
+
+
+def _parse_warc_impl(data: bytes):
+    """Parse one WARC file (plain or per-record gzip) into a list of
     record dicts: ``{type, url, date, status, content_type, body}``.
     Returns ``(records, n_skipped)`` — malformed blocks are skipped."""
     data = _gunzip_members(data)
@@ -127,15 +179,26 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
         if "msgtype=response" in headers.get("content-type", ""):
             http_end = payload.find(CRLF2)
             if http_end >= 0:
-                http_head, rec["body"] = payload[:http_end], payload[http_end + 4 :]
+                http_head, body = payload[:http_end], payload[http_end + 4 :]
                 lines = http_head.split(b"\r\n")
                 parts = lines[0].split()
                 if len(parts) >= 2 and parts[1].isdigit():
                     rec["status"] = int(parts[1])
+                te = ce = ""
                 for line in lines[1:]:
                     k, sep, v = line.partition(b":")
-                    if sep and k.strip().lower() == b"content-type":
+                    key = k.strip().lower()
+                    if sep and key == b"content-type":
                         rec["content_type"] = v.strip().decode("latin-1")
+                    elif sep and key == b"transfer-encoding":
+                        te = v.strip().lower().decode("latin-1")
+                    elif sep and key == b"content-encoding":
+                        ce = v.strip().lower().decode("latin-1")
+                if "chunked" in te:
+                    body = _dechunk(body)
+                if ce in ("gzip", "x-gzip", "deflate"):
+                    body = _content_decode(body, ce)
+                rec["body"] = body
         records.append(rec)
     return records, skipped
 

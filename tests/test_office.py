@@ -339,3 +339,29 @@ def test_office_udf_and_pipeline_routes(spark):
     assert out["u-html"]["extracted_text"] == "plain web page body text here"
     assert out["u-zip"]["extracted_text"] == ""
     assert out["u-zip"]["n_pages"] == 0
+
+
+# ---------------------------------------------------------------------------
+# gzip transparency (still-content-encoded crawl payloads)
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_payload_transparency():
+    import gzip
+
+    html = (
+        b"<html><body><article><p>hello gzipped web page body text here"
+        b"</p></article></body></html>"
+    )
+    t, np_, sub = extract_office(gzip.compress(html, mtime=0))
+    assert (t, np_, sub) == ("hello gzipped web page body text here", 1, "gz-html")
+    # gzipped containers recurse once
+    t, np_, sub = extract_office(gzip.compress(build_docx(PARAS), mtime=0))
+    assert (t, sub) == (EXPECT, "gz-docx")
+    # page-structured inner formats are a LOUD miss, not silent garbage
+    assert extract_office(gzip.compress(b"%PDF-1.4 x"))[2] == "gz-pdf"
+    # nesting cap refuses instead of garbling
+    double = gzip.compress(gzip.compress(gzip.compress(html)))
+    assert extract_office(double)[2] in ("gz-gz-deep", "gz-deep")
+    # hostile gzip header
+    assert extract_office(b"\x1f\x8b\x00garbage")[2] == "gz-bad"

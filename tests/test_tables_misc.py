@@ -191,3 +191,49 @@ def test_warc_parser_never_escapes_on_mutation():
             data[rng.randrange(len(data))] = rng.randrange(256)
         recs, skipped = parse_warc_bytes(bytes(data))
         assert isinstance(recs, list) and skipped >= 0
+
+
+def test_warc_http_chunked_and_content_encoding():
+    """Transfer-Encoding: chunked is de-chunked; Content-Encoding gzip and
+    deflate (both zlib-wrapped and the raw form real servers send) are
+    decompressed; hostile payloads stay raw, never raise."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from gnosis_ocr_spark.sources.warc import (
+        _content_decode,
+        _dechunk,
+        parse_warc_bytes,
+    )
+
+    body = b"<html><body><p>decoded body text</p></body></html>"
+
+    def chunked(b, n=7):
+        out = b""
+        for i in range(0, len(b), n):
+            c = b[i : i + n]
+            out += f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+        + chunked(_gzip.compress(body))
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.test/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+        + http
+    )
+    recs, skipped = parse_warc_bytes(rec)
+    assert skipped == 0 and recs[0]["body"] == body
+    # deflate: raw and zlib-wrapped forms both decode
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+    assert _content_decode(co.compress(body) + co.flush(), "deflate") == body
+    assert _content_decode(_zlib.compress(body), "deflate") == body
+    # hostile: garbage keeps raw bytes; truncated chunking keeps prefix
+    assert _content_decode(b"\x00\x01\x02", "gzip") == b"\x00\x01\x02"
+    assert _dechunk(b"5\r\nhello\r\nZZ\r\ncut") == b"hello"
