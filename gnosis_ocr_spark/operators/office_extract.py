@@ -679,6 +679,14 @@ def extract_office(
             else:
                 return "", 0, "zip"
             return text, np_, sub
+        from gnosis_ocr_spark.operators.feed_extract import (
+            extract_feed,
+            looks_like_feed,
+        )
+
+        if looks_like_feed(data):
+            text, np_ = extract_feed(data)
+            return text, np_, "feed"
         from gnosis_ocr_spark.operators.legacy_office import (
             extract_eml,
             looks_like_eml,
@@ -731,7 +739,11 @@ def light_extract_udf(html: pd.Series, route: pd.Series) -> pd.DataFrame:
     keeps the (large) raw bytes crossing the Arrow boundary exactly once —
     the same fusion rationale as pdf_split.raster_ocr_pages (two chained
     pandas UDFs would ship every page's payload through Arrow twice)."""
-    from gnosis_ocr_spark.operators.routing import ROUTE_HTML, ROUTE_OFFICE
+    from gnosis_ocr_spark.operators.routing import (
+        ROUTE_FEED,
+        ROUTE_HTML,
+        ROUTE_OFFICE,
+    )
 
     texts: list[str] = []
     pages: list[int] = []
@@ -741,6 +753,13 @@ def light_extract_udf(html: pd.Series, route: pd.Series) -> pd.DataFrame:
             n = 1
         elif r == ROUTE_OFFICE:
             t, n, _ = extract_office(b)
+        elif r == ROUTE_FEED:
+            from gnosis_ocr_spark.operators.feed_extract import extract_feed
+
+            try:
+                t, n = extract_feed(b)
+            except Exception:
+                t, n = "", 0
         else:
             t, n = "", 0
         texts.append(t)

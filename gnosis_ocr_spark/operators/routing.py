@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 ROUTE_PDF = "pdf"
 ROUTE_TIFF = "tiff"
 ROUTE_OFFICE = "office"
+ROUTE_FEED = "feed"
 ROUTE_HTML = "html"
 ROUTE_EMPTY = "empty"
 
@@ -64,12 +65,23 @@ def is_office_col(html: Column) -> Column:
     )
 
 
+# a feed starts — after an optional XML declaration / comments /
+# whitespace — with <rss, <feed or <rdf:RDF; mirrors
+# feed_extract.looks_like_feed so route and extractor agree
+_FEED_RE = r"(?s)^\s*(?:<\?xml[^>]*\?>\s*)?(?:<!--.*?-->\s*)*<(?i:rss[\s>]|feed[\s>]|rdf:RDF)"
+
+
+def is_feed_col(html: Column) -> Column:
+    return F.substring(html, 1, 512).cast("string").rlike(_FEED_RE)
+
+
 def route_col(html: Column) -> Column:
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit(ROUTE_EMPTY))
         .when(is_pdf_col(html), F.lit(ROUTE_PDF))
         .when(is_tiff_col(html), F.lit(ROUTE_TIFF))
         .when(is_office_col(html), F.lit(ROUTE_OFFICE))
+        .when(is_feed_col(html), F.lit(ROUTE_FEED))
         .otherwise(F.lit(ROUTE_HTML))
     )
 

@@ -98,23 +98,29 @@ _CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
 # --------------------------------------------------------------------------
 
 
-# doc_id % 15: {0..3} HTML charsets, {4..13} office formats, {14} gzipped HTML
-_OFFICE_MOD = 15
+# doc_id % 17: {0..3} HTML charsets, {4..13} office formats, {14} gzipped
+# HTML, {15} RSS 2.0 (CDATA body), {16} Atom
+_OFFICE_MOD = 17
 
 
 def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Office-format rotation on doc_id % 15 ∈ {4..14}: docx / rtf / epub /
-    odt / xlsx / pptx / doc / ppt / xls / eml / gzipped-HTML, every writer
-    wrapping the SAME normalized text — so the oracle stays a pure SQL
-    function of `text` (the pdf_extract writer-rotation convention)."""
+    """Office-format rotation on doc_id % 17 ∈ {4..16}: docx / rtf / epub /
+    odt / xlsx / pptx / doc / ppt / xls / eml / gzipped-HTML / RSS / Atom,
+    every writer wrapping the SAME normalized text — so the oracle stays a
+    pure SQL function of `text` (the pdf_extract writer-rotation
+    convention)."""
     import gzip as _gz
 
+    from gnosis_ocr_spark.operators import feed_extract as _fe
     from gnosis_ocr_spark.operators import legacy_office as _lo
     from gnosis_ocr_spark.operators import office_extract as _oe
 
-    def _gz_html(t: str) -> bytes:
+    def _article(t: str) -> str:
         esc = t.replace("&", "&amp;").replace("<", "&lt;")
-        page = f"<html><body><article><p>{esc}</p></article></body></html>"
+        return f"<article><p>{esc}</p></article>"
+
+    def _gz_html(t: str) -> bytes:
+        page = f"<html><body>{_article(t)}</body></html>"
         return _gz.compress(page.encode("utf-8"), mtime=0)  # deterministic
 
     builders = {
@@ -129,6 +135,10 @@ def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         12: lambda t: _lo.build_xls([[t]]),
         13: lambda t: _lo.build_eml([t], html_alternative=True),
         14: _gz_html,  # still-content-encoded crawl payload
+        # feeds: empty channel/item titles are skipped, so extraction is
+        # exactly the item body through the U7 extractor
+        15: lambda t: _fe.build_rss("", [("", _article(t))], cdata=True),
+        16: lambda t: _fe.build_atom("", [("", _article(t))]),
     }
     for b in batches:
         out = {"doc_id": [], "html": []}
@@ -146,8 +156,9 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     XML/RTF extractors; doc / ppt / xls via the from-scratch CFB container
     and piece-table/record-walk extractors; eml MIME with a base64 HTML
     part), {14} a still-gzipped HTML payload (transparent content-encoding
-    path). Every format wraps the identical normalized text, so one oracle
-    certifies all fifteen writer/extractor paths byte-identically."""
+    path), {15..16} RSS 2.0 (CDATA-wrapped body) and Atom feeds. Every
+    format wraps the identical normalized text, so one oracle certifies
+    all seventeen writer/extractor paths byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit(
@@ -285,30 +296,37 @@ FROM n WHERE length(norm) >= 120
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 magic-byte routing over a constructed mixed-payload corpus —
     pdf / html / empty / ZIP container / RTF / CFB (OLE2) / RFC 5322 mail /
-    gzip (the last five all route 'office')."""
+    gzip (the last five all route 'office') / RSS (routes 'feed')."""
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 8 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
-        .when(F.col("doc_id") % 8 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        F.when(F.col("doc_id") % 9 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 9 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 8 == 3,
+            F.col("doc_id") % 9 == 3,
             F.concat(F.lit(bytearray(b"PK\x03\x04")), F.encode(F.col("text"), "UTF-8")),
         )
-        .when(F.col("doc_id") % 8 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 9 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 8 == 5,
+            F.col("doc_id") % 9 == 5,
             F.concat(F.lit(bytearray(b"\xd0\xcf\x11\xe0")), F.encode(F.col("text"), "UTF-8")),
         )
         .when(
-            F.col("doc_id") % 8 == 6,
+            F.col("doc_id") % 9 == 6,
             F.encode(
                 F.concat(F.lit("Subject: t\r\nFrom: a@b.test\r\n\r\n"), F.col("text")),
                 "UTF-8",
             ),
         )
         .when(
-            F.col("doc_id") % 8 == 7,
+            F.col("doc_id") % 9 == 7,
             F.concat(F.lit(bytearray(b"\x1f\x8b")), F.encode(F.col("text"), "UTF-8")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 8,
+            F.encode(
+                F.concat(F.lit('<rss version="2.0"><channel>'), F.col("text")),
+                "UTF-8",
+            ),
         )
         .otherwise(F.encode(F.lit(""), "UTF-8"))
     )
@@ -320,8 +338,9 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUTE_COUNTS = """
-SELECT CASE WHEN doc_id % 8 = 0 THEN 'pdf' WHEN doc_id % 8 = 1 THEN 'html'
-            WHEN doc_id % 8 IN (3, 4, 5, 6, 7) THEN 'office'
+SELECT CASE WHEN doc_id % 9 = 0 THEN 'pdf' WHEN doc_id % 9 = 1 THEN 'html'
+            WHEN doc_id % 9 IN (3, 4, 5, 6, 7) THEN 'office'
+            WHEN doc_id % 9 = 8 THEN 'feed'
             ELSE 'empty' END AS route, COUNT(*) AS cnt
 FROM documents GROUP BY 1
 """

@@ -36,11 +36,11 @@ def html_extract_stream(docs: DataFrame) -> DataFrame:
     resume plan or a foreachBatch sink; HTML + office containers are the
     high-volume stateless paths on real crawls)."""
     from gnosis_ocr_spark.operators.office_extract import light_extract_udf
-    from gnosis_ocr_spark.operators.routing import ROUTE_OFFICE
+    from gnosis_ocr_spark.operators.routing import ROUTE_FEED, ROUTE_OFFICE
 
     routed = with_route(docs)
     return (
-        routed.filter(F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE))
+        routed.filter(F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED))
         .withColumn("_lx", light_extract_udf(F.col("html"), F.col("route")))
         .select(
             "url",

@@ -54,7 +54,8 @@ def test_results_partitioned_by_route(spark, tmp_path):
     dirs = sorted(
         d for d in os.listdir(f"{out}/results") if d.startswith("route=")
     )
-    assert dirs == ["route=empty", "route=html", "route=pdf"]
+    # corpus v11+ carries office documents in the rotation
+    assert dirs == ["route=empty", "route=html", "route=office", "route=pdf"]
 
     # canonical view still reads the partitioned layout correctly
     canon = canonical_results(spark, out)
