@@ -235,6 +235,51 @@ def main() -> None:
             "scanned_n_docs": n_scan,
         }
 
+    # ---- office/feed light-branch honesty row (round 5): every document
+    # is one of the 13 office/e-book/mail/feed/content-encoded formats, so
+    # office_docs_per_sec measures pure container-walk + XML/RTF/BIFF/MIME
+    # extraction throughput on the zero-shuffle branch. Byte-identity is
+    # asserted, untimed. Disable: SPARK_GRAFT_BENCH_OFFICE=0.
+    office: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_OFFICE", "1") == "1":
+        from gnosis_ocr_spark.corpus import office_corpus_df, office_golden_df
+
+        n_office = int(
+            os.environ.get("SPARK_GRAFT_BENCH_OFFICE_DOCS", max(130, int(sf * 6_000)))
+        )
+        office_dir = os.environ.get(
+            "SPARK_GRAFT_OFFICE_CORPUS_DIR",
+            f"/tmp/gnosis_bench_officecorpus_v{CORPUS_VERSION}_n{n_office}",
+        )
+        if not os.path.exists(os.path.join(office_dir, "_SUCCESS")):
+            office_corpus_df(
+                spark, n=n_office, num_partitions=max(cpus * 2, 16)
+            ).write.mode("overwrite").parquet(office_dir)
+        t0 = time.monotonic()
+        ores = extract_corpus(spark.read.parquet(office_dir))
+        oout = ores.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+        ).collect()[0]
+        t_office = time.monotonic() - t0
+        assert oout["docs"] == n_office and oout["chars"] > 0
+        timings["extract_office"] = round(t_office, 3)
+        ogold = office_golden_df(spark, n=n_office).alias("g")
+        omatch = (
+            ores.alias("o")
+            .join(ogold, F.col("o.url") == F.col("g.url"))
+            .filter(
+                F.col("o.extracted_text").eqNullSafe(F.col("g.extracted_text"))
+                & F.col("o.n_pages").eqNullSafe(F.col("g.n_pages"))
+            )
+            .count()
+        )
+        office = {
+            "office_docs_per_sec": round(n_office / t_office, 2),
+            "office_byte_identical_rate": omatch / n_office,
+            "office_n_docs": n_office,
+        }
+
     # ---- driver-contract headline queries on the sf dir
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         total = round(sum(timings.values()), 3)
@@ -258,6 +303,7 @@ def main() -> None:
                     "host_loaded": host_loaded,
                     **calibrated,
                     **scanned,
+                    **office,
                 }
             )
         )
@@ -304,6 +350,7 @@ def main() -> None:
                 "host_loaded": host_loaded,
                 **calibrated,
                 **scanned,
+                **office,
             }
         )
     )
