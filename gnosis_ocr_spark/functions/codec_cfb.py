@@ -283,13 +283,13 @@ def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     dir_blob = b"".join(entries)
     dir_start = _append_stream(dir_blob)
 
-    # FAT sectors (self-referencing _FATSECT marks)
-    while True:
-        n_fat_sectors = -(-(len(fat) * 4) // ssz) or 1
-        total_fat_slots = n_fat_sectors * (ssz // 4)
-        if len(fat) + n_fat_sectors <= total_fat_slots:
-            break
-        fat.append(_FREESECT)  # grow until the FAT covers itself
+    # FAT sectors: the FAT must cover its own sectors too, and the
+    # _FATSECT marks must land at slot index == their sector number, so
+    # they go IMMEDIATELY after the data-sector entries (fat_start ==
+    # len(sectors) == len(fat)); free-slot padding only ever follows them
+    n_fat_sectors = 1
+    while (len(fat) + n_fat_sectors) * 4 > n_fat_sectors * ssz:
+        n_fat_sectors += 1
     fat_start = len(sectors)
     fat = fat + [_FATSECT] * n_fat_sectors
     fat_blob = b"".join(struct.pack("<L", v) for v in fat)

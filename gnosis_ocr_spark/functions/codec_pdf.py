@@ -708,6 +708,16 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder adds a table entry for every decoded data code —
+        # including this final one — and re-checks the width BEFORE
+        # reading the next code, so EOI must be written at the width the
+        # decoder will read it at (libtiff does the same: free_ent++ and
+        # a width re-check between the last data code and CODE_EOI).
+        # Without this, a stream whose table lands exactly on the
+        # early-change boundary at EOF mis-frames the EOI.
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
     emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -230,3 +230,24 @@ def test_legacy_routes_through_pipeline(spark):
         assert out[u]["route"] == "office"
         assert out[u]["extracted_text"] == EXPECT
     assert out["u-ppt"]["n_pages"] == 2
+
+
+def test_cfb_multi_fat_sector_archive_self_marks():
+    """An archive big enough that the FAT spans multiple sectors: streams
+    still roundtrip and every FAT sector is self-marked (_FATSECT at slot
+    index == its own sector number — the spec invariant a misplaced
+    padding entry would break)."""
+    streams = [(f"S{i:03d}", bytes([i % 256]) * 5000) for i in range(20)]
+    streams.append(("BIG", b"Z" * 400_000))
+    blob = build_cfb(streams)
+    v = CfbView(blob)
+    for name, payload in streams:
+        assert v.read(name) == payload
+    n_fat = struct.unpack_from("<L", blob, 44)[0]
+    fat_sectors = [
+        struct.unpack_from("<L", blob, 76 + 4 * i)[0] for i in range(n_fat)
+    ]
+    fat: list[int] = []
+    for fs in fat_sectors:
+        fat.extend(struct.unpack_from("<128L", blob, 512 + fs * 512))
+    assert all(fat[fs] == 0xFFFFFFFD for fs in fat_sectors)

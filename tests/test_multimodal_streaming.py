@@ -79,9 +79,19 @@ def test_streaming_extraction_available_now(spark, tmp_path):
     q.awaitTermination(120)
 
     got = spark.read.parquet(out_dir)
-    batch = with_route(corpus_df(spark, n=40)).filter(F.col("route") == ROUTE_HTML)
+    # the stateless stream carries html + office + feed routes (corpus
+    # v11+ has office docs); expectation mirrors the batch light branch
+    from gnosis_ocr_spark.operators.office_extract import light_extract_udf
+    from gnosis_ocr_spark.operators.routing import ROUTE_FEED, ROUTE_OFFICE
+
+    batch = with_route(corpus_df(spark, n=40)).filter(
+        F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED)
+    )
     expected = batch.select(
-        "url", extract_html_udf(F.col("html")).alias("extracted_text")
+        "url",
+        light_extract_udf(F.col("html"), F.col("route"))
+        .getField("extracted_text")
+        .alias("extracted_text"),
     )
     assert got.count() == expected.count() > 0
     joined = got.alias("s").join(expected.alias("b"), "url")
