@@ -459,6 +459,22 @@ def test_lzw_early_change_zero():
     data = bytes((i * 13 + 5) % 251 for i in range(20_000))
     assert P._lzw_decode(P._lzw_encode(data, early_change=0), early_change=0) == data
 
+def test_lzw_eoi_width_at_early_change_boundary():
+    """Regression (round 5): a stream whose table lands exactly on the
+    early-change boundary at the LAST data code must frame EOI at the
+    bumped width — the old encoder wrote it one bit narrow and decoders
+    (ours, libtiff) read a spurious trailing entry. n=769 random bytes is
+    the minimal-ish shape that lands the table on the 10→11-bit edge."""
+    import random
+
+    rnd = random.Random(1)
+    for ec in (0, 1):
+        for n in (511, 512, 765, 766, 767, 768, 769, 770, 1021, 1022, 1023):
+            raw = bytes(rnd.randrange(256) for _ in range(n))
+            enc = P._lzw_encode(raw, early_change=ec)
+            assert P._lzw_decode(enc, early_change=ec, max_out=n) == raw
+
+
 
 def test_rle_decode_spec_vectors():
     # literal run, repeat run, EOD mid-stream (trailing bytes ignored)
