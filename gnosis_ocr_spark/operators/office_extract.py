@@ -612,6 +612,12 @@ def sniff_zip_subtype(view: ZipView) -> str:
             return "epub"
         if m == "application/vnd.oasis.opendocument.text":
             return "odt"
+        # spreadsheet/presentation ODF: cell/frame text lives in the same
+        # <text:p> elements, so the ODT walker extracts them as-is
+        if m == "application/vnd.oasis.opendocument.spreadsheet":
+            return "ods"
+        if m == "application/vnd.oasis.opendocument.presentation":
+            return "odp"
     if "META-INF/container.xml" in view:
         return "epub"
     if "content.xml" in view:
@@ -672,7 +678,7 @@ def extract_office(
                 text, np_ = extract_xlsx(view)
             elif sub == "pptx":
                 text, np_ = extract_pptx(view)
-            elif sub == "odt":
+            elif sub in ("odt", "ods", "odp"):
                 text, np_ = extract_odt(view)
             elif sub == "epub":
                 text, np_ = extract_epub(view)

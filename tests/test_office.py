@@ -365,3 +365,43 @@ def test_gzip_payload_transparency():
     assert extract_office(double)[2] in ("gz-gz-deep", "gz-deep")
     # hostile gzip header
     assert extract_office(b"\x1f\x8b\x00garbage")[2] == "gz-bad"
+
+
+def test_ods_odp_extract_through_the_odt_walker():
+    """ODF spreadsheets/presentations put cell/frame text in the same
+    <text:p> elements — the ODT walker extracts them; sniff labels the
+    subtype from the OCF mimetype."""
+    from gnosis_ocr_spark.functions.codec_zip import build_zip as bz
+
+    t_ns = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    o_ns = 'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+    tab_ns = 'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+    content = (
+        f"<office:document-content {o_ns} {t_ns} {tab_ns}>"
+        "<office:body><office:spreadsheet><table:table>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>cell alpha text</text:p></table:table-cell>"
+        "<table:table-cell><text:p>cell beta text</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    ods = bz(
+        [
+            ("mimetype", b"application/vnd.oasis.opendocument.spreadsheet"),
+            ("content.xml", content.encode()),
+        ],
+        stored={"mimetype"},
+    )
+    text, np_, sub = extract_office(ods)
+    assert sub == "ods"
+    assert text == "cell alpha text\n\ncell beta text"
+    assert np_ == 1
+    odp = bz(
+        [
+            ("mimetype", b"application/vnd.oasis.opendocument.presentation"),
+            ("content.xml", content.replace("spreadsheet>", "presentation>").encode()),
+        ],
+        stored={"mimetype"},
+    )
+    assert extract_office(odp)[2] == "odp"
