@@ -84,6 +84,53 @@ def sniff_media_type(data: bytes | None) -> str:
     return "application/octet-stream"
 
 
+_IMAGE_TYPES = frozenset(
+    {"image/png", "image/jpeg", "image/gif", "image/bmp", "image/webp", "image/jp2"}
+)
+
+
+def is_raster_image(data: bytes | None) -> bool:
+    """True for standalone raster payloads the OCR pipeline can rasterize
+    (TIFF excluded — it has its own multi-page route)."""
+    return sniff_media_type(data) in _IMAGE_TYPES
+
+
+def decode_image_gray(data: bytes) -> tuple[int, int, bytes] | None:
+    """One standalone raster image → (w, h, 8-bit gray pixels), or None
+    when undecodable (lossy VP8, arithmetic JPEG, corrupt bytes). The
+    shared decode dispatch for the pipeline's standalone-image OCR route."""
+    try:
+        mtype = sniff_media_type(data)
+        if mtype == "image/png":
+            from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+
+            return decode_png_gray(data)
+        if mtype == "image/jpeg":
+            from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg
+
+            w, h, _, luma = decode_jpeg(data)
+            return w, h, luma
+        if mtype == "image/gif":
+            from gnosis_ocr_spark.functions.codec_media import decode_gif_gray
+
+            return decode_gif_gray(data)
+        if mtype == "image/bmp":
+            from gnosis_ocr_spark.functions.codec_media import decode_bmp_gray
+
+            return decode_bmp_gray(data)
+        if mtype == "image/webp":
+            from gnosis_ocr_spark.functions.codec_vp8l import decode_webp_gray
+
+            return decode_webp_gray(data)
+        if mtype == "image/jp2":
+            from gnosis_ocr_spark.functions.codec_jpx import decode_jpx_gray
+
+            return decode_jpx_gray(data)
+    except Exception:
+        return None
+    return None
+
+
 def _decode_png_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     w, h = decode_dimensions(data)
     return w, h, None

@@ -162,6 +162,16 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
             return gray, w, h
         except Exception:
             return None  # tiled/16-bit/JPEG-in-TIFF page → blank
+    if img.codec == "image":
+        # standalone raster file (PNG/JPEG/GIF/BMP/WebP/JP2) from the
+        # image route: the original bytes decode here, page-parallel
+        from gnosis_ocr_spark.operators.multimodal import decode_image_gray
+
+        got = decode_image_gray(img.data)
+        if got is None:
+            return None  # lossy-VP8 / arithmetic-JPEG / corrupt → blank
+        w, h, gray = got
+        return gray, w, h
     return None
 
 
@@ -269,6 +279,12 @@ def _scan_png(images) -> bytes | None:
 _TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 
+def _is_raster(data: bytes) -> bool:
+    from gnosis_ocr_spark.operators.multimodal import is_raster_image
+
+    return is_raster_image(data)
+
+
 def _tiff_page_rows(data: bytes) -> list[tuple[str | None, bytes | None]]:
     """Multi-page TIFF bytes → [(page_text=None, page_png=GIMG pack)] —
     one row per IFD. Each page ships as a rebuilt single-page TIFF
@@ -289,6 +305,18 @@ def _tiff_page_rows(data: bytes) -> list[tuple[str | None, bytes | None]]:
         )
         rows.append((None, _pack_images([img])))
     return rows
+
+
+def _image_page_rows(data: bytes) -> list[tuple[str | None, bytes | None]]:
+    """Standalone raster image bytes → one page row. The still-compressed
+    file ships in the same deferred-image container as the PDF/TIFF
+    scanned paths (codec 'image'), so decode happens page-parallel in the
+    fused raster+OCR stage — the Spark restatement of the reference's
+    direct image-upload OCR (app/static/js/app.js:392 accepts
+    png/jpg/jpeg/webp; poppler-equivalent rasterization is a no-op here)."""
+    from gnosis_ocr_spark.functions.codec_pdf import PdfImage
+
+    return [(None, _pack_images([PdfImage(0, 0, 8, "Image", "image", data)]))]
 
 
 def _pdf_page_rows(data: bytes) -> Iterator[tuple[str | None, bytes | None]]:
@@ -317,11 +345,15 @@ def _make_split_batches(with_route: bool):
                 emitted = 0
                 data = bytes(blob) if blob is not None else b""
                 is_tiff = data[:4] in _TIFF_MAGICS
-                route = "tiff" if is_tiff else "pdf"
+                is_image = not is_tiff and _is_raster(data)
+                route = "tiff" if is_tiff else ("image" if is_image else "pdf")
                 try:
-                    page_rows = (
-                        _tiff_page_rows(data) if is_tiff else _pdf_page_rows(data)
-                    )
+                    if is_tiff:
+                        page_rows = _tiff_page_rows(data)
+                    elif is_image:
+                        page_rows = _image_page_rows(data)
+                    else:
+                        page_rows = _pdf_page_rows(data)
                     for off, (text, png) in enumerate(page_rows):
                         out_url.append(url)
                         out_no.append(1 + off)

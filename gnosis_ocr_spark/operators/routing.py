@@ -10,11 +10,14 @@ expressions — stays inside whole-stage codegen, no Python."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ROUTE_PDF = "pdf"
 ROUTE_TIFF = "tiff"
+ROUTE_IMAGE = "image"  # standalone raster → raster+OCR heavy branch
 ROUTE_OFFICE = "office"
 ROUTE_FEED = "feed"
 ROUTE_HTML = "html"
@@ -44,6 +47,36 @@ def is_pdf_col(html: Column) -> Column:
 def is_tiff_col(html: Column) -> Column:
     head = F.substring(html, 1, 4)
     return (head == F.lit(_TIFF_MAGIC_LE)) | (head == F.lit(_TIFF_MAGIC_BE))
+
+
+def is_image_col(html: Column) -> Column:
+    """Standalone raster images — the reference OCRs these directly
+    (client accepts .png/.jpg/.jpeg/.webp, app/static/js/app.js:392).
+    Mirrors multimodal.sniff_media_type (incl. the BMP DIB-size check that
+    keeps text starting with 'BM' off the image path); TIFF is excluded —
+    it has its own multi-page route."""
+    return (
+        (F.substring(html, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+        | (F.substring(html, 1, 3) == F.lit(b"\xff\xd8\xff"))
+        | (F.substring(html, 1, 6) == F.lit(b"GIF87a"))
+        | (F.substring(html, 1, 6) == F.lit(b"GIF89a"))
+        | (
+            (F.substring(html, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(html, 9, 4) == F.lit(b"WEBP"))
+        )
+        | (F.substring(html, 1, 8) == F.lit(b"\x00\x00\x00\x0cjP  "))
+        | (F.substring(html, 1, 4) == F.lit(b"\xff\x4f\xff\x51"))
+        | (
+            (F.substring(html, 1, 2) == F.lit(b"BM"))
+            & reduce(
+                lambda a, b: a | b,
+                [
+                    F.substring(html, 15, 4) == F.lit(bytes([n, 0, 0, 0]))
+                    for n in (12, 40, 52, 56, 108, 124)
+                ],
+            )
+        )
+    )
 
 
 def is_office_col(html: Column) -> Column:
@@ -80,6 +113,7 @@ def route_col(html: Column) -> Column:
         F.when(html.isNull() | (F.length(html) == 0), F.lit(ROUTE_EMPTY))
         .when(is_pdf_col(html), F.lit(ROUTE_PDF))
         .when(is_tiff_col(html), F.lit(ROUTE_TIFF))
+        .when(is_image_col(html), F.lit(ROUTE_IMAGE))
         .when(is_office_col(html), F.lit(ROUTE_OFFICE))
         .when(is_feed_col(html), F.lit(ROUTE_FEED))
         .otherwise(F.lit(ROUTE_HTML))

@@ -215,6 +215,53 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HTML_EXTRACT = f"SELECT doc_id, {_NORM_SQL} AS extracted_text FROM documents"
 
 
+def _image_writer(fmt: str):
+    """Standalone-image writer for the pdf_extract rotation: the expected
+    TWO-PAGE oracle string (trim(p1) + blank line + trim(p2)) rides one
+    scan-matrix raster, so the same oracle text expression certifies the
+    image route — only n_pages differs (1, mirrored by the oracle CASE)."""
+
+    def write(pages: list[str]) -> bytes:
+        from gnosis_ocr_spark.functions.codec_png import (
+            encode_gray_png,
+            encode_scan_pixels,
+            encode_scan_pixels_robust,
+        )
+
+        text = "\n\n".join(p.strip() for p in pages)
+        if fmt == "jpeg":
+            from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+
+            return encode_gray_jpeg(
+                encode_scan_pixels_robust(text, 64, 64), 64, 64
+            )
+        px = encode_scan_pixels(text, 64, 64)
+        if fmt == "png":
+            return encode_gray_png(px, 64, 64)
+        if fmt == "gif":
+            from gnosis_ocr_spark.functions.codec_media import encode_gray_gif
+
+            return encode_gray_gif(px, 64, 64)
+        if fmt == "bmp":
+            from gnosis_ocr_spark.functions.codec_media import encode_gray_bmp
+
+            return encode_gray_bmp(px, 64, 64)
+        if fmt == "webp":
+            from gnosis_ocr_spark.functions.codec_vp8l import (
+                encode_webp_lossless_gray,
+            )
+
+            return encode_webp_lossless_gray(px, 64, 64)
+        import numpy as np
+
+        from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
+
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(64, 64)
+        return encode_jp2([arr], lossless=True)
+
+    return write
+
+
 def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from gnosis_ocr_spark.functions import codec_pdf as _cp
 
@@ -254,13 +301,23 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_scanned(
             p, width=128, height=128, image_filter="jbig2"
         ),
+        # STANDALONE images (indices >= 16, mirrored by the oracle's
+        # n_pages CASE): the whole expected two-page string rides ONE
+        # scan-matrix raster — the reference's direct image-upload path
+        _image_writer("png"),
+        _image_writer("jpeg"),
+        _image_writer("webp"),
+        _image_writer("gif"),
+        _image_writer("bmp"),
+        _image_writer("jp2"),
     )
     for b in batches:
         out = {"url": [], "html": []}
         for doc_id, norm in zip(b["doc_id"], b["norm"]):
             p1, p2 = norm[:60], norm[60:120]
             out["url"].append(str(doc_id))
-            out["html"].append(writers[int(doc_id) % len(writers)]([p1, p2]))
+            w = writers[int(doc_id) % len(writers)]
+            out["html"].append(w([p1, p2]))
         yield pd.DataFrame(out)
 
 
@@ -283,12 +340,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
+# 22 writer classes; indices >= 16 are standalone images (one page
+# carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       2 AS n_pages
+       CASE WHEN doc_id % 22 >= 16 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 
@@ -296,36 +355,44 @@ FROM n WHERE length(norm) >= 120
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 magic-byte routing over a constructed mixed-payload corpus —
     pdf / html / empty / ZIP container / RTF / CFB (OLE2) / RFC 5322 mail /
-    gzip (the last five all route 'office') / RSS (routes 'feed')."""
+    gzip (the last five all route 'office') / RSS (routes 'feed') / PNG
+    (routes 'image')."""
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 9 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
-        .when(F.col("doc_id") % 9 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
+        F.when(F.col("doc_id") % 10 == 0, F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 10 == 1, F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 9 == 3,
+            F.col("doc_id") % 10 == 3,
             F.concat(F.lit(bytearray(b"PK\x03\x04")), F.encode(F.col("text"), "UTF-8")),
         )
-        .when(F.col("doc_id") % 9 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
+        .when(F.col("doc_id") % 10 == 4, F.encode(F.concat(F.lit("{\\rtf1 "), F.col("text")), "UTF-8"))
         .when(
-            F.col("doc_id") % 9 == 5,
+            F.col("doc_id") % 10 == 5,
             F.concat(F.lit(bytearray(b"\xd0\xcf\x11\xe0")), F.encode(F.col("text"), "UTF-8")),
         )
         .when(
-            F.col("doc_id") % 9 == 6,
+            F.col("doc_id") % 10 == 6,
             F.encode(
                 F.concat(F.lit("Subject: t\r\nFrom: a@b.test\r\n\r\n"), F.col("text")),
                 "UTF-8",
             ),
         )
         .when(
-            F.col("doc_id") % 9 == 7,
+            F.col("doc_id") % 10 == 7,
             F.concat(F.lit(bytearray(b"\x1f\x8b")), F.encode(F.col("text"), "UTF-8")),
         )
         .when(
-            F.col("doc_id") % 9 == 8,
+            F.col("doc_id") % 10 == 8,
             F.encode(
                 F.concat(F.lit('<rss version="2.0"><channel>'), F.col("text")),
                 "UTF-8",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 9,
+            F.concat(
+                F.lit(bytearray(b"\x89PNG\r\n\x1a\n")),
+                F.encode(F.col("text"), "UTF-8"),
             ),
         )
         .otherwise(F.encode(F.lit(""), "UTF-8"))
@@ -338,9 +405,10 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUTE_COUNTS = """
-SELECT CASE WHEN doc_id % 9 = 0 THEN 'pdf' WHEN doc_id % 9 = 1 THEN 'html'
-            WHEN doc_id % 9 IN (3, 4, 5, 6, 7) THEN 'office'
-            WHEN doc_id % 9 = 8 THEN 'feed'
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'pdf' WHEN doc_id % 10 = 1 THEN 'html'
+            WHEN doc_id % 10 IN (3, 4, 5, 6, 7) THEN 'office'
+            WHEN doc_id % 10 = 8 THEN 'feed'
+            WHEN doc_id % 10 = 9 THEN 'image'
             ELSE 'empty' END AS route, COUNT(*) AS cnt
 FROM documents GROUP BY 1
 """

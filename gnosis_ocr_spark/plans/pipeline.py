@@ -43,6 +43,7 @@ from gnosis_ocr_spark.operators.pdf_split import (
     split_pdf_text_pages,
 )
 from gnosis_ocr_spark.operators.routing import (
+    ROUTE_IMAGE,
     ROUTE_PDF,
     ROUTE_TIFF,
     with_route,
@@ -81,7 +82,7 @@ def extract_corpus(
     # (docx/xlsx/pptx/odt/epub/rtf containers) → codec_zip/XML extraction,
     # empty → ('', 0). One fused UDF so the raw bytes cross Arrow once.
     non_pdf = (
-        routed.filter(~F.col("route").isin(ROUTE_PDF, ROUTE_TIFF))
+        routed.filter(~F.col("route").isin(ROUTE_PDF, ROUTE_TIFF, ROUTE_IMAGE))
         .withColumn(
             "_lx", light_extract_udf(F.col("html"), F.col("route"))
         )
@@ -102,7 +103,7 @@ def extract_corpus(
     # split stage re-sniffs the magic per blob and emits a route column
     # that rides the existing exchanges (no extra shuffle)
     pdf_rows = routed.filter(
-        F.col("route").isin(ROUTE_PDF, ROUTE_TIFF)
+        F.col("route").isin(ROUTE_PDF, ROUTE_TIFF, ROUTE_IMAGE)
     ).select("url", "html")
     pdf_rows = salted_repartition(pdf_rows, pdf_partitions)
     pages = split_pdf_text_pages(pdf_rows, with_route=True)

@@ -54,8 +54,10 @@ def test_results_partitioned_by_route(spark, tmp_path):
     dirs = sorted(
         d for d in os.listdir(f"{out}/results") if d.startswith("route=")
     )
-    # corpus v11+ carries office documents in the rotation
-    assert dirs == ["route=empty", "route=html", "route=office", "route=pdf"]
+    # corpus v11+ carries office documents, v16+ standalone images
+    assert dirs == [
+        "route=empty", "route=html", "route=image", "route=office", "route=pdf",
+    ]
 
     # canonical view still reads the partitioned layout correctly
     canon = canonical_results(spark, out)
