@@ -702,10 +702,10 @@ def webp_dimensions(data: bytes) -> tuple[int, int]:
     shapes (public RIFF/WebP spec): VP8X (extended: 24-bit canvas size
     minus one), VP8 (lossy: the keyframe start code + 14-bit dims), VP8L
     (lossless: signature 0x2F + two LSB-packed 14-bit dims minus one).
-    VP8L pixel decode is REAL (codec_vp8l implements the full
-    Huffman/LZ77/transform stack); lossy VP8 pixel decode stays out,
-    loudly — the boolean-arithmetic DCT codec is the documented
-    ffmpeg/PIL swap seam, same boundary class as codec_h264's header."""
+    Both pixel decodes are REAL: VP8L via codec_vp8l (the full
+    Huffman/LZ77/transform stack) and lossy VP8 key frames via
+    codec_vp8 (boolean-arithmetic DCT, conformance-verified
+    byte-for-byte against the system libwebp)."""
     if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("WebP: bad container")
     fourcc = data[12:16]
@@ -730,8 +730,9 @@ def webp_dimensions(data: bytes) -> tuple[int, int]:
 
 def build_webp_lossy_header(width: int, height: int) -> bytes:
     """Fixture: a VP8 (lossy) WebP whose header fields are spec-exact and
-    whose coefficient payload is opaque filler — dimension parsing and
-    sniffing are REAL-testable; decode correctly refuses it."""
+    whose coefficient payload is zero filler — dimension parsing and
+    sniffing are REAL-testable; codec_vp8 decodes it as an all-default
+    flat frame (the boolean decoder's zero-extension semantics)."""
     if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
         raise ValueError("WebP: dims out of 14-bit range")
     frame_tag = bytes((0x10, 0x00, 0x00))  # keyframe, version 0, show=1

@@ -8,8 +8,9 @@ ARGB format with LZ77 backward references over a 2-D distance
 neighborhood, an optional color cache, meta prefix-code tiling, and four
 invertible transforms (predictor, color, subtract-green, color-indexing
 with sub-byte pixel bundling). All of those decode here. The lossy half
-(the ``VP8 `` chunk — boolean-arithmetic DCT coding) remains out,
-loudly, same boundary class as codec_h264's entropy-coded macroblocks.
+(the ``VP8 `` chunk — boolean-arithmetic DCT coding) decodes in
+codec_vp8 (conformance-verified against the system libwebp) and is
+dispatched to from ``decode_webp_gray``.
 
 Decoder scope/honesty:
 - Full feature coverage: simple + normal prefix codes (incl. the
@@ -649,8 +650,8 @@ def _decode_spatial(br: _BitReader, w: int, h: int, is_level0: bool) -> list[int
 
 def decode_webp_gray(data: bytes) -> tuple[int, int, bytes]:
     """Full WebP container → visual 8-bit grayscale (ITU-R 601 integer
-    luma) for LOSSLESS (VP8L) payloads; lossy VP8 raises loudly (the
-    boolean-arithmetic DCT codec is the documented libwebp swap seam)."""
+    luma) for LOSSLESS (VP8L) payloads; lossy (``VP8 ``) key frames
+    dispatch to the codec_vp8 decoder (Y plane = luma)."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise Vp8lError("WebP: bad container")
     pos = 12
@@ -667,11 +668,14 @@ def decode_webp_gray(data: bytes) -> tuple[int, int, bytes]:
             luma = ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
             return w, h, luma.tobytes()
         if fourcc == b"VP8 ":
-            raise Vp8lError(
-                "WebP: lossy VP8 pixel decode not implemented in-engine"
-            )
+            # lossy key frames decode in-engine too (codec_vp8 —
+            # conformance-verified byte-for-byte against the system
+            # libwebp); the Y plane is the BT.601 luma directly
+            from gnosis_ocr_spark.functions.codec_vp8 import decode_vp8_gray
+
+            return decode_vp8_gray(payload)
         pos += 8 + size + (size & 1)
-    raise Vp8lError("WebP: no VP8L chunk")
+    raise Vp8lError("WebP: no VP8L/VP8 bitstream chunk")
 
 
 # ------------------------------------------------------------- encoder

@@ -17,10 +17,10 @@ for TIFF (stripped AND tiled, 1/8/16-bit, CCITT fax, LZW/deflate/
 PackBits, new-style JPEG-in-TIFF — codec_tiff composes the in-repo
 decoders) and BMP, and
 audio features are real DSP over 16-bit PCM. WebP pixel decode is REAL
-for lossless (VP8L) payloads — the full prefix-code/LZ77/transform stack
-in functions/codec_vp8l.py — while lossy VP8 stays out, loudly (the
-boolean-arithmetic DCT codec; see codec_media.webp_dimensions'
-docstring for the boundary rationale). Video keyframe SAMPLING is real at the
+for BOTH lossless (VP8L — the full prefix-code/LZ77/transform stack in
+functions/codec_vp8l.py) and lossy payloads (VP8 key frames in
+functions/codec_vp8.py, conformance-verified byte-for-byte against the
+system libwebp). Video keyframe SAMPLING is real at the
 container level (round 5): sample_frames walks the MP4 sample tables
 (codec_media.mp4_video_samples) and emits actual encoded keyframe bytes
 + true timestamps, and pixel decode of those payloads is REAL for
@@ -97,7 +97,7 @@ def is_raster_image(data: bytes | None) -> bool:
 
 def decode_image_gray(data: bytes) -> tuple[int, int, bytes] | None:
     """One standalone raster image → (w, h, 8-bit gray pixels), or None
-    when undecodable (lossy VP8, arithmetic JPEG, corrupt bytes). The
+    when undecodable (arithmetic JPEG, corrupt bytes). The
     shared decode dispatch for the pipeline's standalone-image OCR route."""
     try:
         mtype = sniff_media_type(data)
@@ -331,8 +331,8 @@ def _feature_batches(dim: int):
                     except Exception:
                         px = None
                 elif mtype == "image/webp":
-                    # real for LOSSLESS (VP8L) payloads (codec_vp8l);
-                    # lossy VP8 raises → bytes-histogram stub below
+                    # real for BOTH lossless (VP8L, codec_vp8l) and
+                    # lossy (VP8 key frames, codec_vp8) payloads
                     try:
                         from gnosis_ocr_spark.functions.codec_vp8l import (
                             decode_webp_gray,
@@ -530,7 +530,7 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         dw, dh, gray = decode_webp_gray(data)
                         decoded = (gray, dw, dh)
                     except Exception:
-                        w = h = None  # lossy VP8: passthrough (codec_vp8l)
+                        w = h = None  # corrupt/hostile webp: passthrough
                 if decoded is not None:
                     px, dw, dh = decoded
                     if max(dw, dh) <= max_dim:

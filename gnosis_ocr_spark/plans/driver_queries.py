@@ -252,6 +252,17 @@ def _image_writer(fmt: str):
             )
 
             return encode_webp_lossless_gray(px, 64, 64)
+        if fmt == "webp_lossy":
+            import numpy as np
+
+            from gnosis_ocr_spark.functions.codec_vp8 import build_webp_lossy
+
+            arr = np.frombuffer(
+                encode_scan_pixels_robust(text, 64, 64), np.uint8
+            ).reshape(64, 64)
+            # qindex 0 keeps VP8 quantization noise within the robust
+            # matrix's ±7 band tolerance (same class as the jpeg writer)
+            return build_webp_lossy(arr, qindex=0)[0]
         import numpy as np
 
         from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
@@ -310,6 +321,7 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         _image_writer("gif"),
         _image_writer("bmp"),
         _image_writer("jp2"),
+        _image_writer("webp_lossy"),
     )
     for b in batches:
         out = {"url": [], "html": []}
@@ -340,14 +352,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 22 writer classes; indices >= 16 are standalone images (one page
+# 23 writer classes; indices >= 16 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 22 >= 16 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 23 >= 16 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

@@ -421,6 +421,16 @@ def test_media_features_identical_pixels_across_tiff_and_bmp(spark):
     assert float(got["tif"].sum()) == pytest.approx(1.0)
 
 
+
+def _lossy_webp_500x400() -> bytes:
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_vp8 import build_webp_lossy
+
+    yy, xx = np.mgrid[0:400, 0:500]
+    return build_webp_lossy(
+        ((yy // 7 * 31 + xx // 9 * 17) % 256).astype(np.uint8), qindex=80)[0]
+
 def test_resize_real_for_tiff_and_bmp(spark):
     from gnosis_ocr_spark.functions.codec_png import (
         decode_dimensions,
@@ -434,7 +444,7 @@ def test_resize_real_for_tiff_and_bmp(spark):
             gray.tobytes(), 300, 120, compression="g4", photometric=0,
             rows_per_strip=50))),
         ("bmp", bytearray(M.encode_gray_bmp(gray.tobytes(), 300, 120))),
-        ("webp", bytearray(M.build_webp_lossy_header(500, 400))),
+        ("webp", bytearray(_lossy_webp_500x400())),
     ]
     df = spark.createDataFrame(rows, schema="url string, data binary")
     got = {r["url"]: r.asDict() for r in resize_images(df, max_dim=64).collect()}
@@ -444,6 +454,8 @@ def test_resize_real_for_tiff_and_bmp(spark):
         w, h = decode_dimensions(bytes(got[k]["data"]))
         assert (w, h) == (got[k]["width"], got[k]["height"])
         decode_pixels(bytes(got[k]["data"]))  # output PNG really decodes
-    # no pixel decoder for WebP → honest passthrough, bytes unchanged
-    assert got["webp"]["status"] == "passthrough"
-    assert bytes(got["webp"]["data"]) == bytes(rows[2][1])
+    # round 5: lossy WebP decodes in-engine (codec_vp8) → real resize
+    assert got["webp"]["status"] == "resized"
+    assert max(got["webp"]["width"], got["webp"]["height"]) == 64
+    w, h = decode_dimensions(bytes(got["webp"]["data"]))
+    assert (w, h) == (got["webp"]["width"], got["webp"]["height"])

@@ -83,11 +83,14 @@ def test_container_dims_agree_with_header_parse():
     assert webp_dimensions(webp) == (19, 13)
 
 
-def test_lossy_vp8_raises_loudly():
+def test_lossy_vp8_dispatches_to_codec_vp8():
+    # round 5: lossy key frames decode in-engine (codec_vp8); the
+    # header-only filler fixture is spec-decodable as an all-default
+    # flat frame (boolean-decoder zero-extension)
     from gnosis_ocr_spark.functions.codec_media import build_webp_lossy_header
 
-    with pytest.raises(V.Vp8lError, match="lossy VP8"):
-        V.decode_webp_gray(build_webp_lossy_header(64, 64))
+    w, h, gray = V.decode_webp_gray(build_webp_lossy_header(64, 64))
+    assert (w, h) == (64, 64) and len(gray) == 64 * 64
 
 
 def test_pixel_bound_rejects_hostile_header():
@@ -384,14 +387,22 @@ def test_resize_images_real_for_lossless_webp(spark):
     assert (dw, dh) == (row.width, row.height)
 
 
-def test_resize_lossy_webp_stays_passthrough(spark):
-    from gnosis_ocr_spark.functions.codec_media import build_webp_lossy_header
+def test_resize_lossy_webp_decodes_real(spark):
+    # round 5: lossy WebP rides the real decode→resize path (codec_vp8)
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+    from gnosis_ocr_spark.functions.codec_vp8 import build_webp_lossy
     from gnosis_ocr_spark.operators.multimodal import resize_images
 
-    blob = build_webp_lossy_header(500, 400)
+    yy, xx = np.mgrid[0:80, 0:120]
+    blob, recon = build_webp_lossy(
+        ((yy * 3 + xx * 2) % 256).astype(np.uint8), qindex=10)
     df = spark.createDataFrame(
         [("u1", bytearray(blob))], "url string, data binary"
     )
     row = resize_images(df, max_dim=32).collect()[0]
-    assert row.status == "passthrough"
-    assert bytes(row.data) == blob
+    assert row.status == "resized"
+    assert max(row.width, row.height) <= 32
+    dw, dh, _ = decode_png_gray(bytes(row.data))
+    assert (dw, dh) == (row.width, row.height)
