@@ -436,9 +436,12 @@ def _inverse_color_transform(argb: list[int], w: int, h: int,
         for x in range(w):
             pos = y * w + x
             t = tiles[(y >> tile_bits) * tiles_w + (x >> tile_bits)]
-            g2r = (t >> 16) & 0xFF  # stored in the tile's RED channel
-            g2b = (t >> 8) & 0xFF   # GREEN channel
-            r2b = t & 0xFF          # BLUE channel
+            # channel layout per the spec / libwebp ColorCodeToMultipliers:
+            # green_to_red in bits 0-7 (BLUE channel), green_to_blue in
+            # bits 8-15 (GREEN), red_to_blue in bits 16-23 (RED)
+            g2r = t & 0xFF
+            g2b = (t >> 8) & 0xFF
+            r2b = (t >> 16) & 0xFF
             px = argb[pos]
             g = (px >> 8) & 0xFF
             r = ((px >> 16) & 0xFF) + _ct_delta(g2r, g)

@@ -144,7 +144,7 @@ def test_color_transform_inverts_forward():
     bw.write(1, 2)  # COLOR transform
     bits = 4  # one 16x16 tile covers the image
     bw.write(bits - 2, 3)
-    tile = 0xFF000000 | (g2r << 16) | (g2b << 8) | r2b
+    tile = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
     _encode_spatial(bw, [tile], 1, rle=False, cache_bits=0, is_level0=False)
     bw.write(0, 1)  # no more transforms
     _encode_spatial(bw, residual, w, rle=False, cache_bits=0)
