@@ -623,9 +623,9 @@ def bmp_dimensions(data: bytes) -> tuple[int, int]:
 
 
 def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit BMP → visual
-    8-bit grayscale (integer ITU-R 601 luma). Rows are 4-byte padded and
-    bottom-up unless biHeight < 0."""
+    """Uncompressed (BI_RGB) 1/4/8-bit palette / 24-bit / 32-bit BMP →
+    visual 8-bit grayscale (integer ITU-R 601 luma). Rows are 4-byte
+    padded and bottom-up unless biHeight < 0."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("BMP: bad header")
     (px_off,) = struct.unpack_from("<I", data, 10)
@@ -642,9 +642,9 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("BMP: bad dimensions")
     if comp != 0:  # BI_RGB only; RLE/bitfields are a vanishing crawl tail
         raise ValueError(f"BMP: compression {comp} unsupported")
-    if bpp not in (8, 24, 32):
+    if bpp not in (1, 4, 8, 24, 32):
         raise ValueError(f"BMP: {bpp}-bpp unsupported")
-    stride = (w * bpp // 8 + 3) & ~3
+    stride = ((w * bpp + 31) // 32) * 4
     need = px_off + stride * h
     if need > len(data):
         raise ValueError("BMP: truncated pixel array")
@@ -653,8 +653,8 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
     ).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
-    if bpp == 8:
-        n = clr_used or 256
+    if bpp <= 8:
+        n = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n > px_off or pal_off + 4 * n > len(data):
             raise ValueError("BMP: truncated palette")
@@ -663,7 +663,15 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
         ).reshape(n, 4).astype(np.uint16)  # BGRA entries
         luma = ((29 * pal[:, 0] + 150 * pal[:, 1] + 77 * pal[:, 2]) >> 8
                 ).astype(np.uint8)
-        idx = rows[:, :w]
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:  # high nibble is the left pixel
+            nib = np.empty((h, rows.shape[1] * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        else:  # 1-bpp: MSB is the left pixel
+            idx = np.unpackbits(rows, axis=1)[:, :w]
         if idx.max(initial=0) >= n:
             raise ValueError("BMP: palette index out of range")
         return w, h, luma[idx].tobytes()
