@@ -762,3 +762,251 @@ def build_webp_lossless_header(width: int, height: int) -> bytes:
         vp8l += b"\x00"
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------- HEIF/AVIF
+#
+# HEIF (ISO 23008-12) and AVIF (AOM AVIF spec) are still-image containers
+# over the same ISO-BMFF box grammar as MP4, so they share _walk_boxes.
+# The metadata layer is REAL: ftyp brand dispatch, meta → pitm/iinf/iprp
+# walk, ispe dimensions resolved through the ipma property-association
+# table for the primary item. Pixel decode stays out, loudly: the coded
+# payloads are HEVC (ITU H.265) / AV1 — entropy machinery far beyond the
+# codecs shipped here — so heif_info never returns pixels and callers
+# treat these types as metadata-only (exactly how video/mp4 is handled).
+
+_HEIF_IMAGE_BRANDS = frozenset(
+    {b"heic", b"heix", b"hevc", b"hevx", b"heim", b"heis", b"mif1"}
+)
+_AVIF_BRANDS = frozenset({b"avif", b"avis"})
+
+
+def ftyp_brands(data: bytes) -> tuple[bytes, frozenset[bytes]]:
+    """(major_brand, {major + compatible brands}) of an ISO-BMFF file."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    (size,) = struct.unpack(">I", data[:4])
+    size = min(size, len(data))
+    major = data[8:12]
+    brands = {major}
+    for off in range(16, size - 3, 4):
+        brands.add(data[off : off + 4])
+    return major, frozenset(brands)
+
+
+def bmff_media_type(data: bytes) -> str:
+    """image/avif, image/heif, or video/mp4 for an ISO-BMFF payload."""
+    try:
+        major, brands = ftyp_brands(data)
+    except ValueError:
+        return "application/octet-stream"
+    if brands & _AVIF_BRANDS:
+        return "image/avif"
+    if major in _HEIF_IMAGE_BRANDS or brands & (_HEIF_IMAGE_BRANDS - {b"mif1"}):
+        # mif1 alone is brand-generic (any MIAF file); require a heic-family
+        # brand somewhere unless mif1 is the major brand with a pict handler
+        return "image/heif"
+    if major == b"mif1":
+        return "image/heif"
+    return "video/mp4"
+
+
+def _fullbox_body(buf: bytes, bs: int, be: int) -> tuple[int, int, int]:
+    """(version, flags, body_start_after_fullbox_header)."""
+    if bs + 4 > be:
+        raise ValueError("truncated FullBox")
+    ver = buf[bs]
+    flags = int.from_bytes(buf[bs + 1 : bs + 4], "big")
+    return ver, flags, bs + 4
+
+
+MAX_HEIF_ITEMS = 4096  # hostile-input bound: iinf can claim 2^32 entries
+
+
+def heif_info(data: bytes) -> dict:
+    """HEIF/AVIF metadata: primary item dimensions via meta → pitm + ipma →
+    ispe (ISO 23008-12 §6.2, ISO 14496-12 §8.11). Returns
+    {major_brand, codec, width, height, rotation, n_items}; raises
+    ValueError when the meta tree is absent or malformed."""
+    major, _brands = ftyp_brands(data)
+    meta = _child(data, 0, len(data), b"meta")
+    if meta is None:
+        raise ValueError("HEIF: no meta box")
+    _, _, body = _fullbox_body(data, *meta)  # meta is a FullBox
+
+    primary = None
+    item_types: dict[int, bytes] = {}
+    ipco_props: list[tuple[bytes, int, int]] = []
+    assoc: dict[int, list[int]] = {}
+
+    for bt, bs, be in _walk_boxes(data, body, meta[1]):
+        if bt == b"pitm":
+            ver, _, p = _fullbox_body(data, bs, be)
+            if ver == 0:
+                (primary,) = struct.unpack(">H", data[p : p + 2])
+            else:
+                (primary,) = struct.unpack(">I", data[p : p + 4])
+        elif bt == b"iinf":
+            ver, _, p = _fullbox_body(data, bs, be)
+            if ver == 0:
+                (count,) = struct.unpack(">H", data[p : p + 2])
+                p += 2
+            else:
+                (count,) = struct.unpack(">I", data[p : p + 4])
+                p += 4
+            if count > MAX_HEIF_ITEMS:
+                raise ValueError("HEIF: iinf entry count exceeds bound")
+            for ibt, ibs, ibe in _walk_boxes(data, p, be):
+                if ibt != b"infe":
+                    continue
+                iver, _, ip = _fullbox_body(data, ibs, ibe)
+                if iver >= 2:
+                    if iver == 2:
+                        (iid,) = struct.unpack(">H", data[ip : ip + 2])
+                        ip += 2
+                    else:
+                        (iid,) = struct.unpack(">I", data[ip : ip + 4])
+                        ip += 4
+                    ip += 2  # item_protection_index
+                    item_types[iid] = data[ip : ip + 4]
+        elif bt == b"iprp":
+            ipco = _child(data, bs, be, b"ipco")
+            if ipco is not None:
+                for pbt, pbs, pbe in _walk_boxes(data, *ipco):
+                    ipco_props.append((pbt, pbs, pbe))
+            ipma_box = _child(data, bs, be, b"ipma")
+            if ipma_box is not None:
+                ver, flags, p = _fullbox_body(data, *ipma_box)
+                (count,) = struct.unpack(">I", data[p : p + 4])
+                p += 4
+                if count > MAX_HEIF_ITEMS:
+                    raise ValueError("HEIF: ipma entry count exceeds bound")
+                for _ in range(count):
+                    if ver == 0:
+                        (iid,) = struct.unpack(">H", data[p : p + 2])
+                        p += 2
+                    else:
+                        (iid,) = struct.unpack(">I", data[p : p + 4])
+                        p += 4
+                    acount = data[p]
+                    p += 1
+                    idxs = []
+                    for _ in range(acount):
+                        if flags & 1:
+                            (v,) = struct.unpack(">H", data[p : p + 2])
+                            p += 2
+                            idxs.append(v & 0x7FFF)
+                        else:
+                            idxs.append(data[p] & 0x7F)
+                            p += 1
+                    assoc[iid] = idxs
+
+    def _prop_for(item_id: int | None, fourcc: bytes):
+        if item_id is not None and item_id in assoc:
+            for idx in assoc[item_id]:  # 1-based into ipco
+                if 1 <= idx <= len(ipco_props) and ipco_props[idx - 1][0] == fourcc:
+                    return ipco_props[idx - 1]
+        for prop in ipco_props:  # fallback: first such property
+            if prop[0] == fourcc:
+                return prop
+        return None
+
+    width = height = None
+    ispe = _prop_for(primary, b"ispe")
+    if ispe is not None:
+        _, _, p = _fullbox_body(data, ispe[1], ispe[2])
+        width, height = struct.unpack(">II", data[p : p + 8])
+
+    rotation = 0
+    irot = _prop_for(primary, b"irot")
+    if irot is not None:
+        rotation = (data[irot[1]] & 3) * 90
+
+    codec_cc = item_types.get(primary) if primary is not None else None
+    if codec_cc is None and item_types:
+        codec_cc = next(iter(item_types.values()))
+    codec = {
+        b"hvc1": "hevc",
+        b"av01": "av1",
+        b"avc1": "avc",
+        b"jpeg": "jpeg",
+        b"grid": "grid",
+    }.get(codec_cc, codec_cc.decode("ascii", "replace") if codec_cc else "unknown")
+
+    if width is None:
+        raise ValueError("HEIF: no ispe property (no dimensions)")
+    return {
+        "major_brand": major.decode("ascii", "replace"),
+        "codec": codec,
+        "width": int(width),
+        "height": int(height),
+        "rotation": rotation,
+        "n_items": len(item_types),
+    }
+
+
+def build_heif(
+    width: int,
+    height: int,
+    *,
+    brand: bytes = b"heic",
+    codec: bytes = b"hvc1",
+    rotation: int = 0,
+    payload: bytes = b"\x00" * 16,
+) -> bytes:
+    """Fixture writer: a structurally valid single-item HEIF/AVIF file —
+    ftyp + meta(hdlr/pict, pitm, iinf/infe, iprp(ipco(ispe[,irot]) + ipma),
+    iloc) + mdat. The coded payload is opaque filler (we never decode
+    HEVC/AV1); every box follows ISO 14496-12 §8.11 / ISO 23008-12 §6.2 so
+    conformant readers resolve the primary item and its ispe dimensions."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def full(fourcc: bytes, body: bytes, ver: int = 0, flags: int = 0) -> bytes:
+        return box(fourcc, bytes((ver,)) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = full(b"pitm", struct.pack(">H", 1))
+    infe = full(b"infe", struct.pack(">H", 1) + b"\x00\x00" + codec + b"\x00", ver=2)
+    iinf = full(b"iinf", struct.pack(">H", 1) + infe)
+    props = [full(b"ispe", struct.pack(">II", width, height))]
+    if codec == b"hvc1":
+        # minimal HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1):
+        # version 1, Main profile/level placeholders, zero NAL arrays
+        hvcc = bytes(
+            [1, 0x01, 0x60, 0, 0, 0, 0xB0, 0, 0, 0, 0, 0, 0x5D]
+        ) + bytes([0xF0, 0x00, 0xFC, 0xFD, 0xF8, 0xF8, 0, 0, 0x03, 0])
+        props.append(box(b"hvcC", hvcc))
+    elif codec == b"av01":
+        # AV1CodecConfigurationRecord (AV1-ISOBMFF §2.3): marker+version,
+        # seq_profile 0 / level 0, no initial presentation delay
+        props.append(box(b"av1C", bytes([0x81, 0x00, 0x00, 0x00])))
+    if rotation:
+        props.append(box(b"irot", bytes(((rotation // 90) & 3,))))
+    ipco = box(b"ipco", b"".join(props))
+    n_assoc = len(props)
+    ipma_entry = struct.pack(">H", 1) + bytes((n_assoc,)) + bytes(
+        0x80 | (i + 1) for i in range(n_assoc)  # essential bit + 1-based idx
+    )
+    ipma = full(b"ipma", struct.pack(">I", 1) + ipma_entry)
+    iprp = box(b"iprp", ipco + ipma)
+
+    # iloc v0: 4-bit offset/length/base sizes (4,4,0,0), 1 item, file-offset
+    # construction. Offset patched after meta size is known.
+    iloc_body = bytearray(
+        b"\x44\x00" + struct.pack(">H", 1)  # sizes + item_count
+        + struct.pack(">H", 1)  # item_ID
+        + struct.pack(">H", 0)  # data_reference_index
+        + struct.pack(">H", 1)  # extent_count
+        + struct.pack(">I", 0)  # extent_offset (patched)
+        + struct.pack(">I", len(payload))
+    )
+    iloc = full(b"iloc", bytes(iloc_body))
+    meta = full(b"meta", hdlr + pitm + iinf + iprp + iloc)
+    mdat_off = len(ftyp) + len(meta) + 8
+    # patch extent_offset: it sits 12 bytes before the end of meta
+    meta = bytearray(meta)
+    meta[-8:-4] = struct.pack(">I", mdat_off)
+    return bytes(ftyp) + bytes(meta) + box(b"mdat", payload)

@@ -80,7 +80,10 @@ def sniff_media_type(data: bytes | None) -> str:
                 return "image/bmp"
             return mtype
     if len(data) > 11 and data[4:8] == b"ftyp":
-        return "video/mp4"
+        # ISO-BMFF: brand dispatch separates HEIF/AVIF stills from video
+        from gnosis_ocr_spark.functions.codec_media import bmff_media_type
+
+        return bmff_media_type(data)
     return "application/octet-stream"
 
 
@@ -201,6 +204,15 @@ def _decode_webp_meta(data: bytes) -> tuple[int | None, int | None, float | None
     return w, h, None
 
 
+def _decode_heif_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL HEIF/AVIF dimensions from the meta→ispe walk (codec_media);
+    pixel decode stays out (HEVC/AV1 — codec_media HEIF header for why)."""
+    from gnosis_ocr_spark.functions.codec_media import heif_info
+
+    info = heif_info(data)
+    return info["width"], info["height"], None
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -222,6 +234,8 @@ DECODERS = {
     "image/tiff": _decode_tiff_meta,  # real (codec_tiff IFD parse)
     "image/bmp": _decode_bmp_meta,  # real (codec_media DIB parse)
     "image/webp": _decode_webp_meta,  # real (codec_media VP8* headers)
+    "image/heif": _decode_heif_meta,  # real (meta→ispe walk; no HEVC decode)
+    "image/avif": _decode_heif_meta,  # real (meta→ispe walk; no AV1 decode)
 }
 
 
