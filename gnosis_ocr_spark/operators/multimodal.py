@@ -674,3 +674,58 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
 
     slim = df.select(F.col(url_col).alias("url"), F.col(data_col).alias("data"))
     return slim.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, int | None]]:
+    """Deterministic one-per-format media payloads with BY-CONSTRUCTION
+    expected metadata: (url, payload, media_type, width, height,
+    duration_ms). Expected values come from the builder ARGUMENTS (the
+    dimensions/durations the fixtures were constructed with), never from
+    running this module's parsers — so the driver row that certifies
+    ``media_metadata`` over these payloads is non-circular evidence, the
+    same discipline as the corpus goldens (corpus.py header). Builders are
+    conformance-checked externally where a system reference exists
+    (libheif: test_heif.py; libwebp: test_conformance_webp.py; ImageIO:
+    test_conformance_imageio.py)."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
+    from gnosis_ocr_spark.functions.codec_media import (
+        build_heif,
+        build_mp4,
+        build_wav,
+        build_webp_lossless_header,
+        encode_gray_bmp,
+        encode_gray_gif,
+    )
+    from gnosis_ocr_spark.functions.codec_png import encode_gray_png
+    from gnosis_ocr_spark.functions.codec_tiff import encode_tiff_gray
+
+    def px(w: int, h: int) -> bytes:
+        return bytes((i * 7 + 13) % 256 for i in range(w * h))
+
+    # 8000 samples at 16 kHz = exactly 0.5 s
+    samples = np.sin(np.linspace(0.0, 40.0, 8000))
+    rows = [
+        ("fixture:png", encode_gray_png(px(20, 12), 20, 12), "image/png", 20, 12, None),
+        ("fixture:jpeg", encode_gray_jpeg(px(24, 16), 24, 16), "image/jpeg", 24, 16, None),
+        ("fixture:gif", encode_gray_gif(px(18, 10), 18, 10), "image/gif", 18, 10, None),
+        ("fixture:bmp", encode_gray_bmp(px(22, 14), 22, 14), "image/bmp", 22, 14, None),
+        ("fixture:webp", build_webp_lossless_header(30, 20), "image/webp", 30, 20, None),
+        ("fixture:tiff", encode_tiff_gray(px(26, 18), 26, 18), "image/tiff", 26, 18, None),
+        (
+            "fixture:jp2",
+            encode_jp2([np.frombuffer(px(16, 16), np.uint8).reshape(16, 16).astype(np.int32)]),
+            "image/jp2", 16, 16, None,
+        ),
+        ("fixture:wav", build_wav(samples, 16000), "audio/wav", None, None, 500),
+        ("fixture:mp4", build_mp4(2.5), "video/mp4", None, None, 2500),
+        ("fixture:heif", build_heif(320, 200), "image/heif", 320, 200, None),
+        (
+            "fixture:avif",
+            build_heif(100, 50, brand=b"avif", codec=b"av01"),
+            "image/avif", 100, 50, None,
+        ),
+    ]
+    return rows

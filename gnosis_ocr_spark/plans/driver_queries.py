@@ -64,7 +64,7 @@ from gnosis_ocr_spark.operators.chunks import (
 )
 from gnosis_ocr_spark.operators.html_extract import extract_html_udf
 from gnosis_ocr_spark.operators.layout import assemble_documents, assemble_spans
-from gnosis_ocr_spark.operators.multimodal import media_metadata
+from gnosis_ocr_spark.operators.multimodal import media_fixture_rows, media_metadata
 from gnosis_ocr_spark.operators.office_extract import extract_office_udf
 from gnosis_ocr_spark.operators.pdf_split import (
     raster_ocr_pages,
@@ -2850,20 +2850,67 @@ FROM g WHERE vec_id != rep
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: bytes → sniffed type + byte length."""
+    """Binary media plumbing: bytes → sniffed type + byte length, UNIONed
+    with one by-construction fixture payload per sniffed format (PNG, JPEG,
+    GIF, BMP, WebP, TIFF, JP2, WAV, MP4, HEIF, AVIF — media_fixture_rows)
+    so the REAL dimension/duration parses are value-certified by the driver
+    gate, not just unit-tested. Expected values on the oracle side come
+    from the builder arguments, never from running the engine's parsers
+    (non-circular — see media_fixture_rows' docstring). duration is emitted
+    as integer milliseconds (driver contract: no raw float columns)."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.encode(F.col("text"), "UTF-8").alias("data"),
     )
-    return media_metadata(docs).select("url", "media_type", "byte_len")
+    fixtures = spark.createDataFrame(
+        [(u, bytearray(p)) for u, p, _t2, _w, _h, _d in media_fixture_rows()],
+        "url string, data binary",
+    )
+    meta = media_metadata(docs.unionByName(fixtures))
+    # -1 sentinels instead of NULL: nullable numerics become float-NaN
+    # columns in pandas and the driver's canonicalizer can't hash them
+    return meta.select(
+        "url",
+        "media_type",
+        "byte_len",
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        F.coalesce(
+            F.round(F.col("duration_sec") * 1000).cast("bigint"), F.lit(-1).cast("bigint")
+        ).alias("duration_ms"),
+    )
 
 
-ORACLE_MULTIMODAL_META = """
+def _multimodal_meta_oracle() -> str:
+    fixture_values = ",\n       ".join(
+        "('{}', '{}', {}, {}, {}, {})".format(
+            u, t, len(p),
+            -1 if w is None else w,
+            -1 if h is None else h,
+            -1 if d is None else d,
+        )
+        for u, p, t, w, h, d in media_fixture_rows()
+    )
+    return f"""
 SELECT CAST(doc_id AS VARCHAR) AS url,
        'application/octet-stream' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(-1 AS INTEGER) AS width,
+       CAST(-1 AS INTEGER) AS height,
+       CAST(-1 AS BIGINT) AS duration_ms
 FROM documents
+UNION ALL
+SELECT url, media_type,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(duration_ms AS BIGINT) AS duration_ms
+FROM (VALUES {fixture_values})
+  AS fx(url, media_type, byte_len, width, height, duration_ms)
 """
+
+
+ORACLE_MULTIMODAL_META = _multimodal_meta_oracle()
 
 
 # --------------------------------------------------------------------------
