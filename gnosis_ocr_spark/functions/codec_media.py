@@ -1010,3 +1010,74 @@ def build_heif(
     meta = bytearray(meta)
     meta[-8:-4] = struct.pack(">I", mdat_off)
     return bytes(ftyp) + bytes(meta) + box(b"mdat", payload)
+
+
+# ---------------------------------------------------------------- SVG
+#
+# SVG is XML, not a binary codec, but it IS a first-class crawl image
+# format; the metadata layer (dimensions) lives here next to the other
+# per-format parsers. Text extraction lives in operators/html_extract
+# (extract_svg_text) since it shares the DOM-walking machinery.
+
+import re as _re
+
+_SVG_SNIFF_RE = _re.compile(
+    rb"^\xef?\xbb?\xbf?\s*(?:<\?xml[^>]*\?>\s*)?"
+    rb"(?:<!--.*?-->\s*|<!DOCTYPE[^>]*>\s*)*<svg[\s>]",
+    _re.I | _re.S,
+)
+_SVG_TAG_RE = _re.compile(rb"<svg\b[^>]*>", _re.I | _re.S)
+_SVG_LEN_RE = _re.compile(
+    rb"""\b(width|height)\s*=\s*["']\s*([0-9.]+)\s*([a-z%]*)\s*["']""", _re.I
+)
+_SVG_VIEWBOX_RE = _re.compile(
+    rb"""\bviewBox\s*=\s*["']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+([0-9.]+)[\s,]+([0-9.]+)""",
+    _re.I,
+)
+# CSS absolute-length units → px (CSS Values §6.2: 1in = 96px = 72pt = 6pc,
+# 1in = 2.54cm); unitless/px pass through, % and font-relative units are
+# context-dependent → treated as unresolvable
+_SVG_UNIT_PX = {
+    b"": 1.0, b"px": 1.0, b"pt": 96.0 / 72.0, b"pc": 16.0,
+    b"in": 96.0, b"cm": 96.0 / 2.54, b"mm": 96.0 / 25.4,
+}
+
+
+def is_svg(data: bytes) -> bool:
+    """True when the payload ROOT is an <svg> element (XML prolog/doctype/
+    comments allowed before it) — inline SVG inside HTML does not match."""
+    return bool(_SVG_SNIFF_RE.match(data[:2048]))
+
+
+def svg_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) in CSS px from the root tag's width/height
+    attributes (absolute units converted), falling back to the viewBox
+    extent (SVG 1.1 §7.2). Raises ValueError when neither resolves."""
+    m = _SVG_TAG_RE.search(data[:4096])
+    if m is None:
+        raise ValueError("SVG: no root tag")
+    tag = m.group(0)
+    dims: dict[bytes, int] = {}
+    for name, num, unit in _SVG_LEN_RE.findall(tag):
+        scale = _SVG_UNIT_PX.get(unit.lower())
+        if scale is not None:
+            dims[name.lower()] = int(round(float(num) * scale))
+    if b"width" in dims and b"height" in dims:
+        return dims[b"width"], dims[b"height"]
+    vb = _SVG_VIEWBOX_RE.search(tag)
+    if vb:
+        return int(round(float(vb.group(1)))), int(round(float(vb.group(2))))
+    raise ValueError("SVG: no width/height or viewBox")
+
+
+def build_svg(width: int, height: int, texts: tuple[str, ...] = ()) -> bytes:
+    """Fixture writer: a minimal valid SVG 1.1 document with the given
+    pixel dimensions and optional <text> elements."""
+    body = "".join(
+        f'<text x="0" y="{16 * (i + 1)}">{t}</text>' for i, t in enumerate(texts)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">{body}</svg>\n'
+    ).encode("utf-8")

@@ -203,6 +203,83 @@ def decode_html_bytes(raw: bytes) -> str:
         return raw.decode("cp1252", "replace")
 
 
+# standalone SVG document: optional XML prolog/doctype/comments, then <svg>.
+# Inline <svg> INSIDE HTML stays on the kill list (decorative); a payload
+# whose ROOT is <svg> is an image whose text content IS the main content.
+_SVG_ROOT_RE = re.compile(
+    r"^﻿?\s*(?:<\?xml[^>]*\?>\s*)?(?:<!--.*?-->\s*|<!DOCTYPE[^>]*>\s*)*<svg[\s>]",
+    re.I | re.S,
+)
+# subtrees that are never content in an SVG
+_SVG_SKIP_TAGS = frozenset("defs metadata style script symbol".split())
+# elements whose character data is content
+_SVG_TEXT_TAGS = frozenset("text tspan textpath".split())
+
+
+class _SvgExtractor(HTMLParser):
+    """Text content of a standalone SVG in document order: every <text>
+    element is a block (nested tspan/textPath inline), plus root-level
+    <title>/<desc> (the image's own caption — per-shape tooltips are
+    skipped). No minimum-length threshold: SVG text is short labels by
+    nature and all of it is content."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._parts: list[str] = []
+        self._depth = 0  # element depth below the root <svg>
+        self._skip = 0  # depth inside defs/metadata/style/script
+        self._text = 0  # depth inside <text>
+        self._caption = 0  # inside a root-level title/desc
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._depth += 1
+        if tag in _SVG_SKIP_TAGS:
+            self._skip += 1
+        if self._skip:
+            return
+        if tag == "text":
+            self._text += 1
+            self._parts = []
+        elif tag in ("title", "desc") and self._depth == 2:
+            self._caption = 1
+            self._parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SVG_SKIP_TAGS and self._skip:
+            self._skip -= 1
+        elif not self._skip and tag == "text" and self._text:
+            self._text -= 1
+            self._flush()
+        elif not self._skip and tag in ("title", "desc") and self._caption:
+            self._caption = 0
+            self._flush()
+        self._depth = max(0, self._depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip:
+            return
+        if self._text or self._caption:
+            self._parts.append(data)
+
+    def _flush(self) -> None:
+        text = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if text:
+            self.blocks.append(text)
+        self._parts = []
+
+
+def extract_svg_text(raw: str) -> str:
+    """Deterministic text extraction of one standalone SVG document."""
+    parser = _SvgExtractor()
+    try:
+        parser.feed(raw)
+        parser.close()
+    except Exception:
+        return ""
+    return "\n\n".join(parser.blocks).strip()
+
+
 def extract_main_text(html: bytes | str | None) -> str:
     """Deterministic main-content extraction of one document (pure function)."""
     if html is None:
@@ -211,6 +288,8 @@ def extract_main_text(html: bytes | str | None) -> str:
         raw = decode_html_bytes(bytes(html))
     else:
         raw = html
+    if _SVG_ROOT_RE.match(raw):
+        return extract_svg_text(raw)
     parser = _Extractor()
     try:
         parser.feed(raw)

@@ -84,6 +84,12 @@ def sniff_media_type(data: bytes | None) -> str:
         from gnosis_ocr_spark.functions.codec_media import bmff_media_type
 
         return bmff_media_type(data)
+    if data[:1] in (b"<", b"\xef") and data[:5] != b"<html":
+        # text-rooted payload: standalone SVG has no magic, only its root tag
+        from gnosis_ocr_spark.functions.codec_media import is_svg
+
+        if is_svg(data):
+            return "image/svg+xml"
     return "application/octet-stream"
 
 
@@ -213,6 +219,15 @@ def _decode_heif_meta(data: bytes) -> tuple[int | None, int | None, float | None
     return info["width"], info["height"], None
 
 
+def _decode_svg_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL SVG dimensions from the root tag's width/height attributes
+    (absolute CSS units converted) or the viewBox extent (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import svg_dimensions
+
+    w, h = svg_dimensions(data)
+    return w, h, None
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -236,6 +251,7 @@ DECODERS = {
     "image/webp": _decode_webp_meta,  # real (codec_media VP8* headers)
     "image/heif": _decode_heif_meta,  # real (meta→ispe walk; no HEVC decode)
     "image/avif": _decode_heif_meta,  # real (meta→ispe walk; no AV1 decode)
+    "image/svg+xml": _decode_svg_meta,  # real (root-tag width/height/viewBox)
 }
 
 
@@ -695,6 +711,7 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
         build_heif,
         build_mp4,
         build_wav,
+        build_svg,
         build_webp_lossless_header,
         encode_gray_bmp,
         encode_gray_gif,
@@ -726,6 +743,11 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
             "fixture:avif",
             build_heif(100, 50, brand=b"avif", codec=b"av01"),
             "image/avif", 100, 50, None,
+        ),
+        (
+            "fixture:svg",
+            build_svg(640, 360, ("axis label",)),
+            "image/svg+xml", 640, 360, None,
         ),
     ]
     return rows
