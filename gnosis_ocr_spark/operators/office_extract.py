@@ -693,6 +693,13 @@ def extract_office(
         if looks_like_feed(data):
             text, np_ = extract_feed(data)
             return text, np_, "feed"
+        from gnosis_ocr_spark.functions.codec_media import is_svg
+
+        if is_svg(data):
+            # standalone SVG image: U7 decodes charset + routes to the
+            # SVG text walker (html_extract.extract_svg_text)
+            text = extract_main_text(data)
+            return text, 1 if text else 0, "svg"
         from gnosis_ocr_spark.operators.legacy_office import (
             extract_eml,
             looks_like_eml,

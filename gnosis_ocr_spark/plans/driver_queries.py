@@ -98,17 +98,17 @@ _CENTS = lambda c: F.round(c * 100).cast("long")  # noqa: E731
 # --------------------------------------------------------------------------
 
 
-# doc_id % 17: {0..3} HTML charsets, {4..13} office formats, {14} gzipped
-# HTML, {15} RSS 2.0 (CDATA body), {16} Atom
-_OFFICE_MOD = 17
+# doc_id % 18: {0..3} HTML charsets, {4..13} office formats, {14} gzipped
+# HTML, {15} RSS 2.0 (CDATA body), {16} Atom, {17} standalone SVG
+_OFFICE_MOD = 18
 
 
 def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Office-format rotation on doc_id % 17 ∈ {4..16}: docx / rtf / epub /
-    odt / xlsx / pptx / doc / ppt / xls / eml / gzipped-HTML / RSS / Atom,
-    every writer wrapping the SAME normalized text — so the oracle stays a
-    pure SQL function of `text` (the pdf_extract writer-rotation
-    convention)."""
+    """Office-format rotation on doc_id % 18 ∈ {4..17}: docx / rtf / epub /
+    odt / xlsx / pptx / doc / ppt / xls / eml / gzipped-HTML / RSS / Atom /
+    standalone SVG, every writer wrapping the SAME normalized text — so the
+    oracle stays a pure SQL function of `text` (the pdf_extract
+    writer-rotation convention)."""
     import gzip as _gz
 
     from gnosis_ocr_spark.operators import feed_extract as _fe
@@ -139,6 +139,15 @@ def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         # exactly the item body through the U7 extractor
         15: lambda t: _fe.build_rss("", [("", _article(t))], cdata=True),
         16: lambda t: _fe.build_atom("", [("", _article(t))]),
+        # standalone SVG: one <text> block (ws-normalized like a <p>), a
+        # defs subtree that must be skipped, no root title/desc
+        17: lambda t: (
+            '<?xml version="1.0"?>'
+            '<svg xmlns="http://www.w3.org/2000/svg" width="640" height="480">'
+            "<defs><text>defs text that must be dropped</text></defs>"
+            f'<text x="0" y="16">'
+            f'{t.replace("&", "&amp;").replace("<", "&lt;")}</text></svg>'
+        ).encode("utf-8"),
     }
     for b in batches:
         out = {"doc_id": [], "html": []}

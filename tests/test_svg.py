@@ -82,3 +82,13 @@ def test_media_metadata_svg_row(spark):
     row = media_metadata(df).collect()[0]
     assert row.media_type == "image/svg+xml"
     assert (row.width, row.height) == (320, 240)
+
+
+def test_extract_office_svg_dispatch():
+    from gnosis_ocr_spark.operators.office_extract import extract_office
+
+    text, n_pages, sub = extract_office(
+        build_svg(100, 100, ("label one", "label two"))
+    )
+    assert (sub, n_pages) == ("svg", 1)
+    assert text == "label one\n\nlabel two"
