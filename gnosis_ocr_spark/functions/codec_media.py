@@ -803,10 +803,8 @@ def bmff_media_type(data: bytes) -> str:
     if brands & _AVIF_BRANDS:
         return "image/avif"
     if major in _HEIF_IMAGE_BRANDS or brands & (_HEIF_IMAGE_BRANDS - {b"mif1"}):
-        # mif1 alone is brand-generic (any MIAF file); require a heic-family
-        # brand somewhere unless mif1 is the major brand with a pict handler
-        return "image/heif"
-    if major == b"mif1":
+        # mif1 as a mere COMPATIBLE brand is generic (any MIAF file) and
+        # does not claim heif by itself; mif1 as the MAJOR brand does
         return "image/heif"
     return "video/mp4"
 
