@@ -158,16 +158,17 @@ def _build_office_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U7 + office extraction end-to-end: doc_id % 15 rotates the document
+    """U7 + office extraction end-to-end: doc_id % 18 rotates the document
     format — {0..3} boilerplate HTML in four transfer encodings (utf-8 /
     BOM+utf-16le / BOM+utf-16be / Java "UTF-16"), {4..13} office/e-book/
     mail containers (docx / rtf / epub / odt / xlsx / pptx via codec_zip +
     XML/RTF extractors; doc / ppt / xls via the from-scratch CFB container
     and piece-table/record-walk extractors; eml MIME with a base64 HTML
     part), {14} a still-gzipped HTML payload (transparent content-encoding
-    path), {15..16} RSS 2.0 (CDATA-wrapped body) and Atom feeds. Every
-    format wraps the identical normalized text, so one oracle certifies
-    all seventeen writer/extractor paths byte-identically."""
+    path), {15..16} RSS 2.0 (CDATA-wrapped body) and Atom feeds, {17} a
+    standalone SVG image (text/tspan walk, defs dropped). Every format
+    wraps the identical normalized text, so one oracle certifies all
+    eighteen writer/extractor paths byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit(
