@@ -1079,3 +1079,155 @@ def build_svg(width: int, height: int, texts: tuple[str, ...] = ()) -> bytes:
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" viewBox="0 0 {width} {height}">{body}</svg>\n'
     ).encode("utf-8")
+
+
+# ---------------------------------------------------------------- MP3
+#
+# MPEG audio (ISO 11172-3 / 13818-3) metadata: ID3v2 skip, frame-header
+# walk, Xing/Info VBR frame count. Only HEADERS are parsed — bitrate,
+# sample rate, channel mode, frame length — which is all duration needs;
+# the entropy-coded audio payload stays out (same boundary class as
+# video/mp4: container/framing real, codec out).
+
+# bitrate kbps by [version_key][layer][index]; 0 = free-format (refused)
+_MP3_BITRATES = {
+    # MPEG-1: layer 1, 2, 3
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG-2/2.5: layer 1 and layers 2+3 share a table
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG-1 (version bits 11)
+    2: (22050, 24000, 16000),  # MPEG-2 (10)
+    0: (11025, 12000, 8000),  # MPEG-2.5 (00)
+}
+# samples per frame by (mpeg1?, layer)
+_MP3_SPF = {(True, 1): 384, (True, 2): 1152, (True, 3): 1152,
+            (False, 1): 384, (False, 2): 1152, (False, 3): 576}
+
+MAX_MP3_FRAMES = 500_000  # hostile-input walk bound (~3.6 h at 26 ms/frame)
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (syncsafe 28-bit size)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    return 10 + sz + (10 if data[5] & 0x10 else 0)  # footer flag
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one frame header at pos → (frame_len, sample_rate, spf,
+    bitrate_kbps, mpeg1, layer) or None."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    vbits = (data[pos + 1] >> 3) & 3
+    if vbits == 1:
+        return None  # reserved version
+    layer = 4 - ((data[pos + 1] >> 1) & 3)
+    if layer == 4:
+        return None  # reserved layer
+    mpeg1 = vbits == 3
+    br_idx = data[pos + 2] >> 4
+    sr_idx = (data[pos + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / bad
+    kbps = _MP3_BITRATES[(1 if mpeg1 else 2, layer)][br_idx]
+    rate = _MP3_RATES[vbits][sr_idx]
+    padding = (data[pos + 2] >> 1) & 1
+    spf = _MP3_SPF[(mpeg1, layer)]
+    if layer == 1:
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        flen = spf // 8 * kbps * 1000 // rate + padding
+    return flen, rate, spf, kbps, mpeg1, layer
+
+
+def is_mp3(data: bytes) -> bool:
+    """True for an ID3v2-tagged or bare MPEG-audio stream (the first frame
+    header must parse AND a second frame must follow it back-to-back — a
+    lone 0xFFEx sync matches random binary far too often)."""
+    pos = _id3v2_size(data)
+    f = _mp3_frame(data, pos)
+    if f is None:
+        return False
+    if data[:3] == b"ID3":
+        return True  # explicit tag + one valid frame is decisive
+    nxt = _mp3_frame(data, pos + f[0])
+    return nxt is not None or pos + f[0] == len(data)
+
+
+def mp3_info(data: bytes) -> dict:
+    """{sample_rate, bitrate_kbps, layer, mpeg1, n_frames, duration_sec}
+    by walking frame headers from after any ID3v2 tag. A Xing/Info header
+    in the first frame supplies the frame count for VBR files; otherwise
+    frames are counted directly (bounded by MAX_MP3_FRAMES, then
+    extrapolated by mean frame length over the walked prefix)."""
+    start = _id3v2_size(data)
+    first = _mp3_frame(data, start)
+    if first is None:
+        raise ValueError("MP3: no valid frame header")
+    flen, rate, spf, kbps, mpeg1, layer = first
+
+    # Xing/Info: offset past side info (layer 3): MPEG-1 mono 17, stereo 32;
+    # MPEG-2 mono 9, stereo 17
+    n_frames = None
+    if layer == 3:
+        chan = (data[start + 3] >> 6) & 3
+        side = (17 if chan == 3 else 32) if mpeg1 else (9 if chan == 3 else 17)
+        xo = start + 4 + side
+        if len(data) >= xo + 12 and data[xo : xo + 4] in (b"Xing", b"Info") \
+                and data[xo + 7] & 1:
+            n_frames = struct.unpack(">I", data[xo + 8 : xo + 12])[0]
+
+    walked = 0
+    pos = start
+    if n_frames is None:
+        while walked < MAX_MP3_FRAMES:
+            f = _mp3_frame(data, pos)
+            if f is None:
+                break
+            pos += f[0]
+            walked += 1
+        n_frames = walked
+        if walked == MAX_MP3_FRAMES and pos < len(data):
+            # bounded walk: extrapolate the tail by mean frame length
+            mean = (pos - start) / walked
+            n_frames = walked + int((len(data) - pos) / mean)
+        if n_frames == 0:
+            raise ValueError("MP3: no frames")
+    return {
+        "sample_rate": rate,
+        "bitrate_kbps": kbps,
+        "layer": layer,
+        "mpeg1": mpeg1,
+        "n_frames": n_frames,
+        "duration_sec": n_frames * spf / rate,
+    }
+
+
+def build_mp3(n_frames: int, *, sample_rate: int = 32000, id3: bytes = b"") -> bytes:
+    """Fixture writer: MPEG-1 Layer III, 128 kbps, mono frames with valid
+    headers and zeroed payloads (the metadata layer never reads payload
+    bytes), after an optional ID3v2 tag. At 32 kHz each frame is exactly
+    1152/32000 s = 36 ms and 576 bytes (no padding), so durations are
+    exact in milliseconds."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    hdr = bytes(
+        (0xFF, 0xFB, (9 << 4) | (sr_idx << 2), 0xC0)
+    )  # sync, MPEG-1 L3 no-CRC, 128 kbps, single-channel
+    flen = 1152 // 8 * 128 * 1000 // sample_rate
+    frame = hdr + b"\x00" * (flen - 4)
+    tag = b""
+    if id3:
+        body = id3
+        sz = len(body)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            ((sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F)
+        ) + body
+    return tag + frame * n_frames

@@ -90,6 +90,13 @@ def sniff_media_type(data: bytes | None) -> str:
 
         if is_svg(data):
             return "image/svg+xml"
+    if data[:3] == b"ID3" or (len(data) > 3 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
+        # MPEG audio: ID3v2 tag, or a frame sync that must chain to a
+        # second frame (is_mp3) — a lone 0xFFEx matches random binary
+        from gnosis_ocr_spark.functions.codec_media import is_mp3
+
+        if is_mp3(data):
+            return "audio/mpeg"
     return "application/octet-stream"
 
 
@@ -228,6 +235,14 @@ def _decode_svg_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return w, h, None
 
 
+def _decode_mp3_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL MPEG-audio duration from the frame-header walk / Xing count
+    (codec_media); the entropy-coded audio payload stays out."""
+    from gnosis_ocr_spark.functions.codec_media import mp3_info
+
+    return None, None, round(mp3_info(data)["duration_sec"], 3)
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -252,6 +267,7 @@ DECODERS = {
     "image/heif": _decode_heif_meta,  # real (meta→ispe walk; no HEVC decode)
     "image/avif": _decode_heif_meta,  # real (meta→ispe walk; no AV1 decode)
     "image/svg+xml": _decode_svg_meta,  # real (root-tag width/height/viewBox)
+    "audio/mpeg": _decode_mp3_meta,  # real (frame-header walk / Xing count)
 }
 
 
@@ -709,6 +725,7 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
     from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
     from gnosis_ocr_spark.functions.codec_media import (
         build_heif,
+        build_mp3,
         build_mp4,
         build_wav,
         build_svg,
@@ -748,6 +765,13 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
             "fixture:svg",
             build_svg(640, 360, ("axis label",)),
             "image/svg+xml", 640, 360, None,
+        ),
+        # 25 frames x 1152/32000 s = exactly 900 ms
+        ("fixture:mp3", build_mp3(25), "audio/mpeg", None, None, 900),
+        (
+            "fixture:mp3_id3",
+            build_mp3(50, id3=b"TALB\x00\x00\x00\x04\x00\x00\x00alb"),
+            "audio/mpeg", None, None, 1800,
         ),
     ]
     return rows
