@@ -1231,3 +1231,161 @@ def build_mp3(n_frames: int, *, sample_rate: int = 32000, id3: bytes = b"") -> b
             ((sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F)
         ) + body
     return tag + frame * n_frames
+
+
+# ---------------------------------------------------------------- FLAC / Ogg
+#
+# FLAC (xiph.org format spec): the mandatory STREAMINFO metadata block
+# carries sample rate (20 bits) and total samples (36 bits) → exact
+# duration. Ogg (RFC 3533): pages are self-delimiting; duration comes
+# from the LAST page's granule position against the codec's granule
+# clock — Vorbis (identification header, its own rate) or Opus
+# (OpusHead, 48 kHz clock minus pre-skip). Audio payload decode stays
+# out for all three (same boundary as MP3/MP4).
+
+
+def flac_info(data: bytes) -> dict:
+    """{sample_rate, channels, bits, total_samples, duration_sec} from the
+    STREAMINFO block (always first, per spec §'METADATA_BLOCK')."""
+    if data[:4] != b"fLaC" or len(data) < 42:
+        raise ValueError("not a FLAC stream")
+    btype = data[4] & 0x7F
+    if btype != 0:
+        raise ValueError("FLAC: first metadata block is not STREAMINFO")
+    si = data[8:42]  # 34-byte STREAMINFO body
+    rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 7) + 1
+    bits = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+    total = ((si[13] & 0x0F) << 32) | struct.unpack(">I", si[14:18])[0]
+    if rate == 0:
+        raise ValueError("FLAC: zero sample rate")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "total_samples": total,
+        "duration_sec": total / rate,
+    }
+
+
+def build_flac(total_samples: int, *, sample_rate: int = 16000) -> bytes:
+    """Fixture writer: fLaC + a last-block STREAMINFO declaring the given
+    totals (no frames — the metadata layer never reads audio frames)."""
+    si = bytearray(34)
+    si[0:2] = struct.pack(">H", 4096)  # min block size
+    si[2:4] = struct.pack(">H", 4096)  # max block size
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    # si[12]: rate low nibble | channels-1 (0 = mono) | bits-1 top bit
+    # (bits-1 = 15 → 16-bit, top bit 0); si[13]: bits-1 low nibble | the
+    # 36-bit total's high nibble
+    si[12] = ((sample_rate & 0xF) << 4) | (0 << 1) | ((15 >> 4) & 1)
+    si[13] = ((15 & 0xF) << 4) | ((total_samples >> 32) & 0x0F)
+    si[14:18] = struct.pack(">I", total_samples & 0xFFFFFFFF)
+    return b"fLaC" + bytes((0x80,)) + b"\x00\x00\x22" + bytes(si)
+
+
+def _ogg_pages(data: bytes):
+    """Yield (header_type, granule, body_start, body_end) per RFC 3533."""
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            pos = data.find(b"OggS", pos + 1)
+            if pos < 0:
+                return
+            continue
+        htype = data[pos + 5]
+        (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
+        nseg = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            return
+        body = pos + 27 + nseg
+        blen = sum(seg_table)
+        if body + blen > len(data):
+            return
+        yield htype, granule, body, body + blen
+        pos = body + blen
+
+
+def ogg_info(data: bytes) -> dict:
+    """{codec, sample_rate, duration_sec} for an Ogg Vorbis/Opus stream:
+    codec + clock from the first packet's identification header, duration
+    from the last page's granule position (RFC 3533 §6; Opus granules run
+    on a 48 kHz clock and subtract the OpusHead pre-skip, RFC 7845 §4)."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    codec = None
+    rate = None
+    pre_skip = 0
+    last_granule = None
+    for htype, granule, bs, be in _ogg_pages(data):
+        body = data[bs:be]
+        if codec is None:
+            if body.startswith(b"\x01vorbis"):
+                codec = "vorbis"
+                (rate,) = struct.unpack("<I", body[12:16])
+            elif body.startswith(b"OpusHead"):
+                codec = "opus"
+                (pre_skip,) = struct.unpack("<H", body[10:12])
+                rate = 48000  # granule clock is always 48 kHz (RFC 7845)
+            else:
+                raise ValueError("Ogg: unrecognized first packet")
+        if granule >= 0:
+            last_granule = granule
+    if codec is None or last_granule is None or not rate:
+        raise ValueError("Ogg: no granule-bearing pages")
+    samples = last_granule - (pre_skip if codec == "opus" else 0)
+    return {
+        "codec": codec,
+        "sample_rate": rate,
+        "duration_sec": max(samples, 0) / rate,
+    }
+
+
+def _ogg_page(serial: int, seq: int, htype: int, granule: int, body: bytes) -> bytes:
+    segs = []
+    rest = len(body)
+    while True:
+        segs.append(min(rest, 255))
+        if segs[-1] < 255:
+            break
+        rest -= 255
+    hdr = (
+        b"OggS\x00" + bytes((htype,)) + struct.pack("<q", granule)
+        + struct.pack("<I", serial) + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00" + bytes((len(segs),)) + bytes(segs)
+    )
+    page = bytearray(hdr + body)
+    # RFC 3533 CRC: polynomial 0x04c11db7, init 0, no reflection — compute
+    # directly (zlib's reflected CRC is NOT the Ogg CRC)
+    reg = 0
+    for byte in bytes(page):
+        reg ^= byte << 24
+        for _ in range(8):
+            reg = ((reg << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if reg & 0x80000000 else (reg << 1) & 0xFFFFFFFF
+    page[22:26] = struct.pack("<I", reg)
+    return bytes(page)
+
+
+def build_ogg_opus(duration_ms: int, *, pre_skip: int = 312) -> bytes:
+    """Fixture writer: OpusHead BOS page + one EOS page whose granule is
+    pre_skip + duration_ms*48 (the 48 kHz granule clock), bodies empty of
+    real audio (the metadata layer never reads packet payloads)."""
+    head = (
+        b"OpusHead" + bytes((1, 2)) + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes((0,))
+    )
+    granule = pre_skip + duration_ms * 48
+    return _ogg_page(7, 0, 2, 0, head) + _ogg_page(7, 1, 4, granule, b"\x00")
+
+
+def build_ogg_vorbis(total_samples: int, *, sample_rate: int = 8000) -> bytes:
+    """Fixture writer: Vorbis identification BOS page + one EOS page whose
+    granule is total_samples."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes((1,))
+        + struct.pack("<I", sample_rate) + struct.pack("<iii", 0, 128000, 0)
+        + bytes((0xB8, 1))
+    )
+    return _ogg_page(3, 0, 2, 0, ident) + _ogg_page(3, 1, 4, total_samples, b"\x00")

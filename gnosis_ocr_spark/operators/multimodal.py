@@ -56,6 +56,8 @@ _MAGIC = [
     (b"\xff\x4f\xff\x51", "image/jp2"),  # raw JPEG 2000 codestream (SOC+SIZ)
     (b"II*\x00", "image/tiff"),  # little-endian TIFF
     (b"MM\x00*", "image/tiff"),  # big-endian TIFF
+    (b"fLaC", "audio/flac"),  # FLAC stream marker
+    (b"OggS", "audio/ogg"),  # Ogg container (Vorbis/Opus)
     (b"BM", "image/bmp"),  # refined below: 2-byte magic needs a DIB check
 ]
 
@@ -243,6 +245,21 @@ def _decode_mp3_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return None, None, round(mp3_info(data)["duration_sec"], 3)
 
 
+def _decode_flac_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL FLAC duration from the STREAMINFO block (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import flac_info
+
+    return None, None, round(flac_info(data)["duration_sec"], 3)
+
+
+def _decode_ogg_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL Ogg Vorbis/Opus duration from the last page's granule position
+    (codec_media)."""
+    from gnosis_ocr_spark.functions.codec_media import ogg_info
+
+    return None, None, round(ogg_info(data)["duration_sec"], 3)
+
+
 def _decode_stub_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """Deterministic fake for formats whose decoders aren't in this container.
 
@@ -268,6 +285,8 @@ DECODERS = {
     "image/avif": _decode_heif_meta,  # real (meta→ispe walk; no AV1 decode)
     "image/svg+xml": _decode_svg_meta,  # real (root-tag width/height/viewBox)
     "audio/mpeg": _decode_mp3_meta,  # real (frame-header walk / Xing count)
+    "audio/flac": _decode_flac_meta,  # real (STREAMINFO totals)
+    "audio/ogg": _decode_ogg_meta,  # real (last-page granule position)
 }
 
 
@@ -724,9 +743,12 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
     from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg
     from gnosis_ocr_spark.functions.codec_jpx import encode_jp2
     from gnosis_ocr_spark.functions.codec_media import (
+        build_flac,
         build_heif,
         build_mp3,
         build_mp4,
+        build_ogg_opus,
+        build_ogg_vorbis,
         build_wav,
         build_svg,
         build_webp_lossless_header,
@@ -773,5 +795,10 @@ def media_fixture_rows() -> list[tuple[str, bytes, str, int | None, int | None, 
             build_mp3(50, id3=b"TALB\x00\x00\x00\x04\x00\x00\x00alb"),
             "audio/mpeg", None, None, 1800,
         ),
+        # 12000 samples at 16 kHz = exactly 750 ms
+        ("fixture:flac", build_flac(12000), "audio/flac", None, None, 750),
+        ("fixture:opus", build_ogg_opus(640), "audio/ogg", None, None, 640),
+        # 2000 samples at 8 kHz = exactly 250 ms
+        ("fixture:vorbis", build_ogg_vorbis(2000), "audio/ogg", None, None, 250),
     ]
     return rows
