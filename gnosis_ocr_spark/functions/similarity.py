@@ -427,3 +427,163 @@ def cosine_topk_quantized(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011). The 10^12-scale ANN compression:
+# each vector becomes m sub-codebook codes (m bytes at ksub ≤ 256) plus
+# its true norm, a ~dim*4/m× shrink of what must stay resident/shuffled;
+# queries score candidates with an ADC lookup table (m × ksub partial
+# dots) without ever touching raw corpus vectors.
+# --------------------------------------------------------------------------
+
+
+def _pq_init(m: int, ksub: int, sub: int, seed: int) -> list[list[list[float]]]:
+    return [
+        [_hyperplane(sub, j * ksub + c, seed) for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def _pq_codes_col(v: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes (L2) for one
+    vector column — the same inlined-literal scores-array + argmax idiom as
+    :func:`ivf_assign` (chained when() grows exponentially), repeated per
+    subspace over the sliced sub-vector."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sv = F.slice(v, j * sub + 1, sub)
+        # nearest by L2: ||s-c||^2 = ||s||^2 - 2<s,c> + ||c||^2 — ||s||^2 is
+        # constant per row, so argmax of (<s,c> - ||c||^2/2) is argmin dist
+        scores = F.array(
+            *[
+                dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in book
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7777,
+) -> list[list[list[float]]]:
+    """Learn m per-subspace codebooks (ksub × dim/m each) with fused
+    DataFrame-native Lloyd iterations: per iteration ALL m subspaces assign
+    in one corpus scan (pure Column expressions, no shuffle) and recompute
+    their means through ONE posexplode → groupBy((subspace, code, dim))
+    shuffle with map-side partial aggregation; only the m × ksub × dim/m
+    codebook floats (KB) are collected per iteration — the same legitimate
+    tiny-result collect as :func:`kmeans_centroids`. Deterministic
+    hash-derived init; empty cells keep their previous centroid."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = _pq_init(m, ksub, sub, seed)
+    slim = corpus.select(F.col(vec_col).cast("array<double>").alias("cv"))
+    for _ in range(n_iter):
+        assigned = slim.select(
+            "cv", _pq_codes_col(F.col("cv"), books).alias("codes")
+        )
+        means = (
+            assigned.select(F.posexplode("cv").alias("d", "val"), "codes")
+            .select(
+                (F.col("d") / sub).cast("int").alias("j"),
+                (F.col("d") % sub).alias("sd"),
+                F.element_at("codes", (F.col("d") / sub).cast("int") + 1).alias("code"),
+                "val",
+            )
+            .groupBy("j", "code", "sd")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in means:
+            new[r["j"]][r["code"]][r["sd"]] = float(r["mval"])
+        books = new
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>, norm double): the PQ-compressed corpus.
+    The true L2 norm rides along (8 bytes) so ADC scores convert to cosine
+    without the raw vector. One projection — no UDF, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _pq_codes_col(v, codebooks).alias("codes"),
+        l2_norm(v).alias("norm"),
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) cosine top-k: the corpus is its PQ codes
+    (+ norm) only; each query precomputes an m × ksub lookup table of
+    partial dots against every sub-centroid (tiny query side, pure
+    expressions), broadcasts, and scores a candidate as
+    ``Σ_j lut[j][codes[j]] / (|q| · norm)``. The corpus never reshuffles
+    and never rehydrates raw vectors — the shape that scales to 10^12 rows.
+    Approximate by construction; the unit test bounds recall@k against the
+    exact baseline. Deterministic tie-break (score desc, vec_id asc)."""
+    enc = encoded if encoded is not None else pq_encode(corpus, codebooks, id_col, vec_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    dot(F.slice(qv, j * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in c]))
+                    for c in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        lut.alias("lut"),
+        l2_norm(qv).alias("qnorm"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"),
+            lambda l, c: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = enc.crossJoin(F.broadcast(q))
+    score = adc / F.greatest(F.col("qnorm") * F.col("norm"), F.lit(1e-12))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.round(score, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -132,3 +132,99 @@ def test_ivf_topk_with_learned_codebook_finds_self(spark):
                           centroids=cents).collect()
     top = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
     assert top[0] == 0 and top[1] == 30
+
+
+# ---------------------------------------------------------------- PQ
+
+
+class TestProductQuantization:
+    def _corpus(self, spark, n=120, dim=16):
+        import hashlib
+
+        rows = []
+        for i in range(n):
+            h = hashlib.md5(f"pq{i}".encode()).digest() + hashlib.md5(
+                f"pq{i}x".encode()
+            ).digest()
+            vec = [((b / 255.0) * 2 - 1) for b in h[:dim]]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_codebook_shapes_and_determinism(self, spark):
+        from gnosis_ocr_spark.functions.similarity import pq_codebooks
+
+        c = self._corpus(spark, n=60)
+        b1 = pq_codebooks(c, m=4, ksub=8, dim=16, n_iter=2)
+        b2 = pq_codebooks(c, m=4, ksub=8, dim=16, n_iter=2)
+        assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 4
+        assert b1 == b2  # fully deterministic fit
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest
+
+        from gnosis_ocr_spark.functions.similarity import pq_codebooks
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_codebooks(self._corpus(spark, n=10), m=5, dim=16)
+
+    def test_encode_shape(self, spark):
+        from gnosis_ocr_spark.functions.similarity import pq_codebooks, pq_encode
+
+        c = self._corpus(spark, n=40)
+        books = pq_codebooks(c, m=4, ksub=8, dim=16, n_iter=1)
+        enc = pq_encode(c, books).collect()
+        assert len(enc) == 40
+        for r in enc:
+            assert len(r.codes) == 4
+            assert all(0 <= x < 8 for x in r.codes)
+            assert r.norm > 0
+
+    def test_recall_vs_exact(self, spark):
+        from gnosis_ocr_spark.functions.similarity import (
+            cosine_topk_bruteforce,
+            pq_codebooks,
+            pq_cosine_topk,
+        )
+
+        c = self._corpus(spark, n=120)
+        q = self._corpus(spark, n=6).withColumnRenamed("vec_id", "query_id")
+        books = pq_codebooks(c, m=8, ksub=16, dim=16, n_iter=3)
+        exact = cosine_topk_bruteforce(c, q, k=10)
+        approx = pq_cosine_topk(c, q, books, k=10)
+        ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        # 8 subspaces x 16 codes on 16-dim vectors is a strong quantizer;
+        # demand most of the exact top-10 back
+        assert recall >= 0.6, recall
+
+    def test_self_query_ranks_first(self, spark):
+        from gnosis_ocr_spark.functions.similarity import (
+            pq_codebooks,
+            pq_cosine_topk,
+        )
+
+        c = self._corpus(spark, n=50)
+        q = self._corpus(spark, n=3).withColumnRenamed("vec_id", "query_id")
+        books = pq_codebooks(c, m=8, ksub=16, dim=16, n_iter=3)
+        top1 = {
+            r.query_id: r.vec_id
+            for r in pq_cosine_topk(c, q, books, k=1).collect()
+        }
+        # every query IS a corpus vector; with a decent quantizer it should
+        # come back as its own nearest neighbor for most queries
+        hits = sum(1 for qid, vid in top1.items() if qid == vid)
+        assert hits >= 2, top1
+
+    def test_no_python_udf_in_plan(self, spark):
+        from gnosis_ocr_spark.functions.similarity import (
+            pq_codebooks,
+            pq_cosine_topk,
+        )
+
+        c = self._corpus(spark, n=30)
+        q = self._corpus(spark, n=2).withColumnRenamed("vec_id", "query_id")
+        books = pq_codebooks(c, m=4, ksub=8, dim=16, n_iter=1)
+        plan = pq_cosine_topk(c, q, books, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
