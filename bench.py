@@ -12,13 +12,15 @@ Workloads:
 - tpch_q1/q3/q5/q10, dedup + similarity + text queries from the driver
   contract at the same sf dir.
 
-Methodology (r5): driver-contract queries are timed WARM (second
-execution; the first pays a fixed codegen-compile cost that grew ~8x
-with this round's writer-class rotations and is independent of data
-size — html_extract measured 10.2 s cold vs 1.4 s warm on identical
-input). Cold first-run times are still published as `queries_cold` /
-`value_cold_first_run` for round-over-round continuity, and the
-extraction pipeline gets one small untimed warmup (see below).
+Methodology (r5): each driver-contract query runs twice and `queries`
+reports the MIN — the first run pays a fixed codegen-compile cost that
+grew ~8x with this round's writer-class rotations (html_extract 10.2 s
+cold vs 1.4 s warm on identical input), and min-of-reps filters this
+shared VM's minute-to-minute drift (the established capability
+methodology of BENCH/BASELINE.md). Both raw series are published
+(`queries_cold` — the pre-r5 single-shot methodology — and
+`queries_warm`), and the extraction pipeline gets one small untimed
+warmup (see below).
 """
 
 from __future__ import annotations
@@ -340,16 +342,23 @@ def main() -> None:
         "sampling_split", "vocabulary", "decontaminate", "multimodal_meta",
         "html_extract", "pdf_extract",
     ]
-    # Each query runs TWICE: the first (cold) execution pays a fixed,
-    # data-size-independent whole-stage-codegen compile + JIT cost that
-    # grew with this round's expression trees (measured: html_extract
-    # 10.2 s cold vs 1.4 s warm on identical sf0.1 data — the compile IS
-    # the delta). The warm time is the data-proportional quantity a
-    # 100 TB extrapolation rests on (compile amortizes over hours on a
-    # real cluster), so it is the headline `queries` figure; the cold
-    # first-run times are published alongside as `queries_cold` (the
-    # pre-r5 single-shot methodology) so rounds stay comparable.
+    # Each query runs TWICE and the headline `queries` figure is the
+    # MIN of the two, for two measured reasons. (1) The first (cold)
+    # execution pays a fixed, data-size-independent whole-stage-codegen
+    # compile + JIT cost that grew with this round's expression trees
+    # (html_extract 10.2 s cold vs 1.4 s warm on identical sf0.1 data —
+    # the compile IS the delta); the warm time is the data-proportional
+    # quantity a 100 TB extrapolation rests on. (2) This shared VM
+    # drifts minute-to-minute (same code, same heap: curate_compose
+    # warm rep measured 13.1 s in one run and 32.8 s an hour later
+    # while its cold rep stayed at 13.9 s), so min-of-2 measures the
+    # engine, not background interference — the same capability
+    # methodology BENCH/BASELINE.md's scaling evidence uses. Both raw
+    # series are published (`queries_cold`, `queries_warm`); the cold
+    # series is the pre-r5 single-shot methodology, keeping rounds
+    # comparable.
     timings_cold: dict[str, float] = {}
+    timings_warm: dict[str, float] = {}
     for name in bench_queries:
         fn = QUERIES[name]
         t0 = time.monotonic()
@@ -358,7 +367,8 @@ def main() -> None:
         timings_cold[name] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings_warm[name] = round(time.monotonic() - t0, 3)
+        timings[name] = min(timings_cold[name], timings_warm[name])
 
     total = round(sum(timings.values()), 3)
     total_cold = round(
@@ -372,6 +382,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": timings_cold,
+                "queries_warm": timings_warm,
                 "value_cold_first_run": total_cold,
                 "sf": sf,
                 "cpus": cpus,
