@@ -579,8 +579,20 @@ def connected_components(
     Raises RuntimeError instead of silently returning partial components if
     the budget is somehow exhausted. Lineage is truncated every round —
     without that the iterative plan nests one join deeper per round and
-    analysis cost grows without bound. The per-round convergence check is one
-    count() on the (small) label table, not the input.
+    analysis cost grows without bound.
+
+    Convergence is detected WITHOUT a label⋈label comparison join: both
+    steps only ever lower ``comp`` (every update is ``least(comp, ...)``
+    over a static id set), so the label table changed iff ``sum(comp)``
+    changed — one scalar aggregate per table instead of a per-round
+    two-sided label join (summed as DECIMAL(38,0): 10^12 rows of int64
+    ids cannot overflow it). The check runs on the PROPAGATION result,
+    before the pointer jump: a propagation fixpoint over the symmetrized
+    edge set already implies full convergence (at fixpoint comp(v) ≤
+    comp(u) for every edge both ways, so comps are equal across every
+    edge, i.e. constant per component — and the component min m keeps
+    comp(m) = m since comps never go below the component min), so the
+    final round skips the jump join entirely.
 
     ``checkpoint_dir``: by default lineage truncation uses
     ``localCheckpoint`` (fast, but its blocks live on executor local storage:
@@ -630,7 +642,16 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
+    def _comp_sum(df: DataFrame):
+        # comp only ever decreases (least() over a static id set), so this
+        # scalar is a complete change detector: equal sums ⟺ identical
+        # table. DECIMAL(38,0) so 10^12 int64 ids cannot overflow the sum.
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels, cur_ids = _save(labels)
+    prev_sum = _comp_sum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -646,10 +667,17 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        # materialize before the self-join below: both sides of the
-        # pointer-jump reference this plan and would execute the
-        # propagation join twice per round otherwise
+        # materialize before the sum + self-join below: both the fixpoint
+        # check and both sides of the pointer jump reference this plan and
+        # would execute the propagation join repeatedly otherwise
         stepped, stepped_ids = _save(stepped)
+        stepped_sum = _comp_sum(stepped)
+        if stepped_sum == prev_sum:
+            # propagation fixpoint ⇒ fully converged (docstring proof);
+            # the pointer-jump join is pure acceleration and is skipped
+            _unpersist(cur_ids)
+            labels, cur_ids = stepped, stepped_ids
+            break
         # pointer jumping: follow the label's own label (comp[comp]) — the
         # doubling step that turns O(diameter) convergence into O(log d)
         parent = stepped.select(
@@ -665,18 +693,11 @@ def connected_components(
             )
         )
         new_labels, new_ids = _save(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        prev_sum = _comp_sum(new_labels)
         # this round's intermediate + the superseded label table are dead
-        # now that new_labels is materialized and the count consumed both
+        # now that new_labels is materialized and its sum consumed
         _unpersist(stepped_ids | cur_ids)
         labels, cur_ids = new_labels, new_ids
-        if changed == 0:
-            break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
