@@ -133,6 +133,37 @@ def main() -> None:
             "100 TB. No Python, no cartesian (tests/test_curate.py pins it).",
         ),
         (
+            "Composed curation, ALL legs (curate_corpus: host quota + near-dup)",
+            __import__("gnosis_ocr_spark.plans.curate", fromlist=["curate_corpus"]).curate_corpus(
+                spark.read.parquet(SF + "/documents.parquet")
+                .select("doc_id", "text")
+                .withColumn(
+                    "url",
+                    F.concat(
+                        F.lit("https://host"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".example.org/d/"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ),
+                url_col="url",
+                max_docs_per_host=10,
+                near_dup=True,
+                near_dup_threshold=1.0,
+            ),
+            "The crawl-balancing configuration the driver row certifies\n"
+            "(q_curate_compose): URL canonicalization + the per-host quota is\n"
+            "one row_number window partitioned by host (host-keyed exchange,\n"
+            "bounded by the deterministic tie-break), and the near-dup leg\n"
+            "joins the MinHash star-edge cluster labels back on doc_id. The\n"
+            "iterative connected-components step materializes its label table\n"
+            "eagerly (checkpointed; O(log d) rounds, scalar-sum fixpoint\n"
+            "check — see dedup.connected_components), so the plan below joins\n"
+            "a small materialized label relation instead of re-deriving the\n"
+            "clustering per consumer. Every other exchange still carries\n"
+            "doc_id/fp.",
+        ),
+        (
             "Gopher repetition suite (text.gopher_repetition)",
             q_gopher_repetition(spark, SF),
             "Line/paragraph dup stats are pure per-row expressions (total −\n"
