@@ -232,6 +232,10 @@ Reference throughput context (BASELINE.md): the reference service OCRs at
 default) measures pure Spark orchestration cost, and the compute-calibrated
 engine above measures scaling under an inference-like cost profile. The
 real-model path (operators/ocr.py::NanonetsOCR) runs inside the same plan.
+
+The second scaling axis — wall-clock linear in INPUT SIZE at fixed
+parallelism (no superlinear plan term) — is evidenced in
+BENCH/SIZE_LINEARITY.md (`python scripts/size_linearity.py`).
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
