@@ -24,7 +24,12 @@ from html.parser import HTMLParser
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # containers whose entire subtree is boilerplate
 _KILL_TAGS = frozenset(
@@ -332,7 +337,7 @@ def with_extracted_html(df, html_col: str = "html", out_col: str = "extracted_te
 # restricted to deterministic head parsing; no content guessing).
 # ---------------------------------------------------------------------------
 
-_META_NAME_KEYS = frozenset({"description", "author", "date"})
+_META_NAME_KEYS = frozenset({"description", "author", "date", "robots"})
 _META_PROP_KEYS = frozenset(
     {
         "og:title", "og:description", "og:type", "og:url", "og:site_name",
@@ -391,11 +396,17 @@ class _MetaExtractor(HTMLParser):
 def extract_html_meta(html: bytes | str | None) -> dict:
     """Deterministic head-metadata of one page: {title, description,
     canonical, og_title, og_description, og_type, og_url, og_site_name,
-    author, lang, published_time} — absent fields map to empty strings."""
+    author, lang, published_time, robots, noindex} — absent string
+    fields map to empty strings. ``noindex`` is the derived curation
+    gate: True iff the head's robots meta carries a ``noindex`` or
+    ``none`` directive (comma/space-tokenized, case-insensitive — the
+    robots-meta convention all major crawlers honor), the pages a
+    crawl-respecting corpus must be able to drop."""
     out = {
         "title": "", "description": "", "canonical": "", "og_title": "",
         "og_description": "", "og_type": "", "og_url": "", "og_site_name": "",
-        "author": "", "lang": "", "published_time": "",
+        "author": "", "lang": "", "published_time": "", "robots": "",
+        "noindex": False,
     }
     if html is None:
         return out
@@ -419,7 +430,12 @@ def extract_html_meta(html: bytes | str | None) -> dict:
         author=f.get("author", ""),
         lang=f.get("lang", ""),
         published_time=f.get("article:published_time", f.get("date", "")),
+        robots=f.get("robots", ""),
     )
+    tokens = {
+        t for t in re.split(r"[,\s]+", out["robots"].lower()) if t
+    }
+    out["noindex"] = bool(tokens & {"noindex", "none"})
     return out
 
 
@@ -427,8 +443,9 @@ HTML_META_SCHEMA = StructType(
     [StructField(k, StringType()) for k in (
         "title", "description", "canonical", "og_title", "og_description",
         "og_type", "og_url", "og_site_name", "author", "lang",
-        "published_time",
+        "published_time", "robots",
     )]
+    + [StructField("noindex", BooleanType())]
 )
 
 

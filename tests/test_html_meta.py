@@ -20,6 +20,7 @@ PAGE = b"""<!DOCTYPE html><html lang="en"><head>
 <meta property="og:url" content="https://e.com/x">
 <meta property="og:site_name" content="E">
 <meta property="article:published_time" content="2024-01-02T03:04:05Z">
+<meta name="robots" content="NOINDEX, follow">
 <link rel="canonical" href="https://e.com/canonical">
 </head><body>
 <title>body title</title>
@@ -42,7 +43,36 @@ def test_all_fields():
         "author": "A. Author",
         "lang": "en",
         "published_time": "2024-01-02T03:04:05Z",
+        "robots": "NOINDEX, follow",
+        "noindex": True,
     }
+
+
+def test_robots_noindex_tokenization():
+    # token-wise match: 'none' implies noindex; 'nofollow' alone does not;
+    # a substring like 'noindexing' must not trigger
+    for content, want in [
+        ("noindex", True),
+        ("none", True),
+        ("NOFOLLOW, NOARCHIVE", False),
+        ("noindexing", False),
+        ("index, follow", False),
+        ("nofollow noindex", True),
+        ("", False),
+    ]:
+        page = f'<head><meta name="robots" content="{content}"></head>'
+        m = extract_html_meta(page.encode())
+        assert m["noindex"] is want, (content, m)
+        assert m["robots"] == content
+
+
+def test_robots_body_scoped_ignored():
+    page = (
+        b"<html><head><title>t</title></head>"
+        b'<body><meta name="robots" content="noindex"></body></html>'
+    )
+    m = extract_html_meta(page)
+    assert m["robots"] == "" and m["noindex"] is False
 
 
 def test_unclosed_head_stops_at_body():
@@ -85,9 +115,12 @@ def test_total_over_hostile_bytes(raw):
     assert set(m) == {
         "title", "description", "canonical", "og_title", "og_description",
         "og_type", "og_url", "og_site_name", "author", "lang",
-        "published_time",
+        "published_time", "robots", "noindex",
     }
-    assert all(isinstance(v, str) for v in m.values())
+    assert isinstance(m["noindex"], bool)
+    assert all(
+        isinstance(v, str) for k, v in m.items() if k != "noindex"
+    )
 
 
 def test_spark_struct_udf(spark):
