@@ -41,3 +41,12 @@ def test_plan_has_no_antipatterns(spark, name):
     # BatchEvalPython = row-at-a-time Python UDF; all our Python is
     # Arrow-vectorized (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # Exchange SinglePartition = a global key: every row funnels through
+    # ONE task (an unpartitioned window, a global sort-limit feeding more
+    # work, a keyless aggregation of unbounded rows) — the canonical way a
+    # plan that passes at sf0.001 dies at 100 TB. All 50 registered plans
+    # are single-partition-free today (scalar reductions compile to
+    # partial+final HashAggregate without a SinglePartition exchange in
+    # these plans); keep it that way or document a bounded-cardinality
+    # exception here.
+    assert "Exchange SinglePartition" not in plan, f"{name}: global key"
