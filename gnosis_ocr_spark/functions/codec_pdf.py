@@ -920,6 +920,94 @@ def build_pdf_form_xobject(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_annots(pages: list[str], state_dict: bool = False) -> bytes:
+    """Fixture writer for annotation appearance streams (PDF 32000-1
+    §12.5.5) — the FreeText/stamp/widget text poppler renders and the
+    reference therefore OCRs, which content-stream-only extractors drop.
+
+    Each page's LAST line lives in a visible /FreeText annotation's
+    /AP /N Form XObject (Rect at the page bottom so reading order keeps
+    it last); the remaining lines render in the page content stream, so
+    the extracted text matches :func:`build_pdf` exactly. Every page
+    also carries a HIDDEN annotation (/F 2) whose appearance text must
+    NOT extract, and a bare /Link annotation with no /AP (nothing
+    rendered). With ``state_dict=True`` the visible /N is a state
+    subdictionary << /On .. /Off .. >> selected by /AS /On, and the /Off
+    stream holds decoy text — the checkbox/radio shape."""
+    n_pages = len(pages)
+    stride = 8
+    font_obj_no = 3 + stride * n_pages
+    kids = " ".join(f"{3 + stride * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+
+    def ap_form(text: str, width: int = 468) -> bytes:
+        s = f"BT\n/F1 12 Tf\n0 6 Td\n({_esc(text)}) Tj\nET".encode(
+            "latin-1", "replace"
+        )
+        return (
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 %d 20] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Length %d >>\n"
+            b"stream\n%s\nendstream" % (width, font_obj_no, len(s), s)
+        )
+
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + stride * i
+        content_no = page_no + 1
+        annot_vis, ap_vis = page_no + 2, page_no + 3
+        annot_hid, ap_hid = page_no + 4, page_no + 5
+        annot_link, ap_off = page_no + 6, page_no + 7
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Annots [{annot_vis} 0 R {annot_hid} 0 R {annot_link} 0 R] "
+                f"/Contents {content_no} 0 R >>"
+            ).encode()
+        )
+        lines = page_text_.split("\n")
+        ops = []
+        if len(lines) > 1:
+            ops += ["BT", "/F1 12 Tf", "72 706 Td"]
+            for j, line in enumerate(lines[:-1]):
+                if j > 0:
+                    ops.append("0 -14 Td")
+                ops.append(f"({_esc(line)}) Tj")
+            ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+        if state_dict:
+            n_entry = f"<< /On {ap_vis} 0 R /Off {ap_off} 0 R >> >> /AS /On"
+        else:
+            n_entry = f"{ap_vis} 0 R >>"
+        objects.append(
+            (
+                f"<< /Type /Annot /Subtype /FreeText "
+                f"/Rect [72 90 540 110] /Contents (sticky-note fallback "
+                f"text a renderer never draws) /AP << /N {n_entry} >>"
+            ).encode()
+        )
+        objects.append(ap_form(lines[-1]))
+        objects.append(
+            (
+                f"<< /Type /Annot /Subtype /FreeText /F 2 "
+                f"/Rect [72 400 540 420] /AP << /N {ap_hid} 0 R >> >>"
+            ).encode()
+        )
+        objects.append(ap_form("HIDDEN ANNOTATION TEXT"))
+        objects.append(
+            b"<< /Type /Annot /Subtype /Link /Rect [72 600 540 620] "
+            b"/A << /S /URI /URI (https://example.org) >> >>"
+        )
+        objects.append(ap_form("OFF-STATE DECOY TEXT"))
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def build_pdf_scanned(
     pages: list[str],
     width: int = 64,
@@ -1843,6 +1931,145 @@ def _form_spans(
 
 
 # ---------------------------------------------------------------------------
+# annotation appearance streams — visible widget/stamp/FreeText text
+#
+# poppler RENDERS annotation normal appearances when rasterizing (the
+# reference therefore OCRs their text, /root/reference/app/jobs.py:386-390);
+# a text extractor that reads only the page content stream silently drops
+# them. The /AP /N appearance is a Form XObject (PDF 32000-1 §12.5.5), so
+# extraction reuses the form machinery; the appearance-to-Rect mapping is
+# honored at the engine's established fidelity class (translation only,
+# like Tm and the form /Matrix): the BBox lower-left lands on the Rect
+# lower-left, under which the form /Matrix translation cancels exactly.
+# ---------------------------------------------------------------------------
+
+_ANNOTS_INLINE_RE = re.compile(rb"/Annots\s*\[(.*?)\]", re.S)
+_ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+\d+\s+R\b")
+_ANNOT_F_RE = re.compile(rb"/F\s+(\d+)\b")
+_ANNOT_AS_RE = re.compile(rb"/AS\s*/([^\s/<>\[\]()]+)")
+_RECT_RE = re.compile(
+    rb"/Rect\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+(" + _NUM + rb")\s*\]"
+)
+_BBOX_RE = re.compile(
+    rb"/BBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+(" + _NUM + rb")\s*\]"
+)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+# annotation flags (PDF 32000-1 Table 165): bit 2 Hidden, bit 6 NoView —
+# poppler's renderer skips both, so extraction must too
+_ANNOT_INVISIBLE = 0x02 | 0x20
+
+
+def _balanced_dict(body: bytes, start: int) -> bytes | None:
+    """The bytes of the << ... >> dict beginning at/after ``start``
+    (balanced nesting; None when unterminated)."""
+    open_at = body.find(b"<<", start)
+    if open_at < 0:
+        return None
+    depth = 0
+    i = open_at
+    while i < len(body) - 1:
+        two = body[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[open_at:i]
+        else:
+            i += 1
+    return None
+
+
+def _annot_n_stream(objs: dict[int, bytes], annot: bytes) -> int | None:
+    """Object number of the annotation's selected normal appearance: /AP /N
+    as a direct stream ref, or a state subdictionary picked by /AS
+    (first state when /AS is absent/unmatched — the visible default)."""
+    ap_at = annot.find(b"/AP")
+    if ap_at < 0:
+        return None
+    ap = _balanced_dict(annot, ap_at)
+    if ap is None:
+        return None
+    n_at = ap.find(b"/N")
+    if n_at < 0:
+        return None
+    m = re.match(rb"/N\s+(\d+)\s+\d+\s+R", ap[n_at:])
+    if m:
+        return int(m.group(1))
+    states = _balanced_dict(ap, n_at)
+    if states is None:
+        return None
+    asm = _ANNOT_AS_RE.search(annot)
+    if asm:
+        sm = re.search(
+            rb"/" + re.escape(asm.group(1)) + rb"\s+(\d+)\s+\d+\s+R", states
+        )
+        if sm:
+            return int(sm.group(1))
+    first = _REF_RE.search(states)
+    return int(first.group(1)) if first else None
+
+
+def _page_annot_spans(
+    objs: dict[int, bytes], page_body: bytes, dec, page_fonts: dict
+) -> list["Span"]:
+    """Text spans of a page's visible annotation normal appearances, placed
+    at their /Rect (reading order then interleaves them with the content
+    text by position, exactly like rendered output)."""
+    am = _ANNOTS_INLINE_RE.search(page_body)
+    if am:
+        arr = am.group(1)
+    else:
+        rm = _ANNOTS_REF_RE.search(page_body)
+        if not rm:
+            return []
+        arr = objs.get(int(rm.group(1)), b"")
+    out: list[Span] = []
+    for ref in _REF_RE.finditer(arr):
+        annot = objs.get(int(ref.group(1)), b"")
+        fm = _ANNOT_F_RE.search(annot)
+        if fm and int(fm.group(1)) & _ANNOT_INVISIBLE:
+            continue
+        rm2 = _RECT_RE.search(annot)
+        n_no = _annot_n_stream(objs, annot)
+        if rm2 is None or n_no is None:
+            continue  # no appearance (bare /Link etc.) — nothing rendered
+        body = objs.get(n_no, b"")
+        bm = _BBOX_RE.search(body)
+        if bm is None:
+            continue  # appearance streams are form XObjects (require BBox)
+        stream = _stream_bytes(body, _obj_dec(dec, n_no), objs)
+        if stream is None:
+            continue
+        fonts = dict(page_fonts)
+        fonts.update(_page_fonts(objs, body, dec))
+        xmap = _xobject_map(objs, body)
+
+        def resolver(name: bytes, _xmap=xmap, _fonts=fonts, _no=n_no):
+            return _form_spans(
+                objs, _xmap.get(name), dec, _fonts, 2, frozenset({_no})
+            )
+
+        try:
+            rx = min(float(rm2.group(1)), float(rm2.group(3)))
+            ry = min(float(rm2.group(2)), float(rm2.group(4)))
+            bx = min(float(bm.group(1)), float(bm.group(3)))
+            by = min(float(bm.group(2)), float(bm.group(4)))
+        except ValueError:
+            continue
+        dx, dy = rx - bx, ry - by
+        out.extend(
+            Span(s.x + dx, s.y + dy, s.text)
+            for s in _parse_content(stream, fonts, resolver)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # image XObjects — the scanned-page path
 #
 # The reference's poppler rasterizes EVERY page (text layer or not,
@@ -2318,6 +2545,10 @@ def extract_pages_with_images(
             )
 
         spans = _parse_content(b"\n".join(parts), fonts, resolver) if parts else []
+        # visible annotation appearances render on top of the page (poppler
+        # draws them before the reference OCRs the raster) — their text
+        # joins the span set and sorts into reading order by position
+        spans = spans + _page_annot_spans(objs, body, dec, fonts)
         images: list[PdfImage] = []
         if not spans and parts:
             images = _collect_images(

@@ -296,9 +296,10 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # DeviceGray image XObject, zero text operators — exercises the
     # image-decode → OCR-seam path end-to-end) in raw-Flate, baseline-
     # JPEG, CCITT-G4 fax, and JBIG2 generic-region encodings (the
-    # dominant real-crawl scanned-B/W codecs). All writers
-    # emit the identical page text, so the oracle stays a pure SQL
-    # function of `text`.
+    # dominant real-crawl scanned-B/W codecs), plus annotation appearance
+    # streams (/AP /N with /AS state selection; hidden and /Link decoys).
+    # All writers emit the identical page text, so the oracle stays a pure
+    # SQL function of `text`.
     writers = (
         lambda p: _cp.build_pdf(p),
         lambda p: _cp.build_pdf(p, compress=True),
@@ -322,7 +323,11 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         lambda p: _cp.build_pdf_scanned(
             p, width=128, height=128, image_filter="jbig2"
         ),
-        # STANDALONE images (indices >= 16, mirrored by the oracle's
+        # annotation appearance streams: the second page's text lives in a
+        # visible /AP /N form (plus hidden + /Link decoys that must not
+        # extract) — poppler renders appearances, so the reference OCRs them
+        lambda p: _cp.build_pdf_annots(p, state_dict=True),
+        # STANDALONE images (indices >= 17, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -362,14 +367,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 23 writer classes; indices >= 16 are standalone images (one page
+# 24 writer classes; indices >= 17 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 23 >= 16 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 24 >= 17 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

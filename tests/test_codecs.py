@@ -555,6 +555,42 @@ def test_incremental_update_latest_definition_wins():
     assert P.page_text(P.extract_pages(pdf)[0]) == "original first page"
 
 
+def test_annotation_appearance_extraction():
+    """Visible /AP /N appearance text extracts in reading order; hidden
+    (/F 2) appearances and bare /Link annots contribute nothing; the /AS
+    state dictionary selects the /On stream, never the /Off decoy."""
+    pages = ["alpha one\nbeta two\ngamma three", "single annot line"]
+    for sd in (False, True):
+        pdf = P.build_pdf_annots(pages, state_dict=sd)
+        got = [P.page_text(s) for s in P.extract_pages(pdf)]
+        assert got == pages, (sd, got)
+        joined = "\n\n".join(got)
+        assert "HIDDEN" not in joined and "DECOY" not in joined
+        assert "sticky-note" not in joined  # /Contents string never used
+
+
+def test_annotation_only_page_is_a_text_page():
+    """A page whose only text lives in an annotation appearance must route
+    as a TEXT page (poppler renders it), never fall through to the
+    image/OCR branch."""
+    pdf = P.build_pdf_annots(["only the annotation speaks"])
+    (spans, images), = P.extract_pages_with_images(pdf)
+    assert spans and not images
+    assert P.page_text(spans) == "only the annotation speaks"
+
+
+def test_annotation_rect_places_reading_order():
+    """The appearance BBox lower-left maps to the Rect lower-left, so an
+    annotation high on the page sorts BEFORE lower content text."""
+    # visible annot carries the LAST split line but at Rect y=90 (bottom);
+    # content lines render from y=706 down — reading order keeps content
+    # first. This is the writer's layout contract; pin it explicitly.
+    pdf = P.build_pdf_annots(["top content\nbottom annot"])
+    spans = P.extract_pages(pdf)[0]
+    ys = {s.text: s.y for s in spans}
+    assert ys["top content"] > ys["bottom annot"]
+
+
 def test_dquote_show_operator():
     """The '"' operator (aw ac (s) \") sets word/char spacing, advances one
     leading, and shows — poppler treats it as T* + show; spacing operands
@@ -598,6 +634,8 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(
             pages, width=128, height=128, image_filter="g4"
         ),
+        lambda: P.build_pdf_annots(pages),
+        lambda: P.build_pdf_annots(pages, state_dict=True),
         lambda: P.build_pdf_scanned(
             pages, width=128, height=128, image_filter="raw1"
         ),
