@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import re
+import struct
 from dataclasses import dataclass
 
 
@@ -403,6 +404,206 @@ def build_pdf_tounicode(
 
 def _utf16be_hex(ch: str) -> str:
     return ch.encode("utf-16-be").hex().upper()
+
+
+def _uni_glyph_name(ch: str) -> str:
+    """AGL algorithmic glyph name (uniXXXX for BMP, uXXXXX beyond)."""
+    cp = ord(ch)
+    return f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:05X}"
+
+
+# byte codes safe to emit raw inside literal show strings (printable,
+# non-delimiter): remapping EVERY char — ASCII included — to these makes
+# the original text recoverable ONLY through the font program's builtin
+# encoding, which is exactly the property the fixtures must certify.
+_SAFE_CODES = tuple(
+    c for c in range(0x21, 0xFF) if c not in (0x28, 0x29, 0x5C)
+)
+
+
+def _builtin_code_map(pages: list[str]) -> dict[str, int]:
+    charset = sorted({c for p in pages for c in p if c != "\n"})
+    if len(charset) > len(_SAFE_CODES):
+        raise ValueError("too many distinct chars for 1-byte builtin codes")
+    return {ch: _SAFE_CODES[i] for i, ch in enumerate(charset)}
+
+
+def _type1_program(code_of: dict[str, int]) -> tuple[bytes, int, int, int]:
+    """Minimal Adobe Type 1 font program whose CLEARTEXT section carries a
+    custom builtin /Encoding (dup <code> /<name> put) — the part a text
+    extractor (this codec, poppler, FreeType alike) reads; the eexec
+    section is deterministic filler since no fixture rasterizes glyphs."""
+    entries = "".join(
+        f"dup {code} /{_uni_glyph_name(ch)} put\n"
+        for ch, code in sorted(code_of.items(), key=lambda kv: kv[1])
+    )
+    clear = (
+        "%!FontType1-1.0: CustomBuiltin 001.001\n"
+        "11 dict begin\n"
+        "/FontName /CustomBuiltin def\n"
+        "/FontType 1 def\n"
+        "/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n"
+        "/Encoding 256 array\n"
+        "0 1 255 {1 index exch /.notdef put} for\n"
+        f"{entries}"
+        "readonly def\n"
+        "currentdict end\n"
+        "currentfile eexec\n"
+    ).encode("ascii")
+    eexec = bytes((i * 37 + 11) & 0xFF for i in range(64))
+    trailer = (b"0" * 64 + b"\n") * 8 + b"cleartomark\n"
+    return clear + eexec + trailer, len(clear), len(eexec), len(trailer)
+
+
+def _sfnt_symbol_font(code_of: dict[str, int]) -> bytes:
+    """Minimal TrueType (sfnt) program for a SYMBOLIC subset font: a
+    (3,0) cmap format-4 subtable maps 0xF000+code → glyph id through the
+    general idRangeOffset/glyphIdArray path, and a 'post' format-2.0
+    table names every glyph uniXXXX — the shape real symbolic subsets
+    carry. Table checksums and head.checkSumAdjustment are computed per
+    spec so any conformant sfnt reader accepts the file."""
+    items = sorted(code_of.items(), key=lambda kv: kv[1])  # (char, code)
+    n = len(items)
+    minc, maxc = items[0][1], items[-1][1]
+    gid_of_code = {code: i + 1 for i, (_, code) in enumerate(items)}
+
+    # cmap: one mapped segment [0xF000+minc .. 0xF000+maxc] + sentinel
+    span = maxc - minc + 1
+    glyph_ids = [gid_of_code.get(minc + i, 0) for i in range(span)]
+    seg_count = 2
+    sub = struct.pack(
+        ">HHHHHHH",
+        4,                       # format
+        16 + seg_count * 8 + 2 * span,  # length
+        0,                       # language
+        seg_count * 2,
+        4,                       # searchRange = 2*2^floor(log2(2))
+        1,                       # entrySelector
+        0,                       # rangeShift
+    )
+    sub += struct.pack(">HH", 0xF000 + maxc, 0xFFFF)      # endCode
+    sub += struct.pack(">H", 0)                            # reservedPad
+    sub += struct.pack(">HH", 0xF000 + minc, 0xFFFF)      # startCode
+    sub += struct.pack(">hh", 0, 1)                        # idDelta
+    # idRangeOffset[0] → start of glyphIdArray (2 entries ahead = 4 bytes)
+    sub += struct.pack(">HH", 4, 0)
+    sub += struct.pack(f">{span}H", *glyph_ids)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 0, 12) + sub
+
+    # post 2.0: gid 0 = standard .notdef (index 0); gid i+1 = name 258+i
+    names = b"".join(
+        bytes([len(_uni_glyph_name(ch))]) + _uni_glyph_name(ch).encode("ascii")
+        for ch, _ in items
+    )
+    post = (
+        struct.pack(">IiHHIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+        + struct.pack(">H", n + 1)
+        + struct.pack(f">{n + 1}H", 0, *(258 + i for i in range(n)))
+        + names
+    )
+
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0x00010000, 0, 0x5F0F3CF5, 0, 1000,
+        0, 0, 0, 0, 1000, 1000, 0, 8, 2, 0, 0,
+    )
+    maxp = struct.pack(">IH", 0x00010000, n + 1) + b"\x00" * 26
+
+    def cksum(b: bytes) -> int:
+        b = b + b"\x00" * (-len(b) % 4)
+        return sum(struct.unpack(f">{len(b) // 4}I", b)) & 0xFFFFFFFF
+
+    tables = [(b"cmap", cmap), (b"head", head), (b"maxp", maxp), (b"post", post)]
+    header = struct.pack(">IHHHH", 0x00010000, 4, 64, 2, 0)
+    offset = len(header) + 16 * len(tables)
+    directory, body = b"", b""
+    head_off = None
+    for tag, data in tables:
+        if tag == b"head":
+            head_off = offset + len(body)
+        directory += struct.pack(">4sIII", tag, cksum(data), offset + len(body), len(data))
+        body += data + b"\x00" * (-len(data) % 4)
+    font = header + directory + body
+    adj = (0xB1B0AFBA - cksum(font)) & 0xFFFFFFFF
+    return font[: head_off + 8] + struct.pack(">I", adj) + font[head_off + 12 :]
+
+
+def build_pdf_embedded_font(pages: list[str], kind: str = "type1") -> bytes:
+    """Fixture writer for fonts whose ONLY encoding lives in the embedded
+    font PROGRAM — no /Encoding, no /ToUnicode, no /Differences in the
+    PDF dict (the real-crawl subset-font shape; the reference reads these
+    through poppler's builtin-encoding chain, app/jobs.py:386-390).
+
+    Every char (ASCII included) is remapped to an arbitrary safe byte
+    code, so extraction that ignores the font program yields garbage —
+    recovery certifies the program parse. ``kind='type1'`` embeds a
+    /FontFile Type1 program (cleartext /Encoding dup/put entries);
+    ``kind='truetype'`` embeds a /FontFile2 symbolic sfnt (cmap (3,0)
+    format 4 + post 2.0 uniXXXX names). Layout matches :func:`build_pdf`
+    (72/720 origin, 14 pt leading)."""
+    code_of = _builtin_code_map(pages)
+
+    def enc(line: str) -> bytes:
+        return bytes(code_of[c] for c in line)
+
+    n_pages = len(pages)
+    font_no = 3 + 2 * n_pages
+    fd_no, ff_no = font_no + 1, font_no + 2
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops: list[bytes] = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + enc(line) + b") Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    codes = sorted(code_of.values())
+    widths = " ".join("500" for _ in range(codes[0], codes[-1] + 1))
+    if kind == "type1":
+        pgm, l1, l2, l3 = _type1_program(code_of)
+        subtype, ff_key = "Type1", "FontFile"
+        ff_dict = f"<< /Length {len(pgm)} /Length1 {l1} /Length2 {l2} /Length3 {l3} >>"
+    elif kind == "truetype":
+        pgm = _sfnt_symbol_font(code_of)
+        subtype, ff_key = "TrueType", "FontFile2"
+        ff_dict = f"<< /Length {len(pgm)} /Length1 {len(pgm)} >>"
+    else:
+        raise ValueError(kind)
+    objects.append(
+        (
+            f"<< /Type /Font /Subtype /{subtype} /BaseFont /CustomBuiltin "
+            f"/FirstChar {codes[0]} /LastChar {codes[-1]} "
+            f"/Widths [ {widths} ] /FontDescriptor {fd_no} 0 R >>"
+        ).encode()
+    )
+    objects.append(
+        (
+            f"<< /Type /FontDescriptor /FontName /CustomBuiltin /Flags 4 "
+            f"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+            f"/Descent -200 /CapHeight 700 /StemV 80 "
+            f"/{ff_key} {ff_no} 0 R >>"
+        ).encode()
+    )
+    objects.append(
+        ff_dict.encode() + b"\nstream\n" + pgm + b"\nendstream"
+    )
+    return _assemble_classic(objects)
 
 
 def build_pdf_type0(
@@ -1729,6 +1930,211 @@ _PREDEF_NAME_RE = re.compile(
 )
 
 
+_FONTDESC_REF_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_FONTFILE_REF_RE = re.compile(rb"/FontFile(2?)\s+(\d+)\s+\d+\s+R")
+_T1_ENC_ENTRY_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/<>\[\]()]+)\s+put")
+
+
+def _type1_builtin_table(pgm: bytes) -> list[str] | None:
+    """Builtin encoding of an embedded Type1 font program (ISO 9541 /
+    Adobe Type 1 spec §2.3): the cleartext portion (everything before
+    ``eexec``; charstrings/Subrs are encrypted so their dup/put pairs
+    can't false-match) declares ``/Encoding 256 array`` followed by
+    ``dup <code> /<glyphname> put`` entries. Returns a 256-entry table
+    (latin-1 identity for unmapped codes, matching the repo's degradation
+    stance) or None when the program declares no custom entries (e.g.
+    ``/Encoding StandardEncoding def``)."""
+    clear = pgm.split(b"eexec", 1)[0]
+    pos = clear.find(b"/Encoding")
+    if pos < 0:
+        return None
+    table = [chr(i) for i in range(256)]
+    mapped = False
+    for m in _T1_ENC_ENTRY_RE.finditer(clear, pos):
+        code = int(m.group(1))
+        ch = _glyph_to_char(m.group(2).decode("latin-1"))
+        if ch is not None and code <= 0xFF:
+            table[code] = ch
+            mapped = True
+    return table if mapped else None
+
+
+def _sfnt_tables(pgm: bytes) -> dict[bytes, bytes]:
+    """TrueType/OpenType table directory → {tag: table bytes}."""
+    if len(pgm) < 12:
+        return {}
+    (num_tables,) = struct.unpack(">H", pgm[4:6])
+    tables: dict[bytes, bytes] = {}
+    for i in range(min(num_tables, 64)):
+        rec = pgm[12 + 16 * i : 28 + 16 * i]
+        if len(rec) < 16:
+            break
+        tag = rec[0:4]
+        off, length = struct.unpack(">II", rec[8:16])
+        if off + length <= len(pgm):
+            tables[tag] = pgm[off : off + length]
+    return tables
+
+
+def _tt_post_gid_chars(post: bytes) -> dict[int, str]:
+    """'post' table format 2.0 → {glyph id: unicode char}. Indices < 258
+    are the standard Macintosh glyph order — the run 3..97 is exactly
+    ASCII 0x20..0x7E (plus .notdef/.null/nonmarkingreturn below), the
+    only segment of that table used here; accented tail indices degrade
+    to unmapped. Indices >= 258 name via the trailing Pascal strings
+    (subsetters emit uniXXXX / AGL names there)."""
+    if len(post) < 34 or struct.unpack(">I", post[0:4])[0] != 0x00020000:
+        return {}
+    (n_glyphs,) = struct.unpack(">H", post[32:34])
+    if 34 + 2 * n_glyphs > len(post):
+        return {}
+    idx = struct.unpack(f">{n_glyphs}H", post[34 : 34 + 2 * n_glyphs])
+    names: list[str] = []
+    p = 34 + 2 * n_glyphs
+    while p < len(post) and len(names) < n_glyphs:
+        ln = post[p]
+        names.append(post[p + 1 : p + 1 + ln].decode("latin-1"))
+        p += 1 + ln
+    out: dict[int, str] = {}
+    for gid, ni in enumerate(idx):
+        if 3 <= ni <= 97:  # Mac standard order ASCII run
+            out[gid] = chr(0x20 + ni - 3)
+        elif ni >= 258 and ni - 258 < len(names):
+            ch = _glyph_to_char(names[ni - 258])
+            if ch is not None:
+                out[gid] = ch
+    return out
+
+
+def _tt_cmap_lookup(cmap: bytes):
+    """Best byte-code→glyph-id lookup from a 'cmap' table, or None.
+    Subtable preference mirrors poppler's symbolic-TrueType chain:
+    (3,0) Microsoft Symbol (codes live at 0xF000+c or c), then (1,0)
+    Macintosh Roman (codes direct). Formats 0, 4 and 6 supported; a
+    unicode-keyed (3,1)-only font gives no code→GID path and returns
+    None (the dict-encoding/latin-1 fallback applies)."""
+    if len(cmap) < 4:
+        return None
+    (n_sub,) = struct.unpack(">H", cmap[2:4])
+    subs: dict[tuple[int, int], bytes] = {}
+    for i in range(min(n_sub, 32)):
+        rec = cmap[4 + 8 * i : 12 + 8 * i]
+        if len(rec) < 8:
+            break
+        pid, eid, off = struct.unpack(">HHI", rec)
+        if off < len(cmap):
+            subs[(pid, eid)] = cmap[off:]
+    for key, high in (((3, 0), True), ((1, 0), False)):
+        sub = subs.get(key)
+        if sub is None:
+            continue
+        fn = _tt_subtable_fn(sub)
+        if fn is None:
+            continue
+        if high:
+            return lambda c, fn=fn: fn(0xF000 + c) or fn(c)
+        return fn
+    return None
+
+
+def _tt_subtable_fn(sub: bytes):
+    """One cmap subtable → callable(code)->gid (0 = unmapped), or None."""
+    if len(sub) < 2:
+        return None
+    (fmt,) = struct.unpack(">H", sub[0:2])
+    if fmt == 0 and len(sub) >= 262:
+        arr = sub[6:262]
+        return lambda c: arr[c] if 0 <= c < 256 else 0
+    if fmt == 6 and len(sub) >= 10:
+        first, count = struct.unpack(">HH", sub[6:10])
+        if 10 + 2 * count > len(sub):
+            return None
+        ids = struct.unpack(f">{count}H", sub[10 : 10 + 2 * count])
+        return lambda c: ids[c - first] if first <= c < first + count else 0
+    if fmt == 4 and len(sub) >= 14:
+        (seg_x2,) = struct.unpack(">H", sub[6:8])
+        segs = seg_x2 // 2
+        base = 14
+        need = base + seg_x2 * 4 + 2
+        if segs == 0 or need > len(sub):
+            return None
+        end = struct.unpack(f">{segs}H", sub[base : base + seg_x2])
+        s2 = base + seg_x2 + 2  # +2: reservedPad
+        start = struct.unpack(f">{segs}H", sub[s2 : s2 + seg_x2])
+        s3 = s2 + seg_x2
+        delta = struct.unpack(f">{segs}h", sub[s3 : s3 + seg_x2])
+        s4 = s3 + seg_x2
+
+        def lookup(c: int) -> int:
+            for i in range(segs):
+                if c <= end[i]:
+                    if c < start[i]:
+                        return 0
+                    (ro,) = struct.unpack(
+                        ">H", sub[s4 + 2 * i : s4 + 2 * i + 2]
+                    )
+                    if ro == 0:
+                        return (c + delta[i]) & 0xFFFF
+                    gpos = s4 + 2 * i + ro + 2 * (c - start[i])
+                    if gpos + 2 > len(sub):
+                        return 0
+                    (g,) = struct.unpack(">H", sub[gpos : gpos + 2])
+                    return (g + delta[i]) & 0xFFFF if g else 0
+            return 0
+
+        return lookup
+    return None
+
+
+def _truetype_builtin_table(pgm: bytes) -> list[str] | None:
+    """Builtin encoding of an embedded TrueType program: byte code →
+    glyph id via the font's own cmap, glyph id → unicode via 'post'
+    glyph names. The (3,0)-symbol + post shape is how real subsetted
+    symbolic fonts (no /Encoding, no /ToUnicode) stay decodable."""
+    tables = _sfnt_tables(pgm)
+    cmap, post = tables.get(b"cmap"), tables.get(b"post")
+    if cmap is None or post is None:
+        return None
+    lookup = _tt_cmap_lookup(cmap)
+    gid_chars = _tt_post_gid_chars(post)
+    if lookup is None or not gid_chars:
+        return None
+    table = [chr(i) for i in range(256)]
+    mapped = False
+    for c in range(256):
+        gid = lookup(c)
+        ch = gid_chars.get(gid) if gid else None
+        if ch is not None:
+            table[c] = ch
+            mapped = True
+    return table if mapped else None
+
+
+def _embedded_program_table(
+    objs: dict[int, bytes], font_body: bytes, dec=None
+) -> list[str] | None:
+    """Resolve /FontDescriptor → /FontFile (Type1) or /FontFile2
+    (TrueType) and extract the program's builtin encoding. Any parse
+    failure degrades to None (latin-1 path) — crawl bytes never raise."""
+    fd = _FONTDESC_REF_RE.search(font_body)
+    if not fd:
+        return None
+    desc = objs.get(int(fd.group(1)), b"")
+    ff = _FONTFILE_REF_RE.search(desc)
+    if not ff:
+        return None
+    num = int(ff.group(2))
+    try:
+        pgm = _stream_bytes(objs.get(num, b""), _obj_dec(dec, num), objs)
+        if not pgm:
+            return None
+        if ff.group(1) == b"2":
+            return _truetype_builtin_table(pgm)
+        return _type1_builtin_table(pgm)
+    except Exception:
+        return None
+
+
 def _font_decode_table(
     objs: dict[int, bytes], font_body: bytes, dec=None
 ) -> tuple[int, list[str] | dict[int, str]] | None:
@@ -1807,7 +2213,15 @@ def _font_decode_table(
     dm = _DIFFS_RE.search(enc_body)
     tm = _TOUNICODE_REF_RE.search(font_body)
     if not base and not dm and not tm:
-        return None
+        # No encoding info in the font DICT at all: consult the embedded
+        # font PROGRAM's builtin encoding — exactly what poppler does for
+        # subset fonts that ship neither /Encoding nor /ToUnicode (a
+        # dominant real-crawl shape; ref extracts these via poppler,
+        # app/jobs.py:386-390). Type1 programs carry a cleartext
+        # /Encoding array before eexec; symbolic TrueType programs carry
+        # a cmap (3,0)/(1,0) subtable plus 'post' glyph names.
+        table = _embedded_program_table(objs, font_body, dec)
+        return (1, table) if table is not None else None
     table = _base_encoding_table(base.group(1) if base else None)
     if dm:
         code = 0

@@ -297,7 +297,9 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # image-decode → OCR-seam path end-to-end) in raw-Flate, baseline-
     # JPEG, CCITT-G4 fax, and JBIG2 generic-region encodings (the
     # dominant real-crawl scanned-B/W codecs), plus annotation appearance
-    # streams (/AP /N with /AS state selection; hidden and /Link decoys).
+    # streams (/AP /N with /AS state selection; hidden and /Link decoys),
+    # plus embedded-font-program builtin encodings (Type1 cleartext
+    # /Encoding and symbolic-TrueType cmap+post — no dict encoding info).
     # All writers emit the identical page text, so the oracle stays a pure
     # SQL function of `text`.
     writers = (
@@ -327,7 +329,13 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         # visible /AP /N form (plus hidden + /Link decoys that must not
         # extract) — poppler renders appearances, so the reference OCRs them
         lambda p: _cp.build_pdf_annots(p, state_dict=True),
-        # STANDALONE images (indices >= 17, mirrored by the oracle's
+        # embedded-font-program builtin encodings: the PDF dict carries NO
+        # /Encoding//ToUnicode — text is recoverable only through the
+        # Type1 program's cleartext /Encoding (dup/put) or the symbolic
+        # TrueType's cmap(3,0)+post chain (poppler's FreeType path)
+        lambda p: _cp.build_pdf_embedded_font(p, kind="type1"),
+        lambda p: _cp.build_pdf_embedded_font(p, kind="truetype"),
+        # STANDALONE images (indices >= 19, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -367,14 +375,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 24 writer classes; indices >= 17 are standalone images (one page
+# 26 writer classes; indices >= 19 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 24 >= 17 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 26 >= 19 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

@@ -643,6 +643,8 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
             pages, predefined="GBK-EUC-H", charset="gbk"
         ),
         lambda: P.build_pdf_scanned(pages, image_filter="inline"),
+        lambda: P.build_pdf_embedded_font(pages, kind="type1"),
+        lambda: P.build_pdf_embedded_font(pages, kind="truetype"),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -1087,3 +1089,90 @@ def test_image_inside_form_xobject_reaches_scan_path():
     assert spans == [] and len(imgs) == 1
     png = _scan_png(imgs)
     assert G.decode_scan_png_text(png) == text
+
+
+# ---------------------------------------------------------------------------
+# Embedded-font-program builtin encodings (/FontFile Type1, /FontFile2 sfnt)
+# ---------------------------------------------------------------------------
+
+
+def test_embedded_font_builtin_encoding_roundtrip():
+    """A simple font with NO dict encoding info decodes through the
+    embedded program's builtin encoding: Type1 cleartext /Encoding and
+    symbolic-TrueType cmap(3,0)+post alike — every char remapped to an
+    arbitrary code, so success certifies the program parse, not latin-1
+    luck."""
+    pages = ["Grüße Ω λx→x 42!\nsecond line here", "page two: ¿qué? ∑"]
+    for kind in ("type1", "truetype"):
+        pdf = P.build_pdf_embedded_font(pages, kind=kind)
+        got = [P.page_text(s) for s in P.extract_pages(pdf)]
+        assert got == pages, (kind, got)
+
+
+def test_embedded_font_damaged_program_degrades_not_raises():
+    """Crawl stance: a truncated/garbled font program must degrade to the
+    latin-1 path (wrong text, no exception), never raise."""
+    pages = ["plain ascii text"]
+    for kind in ("type1", "truetype"):
+        pdf = bytearray(P.build_pdf_embedded_font(pages, kind=kind))
+        # wreck the program stream body: flip a run of bytes after the
+        # last 'stream' keyword (the FontFile is the final stream object)
+        at = bytes(pdf).rfind(b"stream\n") + 7
+        pdf[at : at + 24] = b"\xff" * 24
+        got = [P.page_text(s) for s in P.extract_pages(bytes(pdf))]
+        assert len(got) == 1  # parsed, degraded or not — never raised
+
+
+def test_dict_encoding_beats_builtin_program():
+    """Precedence per PDF 9.6.6: /Encoding//ToUnicode in the font DICT
+    override the program's builtin encoding."""
+    code_of = {"Z": 0x41}  # program says 0x41 -> Z
+    pgm, l1, l2, l3 = P._type1_program(code_of)
+    objs = {
+        5: (b"<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R "
+            b"/ToUnicode 8 0 R >>"),
+        6: b"<< /Type /FontDescriptor /FontFile 7 0 R >>",
+        7: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(pgm), pgm),
+        8: (b"<< /Length 99 >>\nstream\n"
+            b"begincmap 1 beginbfchar <41> <0059> endbfchar endcmap\n"
+            b"endstream"),
+    }
+    width, table = P._font_decode_table(objs, objs[5])
+    assert width == 1 and table[0x41] == "Y"  # ToUnicode wins over builtin
+    # without the ToUnicode the program's builtin encoding applies
+    objs[5] = (b"<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R >>")
+    width, table = P._font_decode_table(objs, objs[5])
+    assert width == 1 and table[0x41] == "Z"
+
+
+def test_sfnt_checksum_adjustment_is_spec_conformant():
+    """Sum of the whole font file as big-endian u32s must equal 0xB1B0AFBA
+    once head.checkSumAdjustment is folded in (OpenType spec, 'head')."""
+    import struct as _s
+
+    font = P._sfnt_symbol_font({"a": 0x21, "b": 0x30})
+    padded = font + b"\x00" * (-len(font) % 4)
+    total = sum(_s.unpack(f">{len(padded) // 4}I", padded)) & 0xFFFFFFFF
+    assert total == 0xB1B0AFBA
+
+
+def test_tt_cmap_format4_gap_codes_stay_unmapped():
+    """Codes inside the segment span but absent from the font (gid 0 in
+    glyphIdArray) keep latin-1 identity — the degradation contract."""
+    font = P._sfnt_symbol_font({"X": 0x21, "Y": 0x25})  # gap at 0x22-0x24
+    table = P._truetype_builtin_table(font)
+    assert table[0x21] == "X" and table[0x25] == "Y"
+    assert table[0x23] == chr(0x23)
+
+
+def test_tt_post_mac_standard_ascii_run():
+    """'post' nameIndex 3..97 is the Mac standard order ASCII run: a gid
+    whose index is 36 names 'A' (0x41 - 0x20 + 3) without Pascal strings."""
+    import struct as _s
+
+    post = (
+        _s.pack(">IiHHIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+        + _s.pack(">H", 2)            # numGlyphs
+        + _s.pack(">HH", 0, 36)       # gid0=.notdef, gid1=index 36 ('A')
+    )
+    assert P._tt_post_gid_chars(post) == {1: "A"}
