@@ -528,6 +528,166 @@ def _sfnt_symbol_font(code_of: dict[str, int]) -> bytes:
     return font[: head_off + 8] + struct.pack(">I", adj) + font[head_off + 12 :]
 
 
+def build_pdf_incremental(
+    pages: list[str], decoy: str = "SUPERSEDED DRAFT TEXT", objstm: bool = False
+) -> bytes:
+    """Incrementally UPDATED PDF (ISO 32000-1 §7.5.6): the original
+    revision shows decoy text; an appended update section redefines every
+    page's content stream with the real text, followed by its own xref
+    section whose trailer carries /Prev — byte-for-byte how Acrobat
+    writes signatures, form fills, and edits (the original bytes are
+    never touched). A conforming reader walks the /Prev chain and shows
+    only the update; extraction must do the same (latest generation
+    wins). With ``objstm`` the replacement objects ride inside an
+    appended /ObjStm container indexed by an xref STREAM — the hybrid
+    shape modern writers append onto classic files."""
+    base = build_pdf([decoy for _ in pages])
+    buf = bytearray(base)
+    prev_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    offsets: dict[int, int] = {}
+    replacements: list[tuple[int, bytes]] = []
+    for i, page_text in enumerate(pages):
+        content_no = 4 + 2 * i
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_text.split("\n")):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        replacements.append((content_no, stream))
+    size = 3 + 2 * len(pages) + 1  # base /Size (objects + obj 0)
+    if not objstm:
+        for num, stream in replacements:
+            offsets[num] = len(buf)
+            buf += b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+                num, len(stream), stream
+            )
+        xref_off = len(buf)
+        buf += b"xref\n"
+        for num in sorted(offsets):
+            buf += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (size, prev_xref, xref_off)
+        )
+        return bytes(buf)
+    # hybrid update: replacements inside one /ObjStm + an xref STREAM.
+    # Content streams may not live in an ObjStm per spec — ship the page
+    # DICTS there instead, pointing at new top-level content objects.
+    import zlib as _z
+
+    new_content_base = size  # fresh object numbers for the new streams
+    parts, header = [], []
+    off = 0
+    for i, (num, _) in enumerate(replacements):
+        page_no = 3 + 2 * i
+        body = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {3 + 2 * len(pages)} 0 R >> >> "
+            f"/Contents {new_content_base + i} 0 R >>"
+        ).encode()
+        header.append(b"%d %d" % (page_no, off))
+        parts.append(body)
+        off += len(body) + 1
+    payload = b" ".join(header) + b"\n" + b"\n".join(parts) + b"\n"
+    first = len(b" ".join(header)) + 1
+    for i, (_, stream) in enumerate(replacements):
+        num = new_content_base + i
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+            num, len(stream), stream
+        )
+    objstm_no = new_content_base + len(replacements)
+    offsets[objstm_no] = len(buf)
+    zpayload = _z.compress(payload, 6)
+    buf += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (objstm_no, len(replacements), first, len(zpayload), zpayload)
+    )
+    xref_no = objstm_no + 1
+    rows = []
+    # type-2 rows for the ObjStm members, type-1 for new top-level objects
+    for i in range(len(replacements)):
+        rows.append((3 + 2 * i, struct.pack(">BIH", 2, objstm_no, i)))
+    for num in sorted(offsets):
+        rows.append((num, struct.pack(">BIH", 1, offsets[num], 0)))
+    xref_off = len(buf)
+    rows.append((xref_no, struct.pack(">BIH", 1, xref_off, 0)))
+    rows.sort()
+    index = b" ".join(b"%d 1" % n for n, _ in rows)
+    data = b"".join(r for _, r in rows)
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /W [1 4 2] /Index [%s] /Size %d "
+        b"/Root 1 0 R /Prev %d /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (xref_no, index, xref_no + 1, prev_xref, len(data), data)
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(buf)
+
+
+def _mk_cff_index(items: list[bytes]) -> bytes:
+    """CFF INDEX with offSize 2 (enough for fixture-scale data)."""
+    if not items:
+        return struct.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        struct.pack(">HB", len(items), 2)
+        + b"".join(struct.pack(">H", o) for o in offs)
+        + b"".join(items)
+    )
+
+
+def _cff_int5(v: int) -> bytes:
+    return b"\x1d" + struct.pack(">i", v)  # 29: 5-byte int (fixed width)
+
+
+def _cff_font(code_of: dict[str, int]) -> bytes:
+    """Minimal bare-CFF (Type1C) program with a CUSTOM builtin encoding:
+    Encoding format 0 maps each glyph's code, charset format 0 assigns
+    custom SIDs, and the String INDEX names every glyph uniXXXX — the
+    compact-font equivalent of the Type1 fixture. CharStrings are single
+    endchar ops (no fixture rasterizes glyphs)."""
+    items = sorted(code_of.items(), key=lambda kv: kv[1])  # (char, code)
+    n = len(items)
+    header = b"\x01\x00\x04\x04"
+    name_idx = _mk_cff_index([b"CustomCFF"])
+    string_idx = _mk_cff_index(
+        [_uni_glyph_name(ch).encode("ascii") for ch, _ in items]
+    )
+    gsubr_idx = struct.pack(">H", 0)
+    # top DICT: charset(15), Encoding(16), CharStrings(17) — fixed-width
+    # 5-byte operands so the DICT size is known before offsets are
+    top_dict_len = 3 * 6
+    top_idx_len = 2 + 1 + 2 * 2 + top_dict_len  # count,offSize,2 offs,data
+    encoding = bytes([0, n]) + bytes(code for _, code in items)
+    charset = b"\x00" + b"".join(
+        struct.pack(">H", 391 + i) for i in range(n)
+    )
+    charstrings = _mk_cff_index([b"\x0e"] * (n + 1))
+    enc_pos = len(header) + len(name_idx) + top_idx_len + len(string_idx) + len(gsubr_idx)
+    cs_pos = enc_pos + len(encoding)
+    chs_pos = cs_pos + len(charset)
+    top_dict = (
+        _cff_int5(cs_pos) + b"\x0f"        # charset
+        + _cff_int5(enc_pos) + b"\x10"     # Encoding
+        + _cff_int5(chs_pos) + b"\x11"     # CharStrings
+    )
+    top_idx = (
+        struct.pack(">HB", 1, 2)
+        + struct.pack(">HH", 1, 1 + len(top_dict))
+        + top_dict
+    )
+    assert len(top_idx) == top_idx_len
+    return (
+        header + name_idx + top_idx + string_idx + gsubr_idx
+        + encoding + charset + charstrings
+    )
+
+
 def build_pdf_embedded_font(pages: list[str], kind: str = "type1") -> bytes:
     """Fixture writer for fonts whose ONLY encoding lives in the embedded
     font PROGRAM — no /Encoding, no /ToUnicode, no /Differences in the
@@ -539,8 +699,10 @@ def build_pdf_embedded_font(pages: list[str], kind: str = "type1") -> bytes:
     recovery certifies the program parse. ``kind='type1'`` embeds a
     /FontFile Type1 program (cleartext /Encoding dup/put entries);
     ``kind='truetype'`` embeds a /FontFile2 symbolic sfnt (cmap (3,0)
-    format 4 + post 2.0 uniXXXX names). Layout matches :func:`build_pdf`
-    (72/720 origin, 14 pt leading)."""
+    format 4 + post 2.0 uniXXXX names); ``kind='cff'`` embeds a
+    /FontFile3 /Type1C bare-CFF program (custom Encoding + charset +
+    String INDEX names). Layout matches :func:`build_pdf` (72/720
+    origin, 14 pt leading)."""
     code_of = _builtin_code_map(pages)
 
     def enc(line: str) -> bytes:
@@ -583,6 +745,10 @@ def build_pdf_embedded_font(pages: list[str], kind: str = "type1") -> bytes:
         pgm = _sfnt_symbol_font(code_of)
         subtype, ff_key = "TrueType", "FontFile2"
         ff_dict = f"<< /Length {len(pgm)} /Length1 {len(pgm)} >>"
+    elif kind == "cff":
+        pgm = _cff_font(code_of)
+        subtype, ff_key = "Type1", "FontFile3"
+        ff_dict = f"<< /Length {len(pgm)} /Subtype /Type1C >>"
     else:
         raise ValueError(kind)
     objects.append(
@@ -1931,7 +2097,7 @@ _PREDEF_NAME_RE = re.compile(
 
 
 _FONTDESC_REF_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
-_FONTFILE_REF_RE = re.compile(rb"/FontFile(2?)\s+(\d+)\s+\d+\s+R")
+_FONTFILE_REF_RE = re.compile(rb"/FontFile([23]?)\s+(\d+)\s+\d+\s+R")
 _T1_ENC_ENTRY_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/<>\[\]()]+)\s+put")
 
 
@@ -2110,12 +2276,192 @@ def _truetype_builtin_table(pgm: bytes) -> list[str] | None:
     return table if mapped else None
 
 
+# CFF standard strings 0..95 (Adobe TN #5176 Appendix A): the run 1..95
+# is exactly ASCII 0x20..0x7E in order — the only standard-SID segment
+# used here; accented standard SIDs (96..390) degrade to unmapped.
+def _cff_sid_char(sid: int, strings: list[bytes]) -> str | None:
+    if sid == 0:
+        return None  # .notdef
+    if 1 <= sid <= 95:
+        return chr(0x20 + sid - 1)
+    if sid >= 391 and sid - 391 < len(strings):
+        return _glyph_to_char(strings[sid - 391].decode("latin-1"))
+    return None
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """One CFF INDEX at ``pos`` → (items, position after)."""
+    (count,) = struct.unpack(">H", data[pos : pos + 2])
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("CFF offSize")
+    obase = pos + 3
+    offs = []
+    for i in range(count + 1):
+        v = 0
+        for b in data[obase + i * off_size : obase + (i + 1) * off_size]:
+            v = (v << 8) | b
+        offs.append(v)
+    dbase = obase + (count + 1) * off_size - 1  # offsets are 1-based
+    items = [data[dbase + offs[i] : dbase + offs[i + 1]] for i in range(count)]
+    return items, dbase + offs[count]
+
+
+def _cff_dict(data: bytes) -> dict[int, list[int]]:
+    """CFF DICT → {operator: operands} (integer operands only; reals are
+    consumed and dropped — none of the offsets read here are reals).
+    Two-byte operators key as 1200+op2."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            operands.append(struct.unpack(">h", data[i + 1 : i + 3])[0])
+            i += 3
+        elif b0 == 29:
+            operands.append(struct.unpack(">i", data[i + 1 : i + 5])[0])
+            i += 5
+        elif b0 == 30:  # real: nibbles until 0xF terminator
+            i += 1
+            while i < n and (data[i] & 0x0F) != 0x0F and (data[i] >> 4) != 0x0F:
+                i += 1
+            i += 1
+            operands.append(0)
+        elif b0 == 12:
+            out[1200 + data[i + 1]] = operands
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            out[b0] = operands
+            operands = []
+            i += 1
+        else:
+            raise ValueError(f"CFF DICT byte {b0}")
+    return out
+
+
+def _cff_builtin_table(pgm: bytes) -> list[str] | None:
+    """Builtin encoding of a bare CFF (Type1C) font program: code → glyph
+    via the CFF Encoding (formats 0/1 + supplements), glyph → SID via the
+    charset (formats 0/1/2), SID → name via standard/custom strings.
+    Fonts using the predefined Standard/Expert encodings return None —
+    their codes are already latin-1-adjacent and the dict/default path
+    applies (poppler's degradation without AGL coverage is the same)."""
+    if len(pgm) < 4 or pgm[0] != 1:
+        return None
+    hdr_size = pgm[2]
+    _, p = _cff_index(pgm, hdr_size)              # Name INDEX
+    top_dicts, p = _cff_index(pgm, p)             # Top DICT INDEX
+    strings, p = _cff_index(pgm, p)               # String INDEX
+    if not top_dicts:
+        return None
+    top = _cff_dict(top_dicts[0])
+    enc_off = top.get(16, [0])[0]
+    if enc_off in (0, 1):                          # Standard/Expert
+        return None
+    cs_off = top.get(17, [0])[0]
+    charset_off = top.get(15, [0])[0]
+    if not cs_off:
+        return None
+    charstrings, _ = _cff_index(pgm, cs_off)
+    n_glyphs = len(charstrings)
+
+    # charset: gid -> SID (gid 0 is .notdef, implicit)
+    sids = [0]
+    if charset_off in (0, 1, 2):
+        sids += list(range(1, n_glyphs))  # ISOAdobe identity degradation
+    else:
+        fmt = pgm[charset_off]
+        q = charset_off + 1
+        if fmt == 0:
+            for _ in range(n_glyphs - 1):
+                sids.append(struct.unpack(">H", pgm[q : q + 2])[0])
+                q += 2
+        elif fmt in (1, 2):
+            step = 3 if fmt == 1 else 4
+            while len(sids) < n_glyphs:
+                first = struct.unpack(">H", pgm[q : q + 2])[0]
+                n_left = (
+                    pgm[q + 2] if fmt == 1
+                    else struct.unpack(">H", pgm[q + 2 : q + 4])[0]
+                )
+                sids += list(range(first, first + n_left + 1))
+                q += step
+            sids = sids[:n_glyphs]
+        else:
+            return None
+
+    table = [chr(i) for i in range(256)]
+    mapped = False
+
+    def put(code: int, sid: int) -> None:
+        nonlocal mapped
+        ch = _cff_sid_char(sid, strings)
+        if ch is not None and code <= 0xFF:
+            table[code] = ch
+            mapped = True
+
+    fmt = pgm[enc_off]
+    q = enc_off + 1
+    if fmt & 0x7F == 0:
+        n_codes = pgm[q]
+        q += 1
+        for gid in range(1, min(n_codes + 1, n_glyphs)):
+            put(pgm[q + gid - 1], sids[gid])
+        q += n_codes
+    elif fmt & 0x7F == 1:
+        n_ranges = pgm[q]
+        q += 1
+        gid = 1
+        for _ in range(n_ranges):
+            first, n_left = pgm[q], pgm[q + 1]
+            for k in range(n_left + 1):
+                if gid < n_glyphs:
+                    put(first + k, sids[gid])
+                gid += 1
+            q += 2
+    else:
+        return None
+    if fmt & 0x80:  # supplements: code -> SID directly
+        n_sups = pgm[q]
+        q += 1
+        for _ in range(n_sups):
+            put(pgm[q], struct.unpack(">H", pgm[q + 1 : q + 3])[0])
+            q += 3
+    return table if mapped else None
+
+
+def _fontfile3_table(pgm: bytes) -> list[str] | None:
+    """/FontFile3 program: bare CFF (Type1C) or OpenType-wrapped (OTTO
+    sfnt — try the cmap+post chain first, then the embedded CFF table)."""
+    if pgm[:4] == b"OTTO":
+        table = _truetype_builtin_table(pgm)
+        if table is not None:
+            return table
+        cff = _sfnt_tables(pgm).get(b"CFF ")
+        return _cff_builtin_table(cff) if cff else None
+    return _cff_builtin_table(pgm)
+
+
 def _embedded_program_table(
     objs: dict[int, bytes], font_body: bytes, dec=None
 ) -> list[str] | None:
-    """Resolve /FontDescriptor → /FontFile (Type1) or /FontFile2
-    (TrueType) and extract the program's builtin encoding. Any parse
-    failure degrades to None (latin-1 path) — crawl bytes never raise."""
+    """Resolve /FontDescriptor → /FontFile (Type1), /FontFile2 (TrueType)
+    or /FontFile3 (CFF/Type1C/OpenType) and extract the program's builtin
+    encoding. Any parse failure degrades to None (latin-1 path) — crawl
+    bytes never raise."""
     fd = _FONTDESC_REF_RE.search(font_body)
     if not fd:
         return None
@@ -2130,6 +2476,8 @@ def _embedded_program_table(
             return None
         if ff.group(1) == b"2":
             return _truetype_builtin_table(pgm)
+        if ff.group(1) == b"3":
+            return _fontfile3_table(pgm)
         return _type1_builtin_table(pgm)
     except Exception:
         return None
@@ -2802,10 +3150,22 @@ def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]
     """Scan all indirect objects, including those packed inside /ObjStm
     object streams (PDF 1.5 xref-stream era: catalogs/page dicts routinely
     live compressed inside object streams, invisible to a plain obj..endobj
-    scan). Top-level definitions win on number collisions. ``dec`` decrypts
-    ObjStm payloads on encrypted files (objects INSIDE an object stream are
-    not separately encrypted, per spec)."""
-    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+    scan). Number collisions resolve by BYTE POSITION — the later
+    definition wins, with ObjStm members adopting their container's
+    position. Incrementally updated files (the everywhere real-crawl
+    shape: signatures, form fills, Acrobat edits append new object
+    versions plus an xref section with /Prev) therefore extract the
+    LATEST document version without trusting the xref chain at all —
+    the same last-generation semantics a conforming reader derives from
+    walking /Prev, but robust to damaged/truncated xrefs. ``dec``
+    decrypts ObjStm payloads on encrypted files (objects INSIDE an
+    object stream are not separately encrypted, per spec)."""
+    pos_of: dict[int, int] = {}
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(pdf):
+        num = int(m.group(1))
+        pos_of[num] = m.start()
+        objs[num] = m.group(3)
     for num, body in list(objs.items()):
         if not _OBJSTM_RE.search(body):
             continue
@@ -2824,8 +3184,11 @@ def _objects(pdf: bytes, dec: "_StdDecryptor | None" = None) -> dict[int, bytes]
         nums = [int(x) for x in header[0 : 2 * n : 2]]
         offs = [int(x) for x in header[1 : 2 * n : 2]]
         bounds = offs[1:] + [len(data) - first]
-        for num, off, end in zip(nums, offs, bounds):
-            objs.setdefault(num, data[first + off : first + end])
+        stm_pos = pos_of.get(num, 0)
+        for mnum, off, end in zip(nums, offs, bounds):
+            if pos_of.get(mnum, -1) < stm_pos:
+                pos_of[mnum] = stm_pos
+                objs[mnum] = data[first + off : first + end]
     return objs
 
 

@@ -299,7 +299,8 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     # dominant real-crawl scanned-B/W codecs), plus annotation appearance
     # streams (/AP /N with /AS state selection; hidden and /Link decoys),
     # plus embedded-font-program builtin encodings (Type1 cleartext
-    # /Encoding and symbolic-TrueType cmap+post — no dict encoding info).
+    # /Encoding, symbolic-TrueType cmap+post, and bare-CFF /Type1C
+    # custom Encoding/charset — no dict encoding info in any of them).
     # All writers emit the identical page text, so the oracle stays a pure
     # SQL function of `text`.
     writers = (
@@ -335,7 +336,12 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         # TrueType's cmap(3,0)+post chain (poppler's FreeType path)
         lambda p: _cp.build_pdf_embedded_font(p, kind="type1"),
         lambda p: _cp.build_pdf_embedded_font(p, kind="truetype"),
-        # STANDALONE images (indices >= 19, mirrored by the oracle's
+        lambda p: _cp.build_pdf_embedded_font(p, kind="cff"),
+        # incrementally updated file: the decoy original is superseded by
+        # the appended update section (/Prev chain; ObjStm-hybrid shape) —
+        # extraction shows the LATEST generation like a conforming reader
+        lambda p: _cp.build_pdf_incremental(p, objstm=True),
+        # STANDALONE images (indices >= 21, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -375,14 +381,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 26 writer classes; indices >= 19 are standalone images (one page
+# 28 writer classes; indices >= 21 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 26 >= 19 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 28 >= 21 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

@@ -645,6 +645,9 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(pages, image_filter="inline"),
         lambda: P.build_pdf_embedded_font(pages, kind="type1"),
         lambda: P.build_pdf_embedded_font(pages, kind="truetype"),
+        lambda: P.build_pdf_embedded_font(pages, kind="cff"),
+        lambda: P.build_pdf_incremental(pages),
+        lambda: P.build_pdf_incremental(pages, objstm=True),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -1176,3 +1179,102 @@ def test_tt_post_mac_standard_ascii_run():
         + _s.pack(">HH", 0, 36)       # gid0=.notdef, gid1=index 36 ('A')
     )
     assert P._tt_post_gid_chars(post) == {1: "A"}
+
+
+def test_cff_builtin_encoding_roundtrip():
+    """Bare-CFF (Type1C) /FontFile3: custom Encoding format 0 + charset
+    format 0 + String INDEX uniXXXX names recover text remapped to
+    arbitrary codes."""
+    pages = ["Grüße Ω λx→x 42!\nsecond line here", "page two: ¿qué? ∑"]
+    pdf = P.build_pdf_embedded_font(pages, kind="cff")
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
+
+
+def test_cff_opentype_wrapped_program():
+    """/FontFile3 /OpenType (OTTO sfnt): the CFF table inside the wrapper
+    decodes through the same chain when no cmap+post path exists."""
+    import struct as _s
+
+    code_of = {"Q": 0x21, "è": 0x22}
+    cff = P._cff_font(code_of)
+    hdr = _s.pack(">4sHHHH", b"OTTO", 1, 16, 0, 0)
+    rec = _s.pack(">4sIII", b"CFF ", 0, 28, len(cff))
+    table = P._fontfile3_table(hdr + rec + cff)
+    assert table[0x21] == "Q" and table[0x22] == "è"
+
+
+def test_cff_format1_ranges_and_supplements():
+    """Encoding format 1 (ranges) and the supplement list (high bit of
+    the format byte) both map; standard-SID ASCII run resolves without
+    custom strings."""
+    import struct as _s
+
+    # glyphs: gid1 SID=34 ('A': 0x41-0x20+1), gid2 SID=35 ('B')
+    header = b"\x01\x00\x04\x04"
+    name_idx = P._mk_cff_index([b"T"])
+    string_idx = _s.pack(">H", 0)
+    gsubr_idx = _s.pack(">H", 0)
+    top_dict_len = 3 * 6
+    top_idx_len = 2 + 1 + 4 + top_dict_len
+    # format 1 | 0x80 supplements: 1 range (first=0x30, nLeft=1) -> gid1,2
+    encoding = bytes([0x81, 1, 0x30, 1, 1, 0x77]) + _s.pack(">H", 34)
+    charset = b"\x00" + _s.pack(">HH", 34, 35)
+    charstrings = P._mk_cff_index([b"\x0e"] * 3)
+    enc_pos = 4 + len(name_idx) + top_idx_len + 2 + 2
+    cs_pos = enc_pos + len(encoding)
+    chs_pos = cs_pos + len(charset)
+    top_dict = (P._cff_int5(cs_pos) + b"\x0f" + P._cff_int5(enc_pos)
+                + b"\x10" + P._cff_int5(chs_pos) + b"\x11")
+    top_idx = _s.pack(">HB", 1, 2) + _s.pack(">HH", 1, 1 + len(top_dict)) + top_dict
+    cff = (header + name_idx + top_idx + string_idx + gsubr_idx
+           + encoding + charset + charstrings)
+    table = P._cff_builtin_table(cff)
+    assert table[0x30] == "A" and table[0x31] == "B"   # range
+    assert table[0x77] == "A"                           # supplement SID 34
+
+
+def test_cff_standard_encoding_degrades():
+    """A CFF declaring the predefined Standard encoding (offset 0) keeps
+    the latin-1 path — no builtin table is synthesized."""
+    pages = ["plain"]
+    cff = bytearray(P._cff_font(P._builtin_code_map(pages)))
+    # patch top DICT's Encoding operand (5-byte int after charset op) to 0
+    at = cff.find(b"\x10", 4)  # 0x10 = Encoding operator
+    cff[at - 5 : at] = b"\x1d\x00\x00\x00\x00"
+    assert P._cff_builtin_table(bytes(cff)) is None
+
+
+def test_incremental_update_latest_generation_wins():
+    """Incrementally updated PDFs (appended replacement objects + /Prev
+    xref chain — the signature/form-fill/edit shape) must extract the
+    LATEST document version; the superseded original must not leak.
+    Covers both the classic-append and the ObjStm-hybrid update shapes."""
+    pages = ["real final text\nline two", "page two final"]
+    for objstm in (False, True):
+        pdf = P.build_pdf_incremental(pages, objstm=objstm)
+        got = [P.page_text(s) for s in P.extract_pages(pdf)]
+        assert got == pages, (objstm, got)
+        assert all("SUPERSEDED" not in t for t in got)
+        assert P.page_count(pdf) == 2
+
+
+def test_incremental_update_chain_of_two():
+    """Two stacked updates: the SECOND update wins over both the original
+    and the first update (position-ordered generations compose)."""
+    mid = P.build_pdf_incremental(["middle version"], decoy="ORIGINAL V0")
+    # append another classic update on top of the updated file by
+    # rebuilding with the mid bytes as base: emulate by concatenating a
+    # second update section targeting the same content object
+    stream = b"BT\n/F1 12 Tf\n72 720 Td\n(final version) Tj\nET"
+    prev = int(mid.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    buf = bytearray(mid)
+    off = len(buf)
+    buf += b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(stream), stream)
+    xref_off = len(buf)
+    buf += b"xref\n4 1\n%010d 00000 n \n" % off
+    buf += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (prev, xref_off))
+    got = [P.page_text(s) for s in P.extract_pages(bytes(buf))]
+    assert got == ["final version"]
