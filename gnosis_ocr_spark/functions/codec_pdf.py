@@ -1943,6 +1943,36 @@ _GLYPH_NAMES: dict[str, str] = {
     "psi": "ψ", "omega": "ω", "Alpha": "Α", "Beta": "Β", "Gamma": "Γ",
     "Delta": "Δ", "Omega": "Ω", "Sigma": "Σ", "Pi": "Π", "Phi": "Φ",
     "Lambda": "Λ", "Theta": "Θ",
+    # high-frequency names real /Differences arrays and subset font
+    # programs carry (AGL): ligatures, legal/currency marks, guillemets,
+    # Latin-1 punctuation/symbols, superiors/fractions, spacing accents
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "asciicircum": "^", "grave": "`",
+    "fi": "ﬁ", "fl": "ﬂ",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "section": "§", "paragraph": "¶", "periodcentered": "·",
+    "cent": "¢", "sterling": "£", "yen": "¥", "currency": "¤",
+    "florin": "ƒ", "fraction": "⁄", "perthousand": "‰",
+    "dagger": "†", "daggerdbl": "‡", "minus": "−",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "exclamdown": "¡", "questiondown": "¿",
+    "multiply": "×", "divide": "÷", "plusminus": "±",
+    "logicalnot": "¬", "brokenbar": "¦",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ", "AE": "Æ", "Aring": "Å",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "ydieresis": "ÿ", "Thorn": "Þ", "Eth": "Ð",
+    "Oslash": "Ø", "Atilde": "Ã", "atilde": "ã", "Otilde": "Õ",
+    "otilde": "õ", "Acircumflex": "Â", "Ecircumflex": "Ê",
+    "Icircumflex": "Î", "Ocircumflex": "Ô", "Ucircumflex": "Û",
+    "Igrave": "Ì", "Iacute": "Í", "Idieresis": "Ï", "Ograve": "Ò",
+    "Oacute": "Ó", "Ugrave": "Ù", "Uacute": "Ú", "Yacute": "Ý",
+    "macron": "¯", "acute": "´", "cedilla": "¸", "dieresis": "¨",
+    "circumflex": "ˆ", "tilde": "˜",
 }
 
 

@@ -1278,3 +1278,13 @@ def test_incremental_update_chain_of_two():
             % (prev, xref_off))
     got = [P.page_text(s) for s in P.extract_pages(bytes(buf))]
     assert got == ["final version"]
+
+
+def test_differences_high_frequency_glyph_names():
+    """The expanded AGL subset: ligatures, legal/currency marks,
+    guillemets, and Latin-1 symbols recover through a /Differences array
+    (the names real subset fonts carry most)."""
+    pages = ["ﬁnding ﬂaws © § ¶ « » ± ½ Œuvre ƒ † ‰ ¿why? Š"]
+    pdf = P.build_pdf_tounicode(pages, mode="differences")
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
