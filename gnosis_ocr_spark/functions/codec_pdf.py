@@ -34,6 +34,35 @@ class Span:
     text: str
 
 
+# 2-D affine matrices as (a, b, c, d, e, f) in the PDF row-vector
+# convention (PDF 32000-1 §8.3.3): [x y 1]·M, so
+# x' = a·x + c·y + e and y' = b·x + d·y + f.
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(
+    m1: tuple[float, ...], m2: tuple[float, ...]
+) -> tuple[float, ...]:
+    """Compose two affines: apply ``m1`` first, then ``m2`` (= m1·m2)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_apply(
+    m: tuple[float, ...], x: float, y: float
+) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
@@ -1233,6 +1262,73 @@ def build_pdf_tj_kerned(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_matrix(pages: list[str]) -> bytes:
+    """Fixture writer for FULL text/CTM affine composition — the shapes the
+    LibreOffice/InDesign generator family emits and poppler resolves through
+    the text rendering matrix Trm = Tm·CTM (the reference rasterizes via
+    poppler, ref app/jobs.py:386-390; naive extractors that track only Tm's
+    translation garble all three):
+
+    line k (k mod 4) is positioned by
+      0. a plain absolute ``Tm`` (the control shape);
+      1. ``q … cm`` CTM translation around an untranslated ``BT`` block,
+         with a DECOY scaled ``q 3 0 0 3 … cm Q`` pushed and popped first
+         (certifies the q/Q stack restore);
+      2. a 90°-rotated ``Tm`` whose following ``Td`` advance must compose
+         THROUGH the rotation (the margin-stamp shape): Td(50,0) under
+         ``0 -1 1 0`` moves 50pt DOWN the page, not right;
+      3. a 90°-rotated ``Tm`` with ``TL`` + ``T*`` line advance (same
+         composition through the leading).
+
+    All four land on the standard 72/720 14-pt grid, so the extracted text
+    is byte-identical to :func:`build_pdf` — the golden certifies the
+    affine math, because an untransformed reading places shapes 1-3 at
+    wrong rows/columns and the reconstruction order changes."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["q 3 0 0 3 100 100 cm Q"]  # decoy scale: push + pop
+        for k, line in enumerate(page_text_.split("\n")):
+            y = 720 - 14 * k
+            text = f"({_esc(line)}) Tj"
+            if k % 4 == 0:
+                ops += ["BT", "/F1 12 Tf", f"1 0 0 1 72 {y} Tm", text, "ET"]
+            elif k % 4 == 1:
+                ops += [
+                    "q", f"1 0 0 1 72 {y} cm",
+                    "BT", "/F1 12 Tf", text, "ET", "Q",
+                ]
+            elif k % 4 == 2:
+                ops += [
+                    "BT", "/F1 12 Tf",
+                    f"0 -1 1 0 72 {y + 50} Tm", "50 0 Td", text, "ET",
+                ]
+            else:
+                ops += [
+                    "BT", "/F1 12 Tf", "14 TL",
+                    f"0 -1 1 0 86 {y} Tm", "T*", text, "ET",
+                ]
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def build_pdf_form_xobject(pages: list[str]) -> bytes:
     """Fixture writer for Form XObjects (the letterhead/stamp/generated-PDF
     shape poppler handles and naive parsers drop): each page's FIRST line
@@ -1640,11 +1736,21 @@ _FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
 _NUM = rb"-?(?:\d+(?:\.\d*)?|\.\d+)"
 # content-stream tokens we understand: x y Td|TD, a b c d e f Tm, n TL,
 # T*, (s)|<hex> Tj, (s)|<hex> ', aw ac (s)|<hex> ", [(s) n (s)] TJ, BT,
-# /F n Tf — operands in NAMED groups
+# /F n Tf, a b c d e f cm, q, Q — operands in NAMED groups. q/Q are
+# single-letter operators, so they anchor on stream start or a preceding
+# delimiter (whitespace, `>`, `)`, `]`) and a following boundary — the
+# same residual string-operand exposure the multi-letter tokens have.
 _TOK_RE = re.compile(
-    rb"(?P<tm>(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    rb"(?P<tm>(?P<tm_a>" + _NUM + rb")\s+(?P<tm_b>" + _NUM
+    + rb")\s+(?P<tm_c>" + _NUM + rb")\s+(?P<tm_d>"
     + _NUM + rb")\s+(?P<tm_e>" + _NUM + rb")\s+(?P<tm_f>" + _NUM
     + rb")\s+Tm\b)"
+    rb"|(?P<cm>(?P<cm_a>" + _NUM + rb")\s+(?P<cm_b>" + _NUM
+    + rb")\s+(?P<cm_c>" + _NUM + rb")\s+(?P<cm_d>" + _NUM
+    + rb")\s+(?P<cm_e>" + _NUM + rb")\s+(?P<cm_f>" + _NUM
+    + rb")\s+cm\b)"
+    rb"|(?P<push>(?:^|(?<=[\s>\)\]]))q(?=\s|$|%))"
+    rb"|(?P<pop>(?:^|(?<=[\s>\)\]]))Q(?=\s|$|%))"
     rb"|(?P<td>(?P<td_x>" + _NUM + rb")\s+(?P<td_y>" + _NUM
     + rb")\s+(?P<td_op>T[dD]))"
     rb"|(?P<tl>(?P<tl_v>" + _NUM + rb")\s+TL\b)"
@@ -2690,11 +2796,12 @@ def _form_spans(
 ) -> list["Span"]:
     """Execute a ``name Do`` target: if the XObject is a /Subtype /Form,
     recursively parse its content stream (image XObjects contribute no
-    text). Spans translate by the form /Matrix (e, f) — same fidelity
-    decision as Tm: translation honored, scale/rotation ignored. The form's
-    own /Resources override the caller's (PDF inheritance); forms may nest,
-    so recursion is depth-capped and cycle-guarded (a self-referencing form
-    must degrade to dropped content, not a RecursionError)."""
+    text). Spans map through the FULL form /Matrix affine (rotation and
+    scale included, PDF 32000-1 §8.10.1); the caller's CTM at the Do is
+    applied by ``_parse_content``. The form's own /Resources override the
+    caller's (PDF inheritance); forms may nest, so recursion is
+    depth-capped and cycle-guarded (a self-referencing form must degrade
+    to dropped content, not a RecursionError)."""
     if no is None or no in active or depth > _FORM_MAX_DEPTH:
         return []
     body = objs.get(no, b"")
@@ -2711,15 +2818,17 @@ def _form_spans(
     def resolver(name: bytes) -> list[Span]:
         return _form_spans(objs, xmap.get(name), dec, fonts, depth + 1, nested)
 
-    e = f = 0.0
+    mat = _MAT_ID
     mm = _MATRIX_RE.search(body)
     if mm:
         try:
-            e, f = float(mm.group(5)), float(mm.group(6))
+            mat = tuple(float(mm.group(i)) for i in range(1, 7))
         except ValueError:
             pass
     spans = _parse_content(stream, fonts, resolver)
-    return [Span(s.x + e, s.y + f, s.text) for s in spans]
+    if mat == _MAT_ID:
+        return spans
+    return [Span(*_mat_apply(mat, s.x, s.y), s.text) for s in spans]
 
 
 # ---------------------------------------------------------------------------
@@ -2847,17 +2956,43 @@ def _page_annot_spans(
             )
 
         try:
-            rx = min(float(rm2.group(1)), float(rm2.group(3)))
-            ry = min(float(rm2.group(2)), float(rm2.group(4)))
-            bx = min(float(bm.group(1)), float(bm.group(3)))
-            by = min(float(bm.group(2)), float(bm.group(4)))
+            rx1 = min(float(rm2.group(1)), float(rm2.group(3)))
+            rx2 = max(float(rm2.group(1)), float(rm2.group(3)))
+            ry1 = min(float(rm2.group(2)), float(rm2.group(4)))
+            ry2 = max(float(rm2.group(2)), float(rm2.group(4)))
+            bx1 = min(float(bm.group(1)), float(bm.group(3)))
+            bx2 = max(float(bm.group(1)), float(bm.group(3)))
+            by1 = min(float(bm.group(2)), float(bm.group(4)))
+            by2 = max(float(bm.group(2)), float(bm.group(4)))
         except ValueError:
             continue
-        dx, dy = rx - bx, ry - by
-        out.extend(
-            Span(s.x + dx, s.y + dy, s.text)
-            for s in _parse_content(stream, fonts, resolver)
-        )
+        # appearance-to-Rect mapping (PDF 32000-1 §12.5.5, algorithm 8.1):
+        # the BBox corners map through the appearance /Matrix, their
+        # bounding box scales + translates onto /Rect. With an identity
+        # matrix and equal sizes this is the pure translation it replaces.
+        mat = _MAT_ID
+        mm2 = _MATRIX_RE.search(body)
+        if mm2:
+            try:
+                mat = tuple(float(mm2.group(i)) for i in range(1, 7))
+            except ValueError:
+                pass
+        corners = [
+            _mat_apply(mat, cx, cy)
+            for cx in (bx1, bx2)
+            for cy in (by1, by2)
+        ]
+        ax1 = min(p[0] for p in corners)
+        ax2 = max(p[0] for p in corners)
+        ay1 = min(p[1] for p in corners)
+        ay2 = max(p[1] for p in corners)
+        sx = (rx2 - rx1) / (ax2 - ax1) if ax2 > ax1 else 1.0
+        sy = (ry2 - ry1) / (ay2 - ay1) if ay2 > ay1 else 1.0
+        for s in _parse_content(stream, fonts, resolver):
+            px, py = _mat_apply(mat, s.x, s.y)
+            out.append(
+                Span(rx1 + (px - ax1) * sx, ry1 + (py - ay1) * sy, s.text)
+            )
     return out
 
 
@@ -3768,55 +3903,97 @@ def _parse_content(
             return "".join(out)
         return "".join(mapping[ord(c)] if ord(c) < 256 else c for c in s)
 
-    x = y = 0.0
+    # Full affine tracking (PDF 32000-1 §9.4.2): the text LINE matrix Tlm
+    # composes Tm/Td/TD/T* and the CTM composes q/Q/cm, so rotated or
+    # scaled text blocks (landscape scans, margin stamps, cm-positioned
+    # layout — the LibreOffice/InDesign shape) land at their TRUE page
+    # coordinates instead of collapsing onto untransformed offsets.
+    # Glyph-level advances (Tz/Ts/per-glyph widths) stay out of scope:
+    # spans are positioned at their line origin, the established fidelity.
+    tlm = _MAT_ID
+    ctm = _MAT_ID
+    ctm_stack: list[tuple[float, ...]] = []
     leading = 0.0
     spans: list[Span] = []
+
+    def origin() -> tuple[float, float]:
+        m = _mat_mul(tlm, ctm)
+        return (m[4], m[5])
+
+    def emit(text: str) -> None:
+        ox, oy = origin()
+        spans.append(Span(ox, oy, text))
+
     for m in _TOK_RE.finditer(stream):
         if m.group("bt"):
             # BT resets the text matrix to identity
-            x = y = 0.0
+            tlm = _MAT_ID
         elif m.group("tf"):
             cur = fonts.get(m.group("tf_f"))
         elif m.group("tm"):
-            # a b c d e f Tm: absolute text matrix; for span positioning the
-            # translation (e, f) is the text origin (scale/rotation ignored —
-            # standard fidelity for text extraction)
-            x, y = float(m.group("tm_e")), float(m.group("tm_f"))
+            # a b c d e f Tm: absolute text (line) matrix
+            try:
+                tlm = (
+                    float(m.group("tm_a")),
+                    float(m.group("tm_b")),
+                    float(m.group("tm_c")),
+                    float(m.group("tm_d")),
+                    float(m.group("tm_e")),
+                    float(m.group("tm_f")),
+                )
+            except ValueError:
+                pass
+        elif m.group("cm"):
+            # a b c d e f cm: premultiplies the CTM
+            try:
+                ctm = _mat_mul(
+                    (
+                        float(m.group("cm_a")),
+                        float(m.group("cm_b")),
+                        float(m.group("cm_c")),
+                        float(m.group("cm_d")),
+                        float(m.group("cm_e")),
+                        float(m.group("cm_f")),
+                    ),
+                    ctm,
+                )
+            except ValueError:
+                pass
+        elif m.group("push"):
+            ctm_stack.append(ctm)
+        elif m.group("pop"):
+            # unbalanced Q degrades to the initial state, never raises
+            ctm = ctm_stack.pop() if ctm_stack else _MAT_ID
         elif m.group("td"):
-            # Td/TD are relative moves of the text-line origin; TD also sets
-            # the leading to -ty
-            x += float(m.group("td_x"))
-            ty = float(m.group("td_y"))
-            y += ty
+            # Td/TD move the line origin IN TEXT SPACE (they compose with
+            # any rotation/scale in Tlm); TD also sets the leading to -ty
+            tx, ty = float(m.group("td_x")), float(m.group("td_y"))
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
             if m.group("td_op") == b"TD":
                 leading = -ty
         elif m.group("tl"):
             leading = float(m.group("tl_v"))
         elif m.group("tstar"):
-            y -= leading
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
         elif m.group("tj"):
-            spans.append(Span(x, y, dec(_unesc(m.group("tj_s").decode("latin-1")))))
+            emit(dec(_unesc(m.group("tj_s").decode("latin-1"))))
         elif m.group("tjx"):
-            spans.append(Span(x, y, dec(_unhex_str(m.group("tjx_s")))))
+            emit(dec(_unhex_str(m.group("tjx_s"))))
         elif m.group("quote"):
             # ' = T* then show
-            y -= leading
-            spans.append(
-                Span(x, y, dec(_unesc(m.group("quote_s").decode("latin-1"))))
-            )
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+            emit(dec(_unesc(m.group("quote_s").decode("latin-1"))))
         elif m.group("quotex"):
-            y -= leading
-            spans.append(Span(x, y, dec(_unhex_str(m.group("quotex_s")))))
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+            emit(dec(_unhex_str(m.group("quotex_s"))))
         elif m.group("dquote"):
             # aw ac (s) " = set word/char spacing (no positional effect on
             # span extraction), T*, then show
-            y -= leading
-            spans.append(
-                Span(x, y, dec(_unesc(m.group("dquote_s").decode("latin-1"))))
-            )
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+            emit(dec(_unesc(m.group("dquote_s").decode("latin-1"))))
         elif m.group("dquotex"):
-            y -= leading
-            spans.append(Span(x, y, dec(_unhex_str(m.group("dquotex_s")))))
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+            emit(dec(_unhex_str(m.group("dquotex_s"))))
         elif m.group("tja"):
             # strings decode per-item (2-byte CID alignment is per string);
             # numeric adjustments ≤ -TJ_SPACE_KERN read as word gaps
@@ -3828,11 +4005,18 @@ def _parse_content(
                     parts.append(dec(_unhex_str(sm.group(2))))
                 elif float(sm.group(3)) <= -TJ_SPACE_KERN:
                     parts.append(" ")
-            spans.append(Span(x, y, "".join(parts)))
+            emit("".join(parts))
         elif m.group("do") and xobj is not None:
-            # form XObject invocation — spans come back already positioned
-            # (form /Matrix translation applied by the resolver)
-            spans.extend(xobj(m.group("do_name")))
+            # form XObject invocation — spans come back in FORM space (the
+            # form /Matrix already applied by the resolver); the CTM in
+            # effect at the Do maps them into page space
+            if ctm == _MAT_ID:
+                spans.extend(xobj(m.group("do_name")))
+            else:
+                spans.extend(
+                    Span(*_mat_apply(ctm, s.x, s.y), s.text)
+                    for s in xobj(m.group("do_name"))
+                )
     return spans
 
 

@@ -648,6 +648,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_embedded_font(pages, kind="cff"),
         lambda: P.build_pdf_incremental(pages),
         lambda: P.build_pdf_incremental(pages, objstm=True),
+        lambda: P.build_pdf_matrix(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -695,6 +696,54 @@ def test_form_xobject_roundtrip_matches_plain_writer():
     assert got == pages
     assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(pages))]
     assert P.page_count(pdf) == 3
+
+
+def test_matrix_writer_roundtrip_matches_plain_writer():
+    """Full-affine writer (plain Tm / q+cm / rotated-Tm+Td / rotated
+    TL+T*) reconstructs byte-identically to the plain writer — certifies
+    the Trm = Tlm·CTM composition, because an untransformed reading
+    places three of the four shapes at wrong coordinates."""
+    pages = [
+        "one two\nthree four\nfive six\nseven eight\nnine ten",
+        "single",
+        "a\nb\nc",
+    ]
+    pdf = P.build_pdf_matrix(pages)
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(pages))]
+
+
+def test_affine_text_and_ctm_composition():
+    """Direct _parse_content semantics of the §9.4.2/§8.4.4 state machine."""
+    def spans_of(content: bytes):
+        body = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(content), content)
+        return P._parse_content(P._stream_bytes(body))
+
+    # Td composes THROUGH a rotated Tm: 50 right in text space = 50 DOWN
+    s = spans_of(b"BT 0 -1 1 0 72 770 Tm 50 0 Td (r) Tj ET")
+    assert (s[0].x, s[0].y) == (72.0, 720.0)
+    # T* composes through rotation via the leading
+    s = spans_of(b"BT 14 TL 0 -1 1 0 86 720 Tm T* (t) Tj ET")
+    assert (s[0].x, s[0].y) == (72.0, 720.0)
+    # ' (T*-then-show) composes the same way
+    s = spans_of(b"BT 14 TL 0 -1 1 0 86 720 Tm (l) ' ET")
+    assert (s[0].x, s[0].y) == (72.0, 720.0)
+    # cm translates; Q restores past a decoy scaled push
+    s = spans_of(
+        b"q 3 0 0 3 9 9 cm Q q 1 0 0 1 10 20 cm BT (a) Tj ET Q BT (b) Tj ET"
+    )
+    assert [(p.x, p.y) for p in s] == [(10.0, 20.0), (0.0, 0.0)]
+    # scaled CTM multiplies a Tm translation (Trm = Tlm x CTM)
+    s = spans_of(b"q 2 0 0 2 0 0 cm BT 1 0 0 1 30 40 Tm (a) Tj ET Q")
+    assert (s[0].x, s[0].y) == (60.0, 80.0)
+    # unbalanced Q degrades to identity, never raises
+    s = spans_of(b"Q Q BT 1 0 0 1 5 6 Tm (x) Tj ET")
+    assert (s[0].x, s[0].y) == (5.0, 6.0)
+    # BT resets the text matrix but NOT the CTM
+    s = spans_of(b"1 0 0 1 7 8 cm BT (x) Tj ET BT (y) Tj ET")
+    assert [(p.x, p.y) for p in s] == [(7.0, 8.0), (7.0, 8.0)]
 
 
 def _wrap_stream(body_dict: bytes, content: bytes) -> bytes:
