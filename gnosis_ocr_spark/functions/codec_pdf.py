@@ -1329,6 +1329,61 @@ def build_pdf_matrix(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_rotate(pages: list[str], inherit: bool = False) -> bytes:
+    """Fixture writer for /Rotate pages — the landscape-scan / fax-import
+    shape: every page's text is AUTHORED IN ROTATED SPACE (one rotated
+    ``Tm`` then ``TL``+``T*`` line advances composing through the
+    rotation) and the page carries a /Rotate of 90/180/270 (chosen by
+    page count) that a conforming viewer undoes at display time. poppler
+    renders the rotated view, so the reference OCRs upright text
+    (ref app/jobs.py:386-390); extraction must normalize spans into
+    display space or every line of a 90°/270° page collapses into one
+    row. With ``inherit`` the /Rotate lives on the /Pages ROOT and
+    reaches the leaves through §7.7.3.4 attribute inheritance."""
+    n_pages = len(pages)
+    rot = (90, 180, 270)[n_pages % 3]
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    pages_extra = f" /Rotate {rot}" if inherit else ""
+    page_extra = "" if inherit else f" /Rotate {rot}"
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages}"
+            f"{pages_extra} >>"
+        ).encode(),
+    ]
+    # line 0's Tm per rotation; T* then advances THROUGH the rotation
+    # (90: +x page direction, 180: +y, 270: −x), landing each display
+    # line 14pt below the last — the canonical grid after normalization
+    tm0 = {
+        90: "0 1 -1 0 52 72 Tm",
+        180: "-1 0 0 -1 540 72 Tm",
+        270: "0 -1 1 0 560 720 Tm",
+    }[rot]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R{page_extra} >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "14 TL", tm0]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append("T*")
+            ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def build_pdf_form_xobject(pages: list[str]) -> bytes:
     """Fixture writer for Form XObjects (the letterhead/stamp/generated-PDF
     shape poppler handles and naive parsers drop): each page's FIRST line
@@ -3438,6 +3493,44 @@ def extract_pages(
     return [spans for spans, _ in extract_pages_with_images(pdf, first_page, last_page)]
 
 
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)\b")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _page_rotation(objs: dict[int, bytes], page_body: bytes) -> int:
+    """Effective /Rotate for a page (PDF 32000-1 §7.7.3.3/.4: an
+    INHERITABLE page attribute — absent on the page, the /Parent chain
+    supplies it). Returns 0/90/180/270; non-multiples degrade to 0."""
+    body = page_body
+    for _ in range(8):  # depth-capped parent walk (cycle-safe)
+        m = _ROTATE_RE.search(body)
+        if m:
+            rot = int(m.group(1)) % 360
+            return rot if rot in (90, 180, 270) else 0
+        pm = _PARENT_RE.search(body)
+        if not pm:
+            return 0
+        body = objs.get(int(pm.group(1)), b"")
+    return 0
+
+
+def _rotate_spans(spans: list[Span], rot: int) -> list[Span]:
+    """Map spans from page space into DISPLAY space for a /Rotate page —
+    the orientation poppler renders (and the reference OCRs,
+    ref app/jobs.py:386-390), so reading-order reconstruction sees the
+    text the way a human does. Only relative order matters downstream,
+    so the constant MediaBox offset of the spec transform is dropped:
+    90° (clockwise display) maps (x, y) → (y, −x); 180 → (−x, −y);
+    270 → (−y, x)."""
+    if rot == 90:
+        return [Span(s.y, -s.x, s.text) for s in spans]
+    if rot == 180:
+        return [Span(-s.x, -s.y, s.text) for s in spans]
+    if rot == 270:
+        return [Span(-s.y, s.x, s.text) for s in spans]
+    return spans
+
+
 def extract_pages_with_images(
     pdf: bytes, first_page: int = 1, last_page: int | None = None
 ) -> list[tuple[list[Span], list["PdfImage"]]]:
@@ -3491,6 +3584,11 @@ def extract_pages_with_images(
         # draws them before the reference OCRs the raster) — their text
         # joins the span set and sorts into reading order by position
         spans = spans + _page_annot_spans(objs, body, dec, fonts)
+        # /Rotate pages (landscape scans, fax imports) read in DISPLAY
+        # orientation; annots rotate with the page, so transform after merge
+        rot = _page_rotation(objs, body)
+        if rot and spans:
+            spans = _rotate_spans(spans, rot)
         images: list[PdfImage] = []
         if not spans and parts:
             images = _collect_images(

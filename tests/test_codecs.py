@@ -649,6 +649,8 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_incremental(pages),
         lambda: P.build_pdf_incremental(pages, objstm=True),
         lambda: P.build_pdf_matrix(pages),
+        lambda: P.build_pdf_rotate(pages),
+        lambda: P.build_pdf_rotate(pages, inherit=True),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -744,6 +746,33 @@ def test_affine_text_and_ctm_composition():
     # BT resets the text matrix but NOT the CTM
     s = spans_of(b"1 0 0 1 7 8 cm BT (x) Tj ET BT (y) Tj ET")
     assert [(p.x, p.y) for p in s] == [(7.0, 8.0), (7.0, 8.0)]
+
+
+def test_rotate_writer_all_three_rotations_and_inheritance():
+    """/Rotate 90/180/270 pages authored in rotated space reconstruct
+    byte-identically to the plain writer, with /Rotate on the page dict
+    AND inherited from the /Pages root. Without display normalization a
+    90°/270° page's lines share one y row and would join with spaces."""
+    for n in (1, 2, 3):  # page count picks the rotation: 90/180/270
+        pages = [f"alpha {k}\nbravo {k}\ncharlie {k}" for k in range(n)]
+        for inherit in (False, True):
+            pdf = P.build_pdf_rotate(pages, inherit=inherit)
+            got = [P.page_text(s) for s in P.extract_pages(pdf)]
+            assert got == pages, (n, inherit)
+            assert P.page_count(pdf) == n
+
+
+def test_page_rotation_lookup_edges():
+    # absent → 0; non-multiple-of-90 degrades to 0; negatives normalize
+    assert P._page_rotation({}, b"<< /Type /Page >>") == 0
+    assert P._page_rotation({}, b"<< /Type /Page /Rotate 45 >>") == 0
+    assert P._page_rotation({}, b"<< /Type /Page /Rotate -90 >>") == 270
+    assert P._page_rotation({}, b"<< /Type /Page /Rotate 450 >>") == 90
+    # inherited through /Parent; a parent CYCLE must terminate at 0
+    objs = {2: b"<< /Type /Pages /Rotate 180 >>"}
+    assert P._page_rotation(objs, b"<< /Parent 2 0 R >>") == 180
+    cyc = {2: b"<< /Parent 3 0 R >>", 3: b"<< /Parent 2 0 R >>"}
+    assert P._page_rotation(cyc, b"<< /Parent 2 0 R >>") == 0
 
 
 def _wrap_stream(body_dict: bytes, content: bytes) -> bytes:
