@@ -1531,6 +1531,7 @@ def build_pdf_scanned(
     width: int = 64,
     height: int = 64,
     image_filter: str = "flate",
+    rotate: int = 0,
 ) -> bytes:
     """Fixture writer for scanned/image-only pages — the shape the reference
     hits constantly on real crawls (a page that is ONE raster image, zero
@@ -1568,7 +1569,16 @@ def build_pdf_scanned(
     ``'raw1'`` = FlateDecode-compressed raw
     1-bit DeviceGray samples; ``'raw1_mask'`` = the same samples as an
     /ImageMask stencil (no ColorSpace).
+
+    ``rotate`` (90/180/270, default-flate filter only) emits the
+    LANDSCAPE-SCAN shape: the stored samples are the upright scan matrix
+    rotated counterclockwise (the sheet fed sideways) and the page
+    carries /Rotate — a conforming rasterizer (poppler for the
+    reference) turns the raster clockwise back upright before OCR, and
+    so must the engine's scanned path.
     """
+    if rotate and image_filter != "flate":
+        raise ValueError("rotate is supported for the flate filter only")
     import zlib
 
     from gnosis_ocr_spark.functions.codec_ccitt import encode_g4
@@ -1589,6 +1599,7 @@ def build_pdf_scanned(
     for i, page_text_ in enumerate(pages):
         page_no = 3 + 3 * i
         content_no, img_no = page_no + 1, page_no + 2
+        sw, sh = width, height  # stored dims (swap under rotate)
         if image_filter == "inline":
             # BI/ID/EI inline image (PDF §8.9.7, abbreviated keys) drawn
             # straight in the content stream — no XObject, no /Resources;
@@ -1615,11 +1626,12 @@ def build_pdf_scanned(
             )
             objects.append(b"null")
             continue
+        rot_extra = f" /Rotate {rotate}" if rotate else ""
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                 f"/Resources << /XObject << /Im {img_no} 0 R >> >> "
-                f"/Contents {content_no} 0 R >>"
+                f"/Contents {content_no} 0 R{rot_extra} >>"
             ).encode()
         )
         content = b"q 612 0 0 792 0 0 cm /Im Do Q"
@@ -1754,13 +1766,25 @@ def build_pdf_scanned(
             if image_filter == "raw1_mask":
                 extra = b"/ImageMask true "
         else:
-            data = zlib.compress(encode_scan_pixels(page_text_, width, height), 6)
+            px = encode_scan_pixels(page_text_, width, height)
+            if rotate:
+                import numpy as _np
+
+                arr = _np.frombuffer(px, dtype=_np.uint8).reshape(
+                    height, width
+                )
+                # stored sideways (CCW); /Rotate turns it back CW upright
+                arr = _np.ascontiguousarray(_np.rot90(arr, k=rotate // 90))
+                px = arr.tobytes()
+                sh_r, sw_r = arr.shape
+                sw, sh = sw_r, sh_r
+            data = zlib.compress(px, 6)
             filt = b"/FlateDecode"
         objects.append(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
             b"%s/BitsPerComponent %d /Filter %s "
             b"/Length %d >>\nstream\n%s\nendstream"
-            % (width, height, extra, bpc, filt, len(data), data)
+            % (sw, sh, extra, bpc, filt, len(data), data)
         )
     objects.extend(trailing)
     return _assemble_classic(objects)
@@ -3532,9 +3556,15 @@ def _rotate_spans(spans: list[Span], rot: int) -> list[Span]:
 
 
 def extract_pages_with_images(
-    pdf: bytes, first_page: int = 1, last_page: int | None = None
-) -> list[tuple[list[Span], list["PdfImage"]]]:
-    """(spans, images) per page in the window. The text layer is
+    pdf: bytes,
+    first_page: int = 1,
+    last_page: int | None = None,
+    with_rotation: bool = False,
+):
+    """(spans, images) per page in the window — (spans, images, rotate)
+    triples with ``with_rotation`` (the split stage needs the page's
+    effective /Rotate to orient image-only pages for OCR; text spans are
+    already normalized into display space here). The text layer is
     authoritative: images are collected ONLY for pages with zero text spans
     (the scanned-page shape), so text documents pay no image-parse cost. The
     reference rasterizes every page regardless (poppler,
@@ -3547,7 +3577,7 @@ def extract_pages_with_images(
     kid_order = _leaf_page_order(objs)
     if last_page is None:
         last_page = len(kid_order)
-    pages: list[tuple[list[Span], list[PdfImage]]] = []
+    pages: list = []
     for page_obj_no in kid_order[first_page - 1 : last_page]:
         body = objs.get(page_obj_no, b"")
         content_nos: list[int] = []
@@ -3594,7 +3624,7 @@ def extract_pages_with_images(
             images = _collect_images(
                 objs, b"\n".join(parts), xmap, dec, 1, frozenset()
             )
-        pages.append((spans, images))
+        pages.append((spans, images, rot) if with_rotation else (spans, images))
     return pages
 
 

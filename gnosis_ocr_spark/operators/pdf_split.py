@@ -178,7 +178,7 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
 _PACK_MAGIC = b"GIMG"  # deferred-image container marker in page_png
 
 
-def _pack_images(images) -> bytes | None:
+def _pack_images(images, rotate: int = 0) -> bytes | None:
     """Serialize a page's PdfImage list into one compact blob WITHOUT
     decoding the pixel payloads. The split stage used to decode heavy
     codecs (JPX/JBIG2/JPEG are per-symbol entropy coders) inline, which
@@ -186,12 +186,15 @@ def _pack_images(images) -> bytes | None:
     still-compressed payloads and decoding in the fused raster+OCR stage
     puts the heavy work AFTER the page respread, where a 120-page scanned
     document spreads across the cluster. Compressed payloads are also
-    smaller than decoded-PNG on real scans, so the shuffle shrinks too."""
+    smaller than decoded-PNG on real scans, so the shuffle shrinks too.
+    ``rotate`` carries the page's effective /Rotate (0/90/180/270): the
+    decode stage orients the assembled raster for OCR exactly as
+    poppler's rasterizer would."""
     if not images:
         return None
     import struct as _st
 
-    parts = [_PACK_MAGIC, _st.pack(">H", len(images))]
+    parts = [_PACK_MAGIC, _st.pack(">HB", len(images), (rotate // 90) % 4)]
     for im in images:
         cs = im.colorspace.encode("utf-8")
         co = im.codec.encode("utf-8")
@@ -205,12 +208,13 @@ def _pack_images(images) -> bytes | None:
     return b"".join(parts)
 
 
-def _unpack_images(blob: bytes) -> list:
+def _unpack_images(blob: bytes) -> tuple[list, int]:
+    """→ (images, page_rotate_degrees)."""
     from gnosis_ocr_spark.functions.codec_pdf import PdfImage
     import struct as _st
 
-    (n,) = _st.unpack_from(">H", blob, 4)
-    pos = 6
+    n, rot_q = _st.unpack_from(">HB", blob, 4)
+    pos = 7
     out = []
     for _ in range(n):
         w, h, bits, ncs, nco, nd = _st.unpack_from(">IIBBBI", blob, pos)
@@ -222,7 +226,7 @@ def _unpack_images(blob: bytes) -> list:
         data = blob[pos : pos + nd]
         pos += nd
         out.append(PdfImage(w, h, bits, cs, co, data))
-    return out
+    return out, rot_q * 90
 
 
 def _materialize_scan(blob, w: int, h: int) -> bytes | None:
@@ -234,7 +238,8 @@ def _materialize_scan(blob, w: int, h: int) -> bytes | None:
         return None
     b = bytes(blob)
     if b[:4] == _PACK_MAGIC:
-        return _scan_png(_unpack_images(b)) or encode_page_png("", w, h)
+        imgs, rot = _unpack_images(b)
+        return _scan_png(imgs, rot) or encode_page_png("", w, h)
     return b
 
 
@@ -250,17 +255,20 @@ def make_materialize_png_udf(raster: str | None = None):
     return materialize_udf
 
 
-def _scan_png(images) -> bytes | None:
+def _scan_png(images, rotate: int = 0) -> bytes | None:
     """A page's drawn images as ONE grayscale PNG for the OCR stage.
     Multiple decodable images stack vertically in draw order (scanners
     routinely emit a page as horizontal strips), padded to the widest
-    strip. None when nothing decodes in-container (JBIG2 halftone,
-    arithmetic-coded JPEG, exotic JPX shapes — the page then extracts as
-    empty text, the honest degradation documented in PdfImage)."""
+    strip. ``rotate`` (the page's effective /Rotate) turns the assembled
+    raster CLOCKWISE into display orientation — exactly the view
+    poppler rasterizes for the reference's OCR. None when nothing
+    decodes in-container (JBIG2 halftone, arithmetic-coded JPEG, exotic
+    JPX shapes — the page then extracts as empty text, the honest
+    degradation documented in PdfImage)."""
     strips = [g for g in (_gray_pixels(img) for img in images) if g is not None]
     if not strips:
         return None
-    if len(strips) == 1:
+    if len(strips) == 1 and not rotate:
         px, w, h = strips[0]
         return encode_gray_png(px, w, h)
     import numpy as np
@@ -272,8 +280,15 @@ def _scan_png(images) -> bytes | None:
         if w < width:
             arr = np.pad(arr, ((0, 0), (0, width - w)), constant_values=255)
         parts.append(arr)
-    stacked = np.concatenate(parts, axis=0)
-    return encode_gray_png(stacked.tobytes(), width, stacked.shape[0])
+    stacked = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    if rotate:
+        # np.rot90 rotates counterclockwise; /Rotate is clockwise display
+        stacked = np.ascontiguousarray(
+            np.rot90(stacked, k=(4 - rotate // 90) % 4)
+        )
+    return encode_gray_png(
+        stacked.tobytes(), stacked.shape[1], stacked.shape[0]
+    )
 
 
 _TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
@@ -324,12 +339,13 @@ def _pdf_page_rows(data: bytes) -> Iterator[tuple[str | None, bytes | None]]:
     # 10-page windows with range pushdown into the parser
     for start in range(1, total + 1, EXTRACT_BATCH_PAGES):
         end = min(start + EXTRACT_BATCH_PAGES - 1, total)
-        window = extract_pages_with_images(data, start, end)
-        for spans, images in window:
-            # image-only page: ship the still-compressed payloads;
-            # decode happens page-parallel in the raster+OCR stage
-            # (see _pack_images); text comes from the OCR stage
-            png = _pack_images(images) if not spans else None
+        window = extract_pages_with_images(data, start, end, with_rotation=True)
+        for spans, images, rot in window:
+            # image-only page: ship the still-compressed payloads (plus
+            # the page /Rotate for display orientation); decode happens
+            # page-parallel in the raster+OCR stage (see _pack_images);
+            # text comes from the OCR stage
+            png = _pack_images(images, rotate=rot) if not spans else None
             yield (None if png else page_text(spans)), png
 
 

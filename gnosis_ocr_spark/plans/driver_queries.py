@@ -349,7 +349,10 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         # /Rotate inherited from the /Pages root — spans normalize into
         # display orientation like poppler's rendered view
         lambda p: _cp.build_pdf_rotate(p, inherit=True),
-        # STANDALONE images (indices >= 23, mirrored by the oracle's
+        # image-only /Rotate page: sideways-stored raster the scanned
+        # path rotates back upright before OCR (poppler parity)
+        lambda p: _cp.build_pdf_scanned(p, rotate=90),
+        # STANDALONE images (indices >= 24, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -389,14 +392,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 30 writer classes; indices >= 23 are standalone images (one page
+# 31 writer classes; indices >= 24 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 30 >= 23 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 31 >= 24 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

@@ -651,6 +651,8 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_matrix(pages),
         lambda: P.build_pdf_rotate(pages),
         lambda: P.build_pdf_rotate(pages, inherit=True),
+        lambda: P.build_pdf_scanned(pages, rotate=90),
+        lambda: P.build_pdf_scanned(pages, rotate=270),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -760,6 +762,27 @@ def test_rotate_writer_all_three_rotations_and_inheritance():
             got = [P.page_text(s) for s in P.extract_pages(pdf)]
             assert got == pages, (n, inherit)
             assert P.page_count(pdf) == n
+
+
+def test_scanned_rotate_roundtrips_through_split_and_materialize():
+    """Image-only /Rotate pages: samples stored sideways must come back
+    upright through the split → GIMG pack → materialize seam (the same
+    orientation poppler rasterizes for the reference's OCR)."""
+    from gnosis_ocr_spark.operators.pdf_split import (
+        _materialize_scan,
+        _pdf_page_rows,
+    )
+
+    pages = ["rotated scan line\nsecond line", "page two text"]
+    for rot in (0, 90, 180, 270):
+        pdf = P.build_pdf_scanned(pages, rotate=rot)
+        got = []
+        for txt, png in _pdf_page_rows(pdf):
+            assert txt is None
+            got.append(G.decode_scan_png_text(_materialize_scan(png, 64, 64)))
+        assert got == pages, rot
+    with pytest.raises(ValueError):
+        P.build_pdf_scanned(pages, image_filter="g4", rotate=90)
 
 
 def test_page_rotation_lookup_edges():
