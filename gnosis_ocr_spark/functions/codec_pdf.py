@@ -1329,6 +1329,71 @@ def build_pdf_matrix(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_actualtext(pages: list[str]) -> bytes:
+    """Fixture writer for /ActualText marked content (PDF 32000-1
+    §14.9.4) — the tagged-PDF replacement-text mechanism real writers use
+    for ligatures, end-of-line hyphenation, and drop caps; poppler's text
+    extraction substitutes it for the enclosed show text. Line k (mod 3):
+
+      0. plain ``Tj`` (control);
+      1. a ``/Span << /ActualText (line) >> BDC … EMC`` region whose
+         enclosed shows are a DECOY (the reversed line, split across two
+         show ops hyphenation-style) — extraction must emit the
+         ActualText at the first show's position;
+      2. the same with the ActualText as a UTF-16BE hex text string
+         (BOM-led, §7.9.2.2) and a nested ``/P BMC … EMC`` inside the
+         region (the outermost region's replacement wins).
+
+    Layout stays on the canonical 72/720 grid, so extraction is
+    byte-identical to :func:`build_pdf` — without ActualText support the
+    decoys leak and the golden breaks."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for k, line in enumerate(page_text_.split("\n")):
+            if k > 0:
+                ops.append("0 -14 Td")
+            decoy = line[::-1]
+            half = max(1, len(decoy) // 2)
+            if k % 3 == 1:
+                ops += [
+                    f"/Span << /ActualText ({_esc(line)}) >> BDC",
+                    f"({_esc(decoy[:half])}-) Tj",
+                    f"2 0 Td ({_esc(decoy[half:])}) Tj -2 0 Td",
+                    "EMC",
+                ]
+            elif k % 3 == 2:
+                hx = (b"\xfe\xff" + line.encode("utf-16-be")).hex().upper()
+                ops += [
+                    f"/Span << /ActualText <{hx}> >> BDC",
+                    f"/P BMC ({_esc(decoy)}) Tj EMC",
+                    "EMC",
+                ]
+            else:
+                ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_classic(objects)
+
+
 def build_pdf_rotate(pages: list[str], inherit: bool = False) -> bytes:
     """Fixture writer for /Rotate pages — the landscape-scan / fax-import
     shape: every page's text is AUTHORED IN ROTATED SPACE (one rotated
@@ -1830,6 +1895,10 @@ _TOK_RE = re.compile(
     + rb")\s+cm\b)"
     rb"|(?P<push>(?:^|(?<=[\s>\)\]]))q(?=\s|$|%))"
     rb"|(?P<pop>(?:^|(?<=[\s>\)\]]))Q(?=\s|$|%))"
+    rb"|(?P<bdc>/[^\s/<>\[\]()]+\s+(?:(?P<bdc_dict><<.*?>>)"
+    rb"|/[^\s/<>\[\]()]+)\s+BDC\b)"
+    rb"|(?P<bmc>/[^\s/<>\[\]()]+\s+BMC\b)"
+    rb"|(?P<emc>EMC\b)"
     rb"|(?P<td>(?P<td_x>" + _NUM + rb")\s+(?P<td_y>" + _NUM
     + rb")\s+(?P<td_op>T[dD]))"
     rb"|(?P<tl>(?P<tl_v>" + _NUM + rb")\s+TL\b)"
@@ -1864,6 +1933,22 @@ _TJA_ITEM_RE = re.compile(
 # heuristic for PDFs that encode word breaks purely as kerning. Typical
 # space glyphs are 200-600/1000 wide; intra-word kerns are tens.
 TJ_SPACE_KERN = 180.0
+
+# /ActualText value inside a BDC property dict: literal or hex string
+_ACTUALTEXT_RE = re.compile(
+    rb"/ActualText\s*(?:\((?P<lit>(?:[^()\\]|\\.)*)\)"
+    rb"|<(?P<hex>[0-9A-Fa-f\s]*)>)"
+)
+
+
+def _pdf_text_string(s: str) -> str:
+    """A PDF *text string* (§7.9.2.2): UTF-16BE when it leads with the
+    BOM, PDFDocEncoding otherwise (≈ latin-1 for the common range)."""
+    if s[:2] == "\xfe\xff":
+        return s[2:].encode("latin-1", "replace").decode(
+            "utf-16-be", "replace"
+        )
+    return s
 
 
 def _unhex_str(h: bytes) -> str:
@@ -4043,13 +4128,28 @@ def _parse_content(
     ctm_stack: list[tuple[float, ...]] = []
     leading = 0.0
     spans: list[Span] = []
+    # /ActualText marked content (§14.9.4): the OUTERMOST region's
+    # replacement text substitutes for everything it encloses — poppler's
+    # TextOutputDev behavior for ligatures/hyphenation/dropcaps. State:
+    # nesting depth of open marked-content regions, the depth at which
+    # the active ActualText region opened, its text, and the position of
+    # the first suppressed show (where the replacement lands).
+    mc_depth = 0
+    at_depth: int | None = None
+    at_text = ""
+    at_pos: tuple[float, float] | None = None
 
     def origin() -> tuple[float, float]:
         m = _mat_mul(tlm, ctm)
         return (m[4], m[5])
 
     def emit(text: str) -> None:
+        nonlocal at_pos
         ox, oy = origin()
+        if at_depth is not None:
+            if at_pos is None:
+                at_pos = (ox, oy)
+            return  # enclosed content is replaced by the ActualText
         spans.append(Span(ox, oy, text))
 
     for m in _TOK_RE.finditer(stream):
@@ -4092,6 +4192,26 @@ def _parse_content(
         elif m.group("pop"):
             # unbalanced Q degrades to the initial state, never raises
             ctm = ctm_stack.pop() if ctm_stack else _MAT_ID
+        elif m.group("bdc") or m.group("bmc"):
+            mc_depth += 1
+            pd = m.group("bdc_dict")
+            if pd is not None and at_depth is None:
+                am = _ACTUALTEXT_RE.search(pd)
+                if am:
+                    raw = (
+                        _unesc(am.group("lit").decode("latin-1"))
+                        if am.group("lit") is not None
+                        else _unhex_str(am.group("hex"))
+                    )
+                    at_depth, at_text, at_pos = (
+                        mc_depth, _pdf_text_string(raw), None,
+                    )
+        elif m.group("emc"):
+            if at_depth is not None and mc_depth == at_depth:
+                ox, oy = at_pos if at_pos is not None else origin()
+                at_depth = None
+                spans.append(Span(ox, oy, at_text))
+            mc_depth = max(0, mc_depth - 1)
         elif m.group("td"):
             # Td/TD move the line origin IN TEXT SPACE (they compose with
             # any rotation/scale in Tlm); TD also sets the leading to -ty
@@ -4138,13 +4258,17 @@ def _parse_content(
             # form XObject invocation — spans come back in FORM space (the
             # form /Matrix already applied by the resolver); the CTM in
             # effect at the Do maps them into page space
-            if ctm == _MAT_ID:
-                spans.extend(xobj(m.group("do_name")))
+            got = xobj(m.group("do_name"))
+            if ctm != _MAT_ID:
+                got = [
+                    Span(*_mat_apply(ctm, s.x, s.y), s.text) for s in got
+                ]
+            if at_depth is not None:
+                # enclosed by an ActualText region: replaced content
+                if at_pos is None and got:
+                    at_pos = (got[0].x, got[0].y)
             else:
-                spans.extend(
-                    Span(*_mat_apply(ctm, s.x, s.y), s.text)
-                    for s in xobj(m.group("do_name"))
-                )
+                spans.extend(got)
     return spans
 
 

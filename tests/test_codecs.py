@@ -653,6 +653,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_rotate(pages, inherit=True),
         lambda: P.build_pdf_scanned(pages, rotate=90),
         lambda: P.build_pdf_scanned(pages, rotate=270),
+        lambda: P.build_pdf_actualtext(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -762,6 +763,52 @@ def test_rotate_writer_all_three_rotations_and_inheritance():
             got = [P.page_text(s) for s in P.extract_pages(pdf)]
             assert got == pages, (n, inherit)
             assert P.page_count(pdf) == n
+
+
+def test_actualtext_replaces_enclosed_shows():
+    """§14.9.4 semantics: the OUTERMOST /ActualText region substitutes
+    for everything it encloses, at the first show's position; nested
+    regions and UTF-16BE text strings decode; stray EMC never breaks."""
+    def spans_of(content: bytes):
+        body = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(content), content)
+        return P._parse_content(P._stream_bytes(body))
+
+    s = spans_of(
+        b"BT 1 0 0 1 72 720 Tm (keep) Tj ET "
+        b"BT 1 0 0 1 72 706 Tm /Span << /ActualText (real) >> BDC "
+        b"(dec) Tj 2 0 Td (oy) Tj EMC ET"
+    )
+    assert P.page_text(s) == "keep\nreal"
+    assert (s[1].x, s[1].y) == (72.0, 706.0)
+    # outer region wins over nested BMC and nested ActualText
+    s = spans_of(
+        b"BT 1 0 0 1 72 720 Tm /Span << /ActualText (outer) >> BDC "
+        b"/P BMC (a) Tj EMC /Span << /ActualText (inner) >> BDC (b) Tj "
+        b"EMC (c) Tj EMC (after) Tj ET"
+    )
+    assert [p.text for p in s] == ["outer", "after"]
+    # UTF-16BE hex text string: BOM stripped, code units decoded
+    s = spans_of(
+        b"BT /Span << /ActualText <FEFF00660069> >> BDC (x) Tj EMC ET"
+    )
+    assert [p.text for p in s] == ["fi"]
+    # empty region emits at EMC-time origin; stray EMC is harmless
+    s = spans_of(
+        b"EMC BT 1 0 0 1 30 40 Tm /Span << /ActualText (ghost) >> BDC "
+        b"EMC (ok) Tj ET EMC"
+    )
+    assert [(p.x, p.y, p.text) for p in s] == [
+        (30.0, 40.0, "ghost"), (30.0, 40.0, "ok"),
+    ]
+
+
+def test_actualtext_writer_roundtrip_matches_plain_writer():
+    pages = ["alpha one\nbeta two\ngamma three\ndelta four", "solo", "a\nb"]
+    pdf = P.build_pdf_actualtext(pages)
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(pages))]
 
 
 def test_scanned_rotate_roundtrips_through_split_and_materialize():
