@@ -1394,6 +1394,73 @@ def build_pdf_actualtext(pages: list[str]) -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_ocg(pages: list[str]) -> bytes:
+    """Fixture writer for optional content groups (PDF 32000-1 §8.11) —
+    the layers shape of CAD exports, map overlays, and watermark/draft
+    stamps. Two OCGs: a visible content layer and a watermark layer the
+    catalog's default configuration turns OFF (``/OCProperties /D /OFF``).
+    Odd lines render inside ``/OC /vis BDC … EMC`` (must extract —
+    ON-by-default groups stay visible); every line is chased by a DECOY
+    inside ``/OC /wm BDC … EMC`` on its own grid row, plus one nested
+    visible-inside-hidden decoy per page (an enclosing hidden region
+    hides everything, §8.11.3.2). A conforming viewer — and poppler's
+    rasterization, which the reference OCRs — never draws the OFF layer,
+    so extraction must not either; if any decoy leaked the golden would
+    gain rows."""
+    n_pages = len(pages)
+    font_obj_no = 3 + 2 * n_pages
+    vis_no, wm_no = font_obj_no + 1, font_obj_no + 2
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        (
+            f"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+            f"<< /OCGs [{vis_no} 0 R {wm_no} 0 R] "
+            f"/D << /Order [] /OFF [{wm_no} 0 R] >> >> >>"
+        ).encode(),
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_no} 0 R >> "
+                f"/Properties << /vis {vis_no} 0 R /wm {wm_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for k, line in enumerate(page_text_.split("\n")):
+            if k > 0:
+                ops.append("0 -14 Td")
+            shown = f"({_esc(line)}) Tj"
+            if k % 2 == 1:
+                ops += ["/OC /vis BDC", shown, "EMC"]
+            else:
+                ops.append(shown)
+            # watermark decoy on its own row (y−7): leaks = extra rows
+            ops += [
+                "/OC /wm BDC",
+                f"0 -7 Td (DRAFT WATERMARK {k}) Tj 0 7 Td",
+                "EMC",
+            ]
+        # nested visible-inside-hidden: the enclosing OFF layer wins
+        ops += [
+            "/OC /wm BDC", "/OC /vis BDC",
+            "0 -7 Td (NESTED DECOY) Tj 0 7 Td",
+            "EMC", "EMC",
+        ]
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", "replace")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.append(b"<< /Type /OCG /Name (Content) >>")
+    objects.append(b"<< /Type /OCG /Name (Watermark) >>")
+    return _assemble_classic(objects)
+
+
 def build_pdf_rotate(pages: list[str], inherit: bool = False) -> bytes:
     """Fixture writer for /Rotate pages — the landscape-scan / fax-import
     shape: every page's text is AUTHORED IN ROTATED SPACE (one rotated
@@ -1895,8 +1962,8 @@ _TOK_RE = re.compile(
     + rb")\s+cm\b)"
     rb"|(?P<push>(?:^|(?<=[\s>\)\]]))q(?=\s|$|%))"
     rb"|(?P<pop>(?:^|(?<=[\s>\)\]]))Q(?=\s|$|%))"
-    rb"|(?P<bdc>/[^\s/<>\[\]()]+\s+(?:(?P<bdc_dict><<.*?>>)"
-    rb"|/[^\s/<>\[\]()]+)\s+BDC\b)"
+    rb"|(?P<bdc>/(?P<bdc_tag>[^\s/<>\[\]()]+)\s+(?:(?P<bdc_dict><<.*?>>)"
+    rb"|/(?P<bdc_prop>[^\s/<>\[\]()]+))\s+BDC\b)"
     rb"|(?P<bmc>/[^\s/<>\[\]()]+\s+BMC\b)"
     rb"|(?P<emc>EMC\b)"
     rb"|(?P<td>(?P<td_x>" + _NUM + rb")\s+(?P<td_y>" + _NUM
@@ -2932,6 +2999,67 @@ def _page_fonts(
 
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+_CATALOG_TYPE_RE = re.compile(rb"/Type\s*/Catalog\b")
+_OCPROPS_REF_RE = re.compile(rb"/OCProperties\s+(\d+)\s+\d+\s+R")
+_OFF_ARR_RE = re.compile(rb"/OFF\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+_PROPERTIES_DICT_RE = re.compile(rb"/Properties\s*<<(.*?)>>", re.S)
+_PROPERTIES_REF_RE = re.compile(rb"/Properties\s+(\d+)\s+\d+\s+R")
+
+
+def _hidden_ocgs(objs: dict[int, bytes]) -> frozenset[int]:
+    """Object numbers of optional content groups turned OFF by the
+    document's default configuration (PDF 32000-1 §8.11.4.3, catalog
+    /OCProperties /D /OFF) — the layers a conforming viewer hides, so
+    poppler's rasterization (and hence the reference's OCR) never sees
+    their content. Groups not listed default to ON."""
+    for body in objs.values():
+        if not _CATALOG_TYPE_RE.search(body):
+            continue
+        oc_at = body.find(b"/OCProperties")
+        if oc_at < 0:
+            rm = _OCPROPS_REF_RE.search(body)
+            if rm is None:
+                return frozenset()
+            oc = objs.get(int(rm.group(1)), b"")
+        else:
+            rm = _OCPROPS_REF_RE.search(body)
+            oc = (
+                objs.get(int(rm.group(1)), b"")
+                if rm is not None
+                else (_balanced_dict(body, oc_at) or b"")
+            )
+        off = _OFF_ARR_RE.search(oc)
+        if off is None:
+            return frozenset()
+        return frozenset(
+            int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", off.group(1))
+        )
+    return frozenset()
+
+
+def _hidden_prop_names(
+    objs: dict[int, bytes], body: bytes, hidden_nos: frozenset[int]
+) -> frozenset[bytes]:
+    """/Resources /Properties names (inline dict or indirect ref) that
+    resolve to a hidden OCG — the names an `/OC /name BDC` region uses."""
+    if not hidden_nos:
+        return frozenset()
+    res = _resources_body(objs, body)
+    pm = _PROPERTIES_DICT_RE.search(res)
+    if pm:
+        entries = pm.group(1)
+    else:
+        rm = _PROPERTIES_REF_RE.search(res)
+        if rm is None:
+            return frozenset()
+        pd = objs.get(int(rm.group(1)), b"")
+        dm = _balanced_dict(pd, 0)
+        entries = dm[2:-2] if dm else b""
+    return frozenset(
+        name
+        for name, ref in _FONT_ENTRY_RE.findall(entries)
+        if int(ref) in hidden_nos
+    )
 _MATRIX_RE = re.compile(
     rb"/Matrix\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
     + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s*\]"
@@ -2957,6 +3085,8 @@ def _form_spans(
     parent_fonts: dict,
     depth: int,
     active: frozenset[int],
+    hidden_nos: frozenset[int] = frozenset(),
+    parent_hidden: frozenset[bytes] = frozenset(),
 ) -> list["Span"]:
     """Execute a ``name Do`` target: if the XObject is a /Subtype /Form,
     recursively parse its content stream (image XObjects contribute no
@@ -2978,9 +3108,16 @@ def _form_spans(
     fonts.update(_page_fonts(objs, body, dec))
     xmap = _xobject_map(objs, body)
     nested = active | {no}
+    # hidden optional-content names: the form's own /Properties union the
+    # caller's (a form-local name shadowing a hidden parent name stays
+    # conservative-hidden — the rare-shadowing tradeoff is documented)
+    hidden = parent_hidden | _hidden_prop_names(objs, body, hidden_nos)
 
     def resolver(name: bytes) -> list[Span]:
-        return _form_spans(objs, xmap.get(name), dec, fonts, depth + 1, nested)
+        return _form_spans(
+            objs, xmap.get(name), dec, fonts, depth + 1, nested,
+            hidden_nos, hidden,
+        )
 
     mat = _MAT_ID
     mm = _MATRIX_RE.search(body)
@@ -2989,7 +3126,7 @@ def _form_spans(
             mat = tuple(float(mm.group(i)) for i in range(1, 7))
         except ValueError:
             pass
-    spans = _parse_content(stream, fonts, resolver)
+    spans = _parse_content(stream, fonts, resolver, hidden)
     if mat == _MAT_ID:
         return spans
     return [Span(*_mat_apply(mat, s.x, s.y), s.text) for s in spans]
@@ -3080,7 +3217,11 @@ def _annot_n_stream(objs: dict[int, bytes], annot: bytes) -> int | None:
 
 
 def _page_annot_spans(
-    objs: dict[int, bytes], page_body: bytes, dec, page_fonts: dict
+    objs: dict[int, bytes],
+    page_body: bytes,
+    dec,
+    page_fonts: dict,
+    hidden_nos: frozenset[int] = frozenset(),
 ) -> list["Span"]:
     """Text spans of a page's visible annotation normal appearances, placed
     at their /Rect (reading order then interleaves them with the content
@@ -3113,10 +3254,14 @@ def _page_annot_spans(
         fonts = dict(page_fonts)
         fonts.update(_page_fonts(objs, body, dec))
         xmap = _xobject_map(objs, body)
+        hidden = _hidden_prop_names(objs, body, hidden_nos)
 
-        def resolver(name: bytes, _xmap=xmap, _fonts=fonts, _no=n_no):
+        def resolver(
+            name: bytes, _xmap=xmap, _fonts=fonts, _no=n_no, _h=hidden
+        ):
             return _form_spans(
-                objs, _xmap.get(name), dec, _fonts, 2, frozenset({_no})
+                objs, _xmap.get(name), dec, _fonts, 2, frozenset({_no}),
+                hidden_nos, _h,
             )
 
         try:
@@ -3152,7 +3297,7 @@ def _page_annot_spans(
         ay2 = max(p[1] for p in corners)
         sx = (rx2 - rx1) / (ax2 - ax1) if ax2 > ax1 else 1.0
         sy = (ry2 - ry1) / (ay2 - ay1) if ay2 > ay1 else 1.0
-        for s in _parse_content(stream, fonts, resolver):
+        for s in _parse_content(stream, fonts, resolver, hidden):
             px, py = _mat_apply(mat, s.x, s.y)
             out.append(
                 Span(rx1 + (px - ax1) * sx, ry1 + (py - ay1) * sy, s.text)
@@ -3662,6 +3807,7 @@ def extract_pages_with_images(
     kid_order = _leaf_page_order(objs)
     if last_page is None:
         last_page = len(kid_order)
+    hidden_nos = _hidden_ocgs(objs)
     pages: list = []
     for page_obj_no in kid_order[first_page - 1 : last_page]:
         body = objs.get(page_obj_no, b"")
@@ -3688,17 +3834,25 @@ def extract_pages_with_images(
                 parts.append(stream)
         fonts = _page_fonts(objs, body, dec)
         xmap = _xobject_map(objs, body)
+        hidden = _hidden_prop_names(objs, body, hidden_nos)
 
-        def resolver(name: bytes, _xmap=xmap, _fonts=fonts) -> list[Span]:
+        def resolver(
+            name: bytes, _xmap=xmap, _fonts=fonts, _h=hidden
+        ) -> list[Span]:
             return _form_spans(
-                objs, _xmap.get(name), dec, _fonts, 1, frozenset()
+                objs, _xmap.get(name), dec, _fonts, 1, frozenset(),
+                hidden_nos, _h,
             )
 
-        spans = _parse_content(b"\n".join(parts), fonts, resolver) if parts else []
+        spans = (
+            _parse_content(b"\n".join(parts), fonts, resolver, hidden)
+            if parts
+            else []
+        )
         # visible annotation appearances render on top of the page (poppler
         # draws them before the reference OCRs the raster) — their text
         # joins the span set and sorts into reading order by position
-        spans = spans + _page_annot_spans(objs, body, dec, fonts)
+        spans = spans + _page_annot_spans(objs, body, dec, fonts, hidden_nos)
         # /Rotate pages (landscape scans, fax imports) read in DISPLAY
         # orientation; annots rotate with the page, so transform after merge
         rot = _page_rotation(objs, body)
@@ -4085,6 +4239,7 @@ def _parse_content(
     stream: bytes,
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] | None = None,
     xobj=None,
+    hidden: frozenset[bytes] = frozenset(),
 ) -> list[Span]:
     stream = _blank_inline_images(stream)
     fonts = fonts or {}
@@ -4138,6 +4293,11 @@ def _parse_content(
     at_depth: int | None = None
     at_text = ""
     at_pos: tuple[float, float] | None = None
+    # optional content (§8.11): an `/OC /name BDC` region whose name
+    # resolves to an OFF-by-default OCG is invisible — a conforming
+    # viewer (and poppler's rasterizer) never draws it, so it must not
+    # extract. ``hide_depth`` marks the outermost hidden region.
+    hide_depth: int | None = None
 
     def origin() -> tuple[float, float]:
         m = _mat_mul(tlm, ctm)
@@ -4145,6 +4305,8 @@ def _parse_content(
 
     def emit(text: str) -> None:
         nonlocal at_pos
+        if hide_depth is not None:
+            return  # inside a hidden optional-content layer
         ox, oy = origin()
         if at_depth is not None:
             if at_pos is None:
@@ -4194,8 +4356,16 @@ def _parse_content(
             ctm = ctm_stack.pop() if ctm_stack else _MAT_ID
         elif m.group("bdc") or m.group("bmc"):
             mc_depth += 1
-            pd = m.group("bdc_dict")
-            if pd is not None and at_depth is None:
+            prop = m.group("bdc_prop") if m.group("bdc") else None
+            if (
+                hide_depth is None
+                and prop is not None
+                and m.group("bdc_tag") == b"OC"
+                and prop in hidden
+            ):
+                hide_depth = mc_depth
+            pd = m.group("bdc_dict") if m.group("bdc") else None
+            if pd is not None and at_depth is None and hide_depth is None:
                 am = _ACTUALTEXT_RE.search(pd)
                 if am:
                     raw = (
@@ -4207,7 +4377,10 @@ def _parse_content(
                         mc_depth, _pdf_text_string(raw), None,
                     )
         elif m.group("emc"):
-            if at_depth is not None and mc_depth == at_depth:
+            if hide_depth is not None:
+                if mc_depth == hide_depth:
+                    hide_depth = None
+            elif at_depth is not None and mc_depth == at_depth:
                 ox, oy = at_pos if at_pos is not None else origin()
                 at_depth = None
                 spans.append(Span(ox, oy, at_text))
@@ -4255,6 +4428,8 @@ def _parse_content(
                     parts.append(" ")
             emit("".join(parts))
         elif m.group("do") and xobj is not None:
+            if hide_depth is not None:
+                continue  # whole invocation sits in a hidden layer
             # form XObject invocation — spans come back in FORM space (the
             # form /Matrix already applied by the resolver); the CTM in
             # effect at the Do maps them into page space

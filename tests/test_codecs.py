@@ -654,6 +654,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(pages, rotate=90),
         lambda: P.build_pdf_scanned(pages, rotate=270),
         lambda: P.build_pdf_actualtext(pages),
+        lambda: P.build_pdf_ocg(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -801,6 +802,21 @@ def test_actualtext_replaces_enclosed_shows():
     assert [(p.x, p.y, p.text) for p in s] == [
         (30.0, 40.0, "ghost"), (30.0, 40.0, "ok"),
     ]
+
+
+def test_ocg_hidden_layer_suppressed_visible_layer_extracts():
+    """§8.11 optional content: /OC regions of an OCG in the default
+    config's /OFF array must not extract (incl. visible nested inside
+    hidden); ON-by-default regions must. Negative control: breaking the
+    /OFF array makes the decoys leak — the feature is load-bearing."""
+    pages = ["alpha one\nbeta two\ngamma three", "solo"]
+    pdf = P.build_pdf_ocg(pages)
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages
+    assert got == [P.page_text(s) for s in P.extract_pages(P.build_pdf(pages))]
+    leaked = P.extract_pages(pdf.replace(b"/OFF [", b"/XFF ["))
+    assert "DRAFT WATERMARK" in P.page_text(leaked[0])
+    assert "NESTED DECOY" in P.page_text(leaked[0])
 
 
 def test_actualtext_writer_roundtrip_matches_plain_writer():
