@@ -3012,29 +3012,29 @@ def _hidden_ocgs(objs: dict[int, bytes]) -> frozenset[int]:
     /OCProperties /D /OFF) — the layers a conforming viewer hides, so
     poppler's rasterization (and hence the reference's OCR) never sees
     their content. Groups not listed default to ON."""
-    for body in objs.values():
+    hidden: set[int] = set()
+    # deterministic over multi-catalog files (incremental updates can
+    # leave a superseded catalog object alive): union every catalog's
+    # OFF set — conservative, and identical when there is one catalog
+    for no in sorted(objs):
+        body = objs[no]
         if not _CATALOG_TYPE_RE.search(body):
             continue
         oc_at = body.find(b"/OCProperties")
         if oc_at < 0:
-            rm = _OCPROPS_REF_RE.search(body)
-            if rm is None:
-                return frozenset()
-            oc = objs.get(int(rm.group(1)), b"")
-        else:
-            rm = _OCPROPS_REF_RE.search(body)
-            oc = (
-                objs.get(int(rm.group(1)), b"")
-                if rm is not None
-                else (_balanced_dict(body, oc_at) or b"")
-            )
-        off = _OFF_ARR_RE.search(oc)
-        if off is None:
-            return frozenset()
-        return frozenset(
-            int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", off.group(1))
+            continue
+        rm = _OCPROPS_REF_RE.search(body)
+        oc = (
+            objs.get(int(rm.group(1)), b"")
+            if rm is not None
+            else (_balanced_dict(body, oc_at) or b"")
         )
-    return frozenset()
+        off = _OFF_ARR_RE.search(oc)
+        if off is not None:
+            hidden.update(
+                int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", off.group(1))
+            )
+    return frozenset(hidden)
 
 
 def _hidden_prop_names(
