@@ -801,6 +801,104 @@ def build_pdf_embedded_font(pages: list[str], kind: str = "type1") -> bytes:
     return _assemble_classic(objects)
 
 
+def build_pdf_type3(pages: list[str]) -> bytes:
+    """Fixture writer for /Subtype /Type3 glyph-procedure fonts — the
+    dvips/LaTeX bitmap-font and form-stamp shape (PDF 1.7 §9.6.5).
+
+    Type3 fonts carry NO font program: glyphs are content-stream
+    procedures under /CharProcs, selected through the font's REQUIRED
+    /Encoding /Differences array scaled by /FontMatrix. Text extraction
+    therefore flows through exactly the same /Differences chain as
+    simple fonts (poppler's Gfx/TextOutputDev path; the reference
+    extracts these via poppler, app/jobs.py:386-390) — this writer
+    certifies that chain stays subtype-agnostic. Every char (ASCII
+    included) is remapped to an arbitrary safe byte code, so extraction
+    that ignores the Differences array yields garbage; glyph names are
+    AGL-algorithmic (uniXXXX). Each glyph procedure is a d1 + filled
+    rect, and one DECOY procedure contains text-show operators
+    (BT..Tj..ET — legal inside a Type3 proc) that a conforming extractor
+    must NOT surface as page text: CharProcs streams are glyph drawings,
+    not page content. Layout matches :func:`build_pdf` (72/720 origin,
+    14 pt leading)."""
+    code_of = _builtin_code_map(pages)
+
+    def enc(line: str) -> bytes:
+        return bytes(code_of[c] for c in line)
+
+    n_pages = len(pages)
+    font_no = 3 + 2 * n_pages
+    enc_no, cp_no = font_no + 1, font_no + 2
+    # glyph procedures: one per mapped char + one decoy, numbered after
+    # the CharProcs dict
+    names = [
+        _uni_glyph_name(ch)
+        for ch, _ in sorted(code_of.items(), key=lambda kv: kv[1])
+    ]
+    first_proc_no = cp_no + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, page_text_ in enumerate(pages):
+        page_no = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_no} 0 R >> >> "
+                f"/Contents {page_no + 1} 0 R >>"
+            ).encode()
+        )
+        ops: list[bytes] = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(page_text_.split("\n")):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + enc(line) + b") Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    codes = sorted(code_of.values())
+    widths = " ".join(
+        "100" if c in codes else "0" for c in range(codes[0], codes[-1] + 1)
+    )
+    objects.append(
+        (
+            f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] "
+            f"/FontMatrix [0.01 0 0 0.01 0 0] /CharProcs {cp_no} 0 R "
+            f"/Encoding {enc_no} 0 R /FirstChar {codes[0]} "
+            f"/LastChar {codes[-1]} /Widths [ {widths} ] >>"
+        ).encode()
+    )
+    diffs = " ".join(
+        f"{code} /{_uni_glyph_name(ch)}"
+        for ch, code in sorted(code_of.items(), key=lambda kv: kv[1])
+    )
+    objects.append(
+        f"<< /Type /Encoding /Differences [ {diffs} ] >>".encode()
+    )
+    charprocs = " ".join(
+        f"/{name} {first_proc_no + k} 0 R" for k, name in enumerate(names)
+    )
+    decoy_no = first_proc_no + len(names)
+    objects.append(
+        (f"<< {charprocs} /decoy {decoy_no} 0 R >>").encode()
+    )
+    for _ in names:
+        proc = b"100 0 0 0 100 100 d1\n10 10 80 80 re f"
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(proc), proc)
+        )
+    # unreferenced-by-any-show decoy glyph: text operators inside a
+    # CharProcs stream are glyph drawing, never page text
+    decoy = b"100 0 d0\nBT /F1 12 Tf 72 720 Td (DECOYGLYPHTEXT) Tj ET"
+    objects.append(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(decoy), decoy)
+    )
+    return _assemble_classic(objects)
+
+
 def build_pdf_type0(
     pages: list[str],
     custom_cmap: bool = False,

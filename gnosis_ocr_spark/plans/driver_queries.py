@@ -358,7 +358,11 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         # optional content groups: OFF-by-default watermark layer decoys
         # (incl. visible-nested-inside-hidden) must not extract
         lambda p: _cp.build_pdf_ocg(p),
-        # STANDALONE images (indices >= 26, mirrored by the oracle's
+        # Type3 glyph-procedure font (dvips/LaTeX bitmap shape): text
+        # recoverable only through the REQUIRED /Encoding /Differences;
+        # a decoy CharProcs stream with text operators must not extract
+        lambda p: _cp.build_pdf_type3(p),
+        # STANDALONE images (indices >= 27, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -398,14 +402,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 33 writer classes; indices >= 26 are standalone images (one page
+# 34 writer classes; indices >= 27 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 33 >= 26 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 34 >= 27 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

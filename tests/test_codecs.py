@@ -655,6 +655,7 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_scanned(pages, rotate=270),
         lambda: P.build_pdf_actualtext(pages),
         lambda: P.build_pdf_ocg(pages),
+        lambda: P.build_pdf_type3(pages),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -1452,3 +1453,36 @@ def test_differences_high_frequency_glyph_names():
     pdf = P.build_pdf_tounicode(pages, mode="differences")
     got = [P.page_text(s) for s in P.extract_pages(pdf)]
     assert got == pages
+
+
+def test_type3_font_roundtrip_and_charprocs_decoy():
+    """/Subtype /Type3 glyph-procedure fonts (dvips/LaTeX bitmap shape,
+    §9.6.5) decode through the same /Differences chain as simple fonts:
+    every char remapped to an arbitrary code, so success certifies the
+    subtype-agnostic encoding path. The decoy CharProcs stream contains
+    legal text operators — glyph drawings, never page text."""
+    pages = ["Grüße Ω λx→x 42!\nsecond line here", "page two: ¿qué? ∑"]
+    pdf = P.build_pdf_type3(pages)
+    got = [P.page_text(s) for s in P.extract_pages(pdf)]
+    assert got == pages, got
+    assert all("DECOYGLYPHTEXT" not in t for t in got)
+
+
+def test_type3_font_mutation_degrades_not_raises():
+    """Crawl stance: byte corruption anywhere in a Type3 file may change
+    the text but must never raise out of the extractor."""
+    import random
+
+    pages = ["plain ascii text\nand a second line"]
+    base = P.build_pdf_type3(pages)
+    rnd = random.Random(7)
+    for _ in range(40):
+        buf = bytearray(base)
+        at = rnd.randrange(len(buf))
+        buf[at] = rnd.randrange(256)
+        try:
+            spans = P.extract_pages(bytes(buf))
+            for s in spans:
+                P.page_text(s)
+        except ValueError:
+            pass  # loud structured failure is allowed; crashes are not
