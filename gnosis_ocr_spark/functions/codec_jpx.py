@@ -25,8 +25,14 @@ carry) and a fixture encoder (single-tile, LRCP, lossless 5/3 or lossy
 so round-trip properties and corpus writer classes can certify the
 decoder without any external JPX file in the container.
 
-Scope honesty: code-block styles beyond the default (selective
-arithmetic bypass, per-pass termination, vertically-causal contexts,
+Selective arithmetic bypass (T.800 D.6, Kakadu's speed mode) decodes
+and encodes: SPP/MRP passes from the fifth bit-plane are raw-coded
+(stuffed bits, no contexts), every MQ↔raw transition is a terminated
+codeword segment, and the packet header signals one length per segment
+(B.10.7.2) — MQ context states persist across terminations.
+
+Scope honesty: code-block styles beyond default/bypass (per-pass
+termination, reset-probabilities, vertically-causal contexts,
 segmentation symbols), ROI (RGN), progression-order changes (POC),
 position-major progressions combined with multiple precincts, and tile
 grids whose origins go odd at some DWT level (non-power-of-two-aligned
@@ -63,6 +69,96 @@ def _fresh_states() -> bytearray:
     states[_CTX_RL] = 3 << 1
     states[_CTX_UNI] = 46 << 1
     return states
+
+
+class _RawDecoder:
+    """Raw (arithmetic-bypass) bit reader, T.800 D.6: MSB-first bytes
+    with bit-stuffing — after a 0xFF byte the next byte carries only 7
+    data bits (its MSB is a stuffed 0). Reads past the end serve 1-bits
+    (same stance as the MQ decoder's marker convention)."""
+
+    __slots__ = ("data", "pos", "buf", "ct", "last")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.ct = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            rb = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            self.ct = 7 if self.last == 0xFF else 8
+            self.last = rb
+            self.buf = rb
+        self.ct -= 1
+        return (self.buf >> self.ct) & 1
+
+
+class _RawEncoder:
+    """Raw bit writer mirroring :class:`_RawDecoder`: MSB-first with a
+    stuffed 0 MSB after every emitted 0xFF. Termination pads the final
+    byte with 0s and guarantees the segment does not end in 0xFF
+    (T.800 D.4.2)."""
+
+    __slots__ = ("out", "buf", "ct")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.ct = 0
+
+    def bit(self, b: int) -> None:
+        self.buf = (self.buf << 1) | (b & 1)
+        self.ct += 1
+        cap = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        if self.ct == cap:
+            self.out.append(self.buf)
+            self.buf = 0
+            self.ct = 0
+
+    def flush(self) -> bytes:
+        if self.ct:
+            cap = 7 if (self.out and self.out[-1] == 0xFF) else 8
+            self.out.append(self.buf << (cap - self.ct))
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _pass_is_raw(k: int) -> bool:
+    """Selective-bypass mode of absolute coding pass ``k`` (0-based:
+    CUP, then SPP/MRP/CUP triplets): SPP (k≡1 mod 3) and MRP (k≡2) are
+    raw-coded from the fifth bit-plane on, i.e. from pass 10 (T.800
+    D.6); cleanup passes always stay MQ-coded."""
+    return k >= 10 and k % 3 != 0
+
+
+def _terminates_after(k: int) -> bool:
+    """Bypass termination pattern (T.800 Table D.9): the codeword
+    segment terminates after the cleanup pass of the fourth bit-plane
+    (pass 9) and after every raw MRP / MQ cleanup pass from there on —
+    every MQ↔raw transition lands on a terminated boundary."""
+    return k >= 9 and k % 3 != 1
+
+
+def _bypass_pieces(k0: int, n: int) -> list[tuple[int, bool]]:
+    """Split a block contribution of ``n`` passes starting at absolute
+    pass ``k0`` at the bypass termination boundaries →
+    [(passes_in_piece, ends_terminated)]. One packet-header length is
+    signalled per piece (T.800 B.10.7.2)."""
+    out: list[tuple[int, bool]] = []
+    cnt = 0
+    for k in range(k0, k0 + n):
+        cnt += 1
+        if _terminates_after(k):
+            out.append((cnt, True))
+            cnt = 0
+    if cnt:
+        out.append((cnt, False))
+    return out
 
 
 def _zc_tables() -> np.ndarray:
@@ -299,6 +395,61 @@ class _BlockCoder:
                     j += w
         self.visited = bytearray(h * w)
 
+    # -- raw (bypass) decoding passes: same membership/visited rules as
+    # the MQ passes, but significance, sign, and refinement bits come
+    # straight from the stuffed raw stream (T.800 D.6) — no contexts,
+    # no sign prediction (raw sign: 0 positive, 1 negative)
+
+    def dec_sig_pass_raw(self, raw, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited, mag = self.sig, self.sgn, self.visited, self.mag
+        bit = 1 << plane
+        rbit = raw.bit
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if not sig[i]:
+                        if (
+                            sig[i - 1] or sig[i + 1] or sig[i - W2]
+                            or sig[i + W2] or sig[i - W2 - 1]
+                            or sig[i - W2 + 1] or sig[i + W2 - 1]
+                            or sig[i + W2 + 1]
+                        ):
+                            visited[j] = 1
+                            if rbit():
+                                sig[i] = 1
+                                sgn[i] = 1 + rbit()
+                                mag[j] = bit
+                        else:
+                            visited[j] = 0
+                    i += W2
+                    j += w
+
+    def dec_mag_pass_raw(self, raw, plane) -> None:
+        h, w = self.h, self.w
+        W2 = self.stride
+        sig, visited, refined, mag = (
+            self.sig, self.visited, self.refined, self.mag,
+        )
+        bit = 1 << plane
+        rbit = raw.bit
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if sig[i] and not visited[j]:
+                        if rbit():
+                            mag[j] |= bit
+                        refined[j] = 1
+                        visited[j] = 1
+                    i += W2
+                    j += w
+
     # -- encoding passes (exact mirrors; absval/neg are flat h*w arrays)
 
     def enc_sig_pass(self, mq, states, absval, neg, plane) -> None:
@@ -361,6 +512,56 @@ class _BlockCoder:
                         else:
                             ctx = 14
                         encode(states, ctx, 1 if absval[j] & bitmask else 0)
+                        refined[j] = 1
+                        visited[j] = 1
+                    i += W2
+                    j += w
+
+    # -- raw (bypass) encoding passes, exact mirrors of the raw decoders
+
+    def enc_sig_pass_raw(self, raw, absval, neg, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, sgn, visited = self.sig, self.sgn, self.visited
+        wbit = raw.bit
+        bitmask = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if not sig[i]:
+                        if (
+                            sig[i - 1] or sig[i + 1] or sig[i - W2]
+                            or sig[i + W2] or sig[i - W2 - 1]
+                            or sig[i - W2 + 1] or sig[i + W2 - 1]
+                            or sig[i + W2 + 1]
+                        ):
+                            visited[j] = 1
+                            b = 1 if absval[j] & bitmask else 0
+                            wbit(b)
+                            if b:
+                                wbit(neg[j])
+                                sig[i] = 1
+                                sgn[i] = 1 + neg[j]
+                        else:
+                            visited[j] = 0
+                    i += W2
+                    j += w
+
+    def enc_mag_pass_raw(self, raw, absval, plane) -> None:
+        h, w, W2 = self.h, self.w, self.stride
+        sig, visited, refined = self.sig, self.visited, self.refined
+        wbit = raw.bit
+        bitmask = 1 << plane
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * W2 + x + 1
+                j = y0 * w + x
+                for _y in range(rows):
+                    if sig[i] and not visited[j]:
+                        wbit(1 if absval[j] & bitmask else 0)
                         refined[j] = 1
                         visited[j] = 1
                     i += W2
@@ -440,38 +641,85 @@ class _BlockCoder:
 
 
 def decode_block(
-    data: bytes, h: int, w: int, band: int, n_planes: int, n_passes: int
+    data: bytes, h: int, w: int, band: int, n_planes: int, n_passes: int,
+    bypass: bool = False, seg_ends: tuple[int, ...] = (),
 ) -> np.ndarray:
-    """Decode one code-block's MQ segment into signed coefficients.
-    ``n_planes`` = magnitude bit-planes possibly coded (Mb − zero
-    bit-planes), ``n_passes`` = coding passes present (1 = cleanup of the
-    first plane, then SPP/MRP/CUP triplets)."""
+    """Decode one code-block's codeword segment(s) into signed
+    coefficients. ``n_planes`` = magnitude bit-planes possibly coded
+    (Mb − zero bit-planes), ``n_passes`` = coding passes present (1 =
+    cleanup of the first plane, then SPP/MRP/CUP triplets).
+
+    With ``bypass`` (selective arithmetic bypass, T.800 D.6) the data is
+    a concatenation of terminated segments — ``seg_ends`` gives the byte
+    offset after each termination recorded by the packet decoder —
+    alternating MQ (cleanup + the first ten passes) and raw (SPP/MRP
+    from the fifth bit-plane). MQ context states persist across MQ
+    segments; only the codeword stream is terminated."""
     if n_planes < 0 or n_passes < 1:
         raise ValueError("JPX: bad block pass/plane counts")
     if n_passes > 3 * max(n_planes, 1):
         raise ValueError("JPX: more passes than planes allow")
     coder = _BlockCoder(h, w, band)
-    mq = _MQDecoder(data)
     states = _fresh_states()
-    done = 0
-    for p in range(n_planes):
-        plane = n_planes - 1 - p
-        if p == 0:
-            coder.dec_cleanup_pass(mq, states, plane)
-            done += 1
-        else:
-            coder.dec_sig_pass(mq, states, plane)
-            done += 1
+    if not bypass:
+        mq = _MQDecoder(data)
+        done = 0
+        for p in range(n_planes):
+            plane = n_planes - 1 - p
+            if p == 0:
+                coder.dec_cleanup_pass(mq, states, plane)
+                done += 1
+            else:
+                coder.dec_sig_pass(mq, states, plane)
+                done += 1
+                if done >= n_passes:
+                    break
+                coder.dec_mag_pass(mq, states, plane)
+                done += 1
+                if done >= n_passes:
+                    break
+                coder.dec_cleanup_pass(mq, states, plane)
+                done += 1
             if done >= n_passes:
                 break
-            coder.dec_mag_pass(mq, states, plane)
-            done += 1
-            if done >= n_passes:
-                break
-            coder.dec_cleanup_pass(mq, states, plane)
-            done += 1
-        if done >= n_passes:
-            break
+    else:
+        bounds = [e for e in seg_ends if e <= len(data)]
+        if not bounds or bounds[-1] != len(data):
+            bounds.append(len(data))
+        si = 0
+        start = 0
+        cur = None
+        for k in range(n_passes):
+            if cur is None:
+                end = bounds[si] if si < len(bounds) else len(data)
+                seg = data[start:end]
+                if _pass_is_raw(k):
+                    cur = _RawDecoder(seg)
+                    is_raw = True
+                else:
+                    cur = _MQDecoder(seg)
+                    is_raw = False
+                start = end
+            plane = n_planes - 1 - (k + 2) // 3
+            if k == 0:
+                coder.dec_cleanup_pass(cur, states, plane)
+            else:
+                phase = (k - 1) % 3
+                if phase == 0:
+                    if is_raw:
+                        coder.dec_sig_pass_raw(cur, plane)
+                    else:
+                        coder.dec_sig_pass(cur, states, plane)
+                elif phase == 1:
+                    if is_raw:
+                        coder.dec_mag_pass_raw(cur, plane)
+                    else:
+                        coder.dec_mag_pass(cur, states, plane)
+                else:
+                    coder.dec_cleanup_pass(cur, states, plane)
+            if _terminates_after(k):
+                cur = None
+                si += 1
     mag = np.array(coder.mag, dtype=np.int64).reshape(h, w)
     sgn = np.frombuffer(bytes(coder.sgn), dtype=np.uint8).reshape(
         h + 2, w + 2
@@ -505,6 +753,71 @@ def encode_block(
             coder.enc_cleanup_pass(mq, states, absval, neg, plane)
             n_passes += 3
     return mq.flush(), n_passes
+
+
+def encode_block_bypass(
+    coeffs: np.ndarray, band: int, n_planes: int
+) -> tuple[list[bytes], int]:
+    """Encode one code-block in selective-arithmetic-bypass style (T.800
+    D.6): returns the ordered list of TERMINATED codeword segments (MQ
+    for cleanup + the first ten passes, raw for SPP/MRP from the fifth
+    bit-plane; the final segment is flushed too) and the pass count.
+    MQ context states persist across MQ segments. A terminated segment
+    never ends in 0xFF (D.4.2) — trailing 0xFF from the MQ flush is
+    dropped (decoders feed 1-bits past the end either way)."""
+    h, w = coeffs.shape
+    absarr = np.abs(coeffs).astype(np.int64)
+    if n_planes <= 0 or (absarr >> n_planes).any():
+        raise ValueError("JPX: coefficients exceed declared bit-planes")
+    absval = absarr.ravel().tolist()
+    neg = bytearray((coeffs < 0).astype(np.uint8).ravel().tobytes())
+    coder = _BlockCoder(h, w, band)
+    states = _fresh_states()
+    n_total = 3 * n_planes - 2
+    segs: list[bytes] = []
+    cur_mq: _MQEncoder | None = None
+    cur_raw: _RawEncoder | None = None
+
+    def _flush() -> None:
+        nonlocal cur_mq, cur_raw
+        if cur_raw is not None:
+            segs.append(cur_raw.flush())
+            cur_raw = None
+        elif cur_mq is not None:
+            b = cur_mq.flush()
+            while b.endswith(b"\xff"):
+                b = b[:-1]
+            segs.append(b)
+            cur_mq = None
+
+    for k in range(n_total):
+        plane = n_planes - 1 - (k + 2) // 3
+        if _pass_is_raw(k):
+            if cur_raw is None:
+                cur_raw = _RawEncoder()
+            if (k - 1) % 3 == 0:
+                coder.enc_sig_pass_raw(cur_raw, absval, neg, plane)
+            else:
+                coder.enc_mag_pass_raw(cur_raw, absval, plane)
+        else:
+            if cur_mq is None:
+                cur_mq = _MQEncoder()
+            if k == 0:
+                coder.enc_cleanup_pass(cur_mq, states, absval, neg, plane)
+            else:
+                phase = (k - 1) % 3
+                if phase == 0:
+                    coder.enc_sig_pass(cur_mq, states, absval, neg, plane)
+                elif phase == 1:
+                    coder.enc_mag_pass(cur_mq, states, absval, plane)
+                else:
+                    coder.enc_cleanup_pass(
+                        cur_mq, states, absval, neg, plane
+                    )
+        if _terminates_after(k):
+            _flush()
+    _flush()
+    return segs, n_total
 
 
 
@@ -849,7 +1162,9 @@ def _subband_q(
 
 
 class _Blk:
-    __slots__ = ("included", "lblock", "passes", "data", "n_planes")
+    __slots__ = (
+        "included", "lblock", "passes", "data", "n_planes", "seg_ends",
+    )
 
     def __init__(self) -> None:
         self.included = False
@@ -857,6 +1172,7 @@ class _Blk:
         self.passes = 0
         self.data = bytearray()
         self.n_planes = 0
+        self.seg_ends: list[int] = []  # bypass termination offsets
 
 
 class _SubDec:
@@ -967,15 +1283,18 @@ def _tag_value(br: _HeaderReader, tree: _TagTree, x: int, y: int) -> int:
 
 def _decode_packet(
     data: bytes, pos: int, views: list[_PrecView], layer: int,
-    use_sop: bool, use_eph: bool,
+    use_sop: bool, use_eph: bool, bypass: bool = False,
 ) -> int:
     """Decode one packet (header + included block bodies) for one
     precinct's subband views starting at ``pos``; mutates the blocks'
-    data/pass state; returns the next pos."""
+    data/pass state; returns the next pos. With ``bypass`` a block
+    contribution splits at the termination pattern into multiple
+    codeword segments, one signalled length each (T.800 B.10.7.2);
+    their end offsets are recorded for Tier-1."""
     if use_sop and data[pos : pos + 2] == b"\xff\x91":
         pos += 6
     br = _HeaderReader(data, pos)
-    contributions: list[tuple[_Blk, int, int]] = []
+    contributions: list[tuple[_Blk, int, list[tuple[int, bool]]]] = []
     if br.bit():  # non-empty packet
         for pv in views:
             sb = pv.sb
@@ -998,22 +1317,33 @@ def _decode_packet(
                     np_new = _read_npasses(br)
                     while br.bit():
                         blk.lblock += 1
-                    nbits = blk.lblock + (np_new.bit_length() - 1)
-                    if nbits > 32:
-                        raise ValueError("JPX: absurd segment length bits")
-                    seg_len = br.bits(nbits)
-                    contributions.append((blk, np_new, seg_len))
+                    if bypass:
+                        pieces = _bypass_pieces(blk.passes, np_new)
+                    else:
+                        pieces = [(np_new, False)]
+                    lens: list[tuple[int, bool]] = []
+                    for npp, term in pieces:
+                        nbits = blk.lblock + (npp.bit_length() - 1)
+                        if nbits > 32:
+                            raise ValueError(
+                                "JPX: absurd segment length bits"
+                            )
+                        lens.append((br.bits(nbits), term))
+                    contributions.append((blk, np_new, lens))
     pos = br.align()
     if use_eph:
         if data[pos : pos + 2] != b"\xff\x92":
             raise ValueError("JPX: missing EPH marker")
         pos += 2
-    for blk, np_new, seg_len in contributions:
-        if pos + seg_len > len(data):
-            raise ValueError("JPX: truncated packet body")
-        blk.data += data[pos : pos + seg_len]
+    for blk, np_new, lens in contributions:
+        for seg_len, term in lens:
+            if pos + seg_len > len(data):
+                raise ValueError("JPX: truncated packet body")
+            blk.data += data[pos : pos + seg_len]
+            if term:
+                blk.seg_ends.append(len(blk.data))
+            pos += seg_len
         blk.passes += np_new
-        pos += seg_len
     return pos
 
 
@@ -1068,10 +1398,10 @@ def _parse_cod(body: bytes) -> dict:
     if (body[6] & 0x0F) + (body[7] & 0x0F) > 8:
         raise ValueError("JPX: code-block size exceeds 4096")
     cbstyle = body[8]
-    if cbstyle != 0:
+    if cbstyle & ~0x01:
         raise ValueError(
-            "JPX: non-default code-block style (bypass/reset/termination/"
-            "causal/segmentation) unsupported"
+            "JPX: code-block style (reset/termination/causal/"
+            "segmentation) unsupported"
         )
     transform = body[9]
     if transform > 1:
@@ -1098,6 +1428,7 @@ def _parse_cod(body: bytes) -> dict:
         "cbh": cbh,
         "transform": transform,  # 0 = 9/7 irreversible, 1 = 5/3 reversible
         "precincts": precincts,  # None = maximal (one per subband)
+        "bypass": bool(cbstyle & 0x01),  # selective arithmetic bypass
     }
 
 
@@ -1389,6 +1720,7 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                 pos = _decode_packet(
                     data[:end], pos, views, l,
                     t_cod[c]["sop"], t_cod[c]["eph"],
+                    t_cod[c].get("bypass", False),
                 )
 
         # Tier-1 + dequant + inverse DWT per tile-component, then paste
@@ -1411,6 +1743,8 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                             vals = decode_block(
                                 bytes(blk.data), bh_, bw_,
                                 _BAND_IDX[sb.name], blk.n_planes, blk.passes,
+                                cc.get("bypass", False),
+                                tuple(blk.seg_ends),
                             )
                             coeff[
                                 by * sb.cbh : by * sb.cbh + bh_,
@@ -1555,6 +1889,7 @@ def encode_jpx(
     tile_size: tuple[int, int] | None = None,
     sampling: list[tuple[int, int]] | None = None,
     precincts: tuple[int, int] | None = None,
+    bypass: bool = False,
 ) -> bytes:
     """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
@@ -1570,7 +1905,11 @@ def encode_jpx(
     gives (PPx, PPy) exponents on the resolution grid (same for every
     resolution; requires an L-major progression), partitioning each
     resolution into multiple packets — the Kakadu-style streaming
-    layout."""
+    layout. ``bypass`` selects the selective-arithmetic-bypass
+    code-block style (T.800 D.6, Kakadu's speed mode): SPP/MRP passes
+    from the fifth bit-plane are raw-coded and every MQ↔raw transition
+    is a terminated codeword segment with its own packet-header
+    length."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
     if precincts is not None:
@@ -1707,7 +2046,7 @@ def encode_jpx(
     codb = bytes([
         1 if precincts is not None else 0, progression,  # Scod, order
     ]) + struct.pack(">H", 1) + bytes([
-        mct, levels, 4, 4, 0, 1 if lossless else 0,
+        mct, levels, 4, 4, 1 if bypass else 0, 1 if lossless else 0,
     ])
     if precincts is not None:
         ppx, ppy = precincts
@@ -1774,11 +2113,17 @@ def encode_jpx(
                         if mx == 0:
                             continue
                         n_planes = mx.bit_length()
-                        seg, n_passes = encode_block(
-                            blkq, _BAND_IDX[name], n_planes
-                        )
+                        if bypass:
+                            segs, n_passes = encode_block_bypass(
+                                blkq, _BAND_IDX[name], n_planes
+                            )
+                        else:
+                            seg, n_passes = encode_block(
+                                blkq, _BAND_IDX[name], n_planes
+                            )
+                            segs = [seg]
                         zvals[by, bx] = mb - n_planes
-                        blocks[(by, bx)] = (seg, n_passes, n_planes)
+                        blocks[(by, bx)] = (segs, n_passes, n_planes)
                 sb_blocks.append((name, nbx, nby, blocks, zvals, mb))
             # one packet per precinct (raster over the resolution grid)
             for py in range(npy):
@@ -1813,25 +2158,33 @@ def encode_jpx(
                                 incl.encode(bw, tx, ty, 1)
                                 if (by, bx) not in blocks:
                                     continue
-                                seg, n_passes, _np_ = blocks[(by, bx)]
+                                segs, n_passes, _np_ = blocks[(by, bx)]
                                 for t in range(1, zv[ty, tx] + 2):
                                     zb.encode(bw, tx, ty, t)
                                 _write_npasses(bw, n_passes)
-                                lblock = 3
-                                nbits_avail = lblock + (
-                                    n_passes.bit_length() - 1
+                                # one signalled length per codeword
+                                # segment (bypass > 1); the Lblock
+                                # escalation must fit the worst piece
+                                pieces = (
+                                    _bypass_pieces(0, n_passes)
+                                    if bypass else [(n_passes, False)]
                                 )
-                                need = max(1, len(seg).bit_length())
-                                k = max(0, need - nbits_avail)
+                                lblock = 3
+                                k = 0
+                                for (npp, _t), sbytes in zip(pieces, segs):
+                                    avail = lblock + (npp.bit_length() - 1)
+                                    need = max(1, len(sbytes).bit_length())
+                                    k = max(k, need - avail)
                                 for _ in range(k):
                                     bw.bit(1)
                                 bw.bit(0)
                                 lblock += k
-                                bw.bits(
-                                    len(seg),
-                                    lblock + (n_passes.bit_length() - 1),
-                                )
-                                seg_parts.append(seg)
+                                for (npp, _t), sbytes in zip(pieces, segs):
+                                    bw.bits(
+                                        len(sbytes),
+                                        lblock + (npp.bit_length() - 1),
+                                    )
+                                    seg_parts.append(sbytes)
                     body += bw.flush()
                     for seg in seg_parts:
                         body += seg
@@ -1844,12 +2197,12 @@ def encode_jpx(
 
 def encode_jp2(
     comps: list[np.ndarray], lossless: bool = True, levels: int = 3,
-    quality_step: float = 1.0 / 32,
+    quality_step: float = 1.0 / 32, bypass: bool = False,
 ) -> bytes:
     """Wrap :func:`encode_jpx` in the JP2 container (signature, ftyp,
     jp2h with ihdr + colr, jp2c) — the box layout real .jp2 files and
     many PDF /JPXDecode payloads use."""
-    cs = encode_jpx(comps, lossless, levels, quality_step)
+    cs = encode_jpx(comps, lossless, levels, quality_step, bypass=bypass)
     h, w = comps[0].shape
 
     def box(btype: bytes, payload: bytes) -> bytes:

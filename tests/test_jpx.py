@@ -242,7 +242,7 @@ def test_unsupported_subsets_raise_for_opaque_carry():
     cs = bytearray(X.encode_jpx([img], lossless=True))
     cod_at = bytes(cs).find(b"\xff\x52")
     evil = bytearray(cs)
-    evil[cod_at + 12] = 0x01  # cbstyle: selective bypass
+    evil[cod_at + 12] = 0x02  # cbstyle: reset-probabilities (unsupported)
     with pytest.raises(ValueError, match="code-block style"):
         X.decode_jpx(bytes(evil))
     siz_at = bytes(cs).find(b"\xff\x51")
@@ -439,3 +439,133 @@ def test_position_major_with_precincts_rejected():
     cs[cod_at + 5] = 2  # patch progression to RPCL
     with pytest.raises(ValueError, match="position-major"):
         X.decode_jpx(bytes(cs))
+
+
+# ----------------------------------------- selective arithmetic bypass
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_bypass_block_roundtrip_property(seed):
+    """encode_block_bypass → decode_block(bypass) is the identity:
+    raw SPP/MRP segments from the fifth bit-plane, MQ cleanup segments,
+    context states persisting across terminations (T.800 D.6)."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 48))
+    w = int(rng.integers(1, 48))
+    band = int(rng.integers(0, 3))
+    n_planes = int(rng.integers(1, 13))
+    mags = rng.integers(0, 1 << n_planes, size=(h, w))
+    signs = rng.choice([-1, 1], size=(h, w))
+    coeffs = (mags * signs).astype(np.int64)
+    segs, n_passes = X.encode_block_bypass(coeffs, band, n_planes)
+    pieces = X._bypass_pieces(0, n_passes)
+    assert len(pieces) == len(segs)
+    assert all(not s.endswith(b"\xff") for s in segs)  # D.4.2
+    data, ends, off = b"", [], 0
+    for (npp, term), s in zip(pieces, segs):
+        data += s
+        off += len(s)
+        if term:
+            ends.append(off)
+    got = X.decode_block(
+        data, h, w, band, n_planes, n_passes,
+        bypass=True, seg_ends=tuple(ends),
+    )
+    assert np.array_equal(got, coeffs)
+
+
+def test_bypass_termination_pattern():
+    """The T.800 Table D.9 pattern: MQ through pass 9, then raw SPP+MRP
+    / MQ CUP alternation, terminated at every transition."""
+    assert [X._pass_is_raw(k) for k in range(14)] == [
+        False] * 10 + [True, True, False, True]
+    assert [X._terminates_after(k) for k in range(9)] == [False] * 9
+    assert [X._terminates_after(k) for k in (9, 10, 11, 12, 13, 14, 15)] \
+        == [True, False, True, True, False, True, True]
+    # pieces of a 16-pass single-layer contribution
+    assert X._bypass_pieces(0, 16) == [
+        (10, True), (2, True), (1, True), (2, True), (1, True),
+    ]
+    # a contribution starting mid-stream (multi-layer shape)
+    assert X._bypass_pieces(10, 3) == [(2, True), (1, True)]
+    assert X._bypass_pieces(8, 1) == [(1, False)]
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None)
+def test_bypass_codestream_roundtrip_property(seed):
+    """encode_jpx(bypass) → decode_jpx is the identity for lossless
+    gray/RGB across sizes and levels; the COD cbstyle byte signals the
+    style and the per-segment packet lengths reconstruct exactly."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 80))
+    w = int(rng.integers(1, 80))
+    n_comp = int(rng.choice([1, 3]))
+    levels = int(rng.integers(0, 4))
+    comps = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        for _ in range(n_comp)
+    ]
+    cs = X.encode_jpx(comps, lossless=True, levels=levels, bypass=True)
+    gw, gh, got, _ = X.decode_jpx(cs)
+    assert (gw, gh) == (w, h)
+    for a, b in zip(got, comps):
+        assert np.array_equal(a, b)
+
+
+def test_bypass_combinations_and_raw_segments_fire():
+    """Bypass composes with tiles, precincts, subsampling, lossy 9/7,
+    and the JP2 container; at realistic depths blocks really do emit
+    multiple terminated segments (raw passes fire — not vacuous)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(128, 128)).astype(np.uint8)
+    multi = {"n": 0}
+    orig = X.encode_block_bypass
+
+    def spy(c, b, n):
+        segs, np_ = orig(c, b, n)
+        if len(segs) > 1:
+            multi["n"] += 1
+        return segs, np_
+
+    X.encode_block_bypass = spy
+    try:
+        cs = X.encode_jpx([img], lossless=True, levels=3, bypass=True)
+    finally:
+        X.encode_block_bypass = orig
+    assert multi["n"] > 0
+    _, _, got, _ = X.decode_jpx(cs)
+    assert np.array_equal(got[0], img)
+    for kw in (
+        {"tile_size": (64, 64)},
+        {"precincts": (5, 5)},
+        {"lossless": False},
+    ):
+        cs = X.encode_jpx([img], levels=2, bypass=True,
+                          **{"lossless": True, **kw})
+        _, _, got, _ = X.decode_jpx(cs)
+        if kw.get("lossless", True):
+            assert np.array_equal(got[0], img)
+        else:
+            assert np.abs(got[0].astype(int) - img.astype(int)).max() <= 4
+    jp2 = X.encode_jp2([img], lossless=True, levels=2, bypass=True)
+    _, _, got, _ = X.decode_jpx(jp2)
+    assert np.array_equal(got[0], img)
+
+
+@given(st.integers(0, 10_000), st.binary(min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_mutated_bypass_stream_exception_contract(seed, junk):
+    """Byte corruption of a bypass codestream decodes wrong or raises
+    ValueError — never crashes, hangs, or escapes the contract."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
+    cs = bytearray(X.encode_jpx([img], lossless=True, bypass=True))
+    rnd = random.Random(seed)
+    for b in junk:
+        cs[rnd.randrange(len(cs))] = b
+    try:
+        X.decode_jpx(bytes(cs))
+    except ValueError:
+        pass
