@@ -25,15 +25,18 @@ carry) and a fixture encoder (single-tile, LRCP, lossless 5/3 or lossy
 so round-trip properties and corpus writer classes can certify the
 decoder without any external JPX file in the container.
 
-Selective arithmetic bypass (T.800 D.6, Kakadu's speed mode) decodes
-and encodes: SPP/MRP passes from the fifth bit-plane are raw-coded
-(stuffed bits, no contexts), every MQ↔raw transition is a terminated
-codeword segment, and the packet header signals one length per segment
-(B.10.7.2) — MQ context states persist across terminations.
+All six T.800 Table A-19 code-block styles are handled: selective
+arithmetic bypass (D.6, Kakadu's speed mode — SPP/MRP from the fifth
+bit-plane raw-coded with stuffed bits, every MQ↔raw transition a
+terminated codeword segment, one packet-header length per segment per
+B.10.7.2, MQ contexts persisting across terminations), per-pass
+context reset (0x02), per-pass termination (0x04), vertically-causal
+contexts (0x08 — the stripe below is hidden during context formation),
+predictable termination (0x10 — encoder-side only, decoder-
+transparent), and segmentation symbols (0x20 — the 1010 marker after
+every cleanup pass, mismatch raises).
 
-Scope honesty: code-block styles beyond default/bypass (per-pass
-termination, reset-probabilities, vertically-causal contexts,
-segmentation symbols), ROI (RGN), progression-order changes (POC),
+Scope honesty: ROI (RGN), progression-order changes (POC),
 position-major progressions combined with multiple precincts, and tile
 grids whose origins go odd at some DWT level (non-power-of-two-aligned
 tile sizes — real encoders emit aligned ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
@@ -136,24 +139,30 @@ def _pass_is_raw(k: int) -> bool:
     return k >= 10 and k % 3 != 0
 
 
-def _terminates_after(k: int) -> bool:
-    """Bypass termination pattern (T.800 Table D.9): the codeword
-    segment terminates after the cleanup pass of the fourth bit-plane
-    (pass 9) and after every raw MRP / MQ cleanup pass from there on —
-    every MQ↔raw transition lands on a terminated boundary."""
+def _terminates_after(k: int, restart: bool = False) -> bool:
+    """Codeword-segment termination pattern. With per-pass termination
+    (RESTART, style 0x04) every pass is its own terminated segment;
+    otherwise the bypass pattern applies (T.800 Table D.9): terminate
+    after the cleanup pass of the fourth bit-plane (pass 9) and after
+    every raw MRP / MQ cleanup pass from there on — every MQ↔raw
+    transition lands on a terminated boundary."""
+    if restart:
+        return True
     return k >= 9 and k % 3 != 1
 
 
-def _bypass_pieces(k0: int, n: int) -> list[tuple[int, bool]]:
+def _bypass_pieces(
+    k0: int, n: int, restart: bool = False
+) -> list[tuple[int, bool]]:
     """Split a block contribution of ``n`` passes starting at absolute
-    pass ``k0`` at the bypass termination boundaries →
+    pass ``k0`` at the termination boundaries →
     [(passes_in_piece, ends_terminated)]. One packet-header length is
     signalled per piece (T.800 B.10.7.2)."""
     out: list[tuple[int, bool]] = []
     cnt = 0
     for k in range(k0, k0 + n):
         cnt += 1
-        if _terminates_after(k):
+        if _terminates_after(k, restart):
             out.append((cnt, True))
             cnt = 0
     if cnt:
@@ -247,10 +256,12 @@ class _BlockCoder:
 
     __slots__ = (
         "h", "w", "stride", "zlut", "sig", "sgn", "visited", "refined",
-        "mag",
+        "mag", "causal",
     )
 
-    def __init__(self, h: int, w: int, band: int) -> None:
+    def __init__(
+        self, h: int, w: int, band: int, causal: bool = False
+    ) -> None:
         self.h, self.w = h, w
         self.stride = w + 2                    # 1-px apron on all sides
         self.zlut = _ZC_FLAT[band]
@@ -259,6 +270,30 @@ class _BlockCoder:
         self.visited = bytearray(h * w)
         self.refined = bytearray(h * w)
         self.mag = [0] * (h * w)
+        self.causal = causal
+
+    # Vertically-causal contexts (style 0x08, T.800 D.7): context
+    # formation for a stripe must not see significance/signs in the
+    # stripe below. Implemented by hiding the padded row just below the
+    # stripe for the duration of the stripe's column loop — passes only
+    # WRITE within the stripe, so restoring is exact.
+
+    def _stripe_hide(self, y0: int, rows: int):
+        if not self.causal or y0 + rows >= self.h:
+            return None
+        W2 = self.stride
+        off = (y0 + rows + 1) * W2
+        saved = (off, self.sig[off : off + W2], self.sgn[off : off + W2])
+        self.sig[off : off + W2] = bytes(W2)
+        self.sgn[off : off + W2] = bytes(W2)
+        return saved
+
+    def _stripe_restore(self, saved) -> None:
+        if saved is not None:
+            off, ssig, ssgn = saved
+            W2 = self.stride
+            self.sig[off : off + W2] = ssig
+            self.sgn[off : off + W2] = ssgn
 
     # -- decoding passes
 
@@ -270,6 +305,7 @@ class _BlockCoder:
         bit = 1 << plane
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -296,6 +332,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     def dec_mag_pass(self, mq, states, plane) -> None:
         h, w, W2 = self.h, self.w, self.stride
         sig, visited, refined, mag = (
@@ -305,6 +342,7 @@ class _BlockCoder:
         bit = 1 << plane
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -328,6 +366,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     def dec_cleanup_pass(self, mq, states, plane) -> None:
         h, w, W2 = self.h, self.w, self.stride
         sig, sgn, visited, mag = self.sig, self.sgn, self.visited, self.mag
@@ -338,6 +377,7 @@ class _BlockCoder:
         for y0 in range(0, h, 4):
             full = y0 + 4 <= h
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i0 = (y0 + 1) * W2 + x + 1
                 j0 = y0 * w + x
@@ -393,6 +433,7 @@ class _BlockCoder:
                             mag[j] = bit
                     i += W2
                     j += w
+            self._stripe_restore(_cs)
         self.visited = bytearray(h * w)
 
     # -- raw (bypass) decoding passes: same membership/visited rules as
@@ -407,6 +448,7 @@ class _BlockCoder:
         rbit = raw.bit
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -428,6 +470,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     def dec_mag_pass_raw(self, raw, plane) -> None:
         h, w = self.h, self.w
         W2 = self.stride
@@ -460,6 +503,7 @@ class _BlockCoder:
         bitmask = 1 << plane
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -488,6 +532,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     def enc_mag_pass(self, mq, states, absval, plane) -> None:
         h, w, W2 = self.h, self.w, self.stride
         sig, visited, refined = self.sig, self.visited, self.refined
@@ -495,6 +540,7 @@ class _BlockCoder:
         bitmask = 1 << plane
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -517,6 +563,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     # -- raw (bypass) encoding passes, exact mirrors of the raw decoders
 
     def enc_sig_pass_raw(self, raw, absval, neg, plane) -> None:
@@ -526,6 +573,7 @@ class _BlockCoder:
         bitmask = 1 << plane
         for y0 in range(0, h, 4):
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i = (y0 + 1) * W2 + x + 1
                 j = y0 * w + x
@@ -549,6 +597,7 @@ class _BlockCoder:
                     i += W2
                     j += w
 
+            self._stripe_restore(_cs)
     def enc_mag_pass_raw(self, raw, absval, plane) -> None:
         h, w, W2 = self.h, self.w, self.stride
         sig, visited, refined = self.sig, self.visited, self.refined
@@ -577,6 +626,7 @@ class _BlockCoder:
         for y0 in range(0, h, 4):
             full = y0 + 4 <= h
             rows = min(4, h - y0)
+            _cs = self._stripe_hide(y0, rows)
             for x in range(w):
                 i0 = (y0 + 1) * W2 + x + 1
                 j0 = y0 * w + x
@@ -637,89 +687,83 @@ class _BlockCoder:
                             sgn[i] = 1 + neg[j]
                     i += W2
                     j += w
+            self._stripe_restore(_cs)
         self.visited = bytearray(h * w)
 
 
 def decode_block(
     data: bytes, h: int, w: int, band: int, n_planes: int, n_passes: int,
     bypass: bool = False, seg_ends: tuple[int, ...] = (),
+    reset: bool = False, restart: bool = False, causal: bool = False,
+    segsym: bool = False,
 ) -> np.ndarray:
     """Decode one code-block's codeword segment(s) into signed
     coefficients. ``n_planes`` = magnitude bit-planes possibly coded
     (Mb − zero bit-planes), ``n_passes`` = coding passes present (1 =
     cleanup of the first plane, then SPP/MRP/CUP triplets).
 
-    With ``bypass`` (selective arithmetic bypass, T.800 D.6) the data is
-    a concatenation of terminated segments — ``seg_ends`` gives the byte
-    offset after each termination recorded by the packet decoder —
-    alternating MQ (cleanup + the first ten passes) and raw (SPP/MRP
-    from the fifth bit-plane). MQ context states persist across MQ
-    segments; only the codeword stream is terminated."""
+    Code-block styles (T.800 Table A-19): ``bypass`` (D.6) raw-codes
+    SPP/MRP from the fifth bit-plane with a terminated segment at every
+    MQ↔raw transition — ``seg_ends`` gives the byte offset after each
+    termination recorded by the packet decoder; MQ context states
+    persist across terminations, only the codeword stream is cut.
+    ``restart`` terminates after EVERY pass; ``reset`` re-initializes
+    the MQ contexts at every pass boundary; ``causal`` makes context
+    formation vertically stripe-causal; ``segsym`` decodes the 1010
+    segmentation marker after each cleanup pass and raises on mismatch
+    (the style's intended error detection)."""
     if n_planes < 0 or n_passes < 1:
         raise ValueError("JPX: bad block pass/plane counts")
     if n_passes > 3 * max(n_planes, 1):
         raise ValueError("JPX: more passes than planes allow")
-    coder = _BlockCoder(h, w, band)
+    coder = _BlockCoder(h, w, band, causal=causal)
     states = _fresh_states()
-    if not bypass:
-        mq = _MQDecoder(data)
-        done = 0
-        for p in range(n_planes):
-            plane = n_planes - 1 - p
-            if p == 0:
-                coder.dec_cleanup_pass(mq, states, plane)
-                done += 1
-            else:
-                coder.dec_sig_pass(mq, states, plane)
-                done += 1
-                if done >= n_passes:
-                    break
-                coder.dec_mag_pass(mq, states, plane)
-                done += 1
-                if done >= n_passes:
-                    break
-                coder.dec_cleanup_pass(mq, states, plane)
-                done += 1
-            if done >= n_passes:
-                break
+    if not (bypass or restart):
+        bounds = [len(data)]
     else:
         bounds = [e for e in seg_ends if e <= len(data)]
         if not bounds or bounds[-1] != len(data):
             bounds.append(len(data))
-        si = 0
-        start = 0
-        cur = None
-        for k in range(n_passes):
-            if cur is None:
-                end = bounds[si] if si < len(bounds) else len(data)
-                seg = data[start:end]
-                if _pass_is_raw(k):
-                    cur = _RawDecoder(seg)
-                    is_raw = True
-                else:
-                    cur = _MQDecoder(seg)
-                    is_raw = False
-                start = end
-            plane = n_planes - 1 - (k + 2) // 3
-            if k == 0:
-                coder.dec_cleanup_pass(cur, states, plane)
+    si = 0
+    start = 0
+    cur = None
+    is_raw = False
+    for k in range(n_passes):
+        if cur is None:
+            end = bounds[si] if si < len(bounds) else len(data)
+            seg = data[start:end]
+            if bypass and _pass_is_raw(k):
+                cur = _RawDecoder(seg)
+                is_raw = True
             else:
-                phase = (k - 1) % 3
-                if phase == 0:
-                    if is_raw:
-                        coder.dec_sig_pass_raw(cur, plane)
-                    else:
-                        coder.dec_sig_pass(cur, states, plane)
-                elif phase == 1:
-                    if is_raw:
-                        coder.dec_mag_pass_raw(cur, plane)
-                    else:
-                        coder.dec_mag_pass(cur, states, plane)
-                else:
-                    coder.dec_cleanup_pass(cur, states, plane)
-            if _terminates_after(k):
-                cur = None
-                si += 1
+                cur = _MQDecoder(seg)
+                is_raw = False
+            start = end
+        if reset:
+            states[:] = _fresh_states()
+        plane = n_planes - 1 - (k + 2) // 3
+        is_cleanup = k == 0 or (k - 1) % 3 == 2
+        if is_cleanup:
+            coder.dec_cleanup_pass(cur, states, plane)
+            if segsym:
+                sym = 0
+                for _ in range(4):
+                    sym = (sym << 1) | cur.decode(states, _CTX_UNI)
+                if sym != 0xA:
+                    raise ValueError("JPX: segmentation symbol mismatch")
+        elif (k - 1) % 3 == 0:
+            if is_raw:
+                coder.dec_sig_pass_raw(cur, plane)
+            else:
+                coder.dec_sig_pass(cur, states, plane)
+        else:
+            if is_raw:
+                coder.dec_mag_pass_raw(cur, plane)
+            else:
+                coder.dec_mag_pass(cur, states, plane)
+        if (bypass or restart) and _terminates_after(k, restart):
+            cur = None
+            si += 1
     mag = np.array(coder.mag, dtype=np.int64).reshape(h, w)
     sgn = np.frombuffer(bytes(coder.sgn), dtype=np.uint8).reshape(
         h + 2, w + 2
@@ -755,23 +799,27 @@ def encode_block(
     return mq.flush(), n_passes
 
 
-def encode_block_bypass(
-    coeffs: np.ndarray, band: int, n_planes: int
+def encode_block_styled(
+    coeffs: np.ndarray, band: int, n_planes: int,
+    bypass: bool = False, reset: bool = False, restart: bool = False,
+    causal: bool = False, segsym: bool = False,
 ) -> tuple[list[bytes], int]:
-    """Encode one code-block in selective-arithmetic-bypass style (T.800
-    D.6): returns the ordered list of TERMINATED codeword segments (MQ
-    for cleanup + the first ten passes, raw for SPP/MRP from the fifth
-    bit-plane; the final segment is flushed too) and the pass count.
-    MQ context states persist across MQ segments. A terminated segment
-    never ends in 0xFF (D.4.2) — trailing 0xFF from the MQ flush is
-    dropped (decoders feed 1-bits past the end either way)."""
+    """Encode one code-block under the T.800 code-block styles: returns
+    the ordered list of codeword segments (terminated at the style's
+    boundaries — every MQ↔raw transition under ``bypass``, every pass
+    under ``restart``; a single segment otherwise) and the pass count.
+    MQ context states persist across terminations unless ``reset``;
+    ``causal`` restricts context formation to the stripe; ``segsym``
+    appends the 1010 marker after each cleanup pass. A terminated
+    segment never ends in 0xFF (D.4.2) — trailing 0xFF from the MQ
+    flush is dropped (decoders feed 1-bits past the end either way)."""
     h, w = coeffs.shape
     absarr = np.abs(coeffs).astype(np.int64)
     if n_planes <= 0 or (absarr >> n_planes).any():
         raise ValueError("JPX: coefficients exceed declared bit-planes")
     absval = absarr.ravel().tolist()
     neg = bytearray((coeffs < 0).astype(np.uint8).ravel().tobytes())
-    coder = _BlockCoder(h, w, band)
+    coder = _BlockCoder(h, w, band, causal=causal)
     states = _fresh_states()
     n_total = 3 * n_planes - 2
     segs: list[bytes] = []
@@ -791,8 +839,10 @@ def encode_block_bypass(
             cur_mq = None
 
     for k in range(n_total):
+        if reset:
+            states[:] = _fresh_states()
         plane = n_planes - 1 - (k + 2) // 3
-        if _pass_is_raw(k):
+        if bypass and _pass_is_raw(k):
             if cur_raw is None:
                 cur_raw = _RawEncoder()
             if (k - 1) % 3 == 0:
@@ -814,10 +864,21 @@ def encode_block_bypass(
                     coder.enc_cleanup_pass(
                         cur_mq, states, absval, neg, plane
                     )
-        if _terminates_after(k):
+            if segsym and (k == 0 or (k - 1) % 3 == 2):
+                for b in (1, 0, 1, 0):
+                    cur_mq.encode(states, _CTX_UNI, b)
+        if (bypass or restart) and _terminates_after(k, restart):
             _flush()
     _flush()
     return segs, n_total
+
+
+def encode_block_bypass(
+    coeffs: np.ndarray, band: int, n_planes: int
+) -> tuple[list[bytes], int]:
+    """Selective-arithmetic-bypass encode (T.800 D.6) — see
+    :func:`encode_block_styled`."""
+    return encode_block_styled(coeffs, band, n_planes, bypass=True)
 
 
 
@@ -1284,6 +1345,7 @@ def _tag_value(br: _HeaderReader, tree: _TagTree, x: int, y: int) -> int:
 def _decode_packet(
     data: bytes, pos: int, views: list[_PrecView], layer: int,
     use_sop: bool, use_eph: bool, bypass: bool = False,
+    restart: bool = False,
 ) -> int:
     """Decode one packet (header + included block bodies) for one
     precinct's subband views starting at ``pos``; mutates the blocks'
@@ -1317,8 +1379,8 @@ def _decode_packet(
                     np_new = _read_npasses(br)
                     while br.bit():
                         blk.lblock += 1
-                    if bypass:
-                        pieces = _bypass_pieces(blk.passes, np_new)
+                    if bypass or restart:
+                        pieces = _bypass_pieces(blk.passes, np_new, restart)
                     else:
                         pieces = [(np_new, False)]
                     lens: list[tuple[int, bool]] = []
@@ -1398,11 +1460,8 @@ def _parse_cod(body: bytes) -> dict:
     if (body[6] & 0x0F) + (body[7] & 0x0F) > 8:
         raise ValueError("JPX: code-block size exceeds 4096")
     cbstyle = body[8]
-    if cbstyle & ~0x01:
-        raise ValueError(
-            "JPX: code-block style (reset/termination/causal/"
-            "segmentation) unsupported"
-        )
+    if cbstyle & ~0x3F:
+        raise ValueError("JPX: unknown code-block style bits")
     transform = body[9]
     if transform > 1:
         raise ValueError("JPX: unknown wavelet transform")
@@ -1428,7 +1487,14 @@ def _parse_cod(body: bytes) -> dict:
         "cbh": cbh,
         "transform": transform,  # 0 = 9/7 irreversible, 1 = 5/3 reversible
         "precincts": precincts,  # None = maximal (one per subband)
-        "bypass": bool(cbstyle & 0x01),  # selective arithmetic bypass
+        # code-block styles, T.800 Table A-19 (0x10 predictable
+        # termination constrains only the ENCODER's spare bits — a
+        # decoder parses such streams unchanged, so it is accepted)
+        "bypass": bool(cbstyle & 0x01),
+        "reset": bool(cbstyle & 0x02),
+        "restart": bool(cbstyle & 0x04),
+        "causal": bool(cbstyle & 0x08),
+        "segsym": bool(cbstyle & 0x20),
     }
 
 
@@ -1721,6 +1787,7 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                     data[:end], pos, views, l,
                     t_cod[c]["sop"], t_cod[c]["eph"],
                     t_cod[c].get("bypass", False),
+                    t_cod[c].get("restart", False),
                 )
 
         # Tier-1 + dequant + inverse DWT per tile-component, then paste
@@ -1745,6 +1812,10 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                                 _BAND_IDX[sb.name], blk.n_planes, blk.passes,
                                 cc.get("bypass", False),
                                 tuple(blk.seg_ends),
+                                reset=cc.get("reset", False),
+                                restart=cc.get("restart", False),
+                                causal=cc.get("causal", False),
+                                segsym=cc.get("segsym", False),
                             )
                             coeff[
                                 by * sb.cbh : by * sb.cbh + bh_,
@@ -1890,6 +1961,7 @@ def encode_jpx(
     sampling: list[tuple[int, int]] | None = None,
     precincts: tuple[int, int] | None = None,
     bypass: bool = False,
+    cb_style: int = 0,
 ) -> bytes:
     """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
@@ -1909,9 +1981,18 @@ def encode_jpx(
     code-block style (T.800 D.6, Kakadu's speed mode): SPP/MRP passes
     from the fifth bit-plane are raw-coded and every MQ↔raw transition
     is a terminated codeword segment with its own packet-header
-    length."""
+    length. ``cb_style`` ORs in further T.800 Table A-19 style bits:
+    0x02 reset contexts per pass, 0x04 terminate every pass, 0x08
+    vertically-causal contexts, 0x20 segmentation symbols (0x10
+    predictable termination changes nothing this encoder emits)."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
+    cb_style = (cb_style | (0x01 if bypass else 0)) & 0x3F
+    bypass = bool(cb_style & 0x01)
+    st_reset = bool(cb_style & 0x02)
+    st_restart = bool(cb_style & 0x04)
+    st_causal = bool(cb_style & 0x08)
+    st_segsym = bool(cb_style & 0x20)
     if precincts is not None:
         ppx, ppy = precincts
         if not (1 <= ppx <= 15 and 1 <= ppy <= 15):
@@ -2046,7 +2127,7 @@ def encode_jpx(
     codb = bytes([
         1 if precincts is not None else 0, progression,  # Scod, order
     ]) + struct.pack(">H", 1) + bytes([
-        mct, levels, 4, 4, 1 if bypass else 0, 1 if lossless else 0,
+        mct, levels, 4, 4, cb_style, 1 if lossless else 0,
     ])
     if precincts is not None:
         ppx, ppy = precincts
@@ -2113,9 +2194,12 @@ def encode_jpx(
                         if mx == 0:
                             continue
                         n_planes = mx.bit_length()
-                        if bypass:
-                            segs, n_passes = encode_block_bypass(
-                                blkq, _BAND_IDX[name], n_planes
+                        if cb_style:
+                            segs, n_passes = encode_block_styled(
+                                blkq, _BAND_IDX[name], n_planes,
+                                bypass=bypass, reset=st_reset,
+                                restart=st_restart, causal=st_causal,
+                                segsym=st_segsym,
                             )
                         else:
                             seg, n_passes = encode_block(
@@ -2166,8 +2250,9 @@ def encode_jpx(
                                 # segment (bypass > 1); the Lblock
                                 # escalation must fit the worst piece
                                 pieces = (
-                                    _bypass_pieces(0, n_passes)
-                                    if bypass else [(n_passes, False)]
+                                    _bypass_pieces(0, n_passes, st_restart)
+                                    if (bypass or st_restart)
+                                    else [(n_passes, False)]
                                 )
                                 lblock = 3
                                 k = 0

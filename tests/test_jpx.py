@@ -242,7 +242,7 @@ def test_unsupported_subsets_raise_for_opaque_carry():
     cs = bytearray(X.encode_jpx([img], lossless=True))
     cod_at = bytes(cs).find(b"\xff\x52")
     evil = bytearray(cs)
-    evil[cod_at + 12] = 0x02  # cbstyle: reset-probabilities (unsupported)
+    evil[cod_at + 12] = 0x40  # cbstyle: a bit T.800 does not define
     with pytest.raises(ValueError, match="code-block style"):
         X.decode_jpx(bytes(evil))
     siz_at = bytes(cs).find(b"\xff\x51")
@@ -521,19 +521,19 @@ def test_bypass_combinations_and_raw_segments_fire():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, size=(128, 128)).astype(np.uint8)
     multi = {"n": 0}
-    orig = X.encode_block_bypass
+    orig = X.encode_block_styled
 
-    def spy(c, b, n):
-        segs, np_ = orig(c, b, n)
+    def spy(c, b, n, **kw):
+        segs, np_ = orig(c, b, n, **kw)
         if len(segs) > 1:
             multi["n"] += 1
         return segs, np_
 
-    X.encode_block_bypass = spy
+    X.encode_block_styled = spy
     try:
         cs = X.encode_jpx([img], lossless=True, levels=3, bypass=True)
     finally:
-        X.encode_block_bypass = orig
+        X.encode_block_styled = orig
     assert multi["n"] > 0
     _, _, got, _ = X.decode_jpx(cs)
     assert np.array_equal(got[0], img)
@@ -569,3 +569,77 @@ def test_mutated_bypass_stream_exception_contract(seed, junk):
         X.decode_jpx(bytes(cs))
     except ValueError:
         pass
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=12, deadline=None)
+def test_all_codeblock_styles_roundtrip_property(seed):
+    """Every T.800 Table A-19 code-block style bit (and dense combos)
+    decodes losslessly: bypass, per-pass reset, per-pass termination,
+    vertically-causal contexts, segmentation symbols — alone and ORed.
+    0x10 (predictable termination) is accepted and encoder-silent."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 70))
+    w = int(rng.integers(1, 70))
+    style = int(rng.choice([0x01, 0x02, 0x04, 0x08, 0x20,
+                            0x03, 0x0D, 0x29, 0x3F, 0x10]))
+    comps = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+             for _ in range(int(rng.choice([1, 3])))]
+    levels = int(rng.integers(0, 4))
+    cs = X.encode_jpx(comps, lossless=True, levels=levels, cb_style=style)
+    cod_at = cs.find(b"\xff\x52")
+    assert cs[cod_at + 12] == style  # signalled in SPcod
+    _, _, got, _ = X.decode_jpx(cs)
+    for a, b in zip(got, comps):
+        assert np.array_equal(a, b)
+
+
+def test_segmentation_symbol_detects_corruption():
+    """The 1010 marker after each cleanup pass is load-bearing: a
+    corrupted MQ stream that would silently mis-decode without segsym
+    raises ValueError (or still raises structurally) with it."""
+    grad = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    coeffs = (grad.astype(np.int64) - 128)
+    n_planes = 8
+    segs, n_passes = X.encode_block_styled(
+        coeffs, 0, n_planes, segsym=True
+    )
+    [seg] = segs
+    # decode intact: identity
+    got = X.decode_block(seg, 64, 64, 0, n_planes, n_passes, segsym=True)
+    assert np.array_equal(got, coeffs)
+    # corrupt a mid-stream byte: the marker check must catch at least
+    # some corruptions a plain decode would swallow silently
+    caught = 0
+    for at in range(10, min(len(seg), 60)):
+        bad = bytearray(seg)
+        bad[at] ^= 0x5A
+        try:
+            X.decode_block(
+                bytes(bad), 64, 64, 0, n_planes, n_passes, segsym=True
+            )
+        except ValueError:
+            caught += 1
+    assert caught > 0
+
+
+def test_restart_per_pass_segments():
+    """Per-pass termination (0x04): every coding pass is its own
+    terminated segment and the packet header signals one length each."""
+    rng = np.random.default_rng(6)
+    coeffs = rng.integers(-127, 128, size=(32, 32)).astype(np.int64)
+    n_planes = max(1, int(np.abs(coeffs).max()).bit_length())
+    segs, n_passes = X.encode_block_styled(coeffs, 0, n_planes, restart=True)
+    assert len(segs) == n_passes
+    assert X._bypass_pieces(0, n_passes, restart=True) == \
+        [(1, True)] * n_passes
+    data, ends, off = b"", [], 0
+    for s in segs:
+        data += s
+        off += len(s)
+        ends.append(off)
+    got = X.decode_block(
+        data, 32, 32, 0, n_planes, n_passes,
+        seg_ends=tuple(ends), restart=True,
+    )
+    assert np.array_equal(got, coeffs)
