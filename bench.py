@@ -359,6 +359,13 @@ def main() -> None:
     # comparable.
     timings_cold: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
+    # per-query 1-min loadavg AFTER the query's reps: contention can start
+    # mid-run (host_loaded only covers the preflight), and a noisy-neighbor
+    # window lasting minutes defeats even min-of-2 — the per-query probe
+    # makes contaminated rows identifiable instead of reading as
+    # regressions (measured: prepare_training_compose 82 s in a loadavg-10
+    # window vs 10-12 s quiet, identical code)
+    queries_load1: dict[str, float] = {}
     for name in bench_queries:
         fn = QUERIES[name]
         t0 = time.monotonic()
@@ -369,6 +376,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings_warm[name] = round(time.monotonic() - t0, 3)
         timings[name] = min(timings_cold[name], timings_warm[name])
+        queries_load1[name] = round(_load_probe()[0], 2)
 
     total = round(sum(timings.values()), 3)
     total_cold = round(
@@ -383,6 +391,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": timings_cold,
                 "queries_warm": timings_warm,
+                "queries_load1": queries_load1,
                 "value_cold_first_run": total_cold,
                 "sf": sf,
                 "cpus": cpus,
