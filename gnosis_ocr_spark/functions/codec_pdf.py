@@ -1995,6 +1995,43 @@ def build_pdf_scanned(
             filt = b"/FlateDecode"
             if image_filter == "raw1_mask":
                 extra = b"/ImageMask true "
+        elif image_filter == "indexed":
+            # /Indexed palette image (screenshot/graphics shape): indices
+            # ARE the gray values through an identity-gray RGB palette
+            # ((v,v,v) lumas to exactly v), so the mapped image equals the
+            # scan matrix — recovery certifies the palette resolution
+            px = encode_scan_pixels(page_text_, width, height)
+            pal = b"".join(bytes((v, v, v)) for v in range(256))
+            extra = (
+                b"/ColorSpace [/Indexed /DeviceRGB 255 <%s>] "
+                % pal.hex().encode("ascii")
+            )
+            data = zlib.compress(px, 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "icc":
+            # [/ICCBased n 0 R] with /N 1 — the color-managed-PDF norm;
+            # the profile payload is opaque (only /N is load-bearing for
+            # un-color-managed extraction, poppler's stance too)
+            px = encode_scan_pixels(page_text_, width, height)
+            icc_no = 3 + 3 * n_pages + len(trailing)
+            profile = b"\x00" * 128  # placeholder profile bytes
+            trailing.append(
+                b"<< /N 1 /Length %d >>\nstream\n%s\nendstream"
+                % (len(profile), profile)
+            )
+            extra = b"/ColorSpace [/ICCBased %d 0 R] " % icc_no
+            data = zlib.compress(px, 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "cmyk":
+            # raw 8-bit DeviceCMYK samples: (0,0,0,255−v) grays back to
+            # exactly v under the naive un-color-managed reduction
+            px = encode_scan_pixels(page_text_, width, height)
+            cmyk = bytearray()
+            for v in px:
+                cmyk += bytes((0, 0, 0, 255 - v))
+            extra = b"/ColorSpace /DeviceCMYK "
+            data = zlib.compress(bytes(cmyk), 6)
+            filt = b"/FlateDecode"
         else:
             px = encode_scan_pixels(page_text_, width, height)
             if rotate:
@@ -3419,6 +3456,241 @@ _IMAGE_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
 _WIDTH_RE = re.compile(rb"/Width\s+(\d+)\b")
 _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
 _CSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
+# Full /ColorSpace resolution (names, indirect refs, array families —
+# §8.6): ICCBased reduces by its /N (poppler's stance when no color
+# management is wired), CalGray/CalRGB alias the device spaces, and
+# Indexed resolves its palette to a 256-entry GRAY lookup at decode time
+# so downstream only ever sees plain DeviceGray samples. Unsupported
+# families (Lab, Separation, DeviceN, Pattern) pass through by name and
+# degrade exactly as before (image skipped, page extracts what it can).
+_CS_NAME_CANON = {
+    b"DeviceGray": "DeviceGray", b"G": "DeviceGray",
+    b"CalGray": "DeviceGray",
+    b"DeviceRGB": "DeviceRGB", b"RGB": "DeviceRGB",
+    b"CalRGB": "DeviceRGB",
+    b"DeviceCMYK": "DeviceCMYK", b"CMYK": "DeviceCMYK",
+    b"I": "Indexed", b"Indexed": "Indexed",
+}
+_CS_KEY_RE = re.compile(rb"/ColorSpace\s*")
+_ICC_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_CS_REF_RE = re.compile(rb"^(\d+)\s+\d+\s+R")
+
+
+def _balanced_array(b: bytes, start: int) -> bytes | None:
+    """The balanced ``[...]`` token starting at ``b[start]``."""
+    depth = 0
+    for j in range(start, len(b)):
+        c = b[j : j + 1]
+        if c == b"[":
+            depth += 1
+        elif c == b"]":
+            depth -= 1
+            if depth == 0:
+                return b[start : j + 1]
+    return None
+
+
+def _cs_spec(head: bytes) -> bytes | None:
+    """The /ColorSpace value token of an image dict: a name, an indirect
+    ref, or a balanced array; None when absent."""
+    m = _CS_KEY_RE.search(head)
+    if not m:
+        return None
+    i = m.end()
+    if head[i : i + 1] == b"[":
+        return _balanced_array(head, i)
+    mm = re.match(rb"/[A-Za-z0-9]+|\d+\s+\d+\s+R", head[i:])
+    return mm.group(0) if mm else None
+
+
+def _next_cs_item(b: bytes) -> tuple[bytes | None, bytes]:
+    """(next colorspace-array item token, remainder): a name, a nested
+    array, or an indirect ref."""
+    b = b.lstrip()
+    if b.startswith(b"["):
+        tok = _balanced_array(b, 0)
+        return (tok, b[len(tok):]) if tok else (None, b"")
+    m = re.match(rb"\d+\s+\d+\s+R|/[A-Za-z0-9]+", b)
+    if m:
+        return m.group(0), b[m.end():]
+    return None, b""
+
+
+def _palette_bytes(b: bytes, resolve) -> bytes | None:
+    """An Indexed lookup-table operand: hex string, literal string (with
+    PDF escapes), or an indirect stream ref resolved to decoded bytes."""
+    b = b.strip()
+    if b.startswith(b"<") and not b.startswith(b"<<"):
+        j = b.find(b">")
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s+", b"", b[1:j])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if b.startswith(b"("):
+        out = bytearray()
+        i, depth = 1, 1
+        esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+        while i < len(b) and depth:
+            c = b[i]
+            if c == 0x5C and i + 1 < len(b):
+                nxt = b[i + 1]
+                if nxt in esc:
+                    out.append(esc[nxt])
+                    i += 2
+                    continue
+                if 0x30 <= nxt <= 0x37:
+                    k, val = i + 1, 0
+                    while k < len(b) and k < i + 4 and 0x30 <= b[k] <= 0x37:
+                        val = val * 8 + (b[k] - 0x30)
+                        k += 1
+                    out.append(val & 0xFF)
+                    i = k
+                    continue
+                out.append(nxt)
+                i += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    break
+            out.append(c)
+            i += 1
+        return bytes(out)
+    m = re.match(rb"(\d+)\s+\d+\s+R", b)
+    if m and resolve is not None:
+        return resolve(int(m.group(1)))
+    return None
+
+
+def _cmyk_rows_to_gray(raw: bytes, ncomp: int) -> bytes:
+    """Per-entry gray reduction: 1 comp identity, 3 comps integer luma,
+    4 comps naive CMYK (gray = 255 − min(255, luma(c,m,y) + k) — the
+    un-color-managed reduction poppler uses without an ICC engine)."""
+    import numpy as np
+
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ncomp)
+    a32 = a.astype(np.uint32)
+    if ncomp == 1:
+        g = a32[:, 0]
+    elif ncomp == 3:
+        g = (a32[:, 0] * 299 + a32[:, 1] * 587 + a32[:, 2] * 114) // 1000
+    else:
+        luma = (a32[:, 0] * 299 + a32[:, 1] * 587 + a32[:, 2] * 114) // 1000
+        g = 255 - np.minimum(255, luma + a32[:, 3])
+    return g.astype(np.uint8).tobytes()
+
+
+def _resolve_colorspace(
+    spec: bytes | None, obj_body, resolve, depth: int = 0
+) -> tuple[str, bytes | None]:
+    """→ (canonical colorspace name, gray palette LUT or None). The LUT
+    is 256 gray bytes (Indexed palettes reduced through their base and
+    padded by repetition) so any sample value maps."""
+    if spec is None:
+        return "DeviceGray", None
+    if depth > 3:
+        return "?", None
+    spec = spec.strip()
+    m = _CS_REF_RE.match(spec)
+    if m:
+        if obj_body is None:
+            return "?", None
+        body = obj_body(int(m.group(1))) or b""
+        k = body.find(b"[")
+        if k != -1:
+            arr = _balanced_array(body, k)
+            if arr is not None:
+                return _resolve_colorspace(arr, obj_body, resolve, depth + 1)
+        nm = re.search(rb"/([A-Za-z0-9]+)", body)
+        if nm:
+            return _resolve_colorspace(
+                b"/" + nm.group(1), obj_body, resolve, depth + 1
+            )
+        return "?", None
+    if spec.startswith(b"["):
+        inner = spec[1:-1].strip()
+        fm = re.match(rb"/([A-Za-z0-9]+)\s*", inner)
+        if not fm:
+            return "?", None
+        fam, rest = fm.group(1), inner[fm.end():]
+        if fam == b"ICCBased":
+            n = 3
+            rm = re.match(rb"(\d+)\s+\d+\s+R", rest.strip())
+            if rm and obj_body is not None:
+                nm2 = _ICC_N_RE.search(obj_body(int(rm.group(1))) or b"")
+                if nm2:
+                    n = int(nm2.group(1))
+            return (
+                {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
+                    n, "?"
+                ),
+                None,
+            )
+        if fam == b"CalRGB":
+            return "DeviceRGB", None
+        if fam == b"CalGray":
+            return "DeviceGray", None
+        if fam in (b"Indexed", b"I"):
+            base_tok, rest2 = _next_cs_item(rest)
+            base, _ = _resolve_colorspace(
+                base_tok, obj_body, resolve, depth + 1
+            )
+            hm = re.match(rb"\s*(\d+)\s*", rest2)
+            ncomp = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}.get(
+                base
+            )
+            if not hm or ncomp is None:
+                return "Indexed", None
+            hival = int(hm.group(1))
+            if hival > 255:
+                return "Indexed", None
+            lut_raw = _palette_bytes(rest2[hm.end():], resolve)
+            if lut_raw is None:
+                return "Indexed", None
+            need = (hival + 1) * ncomp
+            if len(lut_raw) < need:
+                lut_raw = lut_raw + bytes(need - len(lut_raw))
+            gray = _cmyk_rows_to_gray(lut_raw[:need], ncomp)
+            if len(gray) < 256:  # out-of-range indices clamp to the last
+                gray = gray + gray[-1:] * (256 - len(gray))
+            return "Indexed", gray
+        return fam.decode("latin-1"), None
+    if spec.startswith(b"/"):
+        nm3 = spec[1:]
+        return _CS_NAME_CANON.get(nm3, nm3.decode("latin-1")), None
+    return "?", None
+
+
+def _indexed_to_gray(
+    raw: bytes, width: int, height: int, bits: int, lut: bytes
+) -> bytes | None:
+    """Map packed 1/2/4/8-bit palette indices through the 256-entry gray
+    LUT → 8-bit DeviceGray samples; None when the payload is short."""
+    import numpy as np
+
+    stride = (width * bits + 7) // 8
+    if len(raw) < stride * height:
+        return None
+    a = np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )
+    if bits == 8:
+        idx = a[:, :width]
+    else:
+        bitsarr = np.unpackbits(a, axis=1)
+        d = bits
+        vals = bitsarr[:, : width * d].reshape(height, width, d)
+        weights = (1 << np.arange(d - 1, -1, -1)).astype(np.uint16)
+        idx = (vals.astype(np.uint16) * weights).sum(axis=2)
+    lutarr = np.frombuffer(lut, dtype=np.uint8)
+    return lutarr[idx].astype(np.uint8).tobytes()
 _IMAGEMASK_RE = re.compile(rb"/ImageMask\s+true\b")
 # /Decode [1 0] (optionally fractional literals) inverts gray/bilevel
 # samples; [0 1] is the identity default
@@ -3462,21 +3734,25 @@ class PdfImage:
     data: bytes
 
 
-def _decode_image(head: bytes, raw: bytes, resolve=None) -> PdfImage | None:
+def _decode_image(
+    head: bytes, raw: bytes, resolve=None, obj_body=None
+) -> PdfImage | None:
     """Shared image-decode core (XObject + inline): dimensions + sample
     metadata from the dict ``head``, filter chain applied to ``raw``
     (opaque codecs carried), /ImageMask + /Decode [1 0] normalized.
     ``resolve`` forwards to :func:`_apply_one_filter` for indirect
-    /JBIG2Globals streams (XObject path only — inline images cannot
-    legally carry JBIG2)."""
+    /JBIG2Globals streams and Indexed palette streams; ``obj_body``
+    returns raw object bodies for indirect /ColorSpace resolution
+    (ICCBased /N, colorspace objects) — both XObject-path only.
+    Indexed palettes and raw DeviceCMYK samples reduce to plain 8-bit
+    DeviceGray right here, so downstream sees only device spaces."""
     wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
     if not wm or not hm:
         return None
     width, height = int(wm.group(1)), int(hm.group(1))
     bm = _BPC_RE.search(head)
     bits = int(bm.group(1)) if bm else 8
-    cm = _CSPACE_RE.search(head)
-    cspace = cm.group(1).decode("ascii") if cm else "DeviceGray"
+    cspace, pal_gray = _resolve_colorspace(_cs_spec(head), obj_body, resolve)
     if _IMAGEMASK_RE.search(head):
         # stencil mask: 1-bit, no ColorSpace; default /Decode [0 1] paints
         # on 0 samples (≈ black on white) — exactly 1-bit DeviceGray
@@ -3498,6 +3774,17 @@ def _decode_image(head: bytes, raw: bytes, resolve=None) -> PdfImage | None:
     # packed bits 1/2/4/8 is a bytewise NOT
     if cspace == "DeviceGray" and _DECODE_INV_RE.search(head):
         raw = raw.translate(_INVERT_TABLE)
+    if cspace == "Indexed" and pal_gray is not None and bits in (1, 2, 4, 8):
+        gray = _indexed_to_gray(raw, width, height, bits, pal_gray)
+        if gray is not None:
+            return PdfImage(width, height, 8, "DeviceGray", "raw", gray)
+    if (
+        cspace == "DeviceCMYK"
+        and bits == 8
+        and len(raw) >= 4 * width * height
+    ):
+        gray = _cmyk_rows_to_gray(raw[: 4 * width * height], 4)
+        return PdfImage(width, height, 8, "DeviceGray", "raw", gray)
     return PdfImage(width, height, bits, cspace, "raw", raw)
 
 
@@ -3524,7 +3811,7 @@ def _image_from_obj(
             return None
         return _stream_bytes(body, _obj_dec(dec, num), objs)
 
-    return _decode_image(head, raw, resolve)
+    return _decode_image(head, raw, resolve, lambda n: objs.get(n))
 
 
 # inline images (BI <dict> ID <data> EI — PDF spec §8.9.7): the dict uses

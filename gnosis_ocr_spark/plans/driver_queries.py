@@ -362,7 +362,12 @@ def _build_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         # recoverable only through the REQUIRED /Encoding /Differences;
         # a decoy CharProcs stream with text operators must not extract
         lambda p: _cp.build_pdf_type3(p),
-        # STANDALONE images (indices >= 27, mirrored by the oracle's
+        # non-trivial image colorspace: /Indexed palette scanned page —
+        # indices map through an identity-gray RGB palette, so recovery
+        # certifies the §8.6 colorspace resolution (ICCBased and
+        # DeviceCMYK ride the same reduction, unit-certified)
+        lambda p: _cp.build_pdf_scanned(p, image_filter="indexed"),
+        # STANDALONE images (indices >= 28, mirrored by the oracle's
         # n_pages CASE): the whole expected two-page string rides ONE
         # scan-matrix raster — the reference's direct image-upload path
         _image_writer("png"),
@@ -402,14 +407,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(ocred)
 
 
-# 34 writer classes; indices >= 27 are standalone images (one page
+# 35 writer classes; indices >= 28 are standalone images (one page
 # carrying the same two-page text) — the CASE mirrors the Python rotation
 ORACLE_PDF_EXTRACT = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
 SELECT CAST(doc_id AS VARCHAR) AS url,
        trim(substr(norm, 1, 60)) || chr(10) || chr(10) || trim(substr(norm, 61, 60))
          AS extracted_text,
-       CASE WHEN doc_id % 34 >= 27 THEN 1 ELSE 2 END AS n_pages
+       CASE WHEN doc_id % 35 >= 28 THEN 1 ELSE 2 END AS n_pages
 FROM n WHERE length(norm) >= 120
 """
 

@@ -656,6 +656,8 @@ def test_mutated_pdf_never_escapes_the_sentinel_contract(seed, flips):
         lambda: P.build_pdf_actualtext(pages),
         lambda: P.build_pdf_ocg(pages),
         lambda: P.build_pdf_type3(pages),
+        lambda: P.build_pdf_scanned(pages, image_filter="indexed"),
+        lambda: P.build_pdf_scanned(pages, image_filter="cmyk"),
     ]
     pdf = bytearray(builders[seed % len(builders)]())
     for pos, val in flips:
@@ -1486,3 +1488,81 @@ def test_type3_font_mutation_degrades_not_raises():
                 P.page_text(s)
         except ValueError:
             pass  # loud structured failure is allowed; crashes are not
+
+
+def test_image_colorspace_variants_extract_exact_text():
+    """Non-trivial image colorspaces (§8.6) reduce to the exact
+    scan-matrix gray at decode: /Indexed identity-gray palette,
+    [/ICCBased n 0 R] with /N 1, and raw /DeviceCMYK (0,0,0,255−v)."""
+    from gnosis_ocr_spark.functions import codec_png as PNG
+    from gnosis_ocr_spark.operators.pdf_split import _scan_png
+
+    pages = ["indexed color page one\nline two", "page two body here"]
+    for variant in ("indexed", "icc", "cmyk"):
+        pdf = P.build_pdf_scanned(pages, image_filter=variant)
+        win = P.extract_pages_with_images(pdf)
+        assert [len(s) for s, _ in win] == [0, 0], variant
+        for (spans, images), page in zip(win, pages):
+            [img] = images
+            assert (img.codec, img.colorspace, img.bits) == (
+                "raw", "DeviceGray", 8), variant
+            assert PNG.decode_scan_png_text(_scan_png(images)) == page, variant
+
+
+def test_colorspace_resolution_forms():
+    """_resolve_colorspace handles every operand form real writers emit:
+    names + aliases, indirect colorspace objects, ICCBased by /N, Indexed
+    palettes as hex / literal-with-escapes / stream, nested ICC base,
+    and unsupported families degrading by name."""
+    objs = {
+        5: b"<< /N 3 /Length 4 >>\nstream\nxxxx\nendstream",
+        6: b"<< /N 1 /Length 0 >>\nstream\n\nendstream",
+        7: b"[/ICCBased 5 0 R]",
+        8: b"/DeviceCMYK",
+    }
+    ob = objs.get
+    rv = lambda n: b"\x00\x80\xff"  # decoded palette stream
+
+    def cs(spec):
+        return P._resolve_colorspace(spec, ob, rv)
+
+    assert cs(b"/DeviceRGB") == ("DeviceRGB", None)
+    assert cs(b"/CalRGB") == ("DeviceRGB", None)
+    assert cs(b"/CalGray") == ("DeviceGray", None)
+    assert cs(None) == ("DeviceGray", None)
+    assert cs(b"/Lab")[0] == "Lab"  # unsupported family passes by name
+    assert cs(b"[/Separation /Spot /DeviceRGB 9 0 R]")[0] == "Separation"
+    assert cs(b"7 0 R") == ("DeviceRGB", None)  # indirect → ICC → /N 3
+    assert cs(b"8 0 R") == ("DeviceCMYK", None)  # indirect name object
+    assert cs(b"[/ICCBased 6 0 R]") == ("DeviceGray", None)
+    # Indexed, hex palette over a NESTED ICC base (N=3 → RGB, 3 comps)
+    name, lut = cs(b"[/Indexed [/ICCBased 5 0 R] 1 <000000FFFFFF>]")
+    assert name == "Indexed" and lut[0] == 0 and lut[1] == 255
+    assert len(lut) == 256 and lut[255] == 255  # clamp-pad
+    # literal-string palette with octal + special escapes, gray base
+    name, lut = cs(rb"[/I /G 2 (\000\200\377)]")
+    assert name == "Indexed" and (lut[0], lut[1], lut[2]) == (0, 128, 255)
+    # stream-ref palette
+    name, lut = cs(b"[/Indexed /DeviceGray 2 12 0 R]")
+    assert name == "Indexed" and (lut[0], lut[1], lut[2]) == (0, 128, 255)
+    # CMYK palette entries gray through the naive reduction
+    name, lut = cs(b"[/Indexed /DeviceCMYK 1 <00000000 000000FF>]")
+    assert name == "Indexed" and (lut[0], lut[1]) == (255, 0)
+
+
+def test_colorspace_mutation_degrades_not_raises():
+    """Corrupt palettes / truncated ICC refs must degrade (image skipped
+    or wrong pixels), never raise out of the extractor."""
+    import random
+
+    pages = ["plain ascii page"]
+    for variant in ("indexed", "icc", "cmyk"):
+        base = P.build_pdf_scanned(pages, image_filter=variant)
+        rnd = random.Random(11)
+        for _ in range(30):
+            buf = bytearray(base)
+            buf[rnd.randrange(len(buf))] = rnd.randrange(256)
+            try:
+                P.extract_pages_with_images(bytes(buf))
+            except ValueError:
+                pass
