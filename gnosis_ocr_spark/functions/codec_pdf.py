@@ -3785,6 +3785,18 @@ def _decode_image(
     ):
         gray = _cmyk_rows_to_gray(raw[: 4 * width * height], 4)
         return PdfImage(width, height, 8, "DeviceGray", "raw", gray)
+    if bits == 16 and cspace in ("DeviceGray", "DeviceRGB", "DeviceCMYK"):
+        # 16-bit samples (big-endian per §7.4.4.4 conventions): the high
+        # byte is the 8-bit reduction — lab-equipment and PNG-derived
+        # scans; downstream stays 8-bit only
+        ncomp = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}[cspace]
+        need = 2 * ncomp * width * height
+        if len(raw) >= need:
+            hi = raw[:need:2]
+            if ncomp == 4:
+                hi = _cmyk_rows_to_gray(hi, 4)
+                return PdfImage(width, height, 8, "DeviceGray", "raw", hi)
+            return PdfImage(width, height, 8, cspace, "raw", hi)
     return PdfImage(width, height, bits, cspace, "raw", raw)
 
 

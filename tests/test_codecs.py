@@ -1566,3 +1566,28 @@ def test_colorspace_mutation_degrades_not_raises():
                 P.extract_pages_with_images(bytes(buf))
             except ValueError:
                 pass
+
+
+def test_16bit_samples_reduce_to_high_byte():
+    """BitsPerComponent 16 (big-endian) reduces to the high byte at
+    decode — gray, RGB, and CMYK alike — so downstream stays 8-bit."""
+    import zlib as _z
+
+    w, h = 4, 2
+    gray16 = bytes(
+        b for v in range(w * h) for b in ((v * 31) & 0xFF, 0x7F)
+    )
+    head = (b"/Width 4 /Height 2 /BitsPerComponent 16 "
+            b"/ColorSpace /DeviceGray /Filter /FlateDecode")
+    img = P._decode_image(head, _z.compress(gray16))
+    assert (img.bits, img.colorspace) == (8, "DeviceGray")
+    assert img.data == bytes((v * 31) & 0xFF for v in range(w * h))
+    rgb16 = bytes(
+        b for v in range(w * h) for b in
+        ((v * 31) & 0xFF, 0, (v * 17) & 0xFF, 0, 0, 0)
+    )
+    head = (b"/Width 4 /Height 2 /BitsPerComponent 16 "
+            b"/ColorSpace /DeviceRGB /Filter /FlateDecode")
+    img = P._decode_image(head, _z.compress(rgb16))
+    assert (img.bits, img.colorspace) == (8, "DeviceRGB")
+    assert len(img.data) == 3 * w * h
