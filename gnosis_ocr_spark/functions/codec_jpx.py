@@ -36,8 +36,13 @@ predictable termination (0x10 — encoder-side only, decoder-
 transparent), and segmentation symbols (0x20 — the 1010 marker after
 every cleanup pass, mismatch raises).
 
-Scope honesty: ROI (RGN), progression-order changes (POC),
-position-major progressions combined with multiple precincts, and tile
+All five progression orders decode over multiple precincts, the
+position-major interleaves (RPCL/PCRL/CPRL, T.800 B.12.1.3-5 — Kakadu's
+streaming defaults) included: the packet walk sorts on per-resolution
+precinct positions in reference-grid coordinates, shared verbatim by
+the encoder (`_tile_packet_steps`).
+
+Scope honesty: ROI (RGN), progression-order changes (POC), and tile
 grids whose origins go odd at some DWT level (non-power-of-two-aligned
 tile sizes — real encoders emit aligned ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
 (same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
@@ -1409,35 +1414,38 @@ def _decode_packet(
     return pos
 
 
-def _packet_order(
-    progression: int, n_layers: int, n_res: int, n_comp: int
-) -> list[tuple[int, int, int]]:
-    """(layer, resolution, component) sequence for single-precinct tiles
-    under all five progression orders (positions collapse to one)."""
-    out: list[tuple[int, int, int]] = []
-    if progression == 0:  # LRCP
-        for l in range(n_layers):
-            for r in range(n_res):
-                for c in range(n_comp):
-                    out.append((l, r, c))
-    elif progression == 1:  # RLCP
-        for r in range(n_res):
-            for l in range(n_layers):
-                for c in range(n_comp):
-                    out.append((l, r, c))
-    elif progression == 2:  # RPCL
-        for r in range(n_res):
-            for c in range(n_comp):
-                for l in range(n_layers):
-                    out.append((l, r, c))
-    elif progression in (3, 4):  # PCRL / CPRL
-        for c in range(n_comp):
-            for r in range(n_res):
-                for l in range(n_layers):
-                    out.append((l, r, c))
-    else:
+def _tile_packet_steps(
+    prog: int,
+    n_layers: int,
+    per_cr: list[list[tuple[int, int, int, int]]],
+) -> list[tuple[int, int, int, int]]:
+    """Full packet sequence ``[(layer, res, comp, precinct)]`` for one
+    tile under all five progression orders (T.800 B.12), INCLUDING the
+    position-major orders (RPCL/PCRL/CPRL — Kakadu's streaming
+    defaults) over multiple precincts. ``per_cr[c][r]`` is
+    ``(n_precincts, npx, xstep, ystep)``: the precinct raster grid and
+    each precinct's reference-grid position stride (sampling × precinct
+    size × 2^(levels−r)); positions anchor at the tile origin, matching
+    the tile-local precinct grids both this encoder and decoder use."""
+    if not 0 <= prog <= 4:
         raise ValueError("JPX: unknown progression order")
-    return out
+    steps: list[tuple[int, int, int, int, int, int]] = []
+    for c, rlist in enumerate(per_cr):
+        for r, (n_prec, npx, xstep, ystep) in enumerate(rlist):
+            for p in range(n_prec):
+                x = (p % npx) * xstep
+                y = (p // npx) * ystep
+                for l in range(n_layers):
+                    steps.append((l, r, c, p, x, y))
+    key = {
+        0: lambda s: (s[0], s[1], s[2], s[3]),          # L R C P
+        1: lambda s: (s[1], s[0], s[2], s[3]),          # R L C P
+        2: lambda s: (s[1], s[5], s[4], s[2], s[0]),    # R P(y,x) C L
+        3: lambda s: (s[5], s[4], s[2], s[1], s[0]),    # P(y,x) C R L
+        4: lambda s: (s[2], s[5], s[4], s[1], s[0]),    # C P(y,x) R L
+    }[prog]
+    steps.sort(key=key)
+    return [(l, r, c, p) for l, r, c, p, _x, _y in steps]
 
 
 # ---------------------------------------------------------------------------
@@ -1754,41 +1762,50 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             comp_res.append(res_list)
             comp_prec.append(prec_list)
 
-        n_res = max(cc["levels"] for cc in t_cod) + 1
         t_prog = (rec["cod"] or cod)["prog"]
-        multi_prec = any(
-            len(pr) > 1 for plist in comp_prec for pr in plist
-        )
-        if multi_prec and t_prog not in (0, 1):
-            # position-major orders interleave precincts spatially across
-            # resolutions/components — not implemented; LRCP/RLCP cover
-            # the dominant still-image layouts
-            raise ValueError(
-                "JPX: position-major progression with precincts unsupported"
-            )
-        order = _packet_order(
-            t_prog, (rec["cod"] or cod)["layers"], n_res, n_comp,
+        per_cr: list[list[tuple[int, int, int, int]]] = []
+        for c in range(n_comp):
+            cc = t_cod[c]
+            xr, yr = siz["comps"][c]["xr"], siz["comps"][c]["yr"]
+            _cx0, _cy0, cw_, ch_ = tc_geom[c]
+            rlist: list[tuple[int, int, int, int]] = []
+            for r in range(len(comp_prec[c])):
+                plist = comp_prec[c][r]
+                pp = cc["precincts"][r] if cc["precincts"] else None
+                d = cc["levels"] - r
+                if pp is None:
+                    rlist.append((len(plist), max(1, len(plist)), 1, 1))
+                else:
+                    rw = (cw_ + (1 << d) - 1) >> d
+                    npx = max(1, -(-rw // (1 << pp[0])))
+                    rlist.append(
+                        (
+                            len(plist), npx,
+                            xr << (pp[0] + d), yr << (pp[1] + d),
+                        )
+                    )
+            per_cr.append(rlist)
+        steps = _tile_packet_steps(
+            t_prog, (rec["cod"] or cod)["layers"], per_cr
         )
         parts = list(rec["parts"])
         if not parts:
             raise ValueError("JPX: tile with no data")
         pi = 0
         pos, end = parts[0]
-        for l, r, c in order:
-            if r >= len(comp_res[c]):
-                continue
-            for views in comp_prec[c][r]:
-                while pos >= end and pi + 1 < len(parts):
-                    pi += 1
-                    pos, end = parts[pi]
-                if pos >= end:
-                    raise ValueError("JPX: ran out of packet data")
-                pos = _decode_packet(
-                    data[:end], pos, views, l,
-                    t_cod[c]["sop"], t_cod[c]["eph"],
-                    t_cod[c].get("bypass", False),
-                    t_cod[c].get("restart", False),
-                )
+        for l, r, c, p in steps:
+            views = comp_prec[c][r][p]
+            while pos >= end and pi + 1 < len(parts):
+                pi += 1
+                pos, end = parts[pi]
+            if pos >= end:
+                raise ValueError("JPX: ran out of packet data")
+            pos = _decode_packet(
+                data[:end], pos, views, l,
+                t_cod[c]["sop"], t_cod[c]["eph"],
+                t_cod[c].get("bypass", False),
+                t_cod[c].get("restart", False),
+            )
 
         # Tier-1 + dequant + inverse DWT per tile-component, then paste
         for c in range(n_comp):
@@ -1975,9 +1992,9 @@ def encode_jpx(
     must be (1, 1), planes arrive pre-subsampled at their own grid, and
     the component transform is disabled (mismatched grids). ``precincts``
     gives (PPx, PPy) exponents on the resolution grid (same for every
-    resolution; requires an L-major progression), partitioning each
-    resolution into multiple packets — the Kakadu-style streaming
-    layout. ``bypass`` selects the selective-arithmetic-bypass
+    resolution; any progression order, position-major interleaves
+    included), partitioning each resolution into multiple packets — the
+    Kakadu-style streaming layout. ``bypass`` selects the selective-arithmetic-bypass
     code-block style (T.800 D.6, Kakadu's speed mode): SPP/MRP passes
     from the fifth bit-plane are raw-coded and every MQ↔raw transition
     is a terminated codeword segment with its own packet-header
@@ -1997,10 +2014,6 @@ def encode_jpx(
         ppx, ppy = precincts
         if not (1 <= ppx <= 15 and 1 <= ppy <= 15):
             raise ValueError("JPX: bad precinct exponents")
-        if progression not in (0, 1):
-            raise ValueError(
-                "JPX: precincts require an L-major progression (LRCP/RLCP)"
-            )
     if not comps or len(comps) not in (1, 3):
         raise ValueError("JPX: encoder takes 1 or 3 components")
     n_comp = len(comps)
@@ -2150,7 +2163,17 @@ def encode_jpx(
         tx0, ty0 = tx * xts, ty * yts
         tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)
         body = bytearray()
-        for _l, r, ci in _packet_order(progression, 1, levels + 1, n_comp):
+        # packets are generated per (resolution, component, precinct) —
+        # each packet's bytes are order-independent (single layer, fresh
+        # per-precinct tag trees) — then emitted in the progression
+        # order, position-major orders included (_tile_packet_steps)
+        pkt_bytes: dict[tuple[int, int, int], bytes] = {}
+        per_cr: list[list[tuple[int, int, int, int]]] = [
+            [] for _ in range(n_comp)
+        ]
+        for r, ci in (
+            (r_, c_) for r_ in range(levels + 1) for c_ in range(n_comp)
+        ):
             xr, yr = sampling[ci]
             cw_ = -(-tx1 // xr) - (-(-tx0 // xr))
             ch_ = -(-ty1 // yr) - (-(-ty0 // yr))
@@ -2171,6 +2194,13 @@ def encode_jpx(
                 cbw_eff = cbh_eff = 64
                 npx = npy = 1
                 psw = psh = 1 << 30
+            per_cr[ci].append(
+                (npx * npy, npx,
+                 xr << (precincts[0] + levels - r),
+                 yr << (precincts[1] + levels - r))
+                if precincts is not None
+                else (1, 1, 1, 1)
+            )
             # per-subband block data for this (resolution, component)
             sb_blocks = []
             for name, level, bw_, bh_ in blist:
@@ -2270,9 +2300,11 @@ def encode_jpx(
                                         lblock + (npp.bit_length() - 1),
                                     )
                                     seg_parts.append(sbytes)
-                    body += bw.flush()
-                    for seg in seg_parts:
-                        body += seg
+                    pkt_bytes[(r, ci, py * npx + px)] = bw.flush() + b"".join(
+                        seg_parts
+                    )
+        for _l, r_, c_, p_ in _tile_packet_steps(progression, 1, per_cr):
+            body += pkt_bytes[(r_, c_, p_)]
         psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
         out += b"\xff\x93" + body

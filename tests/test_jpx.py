@@ -424,21 +424,43 @@ def test_precincts_with_tiles_and_lossy():
     assert np.abs(comps[0].astype(int) - img.astype(int)).max() <= 4
 
 
-def test_position_major_with_precincts_rejected():
-    """PCRL/CPRL/RPCL with multiple precincts stay opaque (the spatial
-    packet interleave is not implemented) — encoder refuses to emit the
-    shape and the decoder refuses a crafted COD claiming it."""
+def test_position_major_with_precincts_roundtrip():
+    """RPCL/PCRL/CPRL over multiple precincts (Kakadu's streaming
+    defaults) decode: packets are physically emitted in the T.800
+    B.12.1.3-5 position interleave — per-resolution precinct strides in
+    reference-grid coordinates — and every order yields a DIFFERENT
+    byte stream that decodes identically."""
     rng = np.random.default_rng(2)
     img = rng.integers(0, 256, size=(100, 100)).astype(np.uint8)
-    with pytest.raises(ValueError, match="L-major"):
-        X.encode_jpx([img], lossless=True, precincts=(5, 5), progression=2)
-    cs = bytearray(
-        X.encode_jpx([img], lossless=True, levels=2, precincts=(5, 5))
-    )
-    cod_at = bytes(cs).find(b"\xff\x52")
-    cs[cod_at + 5] = 2  # patch progression to RPCL
-    with pytest.raises(ValueError, match="position-major"):
-        X.decode_jpx(bytes(cs))
+    rgb = [rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+           for _ in range(3)]
+    streams = set()
+    for prog in (2, 3, 4):
+        cs = X.encode_jpx(
+            [img], lossless=True, levels=2, precincts=(5, 5),
+            progression=prog,
+        )
+        streams.add(cs)
+        _, _, got, _ = X.decode_jpx(cs)
+        assert np.array_equal(got[0], img), prog
+        cs = X.encode_jpx(
+            rgb, lossless=True, levels=2, precincts=(4, 5),
+            progression=prog,
+        )
+        streams.add(cs)
+        _, _, got, _ = X.decode_jpx(cs)
+        for a, b in zip(got, rgb):
+            assert np.array_equal(a, b), prog
+    assert len(streams) == 6  # the interleaves genuinely differ
+    # composes with bypass and tiles
+    big = rng.integers(0, 256, size=(128, 128)).astype(np.uint8)
+    for kw in ({"bypass": True}, {"tile_size": (64, 64)}):
+        cs = X.encode_jpx(
+            [big], lossless=True, levels=2, precincts=(5, 5),
+            progression=2, **kw,
+        )
+        _, _, got, _ = X.decode_jpx(cs)
+        assert np.array_equal(got[0], big), kw
 
 
 # ----------------------------------------- selective arithmetic bypass
