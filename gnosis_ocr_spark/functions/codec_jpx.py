@@ -42,8 +42,13 @@ streaming defaults) included: the packet walk sorts on per-resolution
 precinct positions in reference-grid coordinates, shared verbatim by
 the encoder (`_tile_packet_steps`).
 
-Scope honesty: ROI (RGN), progression-order changes (POC), and tile
-grids whose origins go odd at some DWT level (non-power-of-two-aligned
+Progression-order changes (POC, A.6.6/B.12.2) decode too: volumes emit
+their (layer, resolution, component) ranges in their own orders through
+the same packet walk, earlier volumes win, and uncovered packets follow
+the COD order (lenient stance, shared encoder/decoder).
+
+Scope honesty: ROI (RGN) and tile grids whose origins go odd at some
+DWT level (non-power-of-two-aligned
 tile sizes — real encoders emit aligned ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
 (same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
 Python like every entropy coder here — linear, Arrow-batched across
@@ -1506,6 +1511,63 @@ def _parse_cod(body: bytes) -> dict:
     }
 
 
+def _parse_poc(body: bytes, n_comp: int) -> list[tuple[int, int, int, int, int, int]]:
+    """POC marker (T.800 A.6.6) → [(RSpoc, CSpoc, LYEpoc, REpoc, CEpoc,
+    Ppoc)] progression volumes. Component fields are 1 byte below 257
+    components, 2 bytes otherwise."""
+    cw = 1 if n_comp < 257 else 2
+    entry = 1 + cw + 2 + 1 + cw + 1
+    if not body or len(body) % entry:
+        raise ValueError("JPX: malformed POC")
+    out = []
+    pos = 0
+    while pos < len(body):
+        rs = body[pos]
+        pos += 1
+        cs = body[pos] if cw == 1 else struct.unpack_from(">H", body, pos)[0]
+        pos += cw
+        (lye,) = struct.unpack_from(">H", body, pos)
+        pos += 2
+        re_ = body[pos]
+        pos += 1
+        ce = body[pos] if cw == 1 else struct.unpack_from(">H", body, pos)[0]
+        pos += cw
+        ppoc = body[pos]
+        pos += 1
+        if ppoc > 4 or re_ <= rs or ce <= cs or lye == 0:
+            raise ValueError("JPX: bad POC volume")
+        out.append((rs, cs, lye, re_, ce, ppoc))
+    return out
+
+
+def _poc_steps(
+    poc: list[tuple[int, int, int, int, int, int]],
+    fallback_prog: int,
+    n_layers: int,
+    per_cr: list[list[tuple[int, int, int, int]]],
+) -> list[tuple[int, int, int, int]]:
+    """Packet sequence under POC progression volumes (T.800 B.12.2):
+    each volume emits its (layer < LYEpoc, RSpoc ≤ r < REpoc,
+    CSpoc ≤ c < CEpoc) packets in its own Ppoc order, skipping packets
+    an earlier volume already emitted; any packets the volumes fail to
+    cover follow in the COD order (lenient-decode stance — a conforming
+    stream's POC covers everything)."""
+    emitted: set[tuple[int, int, int, int]] = set()
+    steps: list[tuple[int, int, int, int]] = []
+    for rs, cs, lye, re_, ce, ppoc in poc:
+        for l, r, c, p in _tile_packet_steps(ppoc, min(lye, n_layers), per_cr):
+            if rs <= r < re_ and cs <= c < ce:
+                key = (l, r, c, p)
+                if key not in emitted:
+                    emitted.add(key)
+                    steps.append(key)
+    for key in _tile_packet_steps(fallback_prog, n_layers, per_cr):
+        if key not in emitted:
+            emitted.add(key)
+            steps.append(key)
+    return steps
+
+
 def _parse_qcd(body: bytes) -> dict:
     if len(body) < 2:
         raise ValueError("JPX: short QCD")
@@ -1572,6 +1634,7 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
     siz = None
     cod = None
     qcd = None
+    poc = None
     qcc: dict[int, dict] = {}
     coc: dict[int, dict] = {}
     # per tile index: tile-part spans (in part order) + tile-local COD/QCD
@@ -1636,8 +1699,12 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             off = 1 if len(siz["comps"]) < 257 else 2
             csel = body[0] if off == 1 else struct.unpack_from(">H", body, 0)[0]
             qcc[csel] = _parse_qcd(body[off:])
-        elif marker in (b"\xff\x5f", b"\xff\x5e"):
-            raise ValueError("JPX: POC/RGN unsupported")
+        elif marker == b"\xff\x5f":  # POC (progression-order changes)
+            if siz is None:
+                raise ValueError("JPX: POC before SIZ")
+            poc = _parse_poc(body, len(siz["comps"]))
+        elif marker == b"\xff\x5e":
+            raise ValueError("JPX: RGN unsupported")
         elif marker == b"\xff\x90":  # SOT
             if len(body) < 8:
                 raise ValueError("JPX: short SOT")
@@ -1646,7 +1713,9 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             tile_end = sot_start + psot if psot else n
             if tile_end > n:
                 raise ValueError("JPX: tile length out of range")
-            rec = tiles.setdefault(isot, {"parts": [], "cod": None, "qcd": None})
+            rec = tiles.setdefault(
+                isot, {"parts": [], "cod": None, "qcd": None, "poc": None}
+            )
             # tile-part header: markers until SOD
             tpos = pos + lseg
             while tpos + 2 <= tile_end:
@@ -1665,8 +1734,10 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                     rec["cod"] = _parse_cod(tbody)
                 elif tm == b"\xff\x5c":
                     rec["qcd"] = _parse_qcd(tbody)
-                elif tm in (b"\xff\x5f", b"\xff\x5e"):
-                    raise ValueError("JPX: POC/RGN unsupported")
+                elif tm == b"\xff\x5f":
+                    rec["poc"] = _parse_poc(tbody, len(siz["comps"]))
+                elif tm == b"\xff\x5e":
+                    raise ValueError("JPX: RGN unsupported")
                 elif tm in (b"\xff\x53", b"\xff\x5d"):
                     raise ValueError("JPX: tile-part COC/QCC unsupported")
                 tpos += tl
@@ -1785,9 +1856,15 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                         )
                     )
             per_cr.append(rlist)
-        steps = _tile_packet_steps(
-            t_prog, (rec["cod"] or cod)["layers"], per_cr
-        )
+        t_poc = rec.get("poc") or poc
+        if t_poc:
+            steps = _poc_steps(
+                t_poc, t_prog, (rec["cod"] or cod)["layers"], per_cr
+            )
+        else:
+            steps = _tile_packet_steps(
+                t_prog, (rec["cod"] or cod)["layers"], per_cr
+            )
         parts = list(rec["parts"])
         if not parts:
             raise ValueError("JPX: tile with no data")
@@ -1979,6 +2056,7 @@ def encode_jpx(
     precincts: tuple[int, int] | None = None,
     bypass: bool = False,
     cb_style: int = 0,
+    poc: list[tuple[int, int, int, int, int, int]] | None = None,
 ) -> bytes:
     """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
@@ -2001,7 +2079,11 @@ def encode_jpx(
     length. ``cb_style`` ORs in further T.800 Table A-19 style bits:
     0x02 reset contexts per pass, 0x04 terminate every pass, 0x08
     vertically-causal contexts, 0x20 segmentation symbols (0x10
-    predictable termination changes nothing this encoder emits)."""
+    predictable termination changes nothing this encoder emits).
+    ``poc`` emits a POC marker (A.6.6) with the given
+    (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) progression volumes and
+    orders the packets accordingly (B.12.2; packets the volumes miss
+    follow in the COD order, same as the decoder's lenient stance)."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
     cb_style = (cb_style | (0x01 if bypass else 0)) & 0x3F
@@ -2155,6 +2237,20 @@ def encode_jpx(
             struct.pack(">H", (eps << 11) | mu) for eps, mu in qvals
         )
     out += b"\xff\x5c" + struct.pack(">H", len(qcdb) + 2) + qcdb
+    if poc is not None:
+        cw2 = 1 if n_comp < 257 else 2
+        pocb = bytearray()
+        for rs, cs, lye, re_, ce, ppoc in poc:
+            if not (0 <= rs < re_ <= levels + 1 and 0 <= cs < ce <= n_comp
+                    and lye >= 1 and 0 <= ppoc <= 4):
+                raise ValueError("JPX: bad POC volume spec")
+            pocb.append(rs)
+            pocb += cs.to_bytes(cw2, "big")
+            pocb += struct.pack(">H", lye)
+            pocb.append(re_)
+            pocb += ce.to_bytes(cw2, "big")
+            pocb.append(ppoc)
+        out += b"\xff\x5f" + struct.pack(">H", len(pocb) + 2) + bytes(pocb)
 
     # ---- tiles: single-layer packets, physically in progression order
     for ti in range(ntx * nty):
@@ -2303,7 +2399,12 @@ def encode_jpx(
                     pkt_bytes[(r, ci, py * npx + px)] = bw.flush() + b"".join(
                         seg_parts
                     )
-        for _l, r_, c_, p_ in _tile_packet_steps(progression, 1, per_cr):
+        emit_steps = (
+            _poc_steps(poc, progression, 1, per_cr)
+            if poc is not None
+            else _tile_packet_steps(progression, 1, per_cr)
+        )
+        for _l, r_, c_, p_ in emit_steps:
             body += pkt_bytes[(r_, c_, p_)]
         psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)

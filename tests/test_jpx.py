@@ -665,3 +665,48 @@ def test_restart_per_pass_segments():
         seg_ends=tuple(ends), restart=True,
     )
     assert np.array_equal(got, coeffs)
+
+
+def test_poc_progression_volumes_roundtrip():
+    """POC progression-order changes (A.6.6 / B.12.2): volumes with
+    different orders — including a position-major volume over precincts
+    and a component-split — reorder the physical packets and decode
+    identically; a non-covering POC falls back to the COD order for the
+    remainder (lenient stance, shared encoder/decoder)."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(100, 100)).astype(np.uint8)
+    rgb = [rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+           for _ in range(3)]
+    poc = [(0, 0, 1, 2, 1, 1), (2, 0, 1, 4, 1, 0)]
+    cs = X.encode_jpx([img], lossless=True, levels=3, poc=poc)
+    assert b"\xff\x5f" in cs  # the marker is physically present
+    assert cs != X.encode_jpx([img], lossless=True, levels=3)
+    _, _, got, _ = X.decode_jpx(cs)
+    assert np.array_equal(got[0], img)
+    # component-split volumes: comp 0 CPRL first, comps 1-2 RLCP after
+    cs3 = X.encode_jpx(
+        rgb, lossless=True, levels=2,
+        poc=[(0, 0, 1, 3, 1, 4), (0, 1, 1, 3, 3, 1)],
+    )
+    _, _, got, _ = X.decode_jpx(cs3)
+    for a, b in zip(got, rgb):
+        assert np.array_equal(a, b)
+    # POC over multiple precincts with a position-major volume
+    csp = X.encode_jpx(
+        [img], lossless=True, levels=2, precincts=(5, 5),
+        poc=[(0, 0, 1, 2, 1, 2), (2, 0, 1, 3, 1, 0)],
+    )
+    _, _, got, _ = X.decode_jpx(csp)
+    assert np.array_equal(got[0], img)
+    # non-covering POC: the remainder rides the COD order
+    csn = X.encode_jpx(
+        [img], lossless=True, levels=3, poc=[(1, 0, 1, 2, 1, 1)]
+    )
+    _, _, got, _ = X.decode_jpx(csn)
+    assert np.array_equal(got[0], img)
+    # malformed POC bodies raise, never crash
+    evil = bytearray(cs)
+    at = bytes(evil).find(b"\xff\x5f")
+    evil[at + 4] = 7  # RSpoc=7 > REpoc
+    with pytest.raises(ValueError):
+        X.decode_jpx(bytes(evil))
