@@ -47,8 +47,14 @@ their (layer, resolution, component) ranges in their own orders through
 the same packet walk, earlier volumes win, and uncovered packets follow
 the COD order (lenient stance, shared encoder/decoder).
 
-Scope honesty: ROI (RGN) and tile grids whose origins go odd at some
-DWT level (non-power-of-two-aligned
+ROI max-shift (RGN markers, T.800 H) decodes: per-component shifts
+apply the |q| ≥ 2^s magnitude rule to the quantized coefficients before
+dequantization; the fixture encoder emits lossless single-tile ROI
+streams with s sized to the global background magnitude. Every Annex A
+marker the baseline profile defines is now handled.
+
+Scope honesty: tile grids whose origins go odd at some DWT level
+(non-power-of-two-aligned
 tile sizes — real encoders emit aligned ones) raise ValueError → codec_pdf/pdf_split map that to the opaque carry
 (same degradation as the JBIG2 halftone subset). Tier-1 is per-symbol
 Python like every entropy coder here — linear, Arrow-batched across
@@ -1637,6 +1643,7 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
     poc = None
     qcc: dict[int, dict] = {}
     coc: dict[int, dict] = {}
+    rgn: dict[int, int] = {}  # component → ROI max-shift (T.800 H)
     # per tile index: tile-part spans (in part order) + tile-local COD/QCD
     tiles: dict[int, dict] = {}
     n = len(data)
@@ -1703,8 +1710,18 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             if siz is None:
                 raise ValueError("JPX: POC before SIZ")
             poc = _parse_poc(body, len(siz["comps"]))
-        elif marker == b"\xff\x5e":
-            raise ValueError("JPX: RGN unsupported")
+        elif marker == b"\xff\x5e":  # RGN (ROI, implicit max-shift)
+            if siz is None:
+                raise ValueError("JPX: RGN before SIZ")
+            cw_r = 1 if len(siz["comps"]) < 257 else 2
+            if len(body) != cw_r + 2:
+                raise ValueError("JPX: malformed RGN")
+            crgn = body[0] if cw_r == 1 else struct.unpack_from(
+                ">H", body, 0
+            )[0]
+            if body[cw_r] != 0:
+                raise ValueError("JPX: RGN style beyond max-shift")
+            rgn[crgn] = body[cw_r + 1]
         elif marker == b"\xff\x90":  # SOT
             if len(body) < 8:
                 raise ValueError("JPX: short SOT")
@@ -1915,6 +1932,17 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                                 by * sb.cbh : by * sb.cbh + bh_,
                                 bx * sb.cbw : bx * sb.cbw + bw_,
                             ] = vals
+                    s_roi = rgn.get(c, 0)
+                    if s_roi:
+                        # ROI max-shift (T.800 H.3): quantized magnitudes
+                        # ≥ 2^s are ROI coefficients the encoder scaled
+                        # up — shift them back down; background stays
+                        mag = np.abs(coeff)
+                        coeff = np.where(
+                            mag >= (1 << s_roi),
+                            np.sign(coeff) * (mag >> s_roi),
+                            coeff,
+                        )
                     if reversible:
                         band_arrays[(sb.name, sb.level)] = coeff
                     else:
@@ -2057,6 +2085,7 @@ def encode_jpx(
     bypass: bool = False,
     cb_style: int = 0,
     poc: list[tuple[int, int, int, int, int, int]] | None = None,
+    roi: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """Encode 1 (gray) or 3 (RGB/YCbCr) uint8 planes as a raw JPEG 2000
     codestream. ``lossless`` selects 5/3 + RCT (bit-exact round-trip);
@@ -2083,7 +2112,14 @@ def encode_jpx(
     ``poc`` emits a POC marker (A.6.6) with the given
     (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) progression volumes and
     orders the packets accordingly (B.12.2; packets the volumes miss
-    follow in the COD order, same as the decoder's lenient stance)."""
+    follow in the COD order, same as the decoder's lenient stance).
+    ``roi`` = (x0, y0, x1, y1) marks an image-space ROI coded with the
+    implicit max-shift method (T.800 H, RGN markers per component):
+    wavelet coefficients whose subband-mapped position falls in the
+    rectangle are scaled up by 2^s with s = the global background
+    magnitude bit-length, so the decoder's |q| ≥ 2^s rule recovers them
+    exactly; lossless single-tile unsubsampled only (the fixture shape —
+    the DECODER rule is path-independent)."""
     if not 0 <= progression <= 4:
         raise ValueError("JPX: bad progression order")
     cb_style = (cb_style | (0x01 if bypass else 0)) & 0x3F
@@ -2172,6 +2208,29 @@ def encode_jpx(
             per_comp.append(fwd_dwt(planes[c][cy0:cy1, cx0:cx1]))
         tile_bands.append(per_comp)
 
+    roi_s = 0
+    if roi is not None:
+        if not lossless or ntx * nty > 1 or any(
+            sp != (1, 1) for sp in sampling
+        ):
+            raise ValueError(
+                "JPX: roi fixture supports lossless single-tile 1:1 only"
+            )
+        rx0, ry0, rx1, ry1 = roi
+        if not (0 <= rx0 < rx1 <= w and 0 <= ry0 < ry1 <= h):
+            raise ValueError("JPX: roi rectangle out of range")
+        # s = global background magnitude bit-length: every unshifted
+        # coefficient stays < 2^s, so the decoder's magnitude rule is
+        # exact (T.800 H.2 max-shift sizing)
+        for per_comp in tile_bands:
+            for bands in per_comp:
+                for arr in bands.values():
+                    if arr.size:
+                        roi_s = max(
+                            roi_s, int(np.abs(arr).max()).bit_length()
+                        )
+        roi_s = max(1, roi_s)
+
     # per-subband (eps, mu): the QCD default serves EVERY component and
     # tile, so lossless exponents come from the global max magnitude
     qvals: list[tuple[int, int]] = []
@@ -2184,7 +2243,10 @@ def encode_jpx(
                         arr = bands.get((name, level))
                         if arr is not None and arr.size:
                             mx = max(mx, int(np.abs(arr).max()))
-                qvals.append((max(1, mx.bit_length() + 1 - guard), 0))
+                eps_ll = max(1, mx.bit_length() + 1 - guard) + roi_s
+                if eps_ll > 31:
+                    raise ValueError("JPX: roi shift exceeds eps range")
+                qvals.append((eps_ll, 0))
             else:
                 rb = prec + _GAIN[name]
                 # uniform base step, scaled down for deeper levels so
@@ -2251,10 +2313,29 @@ def encode_jpx(
             pocb += ce.to_bytes(cw2, "big")
             pocb.append(ppoc)
         out += b"\xff\x5f" + struct.pack(">H", len(pocb) + 2) + bytes(pocb)
+    if roi is not None:
+        cw3 = 1 if n_comp < 257 else 2
+        for c in range(n_comp):
+            rgnb = c.to_bytes(cw3, "big") + bytes([0, roi_s])
+            out += b"\xff\x5e" + struct.pack(">H", len(rgnb) + 2) + rgnb
 
     # ---- tiles: single-layer packets, physically in progression order
     for ti in range(ntx * nty):
         comp_quant = [quantize(b) for b in tile_bands[ti]]
+        if roi is not None:
+            # scale the subband-mapped ROI rectangle up by 2^s (single
+            # tile, 1:1 sampling — comp coords == image coords)
+            rx0, ry0, rx1, ry1 = roi
+            for qb in comp_quant:
+                for (name, level), q in qb.items():
+                    if not q.size:
+                        continue
+                    sh, sw_q = q.shape
+                    x0s = min(rx0 >> level, sw_q)
+                    y0s = min(ry0 >> level, sh)
+                    x1s = min(max(x0s + 1, -(-rx1 >> level)), sw_q)
+                    y1s = min(max(y0s + 1, -(-ry1 >> level)), sh)
+                    q[y0s:y1s, x0s:x1s] <<= roi_s
         tx, ty = ti % ntx, ti // ntx
         tx0, ty0 = tx * xts, ty * yts
         tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)

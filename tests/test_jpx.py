@@ -710,3 +710,37 @@ def test_poc_progression_volumes_roundtrip():
     evil[at + 4] = 7  # RSpoc=7 > REpoc
     with pytest.raises(ValueError):
         X.decode_jpx(bytes(evil))
+
+
+def test_rgn_roi_max_shift_roundtrip():
+    """RGN ROI max-shift (T.800 H): per-component RGN markers carry the
+    shift s; the decoder's |q| ≥ 2^s magnitude rule downscales ROI
+    coefficients and the lossless roundtrip is exact — gray, RGB, and
+    composed with bypass + precincts. Lossy/multi-tile ROI encode is
+    refused loudly (the decoder rule itself is path-independent)."""
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, size=(96, 80)).astype(np.uint8)
+    cs = X.encode_jpx([img], lossless=True, levels=3, roi=(10, 20, 50, 60))
+    assert b"\xff\x5e" in cs
+    _, _, got, _ = X.decode_jpx(cs)
+    assert np.array_equal(got[0], img)
+    rgb = [rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+           for _ in range(3)]
+    cs = X.encode_jpx(rgb, lossless=True, levels=2, roi=(0, 0, 32, 32))
+    _, _, got, _ = X.decode_jpx(cs)
+    for a, b in zip(got, rgb):
+        assert np.array_equal(a, b)
+    cs = X.encode_jpx(
+        [img], lossless=True, levels=2, roi=(8, 8, 40, 40),
+        bypass=True, precincts=(5, 5),
+    )
+    _, _, got, _ = X.decode_jpx(cs)
+    assert np.array_equal(got[0], img)
+    with pytest.raises(ValueError, match="roi"):
+        X.encode_jpx([img], lossless=False, roi=(0, 0, 8, 8))
+    # RGN with a non-max-shift style raises (crawl stance: loud)
+    evil = bytearray(cs)
+    at = bytes(evil).find(b"\xff\x5e")
+    evil[at + 5] = 1  # Srgn != 0
+    with pytest.raises(ValueError, match="RGN"):
+        X.decode_jpx(bytes(evil))
