@@ -615,13 +615,27 @@ def encode_g3_1d(
     rows: int,
     black_is_1: bool = False,
     byte_align: bool = False,
+    eol: bool = False,
 ) -> bytes:
-    """Encode packed 1-bpp rows as ITU-T T.4 1-D MH (PDF /K 0, no EOLs);
-    ``byte_align`` starts each row on a byte boundary."""
+    """Encode packed 1-bpp rows as ITU-T T.4 1-D MH. Default (PDF /K 0,
+    /EndOfLine false) emits no EOLs; ``eol=True`` prefixes every line with
+    the T.4 §4.1.2 EOL code and ends with RTC — the form TIFF
+    compression=3 requires (strict readers like the JDK fax decoder
+    refuse EOL-less compression-3 strips; the EOL-less byte-aligned shape
+    is TIFF compression=2 instead). ``byte_align`` starts each row on a
+    byte boundary."""
     black = _unpack_rows(data, columns, rows, black_is_1)
     bw = _BitWriter()
+    eol_code = int(_EOL, 2)
     for y in range(rows):
         if byte_align:
             bw.align()
+        if eol:
+            bw.write(eol_code, 12)
         _encode_1d_row(bw, _transitions(black[y]), columns)
+    if eol:
+        if byte_align:
+            bw.align()
+        for _ in range(6):
+            bw.write(eol_code, 12)
     return bw.getvalue()

@@ -451,7 +451,11 @@ def _encode_strip(gray: np.ndarray, compression: str, photometric: int,
         if compression == "g3_2d":
             return encode_g3_2d(packed, w, rows, black_is_1=black1)
         if compression == "g3":
-            return encode_g3_1d(packed, w, rows, black_is_1=black1)
+            # compression=3 strips carry T.4 EOL codes (strict readers —
+            # the JDK fax decoder — refuse EOL-less compression-3 data;
+            # the EOL-less byte-aligned form is compression=2 below)
+            return encode_g3_1d(packed, w, rows, black_is_1=black1,
+                                eol=True)
         return encode_g3_1d(packed, w, rows, black_is_1=black1,
                             byte_align=True)
     samples = (255 - gray) if photometric == 0 else gray
