@@ -1800,6 +1800,16 @@ def build_pdf_scanned(
     1-bit DeviceGray samples; ``'raw1_mask'`` = the same samples as an
     /ImageMask stencil (no ColorSpace).
 
+    Function-driven colorspaces (§7.10 tint transforms, print-originated
+    scans — see functions/pdf_function.py): ``'separation'`` =
+    [/Separation /Black /DeviceGray fn] with a Type 4 calculator
+    ``{1 exch sub}`` over inverted samples; ``'devicen'`` =
+    single-colorant [/DeviceN [/Ink] /DeviceRGB fn] with a Type 0
+    sampled identity ramp; ``'separation_t3'`` = a Type 3 stitching of
+    two Type 2 halves as INLINE dicts; ``'lab'`` = [/Lab <<...>>] with
+    the L* channel carrying the gray. Each maps back to exactly the
+    scan matrix, so recovery certifies the function evaluation.
+
     ``rotate`` (90/180/270, default-flate filter only) emits the
     LANDSCAPE-SCAN shape: the stored samples are the upright scan matrix
     rotated counterclockwise (the sheet fed sideways) and the page
@@ -2031,6 +2041,75 @@ def build_pdf_scanned(
                 cmyk += bytes((0, 0, 0, 255 - v))
             extra = b"/ColorSpace /DeviceCMYK "
             data = zlib.compress(bytes(cmyk), 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "separation":
+            # [/Separation /Black /DeviceGray fn] with a Type 4
+            # PostScript-calculator tint transform {1 exch sub}: stored
+            # sample v → tint v/255 → alternate gray 1−v/255 → LUT byte
+            # 255−v, so storing the INVERTED scan matrix maps back to
+            # exactly the scan matrix — recovery certifies the
+            # calculator evaluation (functions/pdf_function.py)
+            px = encode_scan_pixels(page_text_, width, height)
+            fn_no = 3 + 3 * n_pages + len(trailing)
+            prog = b"{ 1 exch sub }"
+            trailing.append(
+                b"<< /FunctionType 4 /Domain [0 1] /Range [0 1] "
+                b"/Length %d >>\nstream\n%s\nendstream"
+                % (len(prog), prog)
+            )
+            extra = (
+                b"/ColorSpace [/Separation /Black /DeviceGray %d 0 R] "
+                % fn_no
+            )
+            data = zlib.compress(bytes(255 - b for b in px), 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "devicen":
+            # single-colorant [/DeviceN [/Ink] /DeviceRGB fn] with a
+            # Type 0 sampled identity ramp (256 gray RGB samples):
+            # tint v/255 → (v,v,v)/255 → luma v — certifies sampled-
+            # function decode with interpolation at the sample points
+            px = encode_scan_pixels(page_text_, width, height)
+            fn_no = 3 + 3 * n_pages + len(trailing)
+            ramp = bytes(v for v in range(256) for _ in range(3))
+            trailing.append(
+                b"<< /FunctionType 0 /Domain [0 1] /Range [0 1 0 1 0 1] "
+                b"/Size [256] /BitsPerSample 8 /Length %d >>"
+                b"\nstream\n%s\nendstream" % (len(ramp), ramp)
+            )
+            extra = (
+                b"/ColorSpace [/DeviceN [/Ink] /DeviceRGB %d 0 R] " % fn_no
+            )
+            data = zlib.compress(px, 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "separation_t3":
+            # Type 3 stitching of two Type 2 exponential halves composing
+            # the identity, as INLINE dicts (the other legal function
+            # shape), over a DeviceGray alternate: certifies stitching
+            # bounds/encode + exponential interpolation
+            px = encode_scan_pixels(page_text_, width, height)
+            fndict = (
+                b"<< /FunctionType 3 /Domain [0 1] /Range [0 1] "
+                b"/Functions [ "
+                b"<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [0.5] /N 1 >> "
+                b"<< /FunctionType 2 /Domain [0 1] /C0 [0.5] /C1 [1] /N 1 >> "
+                b"] /Bounds [0.5] /Encode [0 1 0 1] >>"
+            )
+            extra = (
+                b"/ColorSpace [/Separation /Spot /DeviceGray "
+                + fndict + b"] "
+            )
+            data = zlib.compress(px, 6)
+            filt = b"/FlateDecode"
+        elif image_filter == "lab":
+            # [/Lab <<...>>] 3-component samples: channel 0 is the 8-bit
+            # L* sample, reduced un-color-managed to exactly the gray
+            # byte (a*/b* at the 128 neutral point)
+            px = encode_scan_pixels(page_text_, width, height)
+            lab = bytearray()
+            for v in px:
+                lab += bytes((v, 128, 128))
+            extra = b"/ColorSpace [/Lab << /WhitePoint [0.9505 1 1.089] >>] "
+            data = zlib.compress(bytes(lab), 6)
             filt = b"/FlateDecode"
         else:
             px = encode_scan_pixels(page_text_, width, height)
@@ -3458,11 +3537,15 @@ _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
 _CSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
 # Full /ColorSpace resolution (names, indirect refs, array families —
 # §8.6): ICCBased reduces by its /N (poppler's stance when no color
-# management is wired), CalGray/CalRGB alias the device spaces, and
-# Indexed resolves its palette to a 256-entry GRAY lookup at decode time
-# so downstream only ever sees plain DeviceGray samples. Unsupported
-# families (Lab, Separation, DeviceN, Pattern) pass through by name and
-# degrade exactly as before (image skipped, page extracts what it can).
+# management is wired), CalGray/CalRGB alias the device spaces, Indexed
+# resolves its palette to a 256-entry GRAY lookup at decode time,
+# Separation and single-colorant DeviceN evaluate their tint transform
+# (functions/pdf_function.py — all four §7.10 function types) into the
+# alternate space as a 256-tint gray LUT, and Lab reduces to the L*
+# lightness channel — so downstream only ever sees plain DeviceGray
+# samples. What remains out (multi-colorant DeviceN, Pattern, an
+# unevaluable function) passes through by name and degrades exactly as
+# before (image skipped, page extracts what it can).
 _CS_NAME_CANON = {
     b"DeviceGray": "DeviceGray", b"G": "DeviceGray",
     b"CalGray": "DeviceGray",
@@ -3501,6 +3584,29 @@ def _cs_spec(head: bytes) -> bytes | None:
         return _balanced_array(head, i)
     mm = re.match(rb"/[A-Za-z0-9]+|\d+\s+\d+\s+R", head[i:])
     return mm.group(0) if mm else None
+
+
+def _fn_operand(b: bytes) -> bytes | None:
+    """A tint-transform operand: an indirect ref or an inline
+    ``<< ... >>`` dict (Types 2/3 are legal inline)."""
+    b = b.lstrip()
+    m = re.match(rb"\d+\s+\d+\s+R", b)
+    if m:
+        return m.group(0)
+    if b.startswith(b"<<"):
+        depth, j = 0, 0
+        while j < len(b) - 1:
+            if b[j : j + 2] == b"<<":
+                depth += 1
+                j += 2
+            elif b[j : j + 2] == b">>":
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    return b[:j]
+            else:
+                j += 1
+    return None
 
 
 def _next_cs_item(b: bytes) -> tuple[bytes | None, bytes]:
@@ -3661,6 +3767,52 @@ def _resolve_colorspace(
             if len(gray) < 256:  # out-of-range indices clamp to the last
                 gray = gray + gray[-1:] * (256 - len(gray))
             return "Indexed", gray
+        if fam in (b"Separation", b"DeviceN"):
+            # [/Separation /name alt tintFn] — tint samples map through
+            # the function into the alternate space (§8.6.6.4), exactly
+            # what poppler renders; single-colorant /DeviceN is the same
+            # shape. The 256-point tint→gray LUT reduces the alternate
+            # components with the same un-color-managed formulas the
+            # device spaces use. Multi-colorant DeviceN or an
+            # unevaluable function → (name, None) = the old degradation.
+            name = fam.decode("latin-1")
+            first_tok, rest2 = _next_cs_item(rest)
+            if first_tok is None:
+                return name, None
+            if fam == b"DeviceN":
+                if not first_tok.startswith(b"[") or len(
+                    re.findall(rb"/[^\s/\[\]<>()]+", first_tok)
+                ) != 1:
+                    return name, None
+            alt_tok, rest3 = _next_cs_item(rest2)
+            if alt_tok is None:
+                return name, None
+            alt, _ = _resolve_colorspace(alt_tok, obj_body, resolve,
+                                         depth + 1)
+            ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
+                     "DeviceCMYK": 4}.get(alt)
+            fn_tok = _fn_operand(rest3)
+            if ncomp is None or fn_tok is None:
+                return name, None
+            from gnosis_ocr_spark.functions.pdf_function import (
+                eval_table,
+                parse_function,
+            )
+
+            fn = parse_function(fn_tok, obj_body, resolve)
+            tbl = eval_table(fn, 256) if fn is not None else None
+            if tbl is None:
+                return name, None
+            lut = bytearray()
+            for outs in tbl:
+                if len(outs) < ncomp:
+                    return name, None
+                lut += bytes(
+                    min(255, max(0, round(v * 255))) for v in outs[:ncomp]
+                )
+            return "Separation", _cmyk_rows_to_gray(bytes(lut), ncomp)
+        if fam == b"Lab":
+            return "Lab", None
         return fam.decode("latin-1"), None
     if spec.startswith(b"/"):
         nm3 = spec[1:]
@@ -3778,6 +3930,25 @@ def _decode_image(
         gray = _indexed_to_gray(raw, width, height, bits, pal_gray)
         if gray is not None:
             return PdfImage(width, height, 8, "DeviceGray", "raw", gray)
+    if cspace == "Separation" and pal_gray is not None and bits in (1, 2, 4, 8):
+        # tint samples span the FULL code range (a 1-bit separation's
+        # sample 1 is tint 1.0 — unlike a palette index): pre-expand the
+        # 256-tint LUT onto the 2^bits code points, then map like Indexed
+        maxc = (1 << bits) - 1
+        lut_b = bytes(pal_gray[(i * 255) // maxc] for i in range(maxc + 1))
+        lut_b = lut_b + lut_b[-1:] * (256 - len(lut_b))
+        gray = _indexed_to_gray(raw, width, height, bits, lut_b)
+        if gray is not None:
+            return PdfImage(width, height, 8, "DeviceGray", "raw", gray)
+    if cspace == "Lab" and bits == 8 and len(raw) >= 3 * width * height:
+        # un-color-managed lightness reduction: the 8-bit L* sample under
+        # the default /Decode [0 100 ...] maps s → L* = s·100/255 and
+        # gray = round(L*·255/100) = s, so channel 0 IS the gray byte
+        # (a*/b* chroma dropped — the same stance as the CMYK reduction)
+        return PdfImage(
+            width, height, 8, "DeviceGray", "raw",
+            bytes(raw[: 3 * width * height : 3]),
+        )
     if (
         cspace == "DeviceCMYK"
         and bits == 8
