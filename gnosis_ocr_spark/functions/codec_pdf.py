@@ -3875,8 +3875,9 @@ class PdfImage:
     /JBIG2Globals — via :mod:`codec_jbig2` (so those arrive as
     ``codec='raw'`` 1-bit); ``'jpx'`` payloads decode downstream via
     :mod:`codec_jpx` (JPEG 2000 — raw or JP2-boxed, multi-tile,
-    subsampled). Only the JBIG2 halftone/refinement/Huffman subsets and
-    bypass-coded/POC JPX shapes stay opaque."""
+    subsampled, all six code-block styles incl. selective arithmetic
+    bypass, POC progression changes, ROI max-shift). Only the JBIG2
+    halftone/refinement/Huffman subsets stay opaque."""
 
     width: int
     height: int

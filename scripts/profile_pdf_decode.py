@@ -63,6 +63,13 @@ WRITERS: dict[str, callable] = {
     "scanned_jpx": lambda p: cp.build_pdf_scanned(
         p, width=128, height=128, image_filter="jpx_jp2"
     ),
+    "scanned_sep_t4": lambda p: cp.build_pdf_scanned(
+        p, image_filter="separation"
+    ),
+    "scanned_devicen_t0": lambda p: cp.build_pdf_scanned(
+        p, image_filter="devicen"
+    ),
+    "scanned_lab": lambda p: cp.build_pdf_scanned(p, image_filter="lab"),
 }
 
 # scanned classes pay their cost in the IMAGE path (extract_pages_with_
@@ -72,6 +79,7 @@ _SCANNED = {
     "scanned", "scanned_jpeg", "scanned_g4", "scanned_1bit",
     "scanned_jpeg_prog", "scanned_inline", "scanned_g3_2d",
     "scanned_jbig2", "scanned_jbig2_sym", "scanned_jpx",
+    "scanned_sep_t4", "scanned_devicen_t0", "scanned_lab",
 }
 
 PAGES = [
