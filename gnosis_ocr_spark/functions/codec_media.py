@@ -331,13 +331,18 @@ def build_mp4_video(
     sync_every: int = 5,
     timescale: int = 1000,
     avcc: bytes | None = None,
+    codec_fourcc: bytes = b"avc1",
 ) -> bytes:
     """Fixture writer: valid ISO-BMFF with one ``vide`` track carrying the
-    given sample payloads in a single mdat chunk — full stsd(avc1+avcC)/
-    stts/stss/stsz/stsc/stco tables so :func:`mp4_video_samples` (and any
-    real demuxer) can locate every sample. ``avcc`` supplies a REAL
+    given sample payloads in a single mdat chunk — full stsd/stts/stss/
+    stsz/stsc/stco tables so :func:`mp4_video_samples` (and any real
+    demuxer) can locate every sample. ``avcc`` supplies a REAL
     decoder-config record (see :func:`build_mp4_h264`); without it a
-    minimal placeholder record is written and payloads are opaque."""
+    minimal placeholder record is written and payloads are opaque.
+    ``codec_fourcc`` selects the visual sample entry type: the default
+    ``avc1`` carries an avcC record; any other fourcc (e.g. ``jpeg`` —
+    the QuickTime/ISO motion-JPEG entry whose samples are plain JFIF
+    images) writes a bare VisualSampleEntry."""
     n = len(payloads)
     if n == 0:
         raise ValueError("need at least one sample")
@@ -364,17 +369,18 @@ def build_mp4_video(
                 + struct.pack(">II", timescale, dur) + struct.pack(">HH", 0x55C4, 0))
     hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
                 + b"VideoHandler\x00")
-    # stsd: one avc1 visual sample entry with the avcC config record
-    if avcc is None:
-        avcc = bytes([1, 66, 0, 30, 0xFF, 0xE1, 0, 2, 0x67, 0x42,
-                      1, 0, 2, 0x68, 0xCE])
-    avcc = box(b"avcC", avcc)
-    avc1_body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
-                 + struct.pack(">HH", width, height)
-                 + struct.pack(">II", 0x00480000, 0x00480000)
-                 + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
-                 + struct.pack(">H", 0x18) + struct.pack(">h", -1))
-    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"avc1", avc1_body + avcc))
+    # stsd: one visual sample entry (avc1 carries the avcC config record)
+    entry_body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", width, height)
+                  + struct.pack(">II", 0x00480000, 0x00480000)
+                  + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+                  + struct.pack(">H", 0x18) + struct.pack(">h", -1))
+    if codec_fourcc == b"avc1":
+        if avcc is None:
+            avcc = bytes([1, 66, 0, 30, 0xFF, 0xE1, 0, 2, 0x67, 0x42,
+                          1, 0, 2, 0x68, 0xCE])
+        entry_body += box(b"avcC", avcc)
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec_fourcc, entry_body))
     stts = full(b"stts", struct.pack(">III", 1, n, delta))
     syncs = list(range(1, n + 1, sync_every))
     stss = full(b"stss", struct.pack(">I", len(syncs))

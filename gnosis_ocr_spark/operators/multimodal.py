@@ -16,7 +16,10 @@ codec_tiff.py), pixel decode is real for PNG/baseline-JPEG/GIF/JP2 and
 for TIFF (stripped AND tiled, 1/8/16-bit, CCITT fax, LZW/deflate/
 PackBits, new-style JPEG-in-TIFF — codec_tiff composes the in-repo
 decoders) and BMP, and
-audio features are real DSP over 16-bit PCM. WebP pixel decode is REAL
+audio features are real DSP over 16-bit PCM (WAV) and over full FLAC
+frame decode (functions/codec_flac.py: rice/fixed/LPC subframes, stereo
+decorrelation, CRC-8/16 + STREAMINFO-MD5 verified — the built-in
+integrity oracle every FLAC stream carries). WebP pixel decode is REAL
 for BOTH lossless (VP8L — the full prefix-code/LZ77/transform stack in
 functions/codec_vp8l.py) and lossy payloads (VP8 key frames in
 functions/codec_vp8.py, conformance-verified byte-for-byte against the
@@ -423,6 +426,25 @@ def _feature_batches(dim: int):
                         continue
                     except Exception:
                         px = None
+                elif mtype == "audio/flac":
+                    # real DSP over REAL frame decode (codec_flac: rice/
+                    # LPC/stereo reconstruction, CRC + MD5 verified) —
+                    # same amplitude-histogram feature as the WAV path
+                    try:
+                        from gnosis_ocr_spark.functions.codec_flac import (
+                            decode_flac_pcm16,
+                        )
+
+                        _, mono = decode_flac_pcm16(data)
+                        amp = np.abs(mono.astype(np.float64) / 32768.0)
+                        hist, _ = np.histogram(amp, bins=dim, range=(0.0, 1.0))
+                        v = (hist / max(len(amp), 1)).astype(np.float32)
+                        urls.append(url)
+                        types.append(mtype)
+                        feats.append(v.tolist())
+                        continue
+                    except Exception:
+                        px = None
                 if px is not None:
                     # fixed-dim feature: histogram of decoded pixel bytes
                     hist, _ = np.histogram(px, bins=dim, range=(0, 256))
@@ -635,9 +657,11 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
     samples at >= every_sec spacing, exactly what a 100 TB pipeline does
     before shipping keyframes to GPU decoders. Pixel DECODE is real for
     I_PCM-coded H.264 keyframes (codec_h264 + the track's avcC record —
-    the ``frame`` column is then the decoded luma as a gray PNG);
-    entropy-coded (CAVLC/CABAC) frames keep the deterministic stub PNG
-    derived from the payload bytes, the documented boundary in
+    the ``frame`` column is then the decoded luma as a gray PNG) and for
+    motion-JPEG tracks (``jpeg``/``mjpa`` sample entries whose samples
+    are plain JFIF images — codec_jpeg decodes baseline AND progressive);
+    entropy-coded (CAVLC/CABAC) H.264 frames keep the deterministic stub
+    PNG derived from the payload bytes, the documented boundary in
     codec_h264's header. Table-less MP4s fall back to mvhd-duration
     pacing with ``payload`` null / ``codec`` 'stub'. Non-video rows emit
     nothing."""
@@ -697,6 +721,24 @@ def sample_frames(df: DataFrame, every_sec: float = 1.0, max_frames: int = 8,
                                 frame = encode_gray_png(gray, fw, fh)
                             except Exception:
                                 frame = None  # entropy-coded → stub below
+                        elif info["codec"] in ("jpeg", "mjpa", "MJPG"):
+                            # REAL decode: motion-JPEG samples are plain
+                            # JFIF images — the in-repo (and ImageIO-
+                            # conformance-tested) JPEG decoder applies
+                            try:
+                                from gnosis_ocr_spark.functions.codec_jpeg import (
+                                    decode_jpeg,
+                                )
+                                from gnosis_ocr_spark.functions.codec_png import (
+                                    encode_gray_png,
+                                )
+
+                                fw, fh, _nc, gray = decode_jpeg(
+                                    data[off : off + size]
+                                )
+                                frame = encode_gray_png(gray, fw, fh)
+                            except Exception:
+                                frame = None  # undecodable → stub below
                         rows["frame"].append(
                             frame
                             or encode_page_png(f"frame:{sig}:{i}", 32, 32)

@@ -402,3 +402,43 @@ def test_sample_frames_real_keyframe_payloads(spark):
     assert all(r["is_sync"] and r["codec"] == "avc1" for r in real_rows)
     legacy_rows = got["legacy"]
     assert all(r["payload"] is None and r["codec"] == "stub" for r in legacy_rows)
+
+
+def test_sample_frames_mjpeg_real_pixel_decode(spark):
+    """A motion-JPEG MP4 ('jpeg' visual sample entry, samples = plain JFIF
+    images): sample_frames decodes ACTUAL pixels through the in-repo JPEG
+    decoder — the frame column equals the JPEG-decode of each payload,
+    not the payload-hash stub."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg, encode_gray_jpeg
+    from gnosis_ocr_spark.functions.codec_media import build_mp4_video
+    from gnosis_ocr_spark.functions.codec_png import decode_pixels
+    from gnosis_ocr_spark.operators.multimodal import sample_frames
+
+    w, h = 48, 32
+    payloads = [
+        encode_gray_jpeg(
+            bytes(((x * 7 + 13 * i) % 256) for x in range(w * h)), w, h
+        )
+        for i in range(3)
+    ]
+    mjpeg = build_mp4_video(
+        payloads, fps=1, timescale=10, sync_every=1, width=w, height=h,
+        codec_fourcc=b"jpeg",
+    )
+    df = spark.createDataFrame(
+        [("mj", bytearray(mjpeg))], schema="url string, data binary"
+    )
+    rows = sorted(
+        sample_frames(df, every_sec=0.0, max_frames=8).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 3
+    for r, payload in zip(rows, payloads):
+        assert r["codec"] == "jpeg" and r["is_sync"]
+        assert bytes(r["payload"]) == payload
+        fw, fh, _nc, want = decode_jpeg(payload)
+        got = np.frombuffer(decode_pixels(bytes(r["frame"])), dtype=np.uint8)
+        assert (fw, fh) == (w, h)
+        assert np.array_equal(got, np.frombuffer(want, dtype=np.uint8))
