@@ -35,6 +35,41 @@ STOPWORDS_EN = (
     "on at by from not but"
 ).split()
 
+# Script-range detection for the non-Latin web (round 5): a real crawl is
+# full of zh/ja/ko/ru/ar/… pages that the Latin stopword markers can never
+# label. Each entry maps a label to Unicode BMP ranges that are (near-)
+# unambiguous for that label at the SCRIPT level. DICT ORDER IS THE
+# TIE-BREAK PRIORITY and the DuckDB CASE is generated from this table
+# (lang_case_sql), exactly like LANG_MARKERS. SCOPE, documented honestly:
+# script identification is exact; the label is the script's dominant web
+# language, so single-language scripts (el/he/th/ko + kana→ja) are true
+# lang-ID while multi-language scripts are a prior (Cyrillic→ru not uk/bg,
+# Arabic→ar not fa/ur, Devanagari→hi not mr/ne), and Han-only text labels
+# zh (Japanese text virtually always carries kana — weighted KANA_WEIGHT×
+# so kanji-heavy ja still wins — but a pure-kanji fragment reads zh).
+LANG_SCRIPTS: dict[str, str] = {
+    "zh": "一-鿿㐀-䶿",        # CJK Unified + Ext A
+    "ja": "぀-ゟ゠-ヿ",        # hiragana + katakana
+    "ko": "가-힣ᄀ-ᇿ",        # hangul syllables + jamo
+    "ru": "Ѐ-ӿ",                      # Cyrillic
+    "ar": "؀-ۿݐ-ݿ",        # Arabic + supplement
+    "he": "֐-׿",                      # Hebrew
+    "el": "Ͱ-Ͽ",                      # Greek
+    "th": "฀-๿",                      # Thai
+    "hi": "ऀ-ॿ",                      # Devanagari
+}
+KANA_WEIGHT = 10  # kana is uniquely Japanese; Han is shared with Chinese
+_LATIN_CLASS = "A-Za-zÀ-ɏ"  # basic Latin letters + Latin-1/Ext-A/B
+
+
+def _script_count(text: Column, ranges: str) -> Column:
+    """Character count of ``text`` falling in the given Unicode ranges —
+    length minus length-after-removal (counting via removal keeps the
+    identical formulation available in ANSI SQL)."""
+    return F.length(text) - F.length(
+        F.regexp_replace(text, "[" + ranges + "]", "")
+    )
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string → empty array (not [''])."""
@@ -82,20 +117,48 @@ def lang_id(text: Column, toks: Column | None = None) -> Column:
     EXPRESSION (no CSE in HOF lambdas — the repo's documented gotcha), i.e.
     10 regex tokenizations per row; an aliased column referenced 10 times
     survives CollapseProject and tokenizes once (measured −0.9 s on
-    text_stats at sf0.1 when the marker table grew 5 → 10 languages)."""
+    text_stats at sf0.1 when the marker table grew 5 → 10 languages).
+
+    Round 5: a SCRIPT pre-gate covers the non-Latin web (LANG_SCRIPTS —
+    zh/ja/ko/ru/ar/he/el/th/hi). When non-Latin script characters
+    outnumber Latin letters, the label is the first-argmax script family
+    (kana weighted KANA_WEIGHT× so kanji-heavy Japanese beats the shared
+    Han count); otherwise the marker path decides as before, so
+    Latin-script behavior is bit-identical to rounds 1-4."""
     toks = tokens(F.lower(text)) if toks is None else toks
     order = list(LANG_MARKERS)
     hits = F.array(*[_marker_hits(toks, LANG_MARKERS[lang]) for lang in order])
     langs = F.array(*[F.lit(lang) for lang in order])
     best = F.array_max(hits)
     idx = F.array_position(hits, best).cast("int")  # 1-based FIRST max
-    return F.when(best > 0, F.element_at(langs, idx)).otherwise(F.lit("und"))
+    marker = F.when(best > 0, F.element_at(langs, idx)).otherwise(F.lit("und"))
+
+    s_order = list(LANG_SCRIPTS)
+    raw = [_script_count(text, LANG_SCRIPTS[lang]) for lang in s_order]
+    weighted = F.array(
+        *[
+            (c * KANA_WEIGHT if lang == "ja" else c)
+            for lang, c in zip(s_order, raw)
+        ]
+    )
+    s_langs = F.array(*[F.lit(lang) for lang in s_order])
+    s_total = raw[0]
+    for c in raw[1:]:
+        s_total = s_total + c
+    latin = _script_count(text, _LATIN_CLASS)
+    s_best = F.array_max(weighted)
+    s_idx = F.array_position(weighted, s_best).cast("int")
+    return F.when(
+        s_total > latin, F.element_at(s_langs, s_idx)
+    ).otherwise(marker)
 
 
-def lang_case_sql(ltoks_expr: str = "ltoks") -> str:
+def lang_case_sql(ltoks_expr: str = "ltoks", text_expr: str = "text") -> str:
     """The DuckDB CASE expression equivalent to :func:`lang_id`, generated
-    from the SAME marker table and priority order (oracle parity by
-    construction)."""
+    from the SAME marker/script tables and priority orders (oracle parity
+    by construction): an outer script gate (non-Latin script chars >
+    Latin letters → first-argmax weighted script count) wrapping the
+    marker CASE."""
 
     def cnt(lang: str) -> str:
         # SQL-escape quotes so elision markers ("l'", "c'è") stay valid
@@ -108,7 +171,34 @@ def lang_case_sql(ltoks_expr: str = "ltoks") -> str:
         conds = [f"{cnt(lang)} >= {cnt(later)}" for later in order[i + 1 :]]
         conds.append(f"{cnt(lang)} > 0")
         clauses.append("WHEN " + "\n          AND ".join(conds) + f" THEN '{lang}'")
-    return "CASE " + "\n         ".join(clauses) + " ELSE 'und' END"
+    marker_case = "CASE " + "\n         ".join(clauses) + " ELSE 'und' END"
+
+    def sc(ranges: str) -> str:
+        return (
+            f"(length({text_expr}) - "
+            f"length(regexp_replace({text_expr}, '[{ranges}]', '', 'g')))"
+        )
+
+    def wc(lang: str) -> str:
+        c = sc(LANG_SCRIPTS[lang])
+        return f"({c} * {KANA_WEIGHT})" if lang == "ja" else c
+
+    s_order = list(LANG_SCRIPTS)
+    s_total = " + ".join(sc(LANG_SCRIPTS[lang]) for lang in s_order)
+    latin = sc(_LATIN_CLASS)
+    s_clauses = []
+    for i, lang in enumerate(s_order):
+        conds = [f"{wc(lang)} >= {wc(later)}" for later in s_order[i + 1 :]]
+        conds.append("TRUE")
+        s_clauses.append(
+            "WHEN " + "\n            AND ".join(conds) + f" THEN '{lang}'"
+        )
+    script_case = "CASE " + "\n           ".join(s_clauses) + " END"
+    return (
+        f"CASE WHEN ({s_total}) > {latin}\n"
+        f"       THEN {script_case}\n"
+        f"       ELSE {marker_case} END"
+    )
 
 
 def quality_metrics(text: Column) -> list[Column]:

@@ -2246,7 +2246,7 @@ cg AS (
          len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
   FROM u
 ), gg AS (
-  SELECT doc_id, toks, nonws, n_hash, n_ell,
+  SELECT doc_id, text, toks, nonws, n_hash, n_ell,
          len(toks) AS nt, len(toks) - 1 AS total,
          len(list_distinct([toks[i] || ' ' || toks[i+1]
                             for i in range(1, len(toks))])) AS dist,

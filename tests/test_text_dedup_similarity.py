@@ -921,3 +921,58 @@ def test_quantized_cosine_topk_tracks_exact(spark):
                               schema="vec_id long, embedding array<float>")
     rz = quantize_embeddings(z).collect()[0]
     assert rz["scale"] == 0.0 and all(x == 0 for x in rz["qvec"])
+
+
+def test_lang_id_script_languages_and_sql_parity(spark):
+    """Round 5: the script pre-gate labels the non-Latin web (zh/ja/ko/ru/
+    ar/he/el/th/hi); Latin-script text still takes the marker path
+    bit-identically. The generated DuckDB CASE (lang_case_sql) is run on
+    the SAME rows via duckdb — both engines must agree on every row, the
+    same parity-by-construction contract the marker table has."""
+    import duckdb
+    import pandas as pd
+
+    from gnosis_ocr_spark.functions.text import lang_case_sql
+
+    rows = [
+        (1, "这是一个关于机器学习的简单说明文档", "zh"),
+        (2, "これは日本語のテキストです。機械学習の説明。", "ja"),
+        # kanji-heavy Japanese: Han outnumbers kana, the KANA_WEIGHT wins
+        (3, "東京都区部の人口統計表ですが、これを見てください", "ja"),
+        (4, "이것은 한국어로 작성된 간단한 문서입니다", "ko"),
+        (5, "это простой документ на русском языке для проверки", "ru"),
+        (6, "هذه وثيقة بسيطة باللغة العربية للاختبار", "ar"),
+        (7, "זהו מסמך פשוט בעברית לבדיקה", "he"),
+        (8, "αυτό είναι ένα απλό έγγραφο στα ελληνικά", "el"),
+        (9, "นี่คือเอกสารภาษาไทยอย่างง่าย", "th"),
+        (10, "यह हिंदी में एक सरल दस्तावेज़ है", "hi"),
+        # documented scope: Han-only fragments read zh
+        (11, "機械学習", "zh"),
+        # Latin majority with a few CJK chars: marker path, unchanged
+        (12, "the quick brown fox 一只 jumps over the lazy dog and the end", "en"),
+        (13, "der hund und die katze das ist gut", "de"),
+        (14, "no markers here at all today", "und"),
+    ]
+    df = _docs(spark, [(i, t) for i, t, _ in rows])
+    got = {
+        r["doc_id"]: r["lg"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("lg")).collect()
+    }
+    want = {i: lang for i, _, lang in rows}
+    assert got == want
+
+    pdf = pd.DataFrame(
+        {"doc_id": [i for i, _, _ in rows], "text": [t for _, t, _ in rows]}
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks
+          FROM docs
+        )
+        SELECT doc_id, {lang_case_sql("ltoks")} AS lg FROM t ORDER BY doc_id
+    """
+    oracle = {int(r[0]): r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == want
