@@ -4452,6 +4452,12 @@ _COLORS_RE = re.compile(rb"/Colors\s+(\d+)\b")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)\b")
 _EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)\b")
 
+# hostile-input bound for any single decoded PDF stream (content, image,
+# ObjStm, …): far above every legitimate stream at this engine's page and
+# MAX_PIXELS bounds, low enough that a crafted deflate/LZW bomb fails
+# loudly instead of exhausting an executor.
+MAX_STREAM_BYTES = 1 << 28  # 256 MiB
+
 
 def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     """Undo PNG row predictors (PDF 32000-1 §7.4.4.4, /Predictor ≥ 10): each
@@ -4744,10 +4750,22 @@ def _apply_one_filter(
     if name == b"FlateDecode":
         import zlib
 
-        return zlib.decompress(raw)
+        # bounded inflate: a crawl PDF can hide a deflate bomb in any
+        # stream (tiny /Length, GB expansion). MAX_STREAM_BYTES is far
+        # above any legitimate content/image stream at this engine's
+        # page/pixel bounds; past it we fail loudly instead of letting
+        # a hostile doc MemoryError the executor (codec_jpeg.MAX_PIXELS
+        # rationale).
+        dec = zlib.decompressobj()
+        out = dec.decompress(raw, MAX_STREAM_BYTES)
+        if dec.decompress(b"", 1):
+            raise ValueError("FlateDecode output exceeds stream bound")
+        return out
     if name == b"LZWDecode":
         em = _EARLYCHANGE_RE.search(parm)
-        return _lzw_decode(raw, int(em.group(1)) if em else 1)
+        return _lzw_decode(
+            raw, int(em.group(1)) if em else 1, max_out=MAX_STREAM_BYTES
+        )
     if name == b"ASCIIHexDecode":
         return _ascii_hex_decode(raw)
     if name == b"ASCII85Decode":

@@ -127,11 +127,19 @@ def decode_dimensions(png: bytes) -> tuple[int, int]:
 
 
 def decode_pixels(png: bytes) -> bytes:
-    """Return raw grayscale pixel bytes (filter-0 scanlines stripped)."""
+    """Return raw grayscale pixel bytes (filter-0 scanlines stripped).
+    Inflate is bounded to the declared geometry — this fast path sees raw
+    crawl bytes first in media_features/resize_images, so a zlib bomb
+    behind a small IHDR must fail loudly, not MemoryError the executor
+    (same rationale as decode_png_gray's bounded inflate below)."""
     w, h = decode_dimensions(png)
     for tag, data in iter_chunks(png):
         if tag == b"IDAT":
-            raw = zlib.decompress(data)
+            need = h * (w + 1)  # gray8 + one filter byte per scanline
+            dec = zlib.decompressobj()
+            raw = dec.decompress(data, need + 1)
+            if len(raw) > need:
+                raise ValueError("IDAT decompresses past expected size")
             out = bytearray()
             stride = w + 1
             for y in range(h):

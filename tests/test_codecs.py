@@ -1591,3 +1591,27 @@ def test_16bit_samples_reduce_to_high_byte():
     img = P._decode_image(head, _z.compress(rgb16))
     assert (img.bits, img.colorspace) == (8, "DeviceRGB")
     assert len(img.data) == 3 * w * h
+
+
+def test_pdf_stream_filters_bound_decompression():
+    """A crawl PDF can hide a deflate or LZW bomb in any stream; both
+    filters must fail loudly at MAX_STREAM_BYTES instead of exhausting an
+    executor (ADVICE-A2 rationale extended to the PDF filter chain)."""
+    import zlib
+
+    from gnosis_ocr_spark.functions.codec_pdf import (
+        MAX_STREAM_BYTES,
+        _apply_one_filter,
+    )
+
+    co = zlib.compressobj(9)
+    blk = b"\x00" * (1 << 20)
+    parts = [co.compress(blk) for _ in range((MAX_STREAM_BYTES >> 20) + 2)]
+    parts.append(co.flush())
+    bomb = b"".join(parts)
+    assert len(bomb) < 2_000_000  # the whole point: tiny input, huge output
+    with pytest.raises(ValueError, match="exceeds stream bound"):
+        _apply_one_filter(b"FlateDecode", b"", bomb)
+    # legitimate streams still decode exactly
+    assert _apply_one_filter(b"FlateDecode", b"", zlib.compress(b"ok" * 10)) \
+        == b"ok" * 10

@@ -442,3 +442,21 @@ def test_sample_frames_mjpeg_real_pixel_decode(spark):
         got = np.frombuffer(decode_pixels(bytes(r["frame"])), dtype=np.uint8)
         assert (fw, fh) == (w, h)
         assert np.array_equal(got, np.frombuffer(want, dtype=np.uint8))
+
+
+def test_fast_path_png_decoder_rejects_bombs():
+    """decode_pixels (the filter-0 fast path media_features tries FIRST on
+    raw crawl bytes) bounds its inflate to the declared geometry — a zlib
+    bomb behind a 4x4 IHDR raises instead of allocating 10 MB."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+    from gnosis_ocr_spark.functions.codec_png import decode_pixels
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * 10_000_000)
+    png = (G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", bomb)
+           + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="past expected size"):
+        decode_pixels(png)

@@ -237,3 +237,27 @@ def test_warc_http_chunked_and_content_encoding():
     # hostile: garbage keeps raw bytes; truncated chunking keeps prefix
     assert _content_decode(b"\x00\x01\x02", "gzip") == b"\x00\x01\x02"
     assert _dechunk(b"5\r\nhello\r\nZZ\r\ncut") == b"hello"
+
+
+def test_warc_gzip_member_expansion_bounded():
+    """A gzip bomb posing as a per-record-compressed WARC must raise, not
+    MemoryError the executor; real member streams stay within the 64x
+    expansion bound and parse unchanged."""
+    import zlib
+
+    import pytest
+
+    from gnosis_ocr_spark.sources.warc import _gunzip_members
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    blk = b"\x00" * (1 << 20)
+    parts = [co.compress(blk) for _ in range(130)]  # 130 MiB of zeros
+    parts.append(co.flush())
+    bomb = b"".join(parts)
+    assert len(bomb) < 1_000_000
+    with pytest.raises(ValueError, match="expansion exceeds bound"):
+        _gunzip_members(bomb)
+    # a normal member round-trips
+    legit = b"WARC/1.0\r\n" + b"x" * 5000
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    assert _gunzip_members(co.compress(legit) + co.flush()) == legit
