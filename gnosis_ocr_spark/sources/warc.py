@@ -76,22 +76,22 @@ def _gunzip_members(data: bytes) -> bytes:
     if data[:2] != b"\x1f\x8b":
         return data
     # expansion bound: real WARC members compress ~3-10×; a crafted gzip
-    # bomb expands orders of magnitude more. 64× the compressed size
-    # (floored at MAX_BODY_BYTES for tiny test files) fails loudly
-    # instead of letting one hostile file exhaust an executor.
+    # bomb expands orders of magnitude more. At 64× the compressed size
+    # (floored at MAX_BODY_BYTES for tiny files) decompression STOPS and
+    # the tail is dropped — the parser's totality contract (malformed →
+    # records skipped, never raise, mutation-fuzz-pinned) holds while a
+    # hostile file can no longer exhaust an executor.
     cap = max(64 * len(data), MAX_BODY_BYTES)
     out = bytearray()
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             out += d.decompress(data, max(cap - len(out), 1))
-            if d.unconsumed_tail:
-                raise ValueError("WARC gzip expansion exceeds bound")
+            if d.unconsumed_tail or len(out) >= cap:
+                break  # bound hit mid-member: truncate, parser skips tail
             out += d.flush()
         except zlib.error:
             break
-        if len(out) > cap:
-            raise ValueError("WARC gzip expansion exceeds bound")
         data = d.unused_data
         if not data or data[:2] != b"\x1f\x8b":
             break

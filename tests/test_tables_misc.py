@@ -240,14 +240,18 @@ def test_warc_http_chunked_and_content_encoding():
 
 
 def test_warc_gzip_member_expansion_bounded():
-    """A gzip bomb posing as a per-record-compressed WARC must raise, not
-    MemoryError the executor; real member streams stay within the 64x
-    expansion bound and parse unchanged."""
+    """A gzip bomb posing as a per-record-compressed WARC is TRUNCATED at
+    the 64x expansion bound (the parser's totality contract — records
+    skipped, never raise — holds while the executor can't be memory-
+    exhausted); real member streams decompress unchanged, and the whole
+    parse stays total on the bomb."""
     import zlib
 
-    import pytest
-
-    from gnosis_ocr_spark.sources.warc import _gunzip_members
+    from gnosis_ocr_spark.sources.warc import (
+        MAX_BODY_BYTES,
+        _gunzip_members,
+        parse_warc_bytes,
+    )
 
     co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
     blk = b"\x00" * (1 << 20)
@@ -255,8 +259,10 @@ def test_warc_gzip_member_expansion_bounded():
     parts.append(co.flush())
     bomb = b"".join(parts)
     assert len(bomb) < 1_000_000
-    with pytest.raises(ValueError, match="expansion exceeds bound"):
-        _gunzip_members(bomb)
+    out = _gunzip_members(bomb)
+    assert len(out) <= max(64 * len(bomb), MAX_BODY_BYTES) + (1 << 20)
+    recs, _skipped = parse_warc_bytes(bomb)  # total, not an exception
+    assert recs == []
     # a normal member round-trips
     legit = b"WARC/1.0\r\n" + b"x" * 5000
     co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
