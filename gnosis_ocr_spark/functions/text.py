@@ -79,6 +79,20 @@ def tokens(text: Column) -> Column:
     )
 
 
+def segment_cjk(text: Column) -> Column:
+    """Space-delimit every CJK character (Han / kana / Hangul — the
+    LANG_SCRIPTS zh/ja/ko ranges) so whitespace-tokenized operators work
+    on space-free scripts: pass ``segment_cjk(text)`` anywhere a text
+    column feeds tokens() — shingle dedup, decontamination, token-count
+    gates — and Chinese/Japanese/Korean documents get character-level
+    tokens (the classic zh baseline; CCNet-style pipelines do exactly
+    this before n-gram work) while pure-Latin text passes through
+    byte-identical. Compositional by design: no dedup/curation operator
+    needed a tokenizer parameter."""
+    cjk = LANG_SCRIPTS["zh"] + LANG_SCRIPTS["ja"] + LANG_SCRIPTS["ko"]
+    return F.trim(F.regexp_replace(text, "([" + cjk + "])", " $1 "))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("int")
 

@@ -976,3 +976,40 @@ def test_lang_id_script_languages_and_sql_parity(spark):
     """
     oracle = {int(r[0]): r[1] for r in con.execute(sql).fetchall()}
     assert oracle == want
+
+
+def test_segment_cjk_unlocks_dedup_and_gates_for_cjk(spark):
+    """segment_cjk space-delimits Han/kana/Hangul so EVERY whitespace-
+    tokenized operator works on space-free scripts compositionally — a
+    zh near-dup pair that raw shingling cannot see (each doc is ONE
+    whitespace token) is found by the unchanged minhash pipeline over
+    the segmented column; token counts become per-character (the classic
+    zh baseline); pure-Latin text passes through byte-identical."""
+    from gnosis_ocr_spark.functions.dedup import minhash_near_duplicates
+    from gnosis_ocr_spark.functions.text import segment_cjk, token_count
+
+    zh_a = "机器学习模型在大规模数据上训练需要分布式计算框架支持并行处理"
+    zh_b = "机器学习模型在大规模数据上训练需要分布式计算框架支持并行计算"  # 1 char差
+    zh_c = "今天的天气很好我们一起去公园散步然后喝茶聊天看书写字画画休息"
+    rows = [(1, zh_a), (2, zh_b), (3, zh_c), (4, "plain latin text stays put")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seg = df.withColumn("seg", segment_cjk(F.col("text")))
+    got = {r["doc_id"]: r for r in seg.select(
+        "doc_id",
+        token_count(F.col("seg")).alias("nt"),
+        F.col("seg"),
+    ).collect()}
+    assert got[1]["nt"] == len(zh_a)          # per-character tokens
+    assert got[4]["seg"] == "plain latin text stays put"  # Latin identity
+
+    # raw text: every zh doc is ONE token -> no 3-word shingles -> no pairs
+    raw_pairs = minhash_near_duplicates(df, threshold=0.5).collect()
+    assert raw_pairs == []
+    # segmented: the 1-char-apart pair (Jaccard >> 0.5) is found; the
+    # unrelated zh doc is not paired with it
+    seg_docs = seg.select("doc_id", F.col("seg").alias("text"))
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_near_duplicates(seg_docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
