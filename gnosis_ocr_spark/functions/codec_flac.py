@@ -53,7 +53,9 @@ import struct
 
 import numpy as np
 
-MAX_TOTAL_SAMPLES = 1 << 26  # hostile-input bound (~256 MiB of int32 mono)
+MAX_TOTAL_SAMPLES = 1 << 26  # hostile-input bound on samples × channels
+# (~512 MiB of int64 working state at the cap, regardless of channel count
+# — the bound multiplies by channels so an 8-channel header can't 8× it)
 MAX_BLOCK = 65536
 
 _FIXED_RATES = {
@@ -231,6 +233,31 @@ _FIXED_COEFS = {
 }
 
 
+def _pcm_bytes(arr: np.ndarray, bits: int) -> bytes:
+    """FLAC's MD5 byte layout: channel-interleaved samples, little-endian,
+    the smallest whole number of bytes per sample, two's complement —
+    shared by the encoder (hashes its INPUT) and decoder (hashes its
+    OUTPUT) so the integrity chain can't drift between the two."""
+    channels = arr.shape[1]
+    nbytes = (bits + 7) // 8
+    inter = np.empty(arr.size, dtype=np.int64)
+    for c in range(channels):
+        inter[c::channels] = arr[:, c]
+    masked = inter & ((1 << (8 * nbytes)) - 1)
+    if nbytes == 1:
+        return masked.astype(np.uint8).tobytes()
+    if nbytes == 2:
+        return masked.astype("<u2").tobytes()
+    if nbytes == 3:
+        a32 = masked.astype(np.uint32)
+        b3 = np.empty((arr.size, 3), dtype=np.uint8)
+        b3[:, 0] = a32 & 0xFF
+        b3[:, 1] = (a32 >> 8) & 0xFF
+        b3[:, 2] = (a32 >> 16) & 0xFF
+        return b3.tobytes()
+    return masked.astype("<u4").tobytes()
+
+
 def _integrate_fixed(warmup: list[int], resid: np.ndarray, order: int) -> np.ndarray:
     """Reconstruct a FIXED-predictor subframe by repeated prefix-sum
     integration (Δ^order a = residual on the tail) — vectorized, exact in
@@ -361,7 +388,7 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
     md5 = si[18:34]
     if rate == 0:
         raise ValueError("FLAC: zero sample rate")
-    if total > MAX_TOTAL_SAMPLES:
+    if total * channels > MAX_TOTAL_SAMPLES:
         raise ValueError("FLAC: declared sample count exceeds bound")
     # walk metadata blocks to the audio frames
     pos = 4
@@ -441,6 +468,8 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
         if nch != channels:
             raise ValueError("FLAC: frame channel count contradicts STREAMINFO")
         hdr_end = (br.pos + 7) >> 3  # header is byte-aligned before CRC-8
+        if hdr_end + 1 > len(data):
+            raise ValueError("FLAC: truncated frame header")
         if _crc8(memoryview(data)[pos:hdr_end]) != data[hdr_end]:
             raise ValueError("FLAC: frame header CRC-8 mismatch")
         br.pos = (hdr_end + 1) * 8
@@ -473,7 +502,7 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
             m2 = (mid << 1) | (side & 1)
             subs = [(m2 + side) >> 1, (m2 - side) >> 1]
         got += blocksize
-        if got > MAX_TOTAL_SAMPLES:
+        if got * channels > MAX_TOTAL_SAMPLES:
             raise ValueError("FLAC: decoded sample count exceeds bound")
         for c in range(channels):
             chans[c].append(subs[c])
@@ -489,26 +518,7 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
     out = np.stack(planes, axis=1).astype(np.int32)
     md5_checked = False
     if verify_md5 and md5 != b"\x00" * 16:
-        nbytes = (bits + 7) // 8
-        inter = np.empty(out.size, dtype=np.int64)
-        for c in range(channels):
-            inter[c::channels] = out[:, c]
-        raw = bytearray()
-        masked = inter & ((1 << (8 * nbytes)) - 1)
-        if nbytes == 1:
-            raw = masked.astype(np.uint8).tobytes()
-        elif nbytes == 2:
-            raw = masked.astype(np.uint16).astype("<u2").tobytes()
-        elif nbytes == 3:
-            a32 = masked.astype(np.uint32)
-            b = np.empty((inter.size, 3), dtype=np.uint8)
-            b[:, 0] = a32 & 0xFF
-            b[:, 1] = (a32 >> 8) & 0xFF
-            b[:, 2] = (a32 >> 16) & 0xFF
-            raw = b.tobytes()
-        else:
-            raw = masked.astype(np.uint32).astype("<u4").tobytes()
-        if hashlib.md5(bytes(raw)).digest() != md5:
+        if hashlib.md5(_pcm_bytes(out, bits)).digest() != md5:
             raise ValueError("FLAC: decoded PCM MD5 mismatch")
         md5_checked = True
     return {
@@ -681,26 +691,10 @@ def encode_flac(
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     if arr.size and (arr.min() < lo or arr.max() > hi):
         raise ValueError("FLAC: samples exceed declared bit depth")
-    if n > MAX_TOTAL_SAMPLES:
+    if arr.size > MAX_TOTAL_SAMPLES:
         raise ValueError("FLAC: too many samples")
 
-    nbytes = (bits + 7) // 8
-    inter = np.empty(arr.size, dtype=np.int64)
-    for c in range(channels):
-        inter[c::channels] = arr[:, c]
-    masked = inter & ((1 << (8 * nbytes)) - 1)
-    if nbytes == 1:
-        raw = masked.astype(np.uint8).tobytes()
-    elif nbytes == 2:
-        raw = masked.astype("<u2").tobytes()
-    else:
-        a32 = masked.astype(np.uint32)
-        b3 = np.empty((inter.size, 3), dtype=np.uint8)
-        b3[:, 0] = a32 & 0xFF
-        b3[:, 1] = (a32 >> 8) & 0xFF
-        b3[:, 2] = (a32 >> 16) & 0xFF
-        raw = b3.tobytes()
-    md5 = hashlib.md5(raw).digest()
+    md5 = hashlib.md5(_pcm_bytes(arr, bits)).digest()
 
     si = bytearray(34)
     struct.pack_into(">H", si, 0, min(max(block_size, 16), 65535))

@@ -4755,11 +4755,16 @@ def _apply_one_filter(
         # above any legitimate content/image stream at this engine's
         # page/pixel bounds; past it we fail loudly instead of letting
         # a hostile doc MemoryError the executor (codec_jpeg.MAX_PIXELS
-        # rationale).
+        # rationale). Semantics otherwise preserved exactly from
+        # zlib.decompress: truncated stream raises (not dec.eof —
+        # unconsumed_tail alone misses bombs that pause at a symbol
+        # boundary, e.g. stored blocks); trailing garbage is tolerated.
         dec = zlib.decompressobj()
         out = dec.decompress(raw, MAX_STREAM_BYTES)
-        if dec.decompress(b"", 1):
+        if dec.unconsumed_tail:
             raise ValueError("FlateDecode output exceeds stream bound")
+        if not dec.eof:
+            raise ValueError("FlateDecode stream truncated")
         return out
     if name == b"LZWDecode":
         em = _EARLYCHANGE_RE.search(parm)

@@ -131,8 +131,15 @@ def decode_pixels(png: bytes) -> bytes:
     Inflate is bounded to the declared geometry — this fast path sees raw
     crawl bytes first in media_features/resize_images, so a zlib bomb
     behind a small IHDR must fail loudly, not MemoryError the executor
-    (same rationale as decode_png_gray's bounded inflate below)."""
+    (same rationale as decode_png_gray's bounded inflate below). The
+    declared geometry is itself attacker-controlled, so it gets the same
+    50 MPix gate as the general decoder; and a first-IDAT inflate that
+    comes up SHORT (multi-IDAT or truncated stream) raises so callers
+    fall back to decode_png_gray, which concatenates all IDAT chunks —
+    never a silently short pixel buffer."""
     w, h = decode_dimensions(png)
+    if w * h > 50_000_000:
+        raise ValueError("unreasonable PNG dimensions")
     for tag, data in iter_chunks(png):
         if tag == b"IDAT":
             need = h * (w + 1)  # gray8 + one filter byte per scanline
@@ -140,6 +147,8 @@ def decode_pixels(png: bytes) -> bytes:
             raw = dec.decompress(data, need + 1)
             if len(raw) > need:
                 raise ValueError("IDAT decompresses past expected size")
+            if len(raw) < need:
+                raise ValueError("truncated IDAT")
             out = bytearray()
             stride = w + 1
             for y in range(h):

@@ -410,33 +410,27 @@ def _feature_batches(dim: int):
                         px = np.frombuffer(gray, dtype=np.uint8)
                     except Exception:
                         px = None
-                elif mtype == "audio/wav":
-                    # real DSP: amplitude histogram over 16-bit PCM samples
+                elif mtype in ("audio/wav", "audio/flac"):
+                    # real DSP: one shared amplitude-histogram feature —
+                    # only the PCM source differs (16-bit WAV samples, or
+                    # full FLAC frame decode via codec_flac: rice/LPC/
+                    # stereo reconstruction, CRC + MD5 verified), so the
+                    # WAV-vs-FLAC parity the tests assert holds by
+                    # construction, not by keeping two copies in sync
                     try:
-                        from gnosis_ocr_spark.functions.codec_media import (
-                            wav_samples,
-                        )
+                        if mtype == "audio/wav":
+                            from gnosis_ocr_spark.functions.codec_media import (
+                                wav_samples,
+                            )
 
-                        amp = np.abs(wav_samples(data))
-                        hist, _ = np.histogram(amp, bins=dim, range=(0.0, 1.0))
-                        v = (hist / max(len(amp), 1)).astype(np.float32)
-                        urls.append(url)
-                        types.append(mtype)
-                        feats.append(v.tolist())
-                        continue
-                    except Exception:
-                        px = None
-                elif mtype == "audio/flac":
-                    # real DSP over REAL frame decode (codec_flac: rice/
-                    # LPC/stereo reconstruction, CRC + MD5 verified) —
-                    # same amplitude-histogram feature as the WAV path
-                    try:
-                        from gnosis_ocr_spark.functions.codec_flac import (
-                            decode_flac_pcm16,
-                        )
+                            amp = np.abs(wav_samples(data))
+                        else:
+                            from gnosis_ocr_spark.functions.codec_flac import (
+                                decode_flac_pcm16,
+                            )
 
-                        _, mono = decode_flac_pcm16(data)
-                        amp = np.abs(mono.astype(np.float64) / 32768.0)
+                            _, mono = decode_flac_pcm16(data)
+                            amp = np.abs(mono.astype(np.float64) / 32768.0)
                         hist, _ = np.histogram(amp, bins=dim, range=(0.0, 1.0))
                         v = (hist / max(len(amp), 1)).astype(np.float32)
                         urls.append(url)

@@ -1615,3 +1615,34 @@ def test_pdf_stream_filters_bound_decompression():
     # legitimate streams still decode exactly
     assert _apply_one_filter(b"FlateDecode", b"", zlib.compress(b"ok" * 10)) \
         == b"ok" * 10
+
+
+def test_pdf_flate_bound_catches_stored_block_bombs_and_truncation(monkeypatch):
+    """The inflate bound must hold for streams of STORED/incompressible
+    deflate blocks (these pause at symbol boundaries, so a zero-length
+    follow-up probe returns nothing — the excess sits in unconsumed_tail,
+    which is what the guard must inspect), and a truncated Flate stream
+    must still raise — the exact zlib.decompress semantics callers map to
+    their failure sentinel. The cap is monkeypatched down so the stored
+    stream stays test-sized."""
+    import zlib
+
+    import numpy as np
+
+    from gnosis_ocr_spark.functions import codec_pdf as P
+
+    monkeypatch.setattr(P, "MAX_STREAM_BYTES", 1 << 20)
+    blk = np.random.default_rng(3).integers(
+        0, 256, size=1 << 18, dtype="u1"
+    ).tobytes()  # incompressible -> stored blocks at any level
+    co = zlib.compressobj(9)
+    parts = [co.compress(blk) for _ in range(9)]  # ~2.25 MiB vs the 1 MiB cap
+    parts.append(co.flush())
+    bomb = b"".join(parts)
+    with pytest.raises(ValueError, match="exceeds stream bound"):
+        P._apply_one_filter(b"FlateDecode", b"", bomb)
+    with pytest.raises(ValueError, match="truncated"):
+        P._apply_one_filter(b"FlateDecode", b"", zlib.compress(b"x" * 1000)[:-4])
+    # trailing garbage after a complete stream stays tolerated (original
+    # zlib.decompress semantics)
+    assert P._apply_one_filter(b"FlateDecode", b"", zlib.compress(b"ok") + b"JUNK") == b"ok"

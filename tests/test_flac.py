@@ -215,3 +215,36 @@ def test_media_features_flac_equals_wav(spark):
     assert np.array_equal(got["wav"], got["flac"])
     assert got["flac"].sum() > 0
     assert len(got["metaonly"]) == 8  # stub fallback, no error
+
+
+def test_truncation_raises_valueerror_at_every_cut():
+    """EVERY truncation point must raise ValueError (the documented loud
+    contract) — never IndexError or silent partial PCM. Catches the
+    frame-header-CRC byte edge among all others."""
+    blob = FL.encode_flac(_sine(700), block_size=256)
+    for cut in range(4, len(blob)):
+        with pytest.raises(ValueError):
+            FL.decode_flac(blob[:cut])
+
+
+def test_channel_count_cannot_multiply_memory_bound():
+    """An 8-channel header must not 8x the decode allocation: the bound is
+    samples x channels, so a declared total that would pass mono is
+    rejected when the stream claims 8 channels."""
+    per_ch = (FL.MAX_TOTAL_SAMPLES // 8) + 1
+    blob = bytearray(FL.encode_flac(np.zeros(16, dtype=np.int64)))
+    # patch STREAMINFO (body starts at byte 8): channels-1=7 into si[12]
+    # bits 3-1, the 36-bit total into si[13] low nibble + si[14:18]
+    blob[8 + 12] = (blob[8 + 12] & ~0x0E) | (7 << 1)
+    blob[8 + 13] = (blob[8 + 13] & 0xF0) | ((per_ch >> 32) & 0x0F)
+    blob[8 + 14 : 8 + 18] = (per_ch & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="exceeds bound"):
+        FL.decode_flac(bytes(blob))
+    # the same declared total passes as MONO (proves the gate multiplies
+    # by channels rather than just having a smaller constant): it then
+    # fails later, loudly, because the stream lacks the declared frames
+    mono = bytearray(FL.encode_flac(np.zeros(16, dtype=np.int64)))
+    mono[8 + 13] = (mono[8 + 13] & 0xF0) | ((per_ch >> 32) & 0x0F)
+    mono[8 + 14 : 8 + 18] = (per_ch & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="ends before declared"):
+        FL.decode_flac(bytes(mono), verify_md5=False)

@@ -460,3 +460,34 @@ def test_fast_path_png_decoder_rejects_bombs():
            + G._chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="past expected size"):
         decode_pixels(png)
+
+
+def test_fast_path_png_rejects_huge_dims_and_short_idat():
+    """The fast path's geometry bound cannot be defeated by declaring huge
+    dimensions (50 MPix gate, same as the general decoder), and a first
+    IDAT that inflates SHORT (multi-IDAT/truncated PNGs) raises so callers
+    fall back to decode_png_gray's all-chunk path — never a silently short
+    pixel buffer."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+    from gnosis_ocr_spark.functions.codec_png import decode_pixels, decode_png_gray
+
+    ihdr = _s.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    png = (G._MAGIC + G._chunk(b"IHDR", ihdr)
+           + G._chunk(b"IDAT", _z.compress(b"\x00" * 1000)) + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unreasonable"):
+        decode_pixels(png)
+    # split-IDAT: valid 4x4 image, scanlines split across two IDAT chunks
+    w = h = 4
+    raw = b"".join(b"\x00" + bytes(range(i * w, (i + 1) * w)) for i in range(h))
+    z = _z.compress(raw)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    split = (G._MAGIC + G._chunk(b"IHDR", ihdr)
+             + G._chunk(b"IDAT", z[:6]) + G._chunk(b"IDAT", z[6:])
+             + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        decode_pixels(split)
+    gw, gh, gray = decode_png_gray(split)  # the fallback reads all chunks
+    assert (gw, gh) == (w, h) and gray == bytes(range(16))
