@@ -346,13 +346,14 @@ def _feature_batches(dim: int):
                         except Exception:
                             px = None
                 elif mtype == "image/jpeg":
-                    # real luma statistics (baseline decoder, codec_jpeg)
+                    # real luma statistics (codec_jpeg: baseline AND
+                    # progressive SOF2 — common in web crawls)
                     try:
                         from gnosis_ocr_spark.functions.codec_jpeg import (
-                            decode_baseline_jpeg,
+                            decode_jpeg,
                         )
 
-                        _, _, _, luma = decode_baseline_jpeg(data)
+                        _, _, _, luma = decode_jpeg(data)
                         px = np.frombuffer(luma, dtype=np.uint8)
                     except Exception:
                         px = None
@@ -550,13 +551,14 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         except Exception:
                             w = h = None
                 elif mtype == "image/jpeg":
-                    # real baseline decode → grayscale luma resize → PNG out
+                    # real decode (baseline + progressive) → grayscale
+                    # luma resize → PNG out
                     try:
                         from gnosis_ocr_spark.functions.codec_jpeg import (
-                            decode_baseline_jpeg,
+                            decode_jpeg,
                         )
 
-                        dw, dh, _, luma = decode_baseline_jpeg(data)
+                        dw, dh, _, luma = decode_jpeg(data)
                         decoded = (luma, dw, dh)
                     except Exception:
                         w = h = None  # arithmetic/lossless: passthrough

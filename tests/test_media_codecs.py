@@ -491,3 +491,26 @@ def test_fast_path_png_rejects_huge_dims_and_short_idat():
         decode_pixels(split)
     gw, gh, gray = decode_png_gray(split)  # the fallback reads all chunks
     assert (gw, gh) == (w, h) and gray == bytes(range(16))
+
+
+def test_features_and_resize_handle_progressive_jpeg(spark):
+    """Progressive (SOF2) JPEGs — common in web crawls — get REAL decoded
+    features and a real resize, not the bytes-histogram stub / passthrough
+    (the branches previously used the baseline-only decoder)."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import (
+        decode_jpeg,
+        encode_gray_jpeg_progressive,
+    )
+    from gnosis_ocr_spark.operators.multimodal import media_features, resize_images
+
+    px = bytes((x * 5 + 3) % 256 for x in range(300 * 40))
+    prog = encode_gray_jpeg_progressive(px, 300, 40)
+    base_luma = np.frombuffer(decode_jpeg(prog)[3], dtype=np.uint8)
+    df = spark.createDataFrame([("p", bytearray(prog))], "url string, data binary")
+    feat = np.array(media_features(df, dim=8).collect()[0]["feature"])
+    want, _ = np.histogram(base_luma, bins=8, range=(0, 256))
+    assert np.allclose(feat, want / len(base_luma))
+    r = resize_images(df, max_dim=64).collect()[0]
+    assert r["status"] == "resized" and max(r["width"], r["height"]) <= 64
