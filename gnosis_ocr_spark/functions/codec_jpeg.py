@@ -936,3 +936,93 @@ def encode_gray_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (EXIF 2.3 §4.6.4 tag 0x0112 — a TIFF IFD inside APP1)
+# ---------------------------------------------------------------------------
+
+
+def exif_orientation(data: bytes) -> int:
+    """Orientation 1-8 from the first APP1 ``Exif`` segment, 1 (normal)
+    when absent or unparseable — total on hostile input. Conformant
+    viewers (browsers, poppler) apply this before display, so any
+    pipeline comparing against rendered output must too."""
+    if data[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):  # EXIF must precede the scan
+            break
+        if pos + 2 > len(data):
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+            continue
+        tiff = seg[6:]
+        try:
+            from gnosis_ocr_spark.functions.codec_tiff import _read_ifd
+
+            if tiff[:4] == b"II*\x00":
+                fmt = "<"
+            elif tiff[:4] == b"MM\x00*":
+                fmt = ">"
+            else:
+                return 1
+            (off,) = struct.unpack_from(fmt + "I", tiff, 4)
+            entries, _ = _read_ifd(tiff, off, fmt)
+            v = entries.get(0x0112, [1])
+            v = v[0] if v else 1
+            return v if 1 <= v <= 8 else 1
+        except Exception:
+            return 1
+    return 1
+
+
+def orient_gray(pixels: bytes, w: int, h: int, orientation: int) -> tuple[bytes, int, int]:
+    """Apply the EXIF orientation transform to row-major gray pixels →
+    (pixels, w, h) upright. The eight transforms follow the EXIF 2.3
+    table (same mapping PIL's exif_transpose applies): 2 mirror-H,
+    3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    8 rotate 90 CCW."""
+    if orientation <= 1 or orientation > 8:
+        return pixels, w, h
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:
+        a = a.T
+    elif orientation == 6:
+        a = np.rot90(a, k=-1)
+    elif orientation == 7:
+        a = np.rot90(a, 2).T
+    else:  # 8
+        a = np.rot90(a, k=1)
+    oh, ow = a.shape
+    return np.ascontiguousarray(a).tobytes(), ow, oh
+
+
+def exif_app1(orientation: int, byte_order: str = "<") -> bytes:
+    """Fixture writer: a minimal APP1 ``Exif`` segment (TIFF header + one
+    IFD carrying tag 0x0112 SHORT=orientation) in either byte order —
+    splice after SOI to build oriented test JPEGs."""
+    fmt = byte_order
+    hdr = (b"II*\x00" if fmt == "<" else b"MM\x00*") + struct.pack(fmt + "I", 8)
+    ifd = struct.pack(fmt + "H", 1)
+    ifd += struct.pack(fmt + "HHI", 0x0112, 3, 1)
+    ifd += struct.pack(fmt + "H", orientation) + b"\x00\x00"
+    ifd += struct.pack(fmt + "I", 0)  # no next IFD
+    body = b"Exif\x00\x00" + hdr + ifd
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body

@@ -127,9 +127,17 @@ def decode_image_gray(data: bytes) -> tuple[int, int, bytes] | None:
 
             return decode_png_gray(data)
         if mtype == "image/jpeg":
-            from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg
+            from gnosis_ocr_spark.functions.codec_jpeg import (
+                decode_jpeg,
+                exif_orientation,
+                orient_gray,
+            )
 
             w, h, _, luma = decode_jpeg(data)
+            # crawl JPEGs carry EXIF orientation that conformant viewers
+            # (and thus the reference's poppler rendering) apply before
+            # display — OCR must see the upright pixels
+            luma, w, h = orient_gray(luma, w, h, exif_orientation(data))
             return w, h, luma
         if mtype == "image/gif":
             from gnosis_ocr_spark.functions.codec_media import decode_gif_gray
@@ -551,14 +559,19 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         except Exception:
                             w = h = None
                 elif mtype == "image/jpeg":
-                    # real decode (baseline + progressive) → grayscale
-                    # luma resize → PNG out
+                    # real decode (baseline + progressive) → EXIF
+                    # orientation → grayscale luma resize → PNG out
                     try:
                         from gnosis_ocr_spark.functions.codec_jpeg import (
                             decode_jpeg,
+                            exif_orientation,
+                            orient_gray,
                         )
 
                         dw, dh, _, luma = decode_jpeg(data)
+                        luma, dw, dh = orient_gray(
+                            luma, dw, dh, exif_orientation(data)
+                        )
                         decoded = (luma, dw, dh)
                     except Exception:
                         w = h = None  # arithmetic/lossless: passthrough

@@ -195,3 +195,83 @@ def test_hostile_dimensions_raise_cleanly():
     jp[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
     with pytest.raises(J.JpegError, match="unreasonable"):
         J.decode_baseline_jpeg(bytes(jp))
+
+
+def test_exif_orientation_parse_and_transforms():
+    """Tag 0x0112 parses from both byte orders; all eight EXIF transforms
+    match the spec table (pinned on an asymmetric array); hostile/absent
+    EXIF is total and returns 1."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import (
+        encode_gray_jpeg,
+        exif_app1,
+        exif_orientation,
+        orient_gray,
+    )
+
+    base = encode_gray_jpeg(bytes(24), 6, 4)
+    for bo in "<>":
+        for o in range(1, 9):
+            j = base[:2] + exif_app1(o, bo) + base[2:]
+            assert exif_orientation(j) == o
+    assert exif_orientation(base) == 1  # no EXIF
+    assert exif_orientation(b"\xff\xd8\xff\xe1\x00\x04Ex") == 1  # hostile
+    assert exif_orientation(base[:2] + exif_app1(99) + base[2:]) == 1
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    px = a.tobytes()
+    expect = {
+        1: a,
+        2: a[:, ::-1],
+        3: a[::-1, ::-1],
+        4: a[::-1, :],
+        5: a.T,
+        6: np.rot90(a, -1),
+        7: np.rot90(a, 2).T,
+        8: np.rot90(a, 1),
+    }
+    for o, want in expect.items():
+        got, w, h = orient_gray(px, 3, 2, o)
+        assert (h, w) == want.shape
+        assert np.array_equal(np.frombuffer(got, np.uint8).reshape(h, w), want)
+    # inverse sanity: orientation 6 then 8 round-trips
+    p6, w6, h6 = orient_gray(px, 3, 2, 6)
+    p_rt, w_rt, h_rt = orient_gray(p6, w6, h6, 8)
+    assert (p_rt, w_rt, h_rt) == (px, 3, 2)
+
+
+def test_oriented_jpeg_uprights_through_ocr_route_and_resize(spark):
+    """An orientation-6 (90° CW stored) JPEG reaches OCR and resize
+    upright: decode_image_gray returns the rotated pixels and
+    resize_images swaps the dimensions — matching what a conformant
+    viewer (and the reference's poppler rendering) shows."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import (
+        decode_jpeg,
+        encode_gray_jpeg,
+        exif_app1,
+    )
+    from gnosis_ocr_spark.operators.multimodal import (
+        decode_image_gray,
+        resize_images,
+    )
+
+    w, h = 96, 32
+    px = bytes((x * 7 + 3) % 256 for x in range(w * h))
+    plain = encode_gray_jpeg(px, w, h)
+    oriented = plain[:2] + exif_app1(6) + plain[2:]
+    _, _, _, luma = decode_jpeg(plain)
+    want = np.rot90(
+        np.frombuffer(luma, np.uint8).reshape(h, w), -1
+    )
+    gw, gh, gray = decode_image_gray(oriented)
+    assert (gw, gh) == (h, w)  # dimensions swapped
+    assert np.array_equal(np.frombuffer(gray, np.uint8).reshape(gh, gw), want)
+    df = spark.createDataFrame(
+        [("o", bytearray(oriented))], "url string, data binary"
+    )
+    r = resize_images(df, max_dim=48).collect()[0]
+    assert r["status"] == "resized"
+    assert (r["width"], r["height"]) == (16, 48)  # portrait after upright
