@@ -147,6 +147,7 @@ def tiff_info(data: bytes) -> dict:
         "tile_offsets": tags.get(324, []),
         "tile_counts": tags.get(325, []),
         "predictor": one(317, 1),
+        "orientation": one(274, 1),
         "t4_options": one(292, 0),
         "t6_options": one(293, 0),
         "colormap": tags.get(320),
@@ -370,7 +371,10 @@ def _decode_block(raw: bytes, info: dict, rows: int, width: int) -> np.ndarray:
 def decode_tiff_gray(data: bytes) -> tuple[int, int, bytes]:
     """Decode the first IFD to visual 8-bit grayscale (0 = black). Strips
     stack vertically, exactly like the multi-strip PDF scanned path;
-    tiles (§15) paste row-major with right/bottom edge padding cropped."""
+    tiles (§15) paste row-major with right/bottom edge padding cropped.
+    Orientation (tag 274, common in scanner/fax output) is applied so
+    the pixels come back upright — same 8-transform table as the EXIF
+    path (codec_jpeg.orient_gray)."""
     info = tiff_info(data)
     w, h = info["width"], info["height"]
     if info["tiled"]:
@@ -394,7 +398,7 @@ def decode_tiff_gray(data: bytes) -> tuple[int, int, bytes]:
                 out[ys : min(ys + th, h), xs : min(xs + tw, w)] = block[
                     : h - ys, : w - xs
                 ]
-        return w, h, out.tobytes()
+        return _oriented(out.tobytes(), w, h, info["orientation"])
     offs, cnts = info["strip_offsets"], info["strip_counts"]
     if not offs or len(offs) != len(cnts):
         raise TiffError("TIFF: bad strip tables")
@@ -413,7 +417,14 @@ def decode_tiff_gray(data: bytes) -> tuple[int, int, bytes]:
         remaining -= strip_rows
     if remaining > 0:
         raise TiffError("TIFF: missing strips")
-    return w, h, np.vstack(parts).tobytes()
+    return _oriented(np.vstack(parts).tobytes(), w, h, info["orientation"])
+
+
+def _oriented(px: bytes, w: int, h: int, orientation: int) -> tuple[int, int, bytes]:
+    from gnosis_ocr_spark.functions.codec_jpeg import orient_gray
+
+    px, w, h = orient_gray(px, w, h, orientation)
+    return w, h, px
 
 
 # ------------------------------------------------------------------ writer
@@ -487,14 +498,18 @@ def encode_tiff_gray(
     fill_order: int = 1,
     predictor: int = 1,
     big_endian: bool = False,
+    orientation: int = 1,
 ) -> bytes:
     """Fixture writer: 8-bit grayscale pixels → a spec-valid stripped TIFF.
     Fax compressions threshold at 128 and write ``bits=1``; ``fill_order=2``
     bit-reverses fax strips (the LSB-first fax-world shape); ``predictor=2``
-    applies horizontal differencing before lzw/deflate."""
+    applies horizontal differencing before lzw/deflate; ``orientation``
+    writes tag 274 (the STORED pixels are given as-is — a decoder must
+    transform them to display upright)."""
     return _assemble_tiff(
         *_gray_page_parts(gray, width, height, compression, rows_per_strip,
-                          photometric, fill_order, predictor),
+                          photometric, fill_order, predictor,
+                          orientation=orientation),
         ">" if big_endian else "<",
     )
 
@@ -502,7 +517,7 @@ def encode_tiff_gray(
 def _gray_page_parts(
     gray: bytes, width: int, height: int, compression: str,
     rows_per_strip: int | None, photometric: int, fill_order: int,
-    predictor: int,
+    predictor: int, orientation: int = 1,
 ) -> tuple[list[bytes], list[tuple[int, int, list[int]]]]:
     """One gray page → (strips, tags) for the assembler."""
     if compression not in _COMP_CODES:
@@ -531,6 +546,8 @@ def _gray_page_parts(
     ]
     if fill_order == 2 and fax:
         tags.append((266, _SHORT, [2]))
+    if orientation != 1:
+        tags.append((274, _SHORT, [orientation]))
     if compression == "g3_2d":
         tags.append((292, _LONG, [1]))
     elif compression == "g3":

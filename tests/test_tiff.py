@@ -459,3 +459,41 @@ def test_resize_real_for_tiff_and_bmp(spark):
     assert max(got["webp"]["width"], got["webp"]["height"]) == 64
     w, h = decode_dimensions(bytes(got["webp"]["data"]))
     assert (w, h) == (got["webp"]["width"], got["webp"]["height"])
+
+
+def test_tiff_orientation_tag_applies_all_transforms():
+    """Tag 274 (scanner/fax output routinely stores rotated) decodes to
+    upright pixels via the same 8-transform table as the EXIF path —
+    pinned against numpy on an asymmetric image, both byte orders, and
+    through a G4 fax compression where the stored bits are 1-bit."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_tiff import (
+        decode_tiff_gray,
+        encode_tiff_gray,
+    )
+
+    w, h = 6, 4
+    a = ((np.arange(w * h).reshape(h, w) * 9) % 256).astype(np.uint8)
+    expect = {
+        1: a, 2: a[:, ::-1], 3: a[::-1, ::-1], 4: a[::-1, :],
+        5: a.T, 6: np.rot90(a, -1), 7: np.rot90(a, 2).T, 8: np.rot90(a, 1),
+    }
+    for be in (False, True):
+        for o, want in expect.items():
+            t = encode_tiff_gray(a.tobytes(), w, h, orientation=o,
+                                 big_endian=be)
+            gw, gh, gray = decode_tiff_gray(t)
+            assert (gh, gw) == want.shape
+            assert np.array_equal(
+                np.frombuffer(gray, np.uint8).reshape(gh, gw), want
+            ), (be, o)
+    # fax path: 1-bit G4 storage, orientation 6 → upright portrait
+    bw_img = np.where(a > 96, 255, 0).astype(np.uint8)
+    t = encode_tiff_gray(bw_img.tobytes(), w, h, compression="g4",
+                         orientation=6)
+    gw, gh, gray = decode_tiff_gray(t)
+    assert (gw, gh) == (h, w)
+    assert np.array_equal(
+        np.frombuffer(gray, np.uint8).reshape(gh, gw), np.rot90(bw_img, -1)
+    )
