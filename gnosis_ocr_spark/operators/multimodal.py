@@ -167,10 +167,17 @@ def _decode_png_meta(data: bytes) -> tuple[int | None, int | None, float | None]
 
 def _decode_jpeg_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """REAL JPEG dimensions from the SOF marker (codec_jpeg; any DCT-family
-    SOF — the pixel decode path additionally handles the baseline subset)."""
-    from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg_dimensions
+    SOF — the pixel decode path additionally handles the baseline subset).
+    EXIF orientations 5-8 swap the reported w/h — the upright dimensions
+    a browser shows, consistent with the OCR/resize paths."""
+    from gnosis_ocr_spark.functions.codec_jpeg import (
+        decode_jpeg_dimensions,
+        exif_orientation,
+    )
 
     w, h, _ = decode_jpeg_dimensions(data)
+    if exif_orientation(data) >= 5:
+        w, h = h, w
     return w, h, None
 
 

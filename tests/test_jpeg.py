@@ -275,3 +275,23 @@ def test_oriented_jpeg_uprights_through_ocr_route_and_resize(spark):
     r = resize_images(df, max_dim=48).collect()[0]
     assert r["status"] == "resized"
     assert (r["width"], r["height"]) == (16, 48)  # portrait after upright
+
+
+def test_oriented_jpeg_metadata_reports_upright_dims(spark):
+    """media_metadata reports the dimensions a browser shows: orientations
+    5-8 swap w/h; 1-4 and EXIF-free JPEGs are unchanged."""
+    from gnosis_ocr_spark.functions.codec_jpeg import encode_gray_jpeg, exif_app1
+    from gnosis_ocr_spark.operators.multimodal import media_metadata
+
+    plain = encode_gray_jpeg(bytes(96 * 32), 96, 32)
+    rows = [
+        ("plain", bytearray(plain)),
+        ("o3", bytearray(plain[:2] + exif_app1(3) + plain[2:])),
+        ("o6", bytearray(plain[:2] + exif_app1(6) + plain[2:])),
+    ]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: (r["width"], r["height"])
+           for r in media_metadata(df).collect()}
+    assert got["plain"] == (96, 32)
+    assert got["o3"] == (96, 32)
+    assert got["o6"] == (32, 96)
