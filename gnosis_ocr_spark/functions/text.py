@@ -147,7 +147,15 @@ def lang_id(text: Column, toks: Column | None = None) -> Column:
     idx = F.array_position(hits, best).cast("int")  # 1-based FIRST max
     marker = F.when(best > 0, F.element_at(langs, idx)).otherwise(F.lit("und"))
 
+    # the GATE costs exactly two regex passes per row (one combined class
+    # over the union of all script ranges + one Latin count); the nine
+    # per-script counts live INSIDE the when() branch, which codegen
+    # evaluates lazily per row — so the overwhelmingly-Latin web pays 2
+    # extra passes, not 11 (measured: the 11-pass version added +170% to
+    # prepare_training_compose at sf0.1)
     s_order = list(LANG_SCRIPTS)
+    s_total = _script_count(text, "".join(LANG_SCRIPTS.values()))
+    latin = _script_count(text, _LATIN_CLASS)
     raw = [_script_count(text, LANG_SCRIPTS[lang]) for lang in s_order]
     weighted = F.array(
         *[
@@ -156,10 +164,6 @@ def lang_id(text: Column, toks: Column | None = None) -> Column:
         ]
     )
     s_langs = F.array(*[F.lit(lang) for lang in s_order])
-    s_total = raw[0]
-    for c in raw[1:]:
-        s_total = s_total + c
-    latin = _script_count(text, _LATIN_CLASS)
     s_best = F.array_max(weighted)
     s_idx = F.array_position(weighted, s_best).cast("int")
     return F.when(
@@ -198,7 +202,10 @@ def lang_case_sql(ltoks_expr: str = "ltoks", text_expr: str = "text") -> str:
         return f"({c} * {KANA_WEIGHT})" if lang == "ja" else c
 
     s_order = list(LANG_SCRIPTS)
-    s_total = " + ".join(sc(LANG_SCRIPTS[lang]) for lang in s_order)
+    # mirror of the Spark side's lazy gate: ONE combined-class count in
+    # the CASE condition; the per-script counts sit in the THEN branch,
+    # which DuckDB also evaluates lazily per row
+    s_total = sc("".join(LANG_SCRIPTS.values()))
     latin = sc(_LATIN_CLASS)
     s_clauses = []
     for i, lang in enumerate(s_order):
