@@ -981,7 +981,9 @@ def exif_orientation(data: bytes) -> int:
             entries, _ = _read_ifd(tiff, off, fmt)
             v = entries.get(0x0112, [1])
             v = v[0] if v else 1
-            return v if 1 <= v <= 8 else 1
+            # exact int only: a hostile RATIONAL-typed tag yields a float
+            # that would otherwise pass the range check
+            return v if isinstance(v, int) and 1 <= v <= 8 else 1
         except Exception:
             return 1
     return 1
@@ -993,8 +995,8 @@ def orient_gray(pixels: bytes, w: int, h: int, orientation: int) -> tuple[bytes,
     table (same mapping PIL's exif_transpose applies): 2 mirror-H,
     3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW, 7 transverse,
     8 rotate 90 CCW."""
-    if orientation <= 1 or orientation > 8:
-        return pixels, w, h
+    if not isinstance(orientation, int) or orientation <= 1 or orientation > 8:
+        return pixels, w, h  # identity for anything non-spec (incl. floats)
     a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
     if orientation == 2:
         a = a[:, ::-1]
@@ -1008,7 +1010,7 @@ def orient_gray(pixels: bytes, w: int, h: int, orientation: int) -> tuple[bytes,
         a = np.rot90(a, k=-1)
     elif orientation == 7:
         a = np.rot90(a, 2).T
-    else:  # 8
+    elif orientation == 8:
         a = np.rot90(a, k=1)
     oh, ow = a.shape
     return np.ascontiguousarray(a).tobytes(), ow, oh

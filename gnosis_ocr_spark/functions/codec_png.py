@@ -138,7 +138,7 @@ def decode_pixels(png: bytes) -> bytes:
     fall back to decode_png_gray, which concatenates all IDAT chunks —
     never a silently short pixel buffer."""
     w, h = decode_dimensions(png)
-    if w * h > 50_000_000:
+    if w == 0 or h == 0 or w * h > 50_000_000:
         raise ValueError("unreasonable PNG dimensions")
     for tag, data in iter_chunks(png):
         if tag == b"IDAT":

@@ -214,10 +214,17 @@ def _decode_jp2_meta(data: bytes) -> tuple[int | None, int | None, float | None]
 
 
 def _decode_tiff_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
-    """REAL TIFF dimensions from the first IFD (codec_tiff)."""
-    from gnosis_ocr_spark.functions.codec_tiff import tiff_dimensions
+    """REAL TIFF dimensions from the first IFD (codec_tiff). Orientations
+    5-8 (tag 274) swap the reported w/h — the upright dimensions, matching
+    what decode_tiff_gray/resize return for the same bytes (the same
+    consistency contract as the JPEG EXIF path)."""
+    from gnosis_ocr_spark.functions.codec_tiff import tiff_info
 
-    w, h = tiff_dimensions(data)
+    info = tiff_info(data)
+    w, h = info["width"], info["height"]
+    o = info["orientation"]
+    if isinstance(o, int) and o >= 5:
+        w, h = h, w
     return w, h, None
 
 

@@ -295,3 +295,34 @@ def test_oriented_jpeg_metadata_reports_upright_dims(spark):
     assert got["plain"] == (96, 32)
     assert got["o3"] == (96, 32)
     assert got["o6"] == (32, 96)
+
+
+def test_hostile_rational_orientation_is_identity():
+    """A RATIONAL-typed (type 5) orientation tag decodes to a float —
+    exif_orientation must reject it (exact int 1-8 only) and orient_gray
+    must be identity for any non-spec value, never the catch-all rotate."""
+    import struct as _s
+
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpeg import (
+        encode_gray_jpeg,
+        exif_orientation,
+        orient_gray,
+    )
+
+    # minimal APP1 with tag 0x0112 typed RATIONAL (5), value 13/2 = 6.5
+    hdr = b"II*\x00" + _s.pack("<I", 8)
+    ifd = _s.pack("<H", 1)
+    ifd += _s.pack("<HHI", 0x0112, 5, 1) + _s.pack("<I", 8 + 2 + 12 + 4)
+    ifd += _s.pack("<I", 0)
+    ifd += _s.pack("<II", 13, 2)  # the rational payload
+    body = b"Exif\x00\x00" + hdr + ifd
+    app1 = b"\xff\xe1" + _s.pack(">H", 2 + len(body)) + body
+    base = encode_gray_jpeg(bytes(24), 6, 4)
+    assert exif_orientation(base[:2] + app1 + base[2:]) == 1
+
+    px = np.arange(6, dtype=np.uint8).tobytes()
+    for bad in (6.5, 0, 9, -3, "6"):
+        got, w, h = orient_gray(px, 3, 2, bad)
+        assert (got, w, h) == (px, 3, 2)

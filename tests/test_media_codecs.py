@@ -514,3 +514,25 @@ def test_features_and_resize_handle_progressive_jpeg(spark):
     assert np.allclose(feat, want / len(base_luma))
     r = resize_images(df, max_dim=64).collect()[0]
     assert r["status"] == "resized" and max(r["width"], r["height"]) <= 64
+
+
+def test_zero_width_png_is_rejected_and_resize_stays_total(spark):
+    """A hostile IHDR declaring w=0 passes a bare-pixel-count gate (0*h=0);
+    decode_pixels must reject it and resize_images must emit a loud
+    passthrough row, not crash the task on an empty array."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+    from gnosis_ocr_spark.functions.codec_png import decode_pixels
+    from gnosis_ocr_spark.operators.multimodal import resize_images
+
+    ihdr = _s.pack(">IIBBBBB", 0, 300, 8, 0, 0, 0, 0)
+    png = (G._MAGIC + G._chunk(b"IHDR", ihdr)
+           + G._chunk(b"IDAT", _z.compress(b"\x00" * 300))
+           + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unreasonable"):
+        decode_pixels(png)
+    df = spark.createDataFrame([("z", bytearray(png))], "url string, data binary")
+    rows = resize_images(df, max_dim=64).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "passthrough"

@@ -497,3 +497,18 @@ def test_tiff_orientation_tag_applies_all_transforms():
     assert np.array_equal(
         np.frombuffer(gray, np.uint8).reshape(gh, gw), np.rot90(bw_img, -1)
     )
+
+
+def test_tiff_metadata_reports_upright_dims():
+    """media_metadata's TIFF dims swap for orientations 5-8 — consistent
+    with decode_tiff_gray's upright pixels on the same bytes."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_tiff import encode_tiff_gray
+    from gnosis_ocr_spark.operators.multimodal import _decode_tiff_meta
+
+    a = np.zeros((4, 6), dtype=np.uint8)
+    plain = encode_tiff_gray(a.tobytes(), 6, 4)
+    rot = encode_tiff_gray(a.tobytes(), 6, 4, orientation=6)
+    assert _decode_tiff_meta(plain)[:2] == (6, 4)
+    assert _decode_tiff_meta(rot)[:2] == (4, 6)
