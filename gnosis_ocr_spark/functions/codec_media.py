@@ -1395,3 +1395,159 @@ def build_ogg_vorbis(total_samples: int, *, sample_rate: int = 8000) -> bytes:
         + bytes((0xB8, 1))
     )
     return _ogg_page(3, 0, 2, 0, ident) + _ogg_page(3, 1, 4, total_samples, b"\x00")
+
+
+# ---------------------------------------------------------------- ICO
+#
+# Windows icon container — the favicon format every crawl fetches
+# alongside pages. ICONDIR header + 16-byte entries; each image payload
+# is either a PNG stream (modern, Vista+) or a header-less DIB
+# (BITMAPINFOHEADER with DOUBLED height covering the XOR pixels plus the
+# 1-bit AND mask). The 4-byte magic 00 00 01 00 is weak, so is_ico
+# refines by structure (entry table in bounds) before a type is claimed —
+# the same discipline as the RIFF/"BM" sniffs.
+
+MAX_ICO_IMAGES = 64
+
+
+def is_ico(data: bytes) -> bool:
+    if len(data) < 6 + 16 or data[:4] != b"\x00\x00\x01\x00":
+        return False
+    (count,) = struct.unpack_from("<H", data, 4)
+    if not 1 <= count <= MAX_ICO_IMAGES or len(data) < 6 + 16 * count:
+        return False
+    for i in range(count):
+        size, off = struct.unpack_from("<II", data, 6 + 16 * i + 8)
+        if size == 0 or off < 6 + 16 * count or off + size > len(data):
+            return False
+    return True
+
+
+def ico_info(data: bytes) -> dict:
+    """{"count", "images": [(w, h, size, offset), ...]} — entry dims of 0
+    mean 256 per the format."""
+    if not is_ico(data):
+        raise ValueError("not an ICO file")
+    (count,) = struct.unpack_from("<H", data, 4)
+    images = []
+    for i in range(count):
+        base = 6 + 16 * i
+        w = data[base] or 256
+        h = data[base + 1] or 256
+        size, off = struct.unpack_from("<II", data, base + 8)
+        images.append((w, h, size, off))
+    return {"count": count, "images": images}
+
+
+def decode_ico_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the LARGEST icon image to 8-bit gray. PNG-compressed entries
+    route through the in-repo PNG decoder; DIB entries decode 32/24/8-bpp
+    XOR pixels (bottom-up rows, BGR(A) → luma, palette for 8-bpp; the AND
+    mask is ignored — gray features/resize have no alpha). 4/1-bpp DIBs
+    raise (vanishingly rare in modern favicons)."""
+    info = ico_info(data)
+    w, h, size, off = max(info["images"], key=lambda e: e[0] * e[1])
+    payload = data[off : off + size]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from gnosis_ocr_spark.functions.codec_png import decode_png_gray
+
+        return decode_png_gray(payload)
+    if len(payload) < 40:
+        raise ValueError("ICO: truncated DIB")
+    (bi_size, bw, bh2) = struct.unpack_from("<Iii", payload, 0)
+    planes, bpp = struct.unpack_from("<HH", payload, 12)
+    (compression,) = struct.unpack_from("<I", payload, 16)
+    if bi_size < 40 or compression != 0:
+        raise ValueError("ICO: unsupported DIB header/compression")
+    ih = abs(bh2) // 2 if abs(bh2) == 2 * h else abs(bh2)
+    iw = bw
+    if iw != w or ih != h:
+        raise ValueError("ICO: DIB dims contradict directory entry")
+    if iw * ih > 50_000_000:
+        raise ValueError("ICO: unreasonable dimensions")
+    pos = bi_size
+    palette = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 32)
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            payload[pos : pos + 4 * n_pal], dtype=np.uint8
+        ).reshape(-1, 4)
+        if len(pal) < n_pal:
+            raise ValueError("ICO: truncated palette")
+        p32 = pal.astype(np.uint32)
+        palette = (
+            (77 * p32[:, 2] + 150 * p32[:, 1] + 29 * p32[:, 0]) >> 8
+        ).astype(np.uint8)
+        pos += 4 * n_pal
+    elif bpp not in (24, 32):
+        raise ValueError(f"ICO: {bpp}-bpp DIB unsupported")
+    stride = ((iw * bpp + 31) // 32) * 4
+    need = stride * ih
+    rows = payload[pos : pos + need]
+    if len(rows) < need:
+        raise ValueError("ICO: truncated XOR image")
+    arr = np.frombuffer(rows, dtype=np.uint8).reshape(ih, stride)
+    if bpp == 8:
+        gray = palette[arr[:, :iw]]
+    else:
+        nb = bpp // 8
+        px = arr[:, : iw * nb].reshape(ih, iw, nb).astype(np.uint32)
+        gray = ((77 * px[:, :, 2] + 150 * px[:, :, 1] + 29 * px[:, :, 0])
+                >> 8).astype(np.uint8)
+    return iw, ih, np.ascontiguousarray(gray[::-1]).tobytes()
+
+
+def build_ico(
+    images: list[tuple[np.ndarray, str]],
+) -> bytes:
+    """Fixture writer: [(gray (h,w) uint8, kind)] with kind in
+    {'png', 'dib32', 'dib24', 'dib8'} → a spec-valid multi-image ICO."""
+    if not 1 <= len(images) <= MAX_ICO_IMAGES:
+        raise ValueError("ICO: 1-64 images")
+    payloads = []
+    for gray, kind in images:
+        h, w = gray.shape
+        if w > 256 or h > 256:
+            raise ValueError("ICO: images cap at 256x256")
+        if kind == "png":
+            from gnosis_ocr_spark.functions.codec_png import encode_gray_png
+
+            payloads.append(encode_gray_png(gray.tobytes(), w, h))
+            continue
+        bpp = {"dib32": 32, "dib24": 24, "dib8": 8}[kind]
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0, 0, 0, 0,
+            256 if bpp == 8 else 0, 0,
+        )
+        body = bytearray(hdr)
+        if bpp == 8:
+            for v in range(256):  # identity gray palette (BGRA)
+                body += bytes((v, v, v, 0))
+        stride = ((w * bpp + 31) // 32) * 4
+        flipped = gray[::-1]
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                v = int(flipped[y, x])
+                if bpp == 8:
+                    row.append(v)
+                elif bpp == 24:
+                    row += bytes((v, v, v))
+                else:
+                    row += bytes((v, v, v, 255))
+            row += b"\x00" * (stride - len(row))
+            body += row
+        and_stride = ((w + 31) // 32) * 4
+        body += b"\x00" * (and_stride * h)  # AND mask: fully opaque
+        payloads.append(bytes(body))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for (gray, _), payload in zip(images, payloads):
+        h, w = gray.shape
+        out += bytes((w % 256, h % 256, 0, 0))
+        out += struct.pack("<HHII", 1, 32, len(payload), off)
+        off += len(payload)
+    for p in payloads:
+        out += p
+    return bytes(out)

@@ -102,6 +102,13 @@ def sniff_media_type(data: bytes | None) -> str:
 
         if is_mp3(data):
             return "audio/mpeg"
+    if data[:4] == b"\x00\x00\x01\x00":
+        # ICO (favicons — every crawl fetches them): weak 4-byte magic,
+        # refined by the directory-structure check before a type is claimed
+        from gnosis_ocr_spark.functions.codec_media import is_ico
+
+        if is_ico(data):
+            return "image/x-icon"
     return "application/octet-stream"
 
 
@@ -262,6 +269,15 @@ def _decode_svg_meta(data: bytes) -> tuple[int | None, int | None, float | None]
     return w, h, None
 
 
+def _decode_ico_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL ICO dimensions: the largest directory entry (favicons ship
+    multiple sizes; the largest is what consumers render)."""
+    from gnosis_ocr_spark.functions.codec_media import ico_info
+
+    w, h, _, _ = max(ico_info(data)["images"], key=lambda e: e[0] * e[1])
+    return w, h, None
+
+
 def _decode_mp3_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     """REAL MPEG-audio duration from the frame-header walk / Xing count
     (codec_media); the entropy-coded audio payload stays out."""
@@ -312,6 +328,7 @@ DECODERS = {
     "audio/mpeg": _decode_mp3_meta,  # real (frame-header walk / Xing count)
     "audio/flac": _decode_flac_meta,  # real (STREAMINFO totals)
     "audio/ogg": _decode_ogg_meta,  # real (last-page granule position)
+    "image/x-icon": _decode_ico_meta,  # real (largest ICONDIR entry)
 }
 
 
@@ -430,6 +447,17 @@ def _feature_batches(dim: int):
                         )
 
                         _, _, gray = decode_webp_gray(data)
+                        px = np.frombuffer(gray, dtype=np.uint8)
+                    except Exception:
+                        px = None
+                elif mtype == "image/x-icon":
+                    # real: largest favicon image (PNG or DIB entry)
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_ico_gray,
+                        )
+
+                        _, _, gray = decode_ico_gray(data)
                         px = np.frombuffer(gray, dtype=np.uint8)
                     except Exception:
                         px = None
@@ -641,6 +669,16 @@ def resize_images(df: DataFrame, max_dim: int = 256, url_col: str = "url",
                         decoded = (gray, dw, dh)
                     except Exception:
                         w = h = None  # corrupt/hostile webp: passthrough
+                elif mtype == "image/x-icon":
+                    try:
+                        from gnosis_ocr_spark.functions.codec_media import (
+                            decode_ico_gray,
+                        )
+
+                        dw, dh, gray = decode_ico_gray(data)
+                        decoded = (gray, dw, dh)
+                    except Exception:
+                        w = h = None  # 4/1-bpp DIB etc.: passthrough
                 if decoded is not None:
                     px, dw, dh = decoded
                     if max(dw, dh) <= max_dim:

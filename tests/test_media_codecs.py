@@ -536,3 +536,55 @@ def test_zero_width_png_is_rejected_and_resize_stays_total(spark):
     df = spark.createDataFrame([("z", bytearray(png))], "url string, data binary")
     rows = resize_images(df, max_dim=64).collect()
     assert len(rows) == 1 and rows[0]["status"] == "passthrough"
+
+
+def test_ico_codec_and_multimodal_surface(spark):
+    """ICO (favicons — every crawl fetches them): directory parse, PNG and
+    8/24/32-bpp DIB entry decode, largest-entry selection, sniff refined
+    by structure (the weak 00 00 01 00 magic alone never claims the type),
+    and real metadata/features/resize through the multimodal operators."""
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_media import (
+        build_ico,
+        decode_ico_gray,
+        ico_info,
+        is_ico,
+    )
+    from gnosis_ocr_spark.operators.multimodal import (
+        media_features,
+        media_metadata,
+        resize_images,
+        sniff_media_type,
+    )
+
+    g16 = ((np.arange(256).reshape(16, 16) * 7) % 256).astype(np.uint8)
+    g48 = ((np.arange(48 * 48).reshape(48, 48) * 3) % 256).astype(np.uint8)
+    for kind in ("png", "dib32", "dib24", "dib8"):
+        ico = build_ico([(g16, "dib24"), (g48, kind)])
+        assert is_ico(ico) and ico_info(ico)["count"] == 2
+        w, h, gray = decode_ico_gray(ico)
+        assert (w, h) == (48, 48)
+        assert np.array_equal(
+            np.frombuffer(gray, np.uint8).reshape(48, 48), g48
+        ), kind
+    # structure-refined sniff: magic alone is not enough
+    assert sniff_media_type(build_ico([(g16, "png")])) == "image/x-icon"
+    assert sniff_media_type(b"\x00\x00\x01\x00\xff\xff" + b"x" * 64) \
+        == "application/octet-stream"
+    # hostile: truncated directory / payload raise loudly in the codec
+    full = build_ico([(g48, "dib32")])
+    with pytest.raises(ValueError):
+        ico_info(full[:10])
+    df = spark.createDataFrame(
+        [("fav", bytearray(build_ico([(g16, "dib24"), (g48, "png")])))],
+        "url string, data binary",
+    )
+    meta = media_metadata(df).collect()[0]
+    assert meta["media_type"] == "image/x-icon"
+    assert (meta["width"], meta["height"]) == (48, 48)
+    feat = np.array(media_features(df, dim=8).collect()[0]["feature"])
+    want, _ = np.histogram(g48, bins=8, range=(0, 256))
+    assert np.allclose(feat, want / g48.size)
+    r = resize_images(df, max_dim=24).collect()[0]
+    assert r["status"] == "resized" and max(r["width"], r["height"]) <= 24
