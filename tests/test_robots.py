@@ -1,0 +1,104 @@
+"""robots.txt (operators/robots.py): RFC 9309 parse + longest-match
+evaluation pinned against the RFC's own examples, agent-group selection,
+totality on hostile bytes, and the broadcast frontier-filter operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from gnosis_ocr_spark.operators.robots import (
+    build_robots,
+    parse_robots,
+    robots_allowed,
+    robots_filter,
+    rules_for_agent,
+)
+
+
+def _group(txt: bytes, agent: str = "*") -> dict:
+    return rules_for_agent(parse_robots(txt), agent)
+
+
+def test_rfc9309_longest_match_examples():
+    """The RFC §2.2.2/5.2 example table: longest-pattern-wins, tie → allow."""
+    cases = [
+        # (allow_pat, disallow_pat, path, expect_allowed)
+        ("/p", "/", "/page", True),
+        ("/folder/", "/folder", "/folder/page", True),
+        ("/page", "/*.htm", "/page.htm", False),
+        ("/$", "/", "/", True),
+        ("/$", "/", "/page.htm", False),
+    ]
+    for allow_pat, dis_pat, path, expect in cases:
+        txt = build_robots([(["*"], [(True, allow_pat), (False, dis_pat)])])
+        assert robots_allowed(_group(txt), path) is expect, (
+            allow_pat, dis_pat, path
+        )
+
+
+def test_wildcards_and_anchors():
+    txt = build_robots([(["*"], [(False, "/private*"), (False, "/*.pdf$"),
+                                 (True, "/private/ok")])])
+    g = _group(txt)
+    assert not robots_allowed(g, "/private/x")
+    assert robots_allowed(g, "/private/ok")      # longer allow wins
+    assert not robots_allowed(g, "/docs/file.pdf")
+    assert robots_allowed(g, "/docs/file.pdf?x=1")  # $ anchors the end
+    assert robots_allowed(g, "/public/page")
+
+
+def test_agent_group_selection_longest_prefix():
+    txt = build_robots([
+        (["*"], [(False, "/")]),
+        (["crawler"], [(False, "/a")]),
+        (["crawler-news"], [(False, "/b")]),
+    ])
+    p = parse_robots(txt)
+    assert rules_for_agent(p, "crawler-news-v2")["rules"] == [(False, "/b")]
+    assert rules_for_agent(p, "crawler-x")["rules"] == [(False, "/a")]
+    assert rules_for_agent(p, "otherbot")["rules"] == [(False, "/")]
+    # no groups at all -> allow-all
+    empty = rules_for_agent(parse_robots(b""), "bot")
+    assert robots_allowed(empty, "/anything")
+
+
+def test_parse_totality_and_directives():
+    txt = (b"# comment\nUser-agent: *\nDisallow: /x # trailing\n"
+           b"Crawl-delay: 2.5\nNoIdea: what\n"
+           b"Sitemap: https://a.test/sitemap.xml.gz\n"
+           b"\xff\xfe garbage bytes \x00\nDisallow:\n")
+    p = parse_robots(txt)
+    assert p["sitemaps"] == ["https://a.test/sitemap.xml.gz"]
+    g = rules_for_agent(p, "any")
+    assert g["crawl_delay"] == 2.5
+    assert not robots_allowed(g, "/x/deep")
+    assert robots_allowed(g, "/y")  # the empty Disallow adds no rule
+    for hostile in (b"\x00" * 64, b"Disallow: /a\n", b":::\n:::", b""):
+        parse_robots(hostile)  # never raises
+
+
+def test_robots_filter_operator(spark):
+    txt = build_robots(
+        [(["*"], [(False, "/private*"), (True, "/private/pub")])],
+        sitemaps=["https://h1.test/sm.xml"], crawl_delay=1.0,
+    )
+    urls = spark.createDataFrame(
+        [("h1.test", "https://h1.test/page"),
+         ("h1.test", "https://h1.test/private/x"),
+         ("h1.test", "https://h1.test/private/pub?ok=1"),
+         ("h2.test", "https://h2.test/anything")],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", bytearray(txt))], "host string, data binary"
+    )
+    got = {r["url"]: r for r in robots_filter(urls, robots).collect()}
+    assert got["https://h1.test/page"]["allowed"]
+    assert not got["https://h1.test/private/x"]["allowed"]
+    assert got["https://h1.test/private/pub?ok=1"]["allowed"]
+    assert got["https://h2.test/anything"]["allowed"]  # no robots row
+    assert got["https://h1.test/page"]["crawl_delay"] == 1.0
+    assert got["https://h2.test/anything"]["crawl_delay"] is None
+    # the plan keeps the robots side broadcast (frontier never reshuffles)
+    plan = robots_filter(urls, robots)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
