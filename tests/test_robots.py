@@ -102,3 +102,46 @@ def test_robots_filter_operator(spark):
     # the plan keeps the robots side broadcast (frontier never reshuffles)
     plan = robots_filter(urls, robots)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_frontier_composition_robots_to_sitemap_to_filter(spark):
+    """The full polite-crawl frontier path composes: robots.txt advertises
+    the sitemap (Sitemap directive), the sitemap explodes into URLs
+    (feed_extract.sitemap_urls), and robots_filter prunes the disallowed
+    ones — three operators, one coherent frontier plan."""
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.operators.feed_extract import (
+        build_sitemap,
+        sitemap_urls,
+    )
+
+    txt = build_robots(
+        [(["*"], [(False, "/draft*")])],
+        sitemaps=["https://site.test/sitemap.xml.gz"],
+    )
+    # step 1: the robots parse surfaces the sitemap location
+    assert parse_robots(txt)["sitemaps"] == ["https://site.test/sitemap.xml.gz"]
+    # step 2: (fetched) sitemap blob explodes into frontier URLs
+    sm = build_sitemap(
+        [("https://site.test/a", None), ("https://site.test/draft/b", None),
+         ("https://site.test/c", None)],
+        gzip_out=True,
+    )
+    blobs = spark.createDataFrame(
+        [("sitemap.xml.gz", bytearray(sm))], "name string, data binary"
+    )
+    frontier = sitemap_urls(blobs).select(
+        F.lit("site.test").alias("host"), F.col("loc").alias("url")
+    )
+    # step 3: robots rules prune the frontier
+    robots = spark.createDataFrame(
+        [("site.test", bytearray(txt))], "host string, data binary"
+    )
+    verdicts = {r["url"]: r["allowed"]
+                for r in robots_filter(frontier, robots).collect()}
+    assert verdicts == {
+        "https://site.test/a": True,
+        "https://site.test/draft/b": False,
+        "https://site.test/c": True,
+    }
