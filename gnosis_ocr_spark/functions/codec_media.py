@@ -1495,7 +1495,9 @@ def decode_ico_gray(data: bytes) -> tuple[int, int, bytes]:
         px = arr[:, : iw * nb].reshape(ih, iw, nb).astype(np.uint32)
         gray = ((77 * px[:, :, 2] + 150 * px[:, :, 1] + 29 * px[:, :, 0])
                 >> 8).astype(np.uint8)
-    return iw, ih, np.ascontiguousarray(gray[::-1]).tobytes()
+    if bh2 > 0:  # bottom-up rows (the spec shape); negative = top-down
+        gray = gray[::-1]
+    return iw, ih, np.ascontiguousarray(gray).tobytes()
 
 
 def build_ico(

@@ -224,12 +224,17 @@ class _SitemapWalk(_XMLWalk):
 
     def on_end(self, tag):
         if tag == self._field:
-            self._cur[self._field] = "".join(self._buf).strip()
+            # mis-nested close tags can leave _field set with _cur already
+            # cleared — guard so one malformed entry cannot abort the walk
+            # (and with it every entry after it in a 50k-URL sitemap)
+            if self._cur is not None:
+                self._cur[self._field] = "".join(self._buf).strip()
             self._field = None
         elif tag in ("url", "sitemap") and self._cur is not None:
             if self._cur.get("loc"):
                 self.entries.append(self._cur)
             self._cur = None
+            self._field = None
 
 
 def parse_sitemap(data: bytes) -> dict:

@@ -39,7 +39,10 @@ def parse_robots(data: bytes) -> dict:
     [(allow: bool, pattern: str), ...], "crawl_delay": float | None}],
     "sitemaps": [url, ...]}``. Total: undecodable/hostile input yields
     empty groups (= everything allowed)."""
-    text = data[:MAX_ROBOTS_BYTES].decode("utf-8", errors="replace")
+    # utf-8-sig: a BOM'd robots.txt would otherwise turn its first line
+    # into the unknown directive "﻿user-agent" and the whole file
+    # into allow-all (Google's parser strips the BOM explicitly too)
+    text = data[:MAX_ROBOTS_BYTES].decode("utf-8-sig", errors="replace")
     groups: list[dict] = []
     sitemaps: list[str] = []
     cur: dict | None = None
@@ -81,24 +84,38 @@ def parse_robots(data: bytes) -> dict:
 
 
 def rules_for_agent(parsed: dict, agent: str = "*") -> dict:
-    """The group a crawler with product token ``agent`` obeys: longest
-    agent-token prefix match, ``*`` fallback, else an empty allow-all
-    group."""
+    """The combined rule set a crawler with product token ``agent`` obeys:
+    the most specific (longest prefix-matching) agent token wins, and ALL
+    groups carrying that token merge — RFC 9309 §2.2.1 requires combining
+    matching groups (duplicate ``User-agent: x`` blocks are common in real
+    robots.txt). ``*`` groups are the fallback, also merged."""
     agent = agent.lower()
-    best: dict | None = None
     best_len = -1
-    star: dict | None = None
     for g in parsed.get("groups", []):
         for a in g["agents"]:
-            if a == "*":
-                if star is None:
-                    star = g
-            elif agent.startswith(a) and len(a) > best_len:
-                best, best_len = g, len(a)
-    if best is not None:
-        return best
-    if star is not None:
-        return star
+            if a != "*" and agent.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+
+    def merged(match) -> dict:
+        out = {"agents": [agent], "rules": [], "crawl_delay": None}
+        hit = False
+        for g in parsed.get("groups", []):
+            if any(match(a) for a in g["agents"]):
+                hit = True
+                out["rules"].extend(g["rules"])
+                if out["crawl_delay"] is None:
+                    out["crawl_delay"] = g["crawl_delay"]
+        return out if hit else None
+
+    if best_len >= 0:
+        got = merged(
+            lambda a: a != "*" and agent.startswith(a) and len(a) == best_len
+        )
+        if got is not None:
+            return got
+    got = merged(lambda a: a == "*")
+    if got is not None:
+        return got
     return {"agents": [agent], "rules": [], "crawl_delay": None}
 
 
@@ -110,22 +127,37 @@ def _pattern_re(pattern: str) -> re.Pattern:
     return re.compile("^" + body + (r"\Z" if anchored else ""))
 
 
-def robots_allowed(group: dict, path: str) -> bool:
-    """Longest-pattern-wins evaluation of a URL path against a group's
-    rules (ties → Allow; no match → allowed)."""
+def _compile_group(group: dict) -> dict:
+    """Pre-compile a group's rule patterns once — the hot-path form the
+    frontier filter caches per host (re.compile per rule per URL would
+    thrash re's LRU on large real-world robots files)."""
+    return {
+        "rules": [
+            (allow, len(p), _pattern_re(p)) for allow, p in group.get("rules", [])
+        ],
+        "crawl_delay": group.get("crawl_delay"),
+    }
+
+
+def _allowed_compiled(cgroup: dict, path: str) -> bool:
     if not path.startswith("/"):
         path = "/" + path
     best_len = -1
     verdict = True
-    for allow, pattern in group.get("rules", []):
-        if _pattern_re(pattern).match(path):
-            plen = len(pattern)
+    for allow, plen, rx in cgroup["rules"]:
+        if rx.match(path):
+            # longest pattern wins; the tie-to-Allow rule is the `allow and
+            # not verdict` half of the condition
             if plen > best_len or (plen == best_len and allow and not verdict):
                 best_len = plen
                 verdict = allow
-            elif plen == best_len and allow:
-                verdict = True
     return verdict
+
+
+def robots_allowed(group: dict, path: str) -> bool:
+    """Longest-pattern-wins evaluation of a URL path against a group's
+    rules (ties → Allow; no match → allowed)."""
+    return _allowed_compiled(_compile_group(group), path)
 
 
 def robots_filter(urls_df, robots_df, agent: str = "*",
@@ -157,27 +189,36 @@ def robots_filter(urls_df, robots_df, agent: str = "*",
 
     schema = "host string, url string, allowed boolean, crawl_delay double"
 
+    _empty = _compile_group({"rules": [], "crawl_delay": None})
+
     def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[bytes, dict] = {}
+        # keyed by HOST (the join key) — keying on the blob would copy and
+        # hash up to 512 KB of robots bytes per frontier row
+        cache: dict[str, dict] = {}
         for b in batches:
             hosts, urls, allowed, delays = [], [], [], []
             for host, url, blob in zip(b["host"], b["url"], b["_robots"]):
+                hosts.append(host)
+                urls.append(url)
+                if url is None:  # junk frontier row: total, never a crash
+                    allowed.append(None)
+                    delays.append(None)
+                    continue
                 if blob is None:
-                    group = {"rules": [], "crawl_delay": None}
+                    cgroup = _empty
                 else:
-                    key = bytes(blob)
-                    group = cache.get(key)
-                    if group is None:
-                        group = rules_for_agent(parse_robots(key), agent)
-                        cache[key] = group
+                    cgroup = cache.get(host)
+                    if cgroup is None:
+                        cgroup = _compile_group(
+                            rules_for_agent(parse_robots(bytes(blob)), agent)
+                        )
+                        cache[host] = cgroup
                 split = urlsplit(url if "://" in url else "http://h" + url)
                 path = split.path or "/"
                 if split.query:
                     path += "?" + split.query
-                hosts.append(host)
-                urls.append(url)
-                allowed.append(robots_allowed(group, path))
-                delays.append(group.get("crawl_delay"))
+                allowed.append(_allowed_compiled(cgroup, path))
+                delays.append(cgroup.get("crawl_delay"))
             yield pd.DataFrame(
                 {"host": hosts, "url": urls, "allowed": allowed,
                  "crawl_delay": delays}

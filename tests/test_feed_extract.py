@@ -206,3 +206,17 @@ def test_sitemap_urls_spark_explode(spark):
     assert by_name["idx.xml"][0]["kind"] == "sitemapindex"
     assert by_name["idx.xml"][0]["loc"] == "https://s.test/child1.xml.gz"
     assert "junk.bin" not in by_name  # no rows for non-sitemaps
+
+
+def test_sitemap_misnested_entry_does_not_abort_the_walk():
+    """One mis-nested entry (</url> before </loc>) must lose at most that
+    entry — never everything after it in the file."""
+    from gnosis_ocr_spark.operators.feed_extract import parse_sitemap
+
+    xml = (b'<?xml version="1.0"?><urlset>'
+           b"<url><loc>https://a.test/1</loc></url>"
+           b"<url><loc>https://a.test/2</url></loc>"  # mis-nested
+           b"<url><loc>https://a.test/3</loc></url>"
+           b"</urlset>")
+    locs = [e["loc"] for e in parse_sitemap(xml)["entries"]]
+    assert "https://a.test/1" in locs and "https://a.test/3" in locs

@@ -588,3 +588,26 @@ def test_ico_codec_and_multimodal_surface(spark):
     assert np.allclose(feat, want / g48.size)
     r = resize_images(df, max_dim=24).collect()[0]
     assert r["status"] == "resized" and max(r["width"], r["height"]) <= 24
+
+
+def test_ico_topdown_dib_decodes_unmirrored():
+    """A nonstandard top-down DIB (negative biHeight) must not be
+    vertically mirrored by the bottom-up row flip."""
+    import struct as _s
+
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_media import build_ico, decode_ico_gray
+
+    g = ((np.arange(8 * 8).reshape(8, 8) * 5) % 256).astype(np.uint8)
+    ico = bytearray(build_ico([(g, "dib32")]))
+    # flip biHeight's sign in the DIB header (entry payload starts at 6+16)
+    off = 6 + 16
+    (bh2,) = _s.unpack_from("<i", ico, off + 8)
+    _s.pack_into("<i", ico, off + 8, -bh2)
+    # rows were written bottom-up by the builder; a top-down reader must
+    # interpret them as-is (so the image comes back vertically flipped
+    # RELATIVE TO the original, matching what the bytes now declare)
+    w, h, gray = decode_ico_gray(bytes(ico))
+    got = np.frombuffer(gray, np.uint8).reshape(h, w)
+    assert np.array_equal(got, g[::-1])

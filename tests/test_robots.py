@@ -145,3 +145,34 @@ def test_frontier_composition_robots_to_sitemap_to_filter(spark):
         "https://site.test/draft/b": False,
         "https://site.test/c": True,
     }
+
+
+def test_bom_and_duplicate_agent_groups():
+    """A UTF-8 BOM must not void the file (BOM'd robots.txt is common),
+    and duplicate same-agent groups MUST combine (RFC 9309 §2.2.1)."""
+    bom = b"\xef\xbb\xbfUser-agent: *\nDisallow: /secret\n"
+    assert not robots_allowed(_group(bom), "/secret/x")
+    dup = (b"User-agent: bot\nDisallow: /a\n\n"
+           b"User-agent: bot\nDisallow: /b\n\n"
+           b"User-agent: *\nDisallow: /c\n\n"
+           b"User-agent: *\nDisallow: /d\n")
+    g = rules_for_agent(parse_robots(dup), "bot")
+    assert not robots_allowed(g, "/a/x") and not robots_allowed(g, "/b/x")
+    star = rules_for_agent(parse_robots(dup), "other")
+    assert not robots_allowed(star, "/c/x") and not robots_allowed(star, "/d/x")
+
+
+def test_robots_filter_total_on_null_url(spark):
+    urls = spark.createDataFrame(
+        [("h1.test", "https://h1.test/x"), ("h1.test", None), (None, None)],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", bytearray(build_robots([(["*"], [(False, "/x")])])))],
+        "host string, data binary",
+    )
+    rows = robots_filter(urls, robots).collect()
+    assert len(rows) == 3  # no crash; junk rows carry allowed = NULL
+    by_url = {r["url"]: r["allowed"] for r in rows}
+    assert by_url["https://h1.test/x"] is False
+    assert by_url[None] is None
