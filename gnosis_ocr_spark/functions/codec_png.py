@@ -144,7 +144,10 @@ def decode_pixels(png: bytes) -> bytes:
         if tag == b"IDAT":
             need = h * (w + 1)  # gray8 + one filter byte per scanline
             dec = zlib.decompressobj()
-            raw = dec.decompress(data, need + 1)
+            try:
+                raw = dec.decompress(data, need + 1)
+            except zlib.error as exc:
+                raise ValueError(f"bad IDAT stream: {exc}") from exc
             if len(raw) > need:
                 raise ValueError("IDAT decompresses past expected size")
             if len(raw) < need:
@@ -473,7 +476,10 @@ def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
         if pw and ph
     )
     dec = zlib.decompressobj()
-    raw = dec.decompress(bytes(idat), need + 1)
+    try:
+        raw = dec.decompress(bytes(idat), need + 1)
+    except zlib.error as exc:  # corrupt stream: keep the ValueError contract
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
     if len(raw) > need:
         raise ValueError("IDAT decompresses past expected size")
     if len(raw) < need:

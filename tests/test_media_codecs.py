@@ -611,3 +611,25 @@ def test_ico_topdown_dib_decodes_unmirrored():
     w, h, gray = decode_ico_gray(bytes(ico))
     got = np.frombuffer(gray, np.uint8).reshape(h, w)
     assert np.array_equal(got, g[::-1])
+
+
+def test_corrupt_idat_raises_valueerror_not_zlib_error():
+    """Corrupt deflate bytes inside IDAT keep the codec's ValueError
+    contract (callers distinguish decode failure from bugs by it) —
+    found by fuzz: a PNG-entry ICO with flipped payload bytes leaked a
+    raw zlib.error through decode_ico_gray."""
+    import struct as _s
+    import zlib as _z
+
+    from gnosis_ocr_spark.functions import codec_png as G
+    from gnosis_ocr_spark.functions.codec_png import decode_pixels, decode_png_gray
+
+    good = _z.compress(b"\x00" * (5 * 5 + 5))
+    corrupt = good[:8] + bytes([good[8] ^ 0xFF]) + good[9:]
+    ihdr = _s.pack(">IIBBBBB", 5, 5, 8, 0, 0, 0, 0)
+    png = (G._MAGIC + G._chunk(b"IHDR", ihdr) + G._chunk(b"IDAT", corrupt)
+           + G._chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_gray(png)
+    with pytest.raises(ValueError):
+        decode_pixels(png)
