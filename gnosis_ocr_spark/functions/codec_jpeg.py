@@ -223,7 +223,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     progressive (SOF2, spectral selection + successive approximation) →
     ``(width, height, n_components, luma_gray_pixels)`` with the luma
     plane row-major at full resolution. Raises :class:`JpegError` on
-    arithmetic-coded / lossless / malformed input."""
+    arithmetic-coded / lossless / malformed input — including mutated
+    crawl bytes that would otherwise surface internal IndexError /
+    StopIteration (the decode-contract sweep pins this)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, StopIteration, struct.error) as exc:
+        raise JpegError(f"malformed JPEG stream: {type(exc).__name__}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise JpegError("no SOI")
     pos = 2

@@ -185,7 +185,15 @@ def mp4_video_samples(data: bytes) -> dict:
     IDR frames where dt == pt for the common case). Returns ``{"codec",
     "width", "height", "timescale", "samples": [(offset, size, ts_sec,
     is_sync), ...]}``. Raises ValueError when no parseable video track
-    exists (callers fall back to their stub path)."""
+    exists (callers fall back to their stub path) — mutated sample tables
+    included (struct/index errors wrap to the contract)."""
+    try:
+        return _mp4_video_samples_impl(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed MP4 tables: {type(exc).__name__}") from exc
+
+
+def _mp4_video_samples_impl(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file")
     moov = _child(data, 0, len(data), b"moov")
@@ -831,7 +839,15 @@ def heif_info(data: bytes) -> dict:
     """HEIF/AVIF metadata: primary item dimensions via meta → pitm + ipma →
     ispe (ISO 23008-12 §6.2, ISO 14496-12 §8.11). Returns
     {major_brand, codec, width, height, rotation, n_items}; raises
-    ValueError when the meta tree is absent or malformed."""
+    ValueError when the meta tree is absent or malformed — mutated box
+    trees included (struct/index errors wrap to the contract)."""
+    try:
+        return _heif_info_impl(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed HEIF boxes: {type(exc).__name__}") from exc
+
+
+def _heif_info_impl(data: bytes) -> dict:
     major, _brands = ftyp_brands(data)
     meta = _child(data, 0, len(data), b"meta")
     if meta is None:
