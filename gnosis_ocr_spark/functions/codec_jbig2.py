@@ -901,7 +901,14 @@ def _decode_symbol_dict(
     gb_states = bytearray(1 << len(_TEMPLATE_SLOTS[template]))
     new_syms: list[np.ndarray] = []
     hc_height = 0
+    hc_classes = 0
     while len(new_syms) < n_new:
+        # hostile-input bound: a crafted stream can decode endless empty
+        # height classes (dh valid, width run immediately OOB) without
+        # ever adding a symbol — a hang no except-clause can catch
+        hc_classes += 1
+        if hc_classes > n_new + 256:
+            raise ValueError("JBIG2: runaway height classes")
         dh = iadh.decode(mq)
         if dh is _OOB:
             raise ValueError("JBIG2: OOB height-class delta")
@@ -928,7 +935,13 @@ def _decode_symbol_dict(
     exported: list[np.ndarray] = []
     ex_flag = False
     idx = 0
+    runs = 0
     while idx < len(pool) and len(exported) < n_ex:
+        # hostile-input bound: zero-length runs make no progress — cap the
+        # run count (legal streams need at most ~2 runs per pool symbol)
+        runs += 1
+        if runs > 2 * (len(pool) + 1) + 2:
+            raise ValueError("JBIG2: runaway export runs")
         run = iaex.decode(mq)
         if run is _OOB or run < 0:
             raise ValueError("JBIG2: bad export run")

@@ -730,7 +730,11 @@ def decode_block(
     (the style's intended error detection)."""
     if n_planes < 0 or n_passes < 1:
         raise ValueError("JPX: bad block pass/plane counts")
-    if n_passes > 3 * max(n_planes, 1):
+    if n_planes == 0:
+        # an included block whose zero-bit-planes == Mb: every
+        # coefficient is zero and no pass decodes anything
+        return np.zeros((h, w), dtype=np.int64)
+    if n_passes > 3 * n_planes - 2:  # 1 cleanup + 3 per further plane
         raise ValueError("JPX: more passes than planes allow")
     coder = _BlockCoder(h, w, band, causal=causal)
     states = _fresh_states()
@@ -1000,16 +1004,17 @@ class _TagTree:
 
 
 class _HeaderReader:
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    def __init__(self, data: bytes, pos: int = 0, end: int | None = None) -> None:
         self.data = data
         self.pos = pos
+        self.end = len(data) if end is None else end
         self.buf = 0
         self.nbits = 0
         self.prev_ff = False
 
     def bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
+            if self.pos >= self.end:
                 raise ValueError("JPX: truncated packet header")
             b = self.data[self.pos]
             self.pos += 1
@@ -1361,17 +1366,23 @@ def _tag_value(br: _HeaderReader, tree: _TagTree, x: int, y: int) -> int:
 def _decode_packet(
     data: bytes, pos: int, views: list[_PrecView], layer: int,
     use_sop: bool, use_eph: bool, bypass: bool = False,
-    restart: bool = False,
+    restart: bool = False, end: int | None = None,
 ) -> int:
     """Decode one packet (header + included block bodies) for one
     precinct's subband views starting at ``pos``; mutates the blocks'
     data/pass state; returns the next pos. With ``bypass`` a block
     contribution splits at the termination pattern into multiple
     codeword segments, one signalled length each (T.800 B.10.7.2);
-    their end offsets are recorded for Tier-1."""
-    if use_sop and data[pos : pos + 2] == b"\xff\x91":
+    their end offsets are recorded for Tier-1.
+
+    ``end`` bounds this tile-part's region WITHOUT slicing ``data`` — a
+    per-packet ``data[:end]`` copy made Tier-2 O(packets × stream size)
+    on multi-megabyte layered streams."""
+    if end is None:
+        end = len(data)
+    if use_sop and data[pos : min(pos + 2, end)] == b"\xff\x91":
         pos += 6
-    br = _HeaderReader(data, pos)
+    br = _HeaderReader(data, pos, end)
     contributions: list[tuple[_Blk, int, list[tuple[int, bool]]]] = []
     if br.bit():  # non-empty packet
         for pv in views:
@@ -1410,12 +1421,12 @@ def _decode_packet(
                     contributions.append((blk, np_new, lens))
     pos = br.align()
     if use_eph:
-        if data[pos : pos + 2] != b"\xff\x92":
+        if data[pos : min(pos + 2, end)] != b"\xff\x92":
             raise ValueError("JPX: missing EPH marker")
         pos += 2
     for blk, np_new, lens in contributions:
         for seg_len, term in lens:
-            if pos + seg_len > len(data):
+            if pos + seg_len > end:
                 raise ValueError("JPX: truncated packet body")
             blk.data += data[pos : pos + seg_len]
             if term:
@@ -1752,6 +1763,8 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                 elif tm == b"\xff\x5c":
                     rec["qcd"] = _parse_qcd(tbody)
                 elif tm == b"\xff\x5f":
+                    if siz is None:
+                        raise ValueError("JPX: tile POC before SIZ")
                     rec["poc"] = _parse_poc(tbody, len(siz["comps"]))
                 elif tm == b"\xff\x5e":
                     raise ValueError("JPX: RGN unsupported")
@@ -1775,7 +1788,17 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
     nty = (h + yts - 1) // yts
     if ntx * nty > 65535:
         raise ValueError("JPX: tile count out of bounds")
-    comp_cod = [coc.get(c, cod) for c in range(n_comp)]
+    # SOP/EPH are COD-only packet-framing properties (Scoc carries no such
+    # bits), so COC-overridden components must inherit them from the main
+    # COD — otherwise their packets misparse EPH markers as body bytes
+    comp_cod = []
+    for c in range(n_comp):
+        entry = coc.get(c)
+        if entry is not None and cod is not None:
+            entry = dict(entry)
+            entry["sop"] = cod["sop"]
+            entry["eph"] = cod["eph"]
+        comp_cod.append(entry if entry is not None else cod)
     comp_qcd = [qcc.get(c, qcd) for c in range(n_comp)]
     # tile-origin alignment: origins must stay EVEN at every DWT level in
     # every component's domain (true for the power-of-two tile sizes real
@@ -1895,10 +1918,11 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             if pos >= end:
                 raise ValueError("JPX: ran out of packet data")
             pos = _decode_packet(
-                data[:end], pos, views, l,
+                data, pos, views, l,
                 t_cod[c]["sop"], t_cod[c]["eph"],
                 t_cod[c].get("bypass", False),
                 t_cod[c].get("restart", False),
+                end=end,
             )
 
         # Tier-1 + dequant + inverse DWT per tile-component, then paste
@@ -1981,6 +2005,11 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             raise ValueError("JPX: MCT over mismatched component grids")
         y0, u, v = out[0], out[1], out[2]
         if cod["transform"] == 1:  # RCT (integers)
+            if any(p.dtype != np.int64 for p in (y0, u, v)):
+                # a COC can force one component irreversible while the
+                # main COD declares RCT — mixed dtypes have no conformant
+                # reconstruction; degrade loudly (ValueError contract)
+                raise ValueError("JPX: RCT over non-integer planes")
             g = y0 - ((u + v) >> 2)
             r_ = v + g
             b_ = u + g

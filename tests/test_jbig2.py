@@ -293,3 +293,31 @@ def test_frozen_jbig2_golden_extracts_end_to_end(spark):
     ).collect()
     assert out[0]["extracted_text"] == "\n\n".join(pages)
     assert out[0]["n_pages"] == 2
+
+
+def test_symbol_stream_mutations_terminate():
+    """Hostile symbol-dictionary bytes must TERMINATE (raise or decode) —
+    review found two infinite loops (zero-length export runs; empty
+    height classes) that wedged the executor with no catchable error.
+    500 heavy mutations of a valid symbol stream now complete quickly
+    under the runaway guards."""
+    import random
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    black = rng.random((48, 64)) < 0.3
+    packed = np.packbits(~black, axis=1).tobytes()
+    base, _glob = J.encode_jbig2_symbol(packed, 64, 48)
+    rnd = random.Random(99)
+    t0 = time.monotonic()
+    for _ in range(500):
+        buf = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            buf[rnd.randrange(len(buf))] = rnd.randrange(256)
+        try:
+            J.decode_jbig2(bytes(buf))
+        except ValueError:
+            pass
+    assert time.monotonic() - t0 < 120  # a single pre-fix hang ran forever

@@ -744,3 +744,26 @@ def test_rgn_roi_max_shift_roundtrip():
     evil[at + 5] = 1  # Srgn != 0
     with pytest.raises(ValueError, match="RGN"):
         X.decode_jpx(bytes(evil))
+
+
+def test_decode_contract_holds_for_crafted_marker_sequences():
+    """Review-found contract escapes: tile-header POC before SIZ and
+    mixed-dtype RCT raised TypeError instead of ValueError; both now
+    degrade loudly. A zero-bit-plane included block decodes to zeros."""
+    import struct as _s
+
+    import numpy as np
+
+    from gnosis_ocr_spark.functions.codec_jpx import decode_block, decode_jpx
+
+    # SOC, then SOT whose tile-part header carries POC with no SIZ seen
+    sot = b"\xff\x90" + _s.pack(">HHIBB", 10, 0, 14, 0, 1)
+    poc = b"\xff\x5f" + _s.pack(">H", 9) + bytes(7)
+    with pytest.raises(ValueError):
+        decode_jpx(b"\xff\x4f" + sot + poc + b"\xff\x93")
+    # n_planes == 0 included block: all-zero coefficients, no error
+    out = decode_block(b"", 4, 4, 0, n_planes=0, n_passes=1)
+    assert out.shape == (4, 4) and not out.any()
+    # pass count past 3*Mb-2 is the loud structured error, not a shift crash
+    with pytest.raises(ValueError, match="passes"):
+        decode_block(b"\x00\x00", 4, 4, 0, n_planes=1, n_passes=2)
