@@ -72,8 +72,13 @@ class CfbView:
         fat_sectors = [
             _u32(data, 76 + 4 * i) for i in range(109)
         ]
+        # a file holds at most len(data)//sector_size real sectors — the
+        # hard bound every chain walk below uses (a crafted n_difat or a
+        # self-cycling next-pointer could otherwise amplify a ~1 KB file
+        # into billions of FAT ids and OOM the executor)
+        max_real = len(data) // self._ssz + 2
         sect = first_difat
-        for _ in range(min(n_difat, _MAX_CHAIN)):
+        for _ in range(min(n_difat, max_real)):
             if sect in (_ENDOFCHAIN, _FREESECT):
                 break
             raw = self._sector(sect)
@@ -81,6 +86,9 @@ class CfbView:
             fat_sectors.extend(
                 struct.unpack_from(f"<{per}L", raw, 0)
             )
+            if len(fat_sectors) > max_real:
+                fat_sectors = fat_sectors[:max_real]
+                break
             sect = _u32(raw, self._ssz - 4)
         self._fat: list[int] = []
         for fs in fat_sectors:
@@ -133,7 +141,11 @@ class CfbView:
     def _read_chain(self, start: int, size: int | None) -> bytes:
         out = []
         sect = start
-        for _ in range(_MAX_CHAIN):
+        # a legal chain cannot be longer than the file's sector count; a
+        # cyclic FAT entry would otherwise materialize _MAX_CHAIN sectors
+        # (4 GiB at shift 12) before the size slice applies
+        max_real = len(self._data) // self._ssz + 2
+        for _ in range(min(_MAX_CHAIN, max_real)):
             if sect in (_ENDOFCHAIN, _FREESECT) or sect >= _FATSECT:
                 break
             raw = self._sector(sect)
@@ -153,7 +165,8 @@ class CfbView:
         mini = self._mini()
         out = []
         sect = start
-        for _ in range(_MAX_CHAIN):
+        max_mini = len(mini) // self._mssz + 2
+        for _ in range(min(_MAX_CHAIN, max_mini)):
             if sect in (_ENDOFCHAIN, _FREESECT) or sect >= _FATSECT:
                 break
             out.append(mini[sect * self._mssz : (sect + 1) * self._mssz])

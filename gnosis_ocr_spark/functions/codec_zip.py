@@ -76,10 +76,27 @@ def _decode_name(raw: bytes, flags: int) -> str:
 
 
 def _find_eocd(data: bytes) -> int | None:
-    # EOCD is 22 bytes + comment (<= 64 KiB); scan backwards from the tail
+    # EOCD is 22 bytes + comment (<= 64 KiB); scan backwards from the tail.
+    # A bare rfind is wrong when the archive COMMENT (or trailing garbage)
+    # happens to contain the 4-byte signature — validate each candidate
+    # (comment length reaches the file end, or a plausible central dir)
+    # and keep scanning backwards past impostors.
     lo = max(0, len(data) - 22 - 65536)
     pos = data.rfind(_EOCD_SIG, lo)
-    return pos if pos >= 0 else None
+    while pos >= 0:
+        if pos + 22 <= len(data):
+            (clen,) = struct.unpack_from("<H", data, pos + 20)
+            (cen_size, cen_off) = struct.unpack_from("<LL", data, pos + 12)
+            comment_ok = pos + 22 + clen == len(data)
+            cen_ok = (
+                0 <= pos - cen_size and data.startswith(_CEN_SIG, pos - cen_size)
+            ) or (
+                0 <= cen_off < len(data) and data.startswith(_CEN_SIG, cen_off)
+            )
+            if comment_ok or cen_ok:
+                return pos
+        pos = data.rfind(_EOCD_SIG, lo, pos)
+    return None
 
 
 def _entries_from_central(data: bytes) -> list[ZipEntry] | None:

@@ -38,15 +38,13 @@ import struct
 from gnosis_ocr_spark.functions.codec_cfb import CfbError, CfbView, build_cfb
 from gnosis_ocr_spark.operators.html_extract import extract_main_text
 
-_WS_RE = re.compile(r"\s+")
-
-
-def _norm_para(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
-
-
-def _join_paras(paras: list[str]) -> str:
-    return "\n\n".join(p for p in (_norm_para(x) for x in paras) if p)
+# paragraph normalization is ONE convention across every extraction route
+# — shared with the ZIP-based extractors (cycle-free: office_extract only
+# imports this module lazily), never re-defined
+from gnosis_ocr_spark.operators.office_extract import (  # noqa: E402
+    _join_paras,
+    _norm_para,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +250,10 @@ def _rk_value(rk: int) -> str:
 
 
 def _fmt_num(num: float) -> str:
+    import math
+
+    if not math.isfinite(num):  # inf/NaN payloads: int(num) would raise
+        return repr(num)
     return str(int(num)) if num == int(num) else repr(num)
 
 
@@ -301,8 +303,14 @@ def extract_xls(view: CfbView) -> tuple[str, int]:
                 cells[(rw, col)] = sst[isst]
         elif rtype == 0x0204 and len(payload) >= 9:  # LABEL (inline)
             cch = struct.unpack_from("<H", payload, 6)[0]
-            high = len(payload) > 8 and bool(payload[8] & 0x01)
-            raw = payload[9:]
+            grbit = payload[8] if len(payload) > 8 else 0
+            high = bool(grbit & 0x01)
+            # XLUnicodeRichExtendedString: rich (0x08) inserts cRun(2) and
+            # ext (0x04) inserts cbExtRst(4) between grbit and the chars —
+            # the SST parser honors these; inline LABELs must too or the
+            # text starts two bytes early and garbles
+            start = 9 + (2 if grbit & 0x08 else 0) + (4 if grbit & 0x04 else 0)
+            raw = payload[start:]
             cells[(rw, col)] = (
                 raw[: 2 * cch].decode("utf-16-le", errors="replace")
                 if high

@@ -344,15 +344,20 @@ class _OdtWalk(_XMLWalk):
                 self._cur.append("\n")
             elif tag == "text:s":
                 try:
-                    n = int(attrs.get("text:c", "1"))
-                except ValueError:
+                    # valueless attributes arrive as None (TypeError, not
+                    # ValueError) — both degrade to a single space
+                    n = int(attrs.get("text:c") or "1")
+                except (ValueError, TypeError):
                     n = 1
                 self._cur.append(" " * max(1, n))
 
     def on_end(self, tag):
         if tag in self._SKIP:
             self._skip = max(0, self._skip - 1)
-        elif tag in self._PARA and self._depth:
+        elif tag in self._PARA and self._depth and not self._skip:
+            # the skip guard mirrors on_start: a </text:p> inside an
+            # annotation/note body must not close the OUTER paragraph
+            # (which silently dropped all text after the annotation)
             self._depth -= 1
             if not self._depth:
                 self.paras.append("".join(self._cur))
@@ -551,7 +556,9 @@ def extract_rtf(data: bytes) -> tuple[str, int]:
                     continue
             if word == "u" and num is not None:
                 if not stack[-1][1]:
-                    out.append(chr(num + 65536 if num < 0 else min(num, 0x10FFFF)))
+                    cp = num + 65536 if num < 0 else num
+                    if 0 <= cp <= 0x10FFFF:  # out-of-range \uN: drop, not raise
+                        out.append(chr(cp))
                 pending_skip = stack[-1][0]
                 continue
             if word == "uc" and num is not None:
@@ -588,7 +595,16 @@ def extract_rtf(data: bytes) -> tuple[str, int]:
                 if txt:
                     out.append(txt)
         i = j
-    paras = "".join(out).split("\n\n")
+    joined = "".join(out)
+    if any(0xD800 <= ord(c) < 0xE000 for c in joined):
+        # Word writes astral chars as \uN surrogate PAIRS; raw surrogate
+        # code units cannot survive UTF-8/Arrow serialization (they would
+        # crash the UDF at the pandas boundary). Combine pairs, replace
+        # lone surrogates with U+FFFD.
+        joined = joined.encode("utf-16", "surrogatepass").decode(
+            "utf-16", "replace"
+        )
+    paras = joined.split("\n\n")
     text = _join_paras(paras)
     return text, 1 if text else 0
 
@@ -660,7 +676,10 @@ def extract_office(
             t, n, sub = extract_office(inner, _depth + 1)
             if sub == "other":  # not a container: treat as a web page
                 t = extract_main_text(inner)
-                return t, 1 if t else 0, "gz-html"
+                # one HTML page is one page even when boilerplate-only —
+                # the DIRECT html route reports n_pages=1 for it, and the
+                # transfer encoding must not change the count
+                return t, 1, "gz-html"
             return t, n, f"gz-{sub}"
         if data.startswith(b"{\\rtf"):
             text, np_ = extract_rtf(data)

@@ -251,3 +251,60 @@ def test_cfb_multi_fat_sector_archive_self_marks():
     for fs in fat_sectors:
         fat.extend(struct.unpack_from("<128L", blob, 512 + fs * 512))
     assert all(fat[fs] == 0xFFFFFFFD for fs in fat_sectors)
+
+
+def test_cfb_difat_bomb_is_bounded():
+    """A crafted header declaring 2^32 DIFAT sectors with a self-cycling
+    chain must fail fast (review: 127-1023x per-iteration amplification
+    could OOM an executor through the old iteration-count-only cap)."""
+    import struct
+    import time
+
+    from gnosis_ocr_spark.functions.codec_cfb import CfbError, CfbView
+
+    hdr = bytearray(512 * 3)
+    hdr[0:8] = bytes.fromhex("d0cf11e0a1b11ae1")
+    struct.pack_into("<H", hdr, 30, 9)       # sector shift 512
+    struct.pack_into("<H", hdr, 32, 6)       # mini shift
+    struct.pack_into("<L", hdr, 48, 0xFFFFFFFE)  # no directory
+    struct.pack_into("<L", hdr, 68, 0)       # first DIFAT = sector 0
+    struct.pack_into("<L", hdr, 72, 0xFFFFFFFF)  # n_difat: hostile
+    # sector 0 (at byte 512): all zeros -> next-DIFAT pointer = 0 (cycle)
+    t0 = time.monotonic()
+    try:
+        CfbView(bytes(hdr))
+    except CfbError:
+        pass
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_xls_infinite_and_rich_label_cells():
+    """inf/NaN NUMBER payloads must not erase the workbook, and a rich
+    (grbit 0x08) inline LABEL skips its cRun bytes before the chars."""
+    import struct
+
+    from gnosis_ocr_spark.operators.legacy_office import _fmt_num, extract_xls
+    from gnosis_ocr_spark.functions.codec_cfb import CfbView, build_cfb
+
+    assert _fmt_num(float("inf")) == "inf"
+    assert _fmt_num(float("nan")) == "nan"
+
+    def rec(rtype, payload):
+        return struct.pack("<HH", rtype, len(payload)) + payload
+
+    bof = rec(0x0809, struct.pack("<HH", 0x0600, 0x0005) + b"\x00" * 12)
+    bof_ws = rec(0x0809, struct.pack("<HH", 0x0600, 0x0010) + b"\x00" * 12)
+    inf_cell = rec(0x0203, struct.pack("<HHH", 0, 0, 0)
+                   + struct.pack("<d", float("inf")))
+    # rich inline LABEL at (0,1): cch=2, grbit=0x08, cRun=1, chars "ok",
+    # then 4 bytes of run data (ignored)
+    rich = rec(0x0204, struct.pack("<HHH", 0, 1, 0)
+               + struct.pack("<HB", 2, 0x08) + struct.pack("<H", 1)
+               + b"ok" + b"\x00" * 4)
+    ok_cell = rec(0x0204, struct.pack("<HHH", 1, 0, 0)
+                  + struct.pack("<HB", 2, 0x00) + b"hi")
+    eof = rec(0x000A, b"")
+    wb = bof + bof_ws + inf_cell + rich + ok_cell + eof + eof
+    blob = build_cfb([("Workbook", wb)])
+    text, np_ = extract_xls(CfbView(blob))
+    assert "ok" in text and "hi" in text and "inf" in text

@@ -405,3 +405,61 @@ def test_ods_odp_extract_through_the_odt_walker():
         stored={"mimetype"},
     )
     assert extract_office(odp)[2] == "odp"
+
+
+def test_rtf_surrogate_pairs_and_out_of_range_unicode():
+    """Word writes astral chars as \\uN surrogate PAIRS — they must
+    combine into the real character (raw surrogates would crash the UDF
+    at the Arrow boundary); out-of-range \\uN values drop instead of
+    degrading the whole document to 'bad'."""
+    from gnosis_ocr_spark.operators.office_extract import extract_rtf
+
+    emoji = rb"{\rtf1\ansi body \u-10179?\u-9089? tail}"
+    text, np_ = extract_rtf(emoji)
+    assert "\U0001f47f" in text and "body" in text and "tail" in text
+    text.encode("utf-8")  # serializable — the actual UDF requirement
+    bad_cp = rb"{\rtf1\ansi keep \u-70000? this}"
+    text2, _ = extract_rtf(bad_cp)
+    assert "keep" in text2 and "this" in text2
+
+
+def test_odt_annotation_paragraph_keeps_tail_text():
+    """A </text:p> inside office:annotation must not close the OUTER
+    paragraph — text after the annotation was silently dropped."""
+    from gnosis_ocr_spark.functions.codec_zip import build_zip
+    from gnosis_ocr_spark.functions.codec_zip import ZipView
+    from gnosis_ocr_spark.operators.office_extract import extract_odt
+
+    content = (
+        b'<?xml version="1.0"?><office:document-content>'
+        b"<office:body><office:text>"
+        b"<text:p>before <office:annotation><text:p>note body</text:p>"
+        b"</office:annotation>after</text:p>"
+        b"<text:p>second para</text:p>"
+        b"</office:text></office:body></office:document-content>"
+    )
+    blob = build_zip([
+        ("mimetype", b"application/vnd.oasis.opendocument.text"),
+        ("content.xml", content),
+    ])
+    text, np_ = extract_odt(ZipView(blob))
+    assert "before after" in text
+    assert "second para" in text
+    assert "note body" not in text  # annotations stay skipped
+
+
+def test_zip_eocd_signature_inside_comment():
+    """An EOCD signature embedded in the archive COMMENT must not shadow
+    the real EOCD (rfind would land on the impostor and lose every
+    entry)."""
+    from gnosis_ocr_spark.functions.codec_zip import build_zip, zip_entries
+
+    blob = bytearray(build_zip([("a.txt", b"hello"), ("b.txt", b"world")]))
+    # append a comment containing the EOCD magic: declare comment length
+    comment = b"see PK\x05\x06 docs"
+    import struct
+
+    struct.pack_into("<H", blob, len(blob) - 2, len(comment))
+    blob += comment
+    names = {e.name for e in zip_entries(bytes(blob))}
+    assert names == {"a.txt", "b.txt"}
