@@ -79,14 +79,23 @@ def _unesc(s: str) -> str:
                 out.append(mapped)
             elif n in "\\()":
                 out.append(n)
-            elif n.isdigit():  # octal escape \ddd
+            elif n in "01234567":  # octal escape \ddd — ASCII octal ONLY
+                # (str.isdigit() also matches \8, \9 and Unicode digits,
+                # which must decode as the bare character per §7.3.4.2 —
+                # int(.., 8) raised and sentineled whole documents)
                 j = i + 1
                 oct_digits = ""
-                while j < len(s) and s[j].isdigit() and len(oct_digits) < 3:
+                while j < len(s) and s[j] in "01234567" and len(oct_digits) < 3:
                     oct_digits += s[j]
                     j += 1
-                out.append(chr(int(oct_digits, 8)))
+                out.append(chr(int(oct_digits, 8) & 0xFF))  # \777 wraps
                 i = j
+                continue
+            elif n == "\r":  # backslash-EOL: line continuation, elide both
+                i += 3 if s[i + 2 : i + 3] == "\n" else 2
+                continue
+            elif n == "\n":
+                i += 2
                 continue
             else:
                 out.append(n)
@@ -2255,6 +2264,10 @@ _PAD = bytes.fromhex(
 )
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+# some generators write the trailer /ID as LITERAL strings (§7.5.5 allows
+# both); missing them derived a wrong file key and rejected documents any
+# reader opens — the literal form is parsed by _file_id_from below
+_ID_LIT_RE = re.compile(rb"/ID\s*\[\s*\(")
 _R_RE = re.compile(rb"/R\s+(\d+)\b")
 _V_RE = re.compile(rb"/V\s+(\d+)\b")
 _P_RE = re.compile(rb"/P\s+(-?\d+)\b")
@@ -2417,6 +2430,7 @@ class _StdDecryptor:
         return _rc4(okey, data)
 
 
+@functools.lru_cache(maxsize=4)
 def _decryptor_for(pdf: bytes) -> "_StdDecryptor | None":
     """Build a decryptor if the trailer references /Encrypt; None for
     unencrypted files. Raises ValueError for unsupported/locked encryption
@@ -2431,11 +2445,6 @@ def _decryptor_for(pdf: bytes) -> "_StdDecryptor | None":
     Arrow batch already in memory (a Python worker walks one document at a
     time); lru_cache does not cache exceptions, so a locked file's
     ValueError raises on every call exactly as before."""
-    return _decryptor_for_uncached(pdf)
-
-
-@functools.lru_cache(maxsize=4)
-def _decryptor_for_uncached(pdf: bytes) -> "_StdDecryptor | None":
     em = _ENCRYPT_REF_RE.search(pdf)
     if not em:
         return None
@@ -2446,7 +2455,30 @@ def _decryptor_for_uncached(pdf: bytes) -> "_StdDecryptor | None":
             enc_body = m.group(3)
             break
     idm = _ID_RE.search(pdf)
-    file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+    if idm:
+        file_id = bytes.fromhex(idm.group(1).decode())
+    else:
+        # literal-string /ID [(..) (..)] — legal (§7.5.5) and emitted by
+        # some generators; parse the first element with the standard
+        # escape rules (bytes via latin-1 round-trip)
+        file_id = b""
+        litm = _ID_LIT_RE.search(pdf)
+        if litm:
+            start = litm.end()
+            depth, j = 1, start
+            while j < len(pdf) and depth:
+                ch = pdf[j : j + 1]
+                if ch == b"\\":
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                j += 1
+            file_id = _unesc(
+                pdf[start : j - 1].decode("latin-1")
+            ).encode("latin-1", "ignore")
     dec = _StdDecryptor(enc_body, file_id)
     if not dec.ok:
         raise ValueError(f"encrypted PDF: {dec.reason}")
@@ -2568,8 +2600,14 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
     Codes up to 0xFFFF are kept: 1-byte simple fonts use the ≤ 0xFF slice,
     composite (Type0/Identity-H) fonts consume the full 2-byte space."""
     table: dict[int, str] = {}
+    # hostile-input bound: the 2-byte codespace holds at most 65536 codes,
+    # so no CMap legitimately emits more mappings — a hostile stream of
+    # repeated full-range bfranges (~300 s CPU per MB measured) stops here
+    cap = 0x10000
     for block in _BFRANGE_RE.finditer(data):
         for m in _HEXRANGE_RE.finditer(block.group(1)):
+            if len(table) >= cap:
+                return table
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
             if m.group(3) is not None:
                 dst = _utf16be_hex_to_str(m.group(3))
@@ -2577,7 +2615,14 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
                     base = ord(dst[-1])
                     prefix = dst[:-1]
                     for c in range(lo, min(hi, 0xFFFF) + 1):
-                        table[c] = prefix + chr(base + (c - lo))
+                        cp = base + (c - lo)
+                        if cp > 0x10FFFF:  # past Unicode: skip, never raise
+                            break
+                        if 0xD800 <= cp <= 0xDFFF:  # lone surrogate: not
+                            # Arrow/UTF-8 serializable — replacement char
+                            table[c] = prefix + "�"
+                        else:
+                            table[c] = prefix + chr(cp)
             else:
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
                 for c, d in zip(range(lo, hi + 1), dsts):
@@ -2585,6 +2630,8 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
                         table[c] = _utf16be_hex_to_str(d)
     for block in _BFCHAR_RE.finditer(data):
         for m in _HEXPAIR_RE.finditer(block.group(1)):
+            if len(table) >= cap:
+                return table
             code = int(m.group(1), 16)
             if code <= 0xFFFF:
                 table[code] = _utf16be_hex_to_str(m.group(2))
@@ -2604,6 +2651,8 @@ def _parse_cid_cmap(data: bytes) -> dict[int, int]:
     table: dict[int, int] = {}
     for block in _CIDRANGE_RE.finditer(data):
         for m in _CIDRANGE_ENTRY_RE.finditer(block.group(1)):
+            if len(table) >= 0x10000:  # same hostile-stream bound as bfrange
+                return table
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
             cid0 = int(m.group(3))
             for c in range(lo, min(hi, 0xFFFF) + 1):
@@ -3195,17 +3244,31 @@ def _resources_body(objs: dict[int, bytes], body: bytes) -> bytes:
 
 
 def _page_fonts(
-    objs: dict[int, bytes], page_body: bytes, dec=None
+    objs: dict[int, bytes], page_body: bytes, dec=None,
+    cache: dict | None = None,
 ) -> dict[bytes, tuple[int, list[str] | dict[int, str]]]:
     """Font name → (code width, decode mapping) for one page's /Resources
     (inline dict or indirect ref). Fonts with no encoding info are omitted
-    (latin-1 path)."""
+    (latin-1 path); a font whose tables fail to PARSE degrades the same
+    way — one hostile/corrupt CMap must not sentinel the whole document.
+    ``cache`` (per-document, keyed by font object number) avoids
+    re-parsing a shared font's ToUnicode/embedded program on every page
+    of a window — a 100-page CJK doc parses its 100 KB CMap once."""
     res = _resources_body(objs, page_body)
     fm = _FONT_DICT_RE.search(res)
     fonts: dict[bytes, tuple[int, list[str] | dict[int, str]]] = {}
     if fm:
         for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
-            spec = _font_decode_table(objs, objs.get(int(ref), b""), dec)
+            fno = int(ref)
+            if cache is not None and fno in cache:
+                spec = cache[fno]
+            else:
+                try:
+                    spec = _font_decode_table(objs, objs.get(fno, b""), dec)
+                except ValueError:
+                    spec = None  # corrupt font tables: latin-1 fallback
+                if cache is not None:
+                    cache[fno] = spec
             if spec is not None:
                 fonts[name] = spec
     return fonts
@@ -4031,8 +4094,13 @@ _INLINE_WS = b" \t\r\n\x0c\x00"
 _CHANNELS_OF = {b"DeviceGray": 1, b"DeviceRGB": 3, b"DeviceCMYK": 4}
 
 
+@functools.lru_cache(maxsize=4)
 def _scan_inline_images(stream: bytes) -> list[tuple[int, int, PdfImage | None]]:
     """Locate every BI..ID..EI inline image; returns (start, end, image).
+    Memoized: image-only pages run this scan (which DECODES payloads to
+    resolve EI — ~230 ms per JPX image) from both _blank_inline_images and
+    _collect_images on the same stream bytes; the cache halves that.
+    Consumers treat the returned list as read-only.
 
     The data's end is NOT regex-delimitable: compressed payloads legally
     contain ``\\s+EI`` byte runs (observed in practice — a naive
@@ -4258,21 +4326,26 @@ def _leaf_page_order(objs: dict[int, bytes]) -> list[int]:
     leaves: list[int] = []
     seen: set[int] = set()
 
-    def walk(no: int) -> None:
+    # explicit stack: a crafted linear chain of thousands of nested /Pages
+    # nodes blew Python's recursion limit (RecursionError is outside the
+    # ValueError contract and uncatchable as a parse failure); real trees
+    # are shallow but depth must not be attacker-controlled
+    stack: list[int] = [root] if root is not None else []
+    while stack:
+        no = stack.pop()
         if no in seen:
-            return
+            continue
         seen.add(no)
         body = objs.get(no, b"")
         if _PAGES_TYPE_RE.search(body):
             m = _KIDS_RE.search(body)
             if m:
-                for kid in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1)):
-                    walk(int(kid))
+                kids = [
+                    int(k) for k in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))
+                ]
+                stack.extend(reversed(kids))  # preserve DFS left-to-right
         elif _PAGE_TYPE_RE.search(body):
             leaves.append(no)
-
-    if root is not None:
-        walk(root)
     if not leaves:  # no usable tree: /Type /Page objects in file order
         leaves = sorted(no for no, b in objs.items() if _PAGE_TYPE_RE.search(b))
     return leaves
@@ -4377,6 +4450,7 @@ def extract_pages_with_images(
     if last_page is None:
         last_page = len(kid_order)
     hidden_nos = _hidden_ocgs(objs)
+    font_cache: dict = {}  # per-document: shared fonts parse once, not per page
     pages: list = []
     for page_obj_no in kid_order[first_page - 1 : last_page]:
         body = objs.get(page_obj_no, b"")
@@ -4401,7 +4475,7 @@ def extract_pages_with_images(
             )
             if stream is not None:
                 parts.append(stream)
-        fonts = _page_fonts(objs, body, dec)
+        fonts = _page_fonts(objs, body, dec, cache=font_cache)
         xmap = _xobject_map(objs, body)
         hidden = _hidden_prop_names(objs, body, hidden_nos)
 

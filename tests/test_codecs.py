@@ -1646,3 +1646,91 @@ def test_pdf_flate_bound_catches_stored_block_bombs_and_truncation(monkeypatch):
     # trailing garbage after a complete stream stays tolerated (original
     # zlib.decompress semantics)
     assert P._apply_one_filter(b"FlateDecode", b"", zlib.compress(b"ok") + b"JUNK") == b"ok"
+
+
+def test_unesc_spec_edge_escapes():
+    """§7.3.4.2 edges review-found broken: \\8 and \\9 are bare chars (NOT
+    octal — int(..,8) raised and sentineled whole documents), Unicode
+    digits never start octal, \\777 wraps to one byte, and backslash-EOL
+    line continuations elide entirely."""
+    from gnosis_ocr_spark.functions.codec_pdf import _unesc
+
+    assert _unesc(r"C:\98SE") == "C:98SE"
+    assert _unesc("pre\\\u00b2post") == "pre\u00b2post"  # superscript two
+    assert _unesc(r"\101") == "A"
+    assert _unesc(r"\777") == "\xff"  # overflow wraps per spec
+    assert _unesc("line\\\ncont") == "linecont"
+    assert _unesc("line\\\r\ncont") == "linecont"
+    assert _unesc("line\\\rcont") == "linecont"
+
+
+def test_hostile_cmap_is_bounded_and_never_raises():
+    """A ToUnicode CMap whose destination walks past U+10FFFF degrades
+    (skip/replacement) instead of raising chr() ValueError, and repeated
+    full-range bfranges stop at the 65536-mapping bound (~300 s/MB of
+    hostile CPU otherwise)."""
+    import time
+
+    from gnosis_ocr_spark.functions.codec_pdf import _parse_cmap
+
+    overflow = (b"1 beginbfrange <0000> <0005> <DBFFDFFF> endbfrange")
+    t = _parse_cmap(overflow)  # must not raise
+    assert t[0] == "\U0010ffff"
+    assert 1 not in t  # past Unicode: skipped
+    bomb = b"\n".join(
+        b"1 beginbfrange <0000> <FFFF> <0041> endbfrange" for _ in range(200)
+    )
+    t0 = time.monotonic()
+    t = _parse_cmap(bomb)
+    assert time.monotonic() - t0 < 5.0
+    assert len(t) == 0x10000
+
+
+def test_deep_pages_chain_no_recursion_error():
+    """A linear chain of thousands of nested /Pages nodes must not raise
+    RecursionError (outside the ValueError contract) — the tree walk is
+    an explicit stack now."""
+    parts = [b"%PDF-1.4\n"]
+    n_chain = 3000
+    parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    for i in range(2, 2 + n_chain):
+        parts.append(
+            b"%d 0 obj\n<< /Type /Pages /Count 1 /Kids [%d 0 R] >>\nendobj\n"
+            % (i, i + 1)
+        )
+    leaf = 2 + n_chain
+    parts.append(
+        b"%d 0 obj\n<< /Type /Page /Parent %d 0 R >>\nendobj\n"
+        % (leaf, leaf - 1)
+    )
+    parts.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pdf = b"".join(parts)
+    assert P.page_count(pdf) >= 1
+    assert len(P.extract_pages(pdf)) >= 1
+
+
+def test_encrypted_pdf_with_literal_string_id_decodes():
+    """Trailer /ID written as LITERAL strings (§7.5.5 allows both forms;
+    some generators emit them) must authenticate — the hex-only regex
+    rejected such documents as password-locked."""
+    pages = ["literal id page text"]
+    blob = P.build_pdf_encrypted(pages)
+    m = __import__("re").search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\]", blob)
+    assert m is not None
+
+    def lit(hexs: bytes) -> bytes:
+        raw = bytes.fromhex(hexs.decode())
+        out = bytearray(b"(")
+        for b in raw:
+            if b in b"\\()":
+                out += b"\\" + bytes([b])
+            elif b in (13,):  # \r would normalize: escape as octal
+                out += b"\\015"
+            else:
+                out.append(b)
+        return bytes(out) + b")"
+
+    patched = (blob[: m.start()] + b"/ID [" + lit(m.group(1)) + b" "
+               + lit(m.group(2)) + b"]" + blob[m.end():])
+    spans = P.extract_pages(patched)
+    assert P.page_text(spans[0]) == "literal id page text"
