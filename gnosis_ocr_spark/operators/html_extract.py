@@ -127,11 +127,24 @@ class _Extractor(HTMLParser):
         idxs = self._open_idx.get(tag)
         if idxs:
             self._pop_from(idxs[-1])
-        if tag in _BLOCK_TAGS:
-            self._cur = None  # close the block; next text opens an implicit one
+            if tag in _BLOCK_TAGS:
+                # close the block; next text opens an implicit one. Only
+                # when an element actually closed: a STRAY block end tag
+                # (sloppy crawl HTML: '</div>' with no open div) splitting
+                # the current paragraph dropped its sub-threshold prefix
+                self._cur = None
 
     def handle_data(self, data: str) -> None:
         if not data.strip():
+            # a whitespace-only text node still separates words: source
+            # HTML line-wraps between inline elements ('</b>\n<i>') and
+            # dropping the node glued the neighbors into one token
+            if (
+                self._cur is not None and not self._cur.killed
+                and self._kill_depth == 0 and self._boiler_depth == 0
+                and self._cur.parts
+            ):
+                self._cur.parts.append(" ")
             return
         # kill/boiler status must be checked at DATA time, not only at block
         # creation: a <script> inside a still-open block-level element would
@@ -199,9 +212,20 @@ def decode_html_bytes(raw: bytes) -> str:
         # (the prescan only finds ASCII-compatible byte streams anyway).
         label = _WHATWG_LABELS.get(label, label)
         try:
-            return raw.decode(codecs.lookup(label).name, "replace")
-        except LookupError:
-            pass  # unknown label → sniff like an unlabeled page
+            canon = codecs.lookup(label).name
+            # Python resolves aliases the WHATWG table can't enumerate
+            # (utf16/u16/ucs2/utf-32/punycode…); any BOM-less UTF-16/32
+            # label takes the documented utf-8 path (the prescan only
+            # finds ASCII-compatible streams), and non-byte codecs like
+            # punycode would mangle or raise
+            if canon.startswith(("utf-16", "utf-32")) or canon == "punycode":
+                canon = "utf-8"
+            return raw.decode(canon, "replace")
+        except Exception:
+            # unknown label (LookupError) OR a codec that rejects
+            # errors='replace'/'undefined' input (UnicodeError from the
+            # 'undefined'/'idna' codecs) → sniff like an unlabeled page
+            pass
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
@@ -218,7 +242,6 @@ _SVG_ROOT_RE = re.compile(
 # subtrees that are never content in an SVG
 _SVG_SKIP_TAGS = frozenset("defs metadata style script symbol".split())
 # elements whose character data is content
-_SVG_TEXT_TAGS = frozenset("text tspan textpath".split())
 
 
 class _SvgExtractor(HTMLParser):
@@ -374,7 +397,9 @@ class _MetaExtractor(HTMLParser):
             if content and (key in _META_NAME_KEYS or key in _META_PROP_KEYS):
                 self.fields.setdefault(key, content)
         elif tag == "link":
-            if a.get("rel", "").strip().lower() == "canonical" and a.get("href"):
+            # rel is a space-separated TOKEN LIST (rel="canonical nofollow")
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and a.get("href"):
                 self.fields.setdefault("canonical", a["href"].strip())
         elif tag == "body":
             self._done = True

@@ -113,7 +113,10 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
             d = img.bits
             vals = bits[:, : img.width * d].reshape(img.height, img.width, d)
             weights = (1 << np.arange(d - 1, -1, -1)).astype(np.uint16)
-            v = (vals.astype(np.uint16) * weights).sum(axis=2)
+            # dtype pinned: an unsigned .sum() promotes to uint64 — 8-byte
+            # per-pixel temporaries in per-page work (the CLAUDE.md
+            # bandwidth rule); max value is 15, uint16 is exact
+            v = (vals.astype(np.uint16) * weights).sum(axis=2, dtype=np.uint16)
             gray = (v * (255 // ((1 << d) - 1))).astype(np.uint8)
         return gray.tobytes(), img.width, img.height
     if img.codec == "raw" and img.bits == 8:
@@ -378,7 +381,17 @@ def _make_split_batches(with_route: bool):
                         out_route.append(route)
                         emitted += 1
                 except Exception:
-                    pass
+                    if emitted > 0:
+                        # MID-document failure (corrupt tail after good
+                        # pages — truncated downloads are common): a
+                        # sentinel row alongside the partial pages marks
+                        # the document incomplete instead of silently
+                        # passing a 10-page prefix off as the whole file
+                        out_url.append(url)
+                        out_no.append(None)
+                        out_text.append(None)
+                        out_png.append(None)
+                        out_route.append(route)
                 if emitted == 0:  # sentinel so the url survives to assembly
                     out_url.append(url)
                     out_no.append(None)
@@ -396,9 +409,6 @@ def _make_split_batches(with_route: bool):
             yield pd.DataFrame(cols)
 
     return _split_batches
-
-
-_split_batches = _make_split_batches(with_route=False)
 
 
 def split_pdf_text_pages(

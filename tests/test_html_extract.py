@@ -216,3 +216,37 @@ def test_charset_whatwg_label_mapping():
         assert "“curly quotes”" in out, label
         assert "—em dash—" in out, label
         assert "\x93" not in out, label
+
+
+def test_review_fixes_inline_whitespace_stray_closers_charsets_rel():
+    """Review-found extraction bugs pinned: line-wrapped inline markup
+    keeps word boundaries; a stray block closer does not split (and drop)
+    the open paragraph; hostile charset labels ('undefined', 'utf16',
+    'punycode') never crash and never mojibake an ASCII page; rel is a
+    token list."""
+    from gnosis_ocr_spark.operators.html_extract import (
+        decode_html_bytes,
+        extract_html_meta,
+        extract_main_text,
+    )
+
+    wrapped = (b"<p>the quick <b>brown</b>\n<i>fox</i> jumps over the "
+               b"lazy dog near the river bank today</p>")
+    text = extract_main_text(wrapped)
+    assert "brown fox" in text and "brownfox" not in text
+
+    stray = (b"<p>Hello dear</div> wonderful readers of this fine "
+             b"page we meet again</p>")
+    text2 = extract_main_text(stray)
+    assert "Hello dear wonderful" in text2
+
+    body = b"plain ascii content here"
+    for label in (b"undefined", b"idna", b"utf16", b"punycode", b"utf-32"):
+        page = b'<meta charset="' + label + b'">' + body
+        out = decode_html_bytes(page)  # never raises
+        assert "plain ascii content here" in out, label
+
+    meta = extract_html_meta(
+        b'<head><link rel="canonical nofollow" href="https://c.test/x"></head>'
+    )
+    assert meta.get("canonical") == "https://c.test/x"

@@ -138,3 +138,27 @@ def test_pdf15_files_flow_through_spark_pipeline(spark):
     for i, pg in enumerate(pages):
         assert got[f"u{i}-15"] == got[f"u{i}-14"]
         assert got[f"u{i}-14"][1] == len(pg)
+
+
+def test_mid_document_split_failure_leaves_sentinel(monkeypatch):
+    """A parse failure AFTER partial page emission (corrupt tail — common
+    in truncated crawl downloads) adds a NULL-page sentinel row next to
+    the partial pages, so the truncation is marked instead of a 10-page
+    prefix silently passing as the whole document. Assembly still skips
+    NULLs (partial text, partial count)."""
+    import pandas as pd
+
+    from gnosis_ocr_spark.operators import pdf_split as PS
+
+    def three_then_die(data):
+        yield "p1", None
+        yield "p2", None
+        raise ValueError("corrupt tail")
+
+    monkeypatch.setattr(PS, "_pdf_page_rows", lambda data: three_then_die(data))
+    fn = PS._make_split_batches(with_route=False)
+    batch = pd.DataFrame({"url": ["u1"], "html": [b"%PDF-1.4 fake"]})
+    out = pd.concat(list(fn(iter([batch]))))
+    by_null = out["page_no"].isna()
+    assert (~by_null).sum() == 2  # the partial pages survive
+    assert by_null.sum() == 1     # plus the incompleteness sentinel
