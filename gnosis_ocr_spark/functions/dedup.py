@@ -84,19 +84,28 @@ def cap_bucket_members(
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id, is_dup): group on normalized-md5; the smallest
-    id in each group is canonical. Expressible as one min-window/self-join."""
+    id in each group is canonical. Expressible as one min-window/self-join.
+
+    NULL-text docs (failed extractions) are NOT comparable: each keeps its
+    own id as canonical with is_dup=false — the null-rejecting equi-join
+    previously dropped their rows entirely, so a keep-where-not-dup
+    semi-join silently lost those doc_ids."""
     keyed = docs.select(
         F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
     )
-    canon = keyed.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
-    return (
-        keyed.join(canon, "fp")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-        )
+    nn = keyed.filter(F.col("fp").isNotNull())
+    canon = nn.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    matched = nn.join(canon, "fp").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
+    nulls = keyed.filter(F.col("fp").isNull()).select(
+        "doc_id",
+        F.col("doc_id").alias("canonical_id"),
+        F.lit(False).alias("is_dup"),
+    )
+    return matched.unionByName(nulls)
 
 
 # ---------------------------------------------------------------- shingles
@@ -155,6 +164,16 @@ def exploded_word_shingles(
     )
 
 
+def _norm_prefix(text: Column, max_chars: int) -> Column:
+    """THE normalized text prefix every char-gram consumer shares —
+    whitespace-collapsed, lowercased, first ``max_chars`` chars. One
+    definition: ngram_jaccard_pairs' inverted index and char_ngrams'
+    oracle-truth arrays must never drift apart."""
+    return F.substring(
+        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars
+    )
+
+
 def char_ngrams(text: Column, n: int = 3, max_chars: int = 200) -> Column:
     """Character n-grams over the first ``max_chars`` normalized chars
     (bounded so the exact-Jaccard oracle join stays tractable).
@@ -162,7 +181,7 @@ def char_ngrams(text: Column, n: int = 3, max_chars: int = 200) -> Column:
     Texts shorter than n chars yield an EMPTY array (the previous
     greatest(.., 0) produced a descending [1, 0] sequence and a spurious
     '' gram — two empty docs then reported jaccard = 1.0)."""
-    norm = F.substring(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 1, max_chars)
+    norm = _norm_prefix(text, max_chars)
     idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
     return F.when(
         F.length(norm) >= n,
@@ -344,6 +363,12 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → bottom-s Jaccard verification.
 
+    SCOPE: shingle-based — documents with fewer than ``shingle_words``
+    tokens produce no shingles, hence no signature, and are absent from
+    the output (even two byte-identical 2-token docs emit no pair). Short
+    docs are exact-dedup territory: run :func:`exact_duplicates` alongside
+    (as plans/curate.py does) to cover them.
+
     Output (a, b, jaccard) is *deterministic* (candidates are verified with
     the bottom-s sketch Jaccard — exact for docs with ≤ sketch_size distinct
     shingles, an unbiased estimate above — so band luck affects only recall,
@@ -420,8 +445,14 @@ def minhash_star_edges(
         F.lit(1.0).alias("jaccard"),
     )
     reps_ids = with_rep.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    sigs = minhash_signature(docs, id_col, text_col, k, shingle_words)
-    rep_sigs = sigs.join(reps_ids, "doc_id")
+    # signatures for REPRESENTATIVES ONLY: the semi-join must sit below
+    # minhash_signature — its explode+groupBy is a barrier Catalyst cannot
+    # push a later join under, so signing all docs first would k-hash every
+    # member of exactly the mega-clusters this function collapses
+    rep_docs = docs.join(
+        reps_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    rep_sigs = minhash_signature(rep_docs, id_col, text_col, k, shingle_words)
     rep_pairs = lsh_candidate_pairs(rep_sigs, bands, rows)
     verified = _verify_pairs(rep_pairs, sketches, threshold, sketch_size)
     return verified.unionByName(star)
@@ -632,6 +663,13 @@ def connected_components(
     else:
 
         def _save(df: DataFrame) -> tuple[DataFrame, set[int]]:
+            # SINGLE-WRITER ASSUMPTION: the before/after diff attributes
+            # every RDD persisted during the eager checkpoint to THIS
+            # call — an RDD another thread persists in that window would
+            # be unpersisted at the next round. The repo's bench rules
+            # already forbid concurrent Spark jobs in one session
+            # (CLAUDE.md); use checkpoint_dir= (reliable checkpoints, no
+            # diff) when sharing a session across drivers.
             before = _persistent_ids()
             out = df.localCheckpoint(eager=True)
             return out, _persistent_ids() - before
@@ -759,11 +797,7 @@ def ngram_jaccard_pairs(
     """
     normed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.substring(
-            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
-            1,
-            max_chars,
-        ).alias("_s"),
+        _norm_prefix(F.col(text_col), max_chars).alias("_s"),
     ).withColumn("_n", F.length("_s") - (n - 1))
     grams = (
         normed.filter(F.col("_n") >= 1)

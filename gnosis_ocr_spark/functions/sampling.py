@@ -18,20 +18,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def stable_hash(key: Column) -> Column:
-    """Deterministic 60-bit integer hash of a string key (engine-portable)."""
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+def stable_hash(key: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit integer hash of a string key (engine-portable).
+
+    COMPOSABILITY: every selector in this family reads the SAME hash of
+    the key, so two unsalted selectors correlate degenerately —
+    ``sample_fraction(keep_pm=100)`` then ``split_assign`` yields 100%
+    'train' (every survivor has bucket < 100 < 980), and chained
+    fractions keep min(p₁,p₂), not p₁·p₂. Pass a distinct ``salt`` per
+    independent decision to decorrelate; the default '' preserves the
+    historical (and oracle-pinned) assignments."""
+    k = F.concat(F.lit(salt), key) if salt else key
+    return F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("bigint")
 
 
-def hash_bucket(key: Column, n_buckets: int = 1000) -> Column:
-    return (stable_hash(key) % n_buckets).cast("int")
+def hash_bucket(key: Column, n_buckets: int = 1000, salt: str = "") -> Column:
+    return (stable_hash(key, salt) % n_buckets).cast("int")
 
 
-def split_assign(key: Column, train_pm: int = 980, val_pm: int = 10) -> Column:
+def split_assign(
+    key: Column, train_pm: int = 980, val_pm: int = 10, salt: str = ""
+) -> Column:
     """'train' / 'val' / 'test' by per-mille hash bucket (default 98/1/1).
     Assignment is a pure function of the key — adding data never moves an
-    existing document across splits."""
-    b = hash_bucket(key, 1000)
+    existing document across splits. Compose with other hash selectors via
+    distinct ``salt`` values (see stable_hash)."""
+    b = hash_bucket(key, 1000, salt)
     return (
         F.when(b < train_pm, "train")
         .when(b < train_pm + val_pm, "val")
@@ -39,10 +51,13 @@ def split_assign(key: Column, train_pm: int = 980, val_pm: int = 10) -> Column:
     )
 
 
-def sample_fraction(df: DataFrame, key_col: str, keep_pm: int) -> DataFrame:
+def sample_fraction(
+    df: DataFrame, key_col: str, keep_pm: int, salt: str = ""
+) -> DataFrame:
     """Keep ~keep_pm/1000 of rows, deterministically by key hash (the
-    reproducible alternative to df.sample)."""
-    return df.filter(hash_bucket(F.col(key_col)) < keep_pm)
+    reproducible alternative to df.sample). Salt to decorrelate from other
+    hash selectors on the same key (see stable_hash)."""
+    return df.filter(hash_bucket(F.col(key_col), salt=salt) < keep_pm)
 
 
 def cap_per_group(

@@ -4,11 +4,15 @@
   query set against the corpus, cosine via ``zip_with``+``aggregate`` (pure
   JVM expressions, no Python), per-query top-k via window. The corpus side is
   never shuffled — one broadcast-nested-loop over a single scan.
-- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign) LSH with
-  deterministic hash-derived hyperplanes; queries join only their bucket
-  (multi-probe over b bands), then exact cosine re-rank inside buckets. At
-  10^12 rows the bucket join touches a tiny candidate fraction instead of the
-  full corpus.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign) LSH
+  with deterministic hash-derived hyperplanes packed into ONE bucket key;
+  queries equality-join their single bucket, then exact cosine re-rank
+  inside it. Recall is the single-bucket probability (1 − θ/π)^n_planes —
+  no banding or multi-probe is implemented, so a query one hyperplane
+  flip from its neighbor misses it; raise recall by lowering n_planes
+  (coarser buckets) or use :func:`ivf_cosine_topk` with n_probe, the
+  knob-bearing scale path. The driver oracle's exact-replica construction
+  (identical vectors share every bucket) is unaffected.
 """
 
 from __future__ import annotations
@@ -141,12 +145,18 @@ def ivf_assign(
     seed: int = 4321,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest centroid.
-    Default codebook is hash-derived (deterministic, same everywhere);
-    pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to use a learned
-    codebook — the assignment plan is identical either way: the tiny
-    codebook is inlined as literals (the Spark analog of broadcasting it)
-    and assignment is pure Column expressions — no UDF, no shuffle.
+    """IVF coarse quantizer: assign each vector to its L2-NEAREST centroid
+    — argmax of dot(v,c) − ‖c‖²/2, the ‖v‖-independent form (a raw-dot
+    argmax is NOT nearest-centroid: unequal-norm centroids — the
+    hash-derived codebook's shape — let a long centroid win assignments
+    regardless of proximity, which also broke the Lloyd updates in
+    :func:`kmeans_centroids` built on this assignment; same correction
+    _pq_codes_col already carried). Default codebook is hash-derived
+    (deterministic, same everywhere); pass ``centroids`` (e.g. from
+    :func:`kmeans_centroids`) to use a learned codebook — the assignment
+    plan is identical either way: the tiny codebook is inlined as
+    literals (the Spark analog of broadcasting it) and assignment is pure
+    Column expressions — no UDF, no shuffle.
 
     The n_centroids inlined dot-product folds carry a one-time
     whole-stage-codegen compile cost (seconds, like dedup.simhash — see its
@@ -160,7 +170,11 @@ def ivf_assign(
     # grows exponentially in n_centroids (observed: analysis never finishes
     # at 16 centroids × 64 dims)
     scores = F.array(
-        *[dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+        *[
+            dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            - F.lit(float(sum(x * x for x in c)) / 2.0)
+            for c in cents
+        ]
     )
     centroid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return corpus.select(
@@ -188,12 +202,44 @@ def kmeans_centroids(
     aggregation, the scalable mean at any corpus size. Only the
     n_centroids × dim codebook (a few KB) is collected to the driver per
     iteration — the legitimate tiny-result collect, exactly like
-    connected_components' convergence count. Init is the deterministic
-    hash-derived codebook, so the whole fit is reproducible across runs and
-    cluster sizes; empty clusters keep their previous centroid."""
-    cents = [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    connected_components' convergence count.
+
+    Init is deterministic FARTHEST-FIRST from the data (Gonzalez max-min:
+    the hash-minimal vector seeds the set, each next seed is the vector
+    maximizing its distance to the chosen set, ties broken by id) — k
+    corpus scans, same order as the Lloyd scans. Data-scaled seeding is
+    load-bearing: off-scale init (the old hash hyperplanes) put EVERY
+    vector in one L2-nearest cell and froze the rest, collapsing the fit.
+    Empty clusters keep their previous centroid."""
     slim = corpus.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).cast("array<double>").alias("cv"))
+    first = (
+        slim.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .select("cv").limit(1).collect()
+    )
+    if not first:
+        return [_hyperplane(dim, c, seed) for c in range(n_centroids)]
+    cents = [[float(x) for x in first[0]["cv"]]]
+    while len(cents) < n_centroids:
+        cent_arrs = [F.array(*[F.lit(x) for x in c]) for c in cents]
+        d2 = [
+            F.aggregate(
+                F.zip_with(F.col("cv"), ca, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ca in cent_arrs
+        ]
+        far = (
+            slim.withColumn("_mind", F.least(*d2) if len(d2) > 1 else d2[0])
+            .orderBy(F.desc("_mind"), "vec_id")
+            .select("cv").limit(1).collect()
+        )
+        nxt = [float(x) for x in far[0]["cv"]]
+        if nxt in cents:  # fewer distinct vectors than centroids
+            cents.append(_hyperplane(dim, len(cents), seed))
+        else:
+            cents.append(nxt)
     for _ in range(n_iter):
         assigned = ivf_assign(slim, n_centroids, dim, "vec_id", "cv",
                               centroids=cents)
@@ -244,10 +290,15 @@ def ivf_cosine_topk(
                           centroids=cents)
 
     qv = F.col(vec_col).cast("array<double>")
+    # probe ranking MUST use the same metric as corpus assignment
+    # (dot − ‖c‖²/2, the L2-argmin form): ranking probes by cosine while
+    # assigning by L2 let a query's own cell fall outside its n_probe
+    # list, breaking the replica-in-first-probe guarantee the oracle
+    # relies on
     scores = F.array(
         *[
             dot(qv, F.array(*[F.lit(float(x)) for x in c]))
-            / F.greatest(l2_norm(qv), F.lit(1e-12))
+            - F.lit(float(sum(x * x for x in c)) / 2.0)
             for c in cents
         ]
     )
@@ -311,7 +362,14 @@ def embedding_near_duplicates(
         with_h = c.withColumn("_hv", F.xxhash64("v")).repartition("_hv")
         rep_w = F.min("vec_id").over(Window.partitionBy("_hv", "v"))
         with_rep = with_h.select("vec_id", "v", rep_w.alias("rep"))
-        star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
+        # identical-vector star edges claim cos=1.0 — true only for
+        # nonzero vectors. Zero embeddings (failed encoders) have cosine
+        # 0 with EVERYTHING incl. each other; emitting them as near-dups
+        # contradicted the collapse_identical=False path on the same data
+        nonzero = F.exists("v", lambda x: x != 0.0)
+        star = with_rep.filter(
+            (F.col("vec_id") != F.col("rep")) & nonzero
+        ).select(
             F.col("rep").alias("a"),
             F.col("vec_id").alias("b"),
             F.lit(1.0).alias("cos"),

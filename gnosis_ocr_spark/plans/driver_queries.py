@@ -2221,9 +2221,12 @@ WITH u AS (
   UNION ALL SELECT doc_id + 10000, text FROM documents
 ), k AS (
   SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM u
-), c AS (SELECT fp, MIN(doc_id) AS canonical_id FROM k GROUP BY fp)
+), c AS (SELECT fp, MIN(doc_id) AS canonical_id FROM k WHERE fp IS NOT NULL
+         GROUP BY fp)
 SELECT k.doc_id, c.canonical_id, k.doc_id <> c.canonical_id AS is_dup
 FROM k JOIN c USING (fp)
+UNION ALL  -- NULL-text docs: not comparable, own id, never dup
+SELECT doc_id, doc_id AS canonical_id, FALSE AS is_dup FROM k WHERE fp IS NULL
 """
 
 

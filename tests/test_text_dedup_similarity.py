@@ -1013,3 +1013,54 @@ def test_segment_cjk_unlocks_dedup_and_gates_for_cjk(spark):
              minhash_near_duplicates(seg_docs, threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+
+
+def test_exact_duplicates_keeps_null_text_docs(spark):
+    """NULL-text docs (failed extractions) stay in the output as non-dups
+    with their own id — the null-rejecting join silently dropped them."""
+    from gnosis_ocr_spark.functions.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in exact_duplicates(df).collect()}
+    assert len(got) == 4
+    assert got[2]["is_dup"] and got[2]["canonical_id"] == 1
+    assert not got[3]["is_dup"] and got[3]["canonical_id"] == 3
+    assert not got[4]["is_dup"] and got[4]["canonical_id"] == 4
+
+
+def test_sampling_salt_decorrelates_composed_selectors(spark):
+    """The review-found composability trap: unsalted sample-then-split is
+    degenerate (every survivor is 'train'); a salt restores independent
+    decisions while the default stays oracle-pinned."""
+    from gnosis_ocr_spark.functions.sampling import sample_fraction, split_assign
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    ).withColumn("k", F.col("doc_id").cast("string"))
+    kept = sample_fraction(df, "k", keep_pm=100)
+    unsalted = kept.select(split_assign(F.col("k")).alias("s"))
+    assert {r["s"] for r in unsalted.distinct().collect()} == {"train"}
+    salted = kept.select(split_assign(F.col("k"), salt="split:").alias("s"))
+    assert {r["s"] for r in salted.distinct().collect()} == {"train", "val", "test"}
+
+
+def test_zero_embeddings_are_not_near_duplicates(spark):
+    """All-zero embeddings (failed encoders) have cosine 0 with everything
+    — the identical-vector collapse must not report them as cos=1 pairs
+    (and both collapse modes must agree)."""
+    from gnosis_ocr_spark.functions.similarity import embedding_near_duplicates
+
+    dim = 8
+    rows = [(1, [0.0] * dim), (2, [0.0] * dim), (3, [1.0] + [0.0] * (dim - 1)),
+            (4, [1.0] + [0.0] * (dim - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for collapse in (True, False):
+        pairs = {(r["a"], r["b"]) for r in embedding_near_duplicates(
+            df, threshold=0.99, n_planes=4, dim=dim,
+            collapse_identical=collapse,
+        ).collect()}
+        assert (3, 4) in pairs, collapse
+        assert all(1 not in p and 2 not in p for p in pairs), collapse
