@@ -68,32 +68,18 @@ def quality_score(
     model; broadcast-joined. Default: the deterministic demo table inlined
     as a pure expression (no join at all)."""
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # empty boundary tokens (newline-framed text; trim strips only 0x20)
-    # would otherwise become features — filter them out
-    toked = base.select(
-        "doc_id",
-        F.filter(
-            tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0
-        ).alias("_toks"),
-    )
-    # adjacent bigrams via element_at over the MATERIALIZED token column —
-    # the lambda re-evaluates only cheap attribute lookups, not the
-    # tokenizer (the repo's HOF-CSE gotcha)
-    bigrams = F.when(
-        F.size("_toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - 1),
-            lambda i: F.concat_ws(
-                "_", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = toked.select(
-        "doc_id", F.explode(F.concat(F.col("_toks"), bigrams)).alias("feat")
-    ).select("doc_id", feature_bucket(F.col("feat"), n_features).alias("bucket"))
+    # the SHARED feature layer (filtered tokens + bigrams -> hashed
+    # buckets) — one definition with the lang-ID classifier, so the two
+    # models can never silently diverge on their input representation
+    feats = _hashed_features(base, ["doc_id"], "text", n_features)
     if weights is not None:
-        feats = feats.join(F.broadcast(weights), "bucket").select(
-            "doc_id", F.col("weight_c")
+        # LEFT join: a sparsely-exported weights table (only buckets seen
+        # in training — the natural export) must score unseen buckets as
+        # weight 0, not silently drop them from the mean's numerator AND
+        # denominator (which biased logit_bp and under-reported n_feats)
+        feats = feats.join(F.broadcast(weights), "bucket", "left").select(
+            "doc_id",
+            F.coalesce(F.col("weight_c"), F.lit(0)).alias("weight_c"),
         )
     else:
         feats = feats.select("doc_id", demo_weight_c(F.col("bucket")).alias("weight_c"))
@@ -170,8 +156,11 @@ def unigram_lm_score(
         F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.col("sum_logp_mb"), F.lit(0)).cast("long").alias("sum_logp_mb"),
         (
-            F.coalesce(F.col("sum_logp_mb"), F.lit(0))
-            >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
+            (F.coalesce(F.col("n_toks"), F.lit(0)) > 0)
+            & (
+                F.coalesce(F.col("sum_logp_mb"), F.lit(0))
+                >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
+            )
         ).alias("keep_lm"),
     )
 
@@ -288,8 +277,11 @@ def unigram_lm_score_static(
         F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.col("sum_logp_mb"), F.lit(0)).cast("long").alias("sum_logp_mb"),
         (
-            F.coalesce(F.col("sum_logp_mb"), F.lit(0))
-            >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
+            (F.coalesce(F.col("n_toks"), F.lit(0)) > 0)
+            & (
+                F.coalesce(F.col("sum_logp_mb"), F.lit(0))
+                >= keep_mean_mb * F.coalesce(F.col("n_toks"), F.lit(0))
+            )
         ).alias("keep_lm"),
     )
 

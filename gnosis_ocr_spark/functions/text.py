@@ -87,8 +87,10 @@ def segment_cjk(text: Column) -> Column:
     gates — and Chinese/Japanese/Korean documents get character-level
     tokens (the classic zh baseline; CCNet-style pipelines do exactly
     this before n-gram work) while pure-Latin text passes through
-    byte-identical. Compositional by design: no dedup/curation operator
-    needed a tokenizer parameter."""
+    TOKEN-identical (the trim strips framing whitespace, so byte-level
+    offsets do not survive — whitespace-tokenized consumers see identical
+    tokens). Compositional by design: no dedup/curation operator needed a
+    tokenizer parameter."""
     cjk = LANG_SCRIPTS["zh"] + LANG_SCRIPTS["ja"] + LANG_SCRIPTS["ko"]
     return F.trim(F.regexp_replace(text, "([" + cjk + "])", " $1 "))
 
@@ -496,7 +498,13 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toked = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # filter empty boundary tokens (newline-framed text): they would
+        # occupy chunk-window slots and pad chunk_text with spaces, making
+        # the chunk-level n_tokens disagree with pack_sequences' recount
+        F.filter(
+            tokens(F.col(text_col)), lambda t: F.length(t) > 0
+        ).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
     n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
         1 + F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride).cast("int")
@@ -619,7 +627,14 @@ def gopher_repetition(
     """
     from pyspark.sql.window import Window
 
-    max_n = max(*top_ns, *dup_ns)
+    all_req = (*top_ns, *dup_ns)
+    if not all_req:
+        raise ValueError("gopher_repetition: need at least one n")
+    if min(all_req) < 2:
+        # gram(1) would reference a lead column that never exists; the
+        # single-word variant is vocabulary/token_count territory
+        raise ValueError("gopher_repetition: n-gram sizes start at 2")
+    max_n = max(all_req)
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )

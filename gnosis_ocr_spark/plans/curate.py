@@ -111,7 +111,11 @@ def curate_corpus(
     enriched = base.withColumn("_ltoks", ltoks).select(
         "doc_id",
         "text",
-        token_count(F.col("text")).alias("n_tokens"),
+        # size of the FILTERED token column — token_count() counts empty
+        # boundary tokens (newline-framed text; trim strips only 0x20),
+        # while the DuckDB oracle counts filtered tokens: the unfiltered
+        # form was a latent driver-contract divergence on crawl-shaped text
+        F.size(F.col("_ltoks")).cast("int").alias("n_tokens"),
         lang_id(F.col("text"), toks=F.col("_ltoks")).alias("lang"),
         repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep2_bp"),
         *gopher_flags(F.col("text"), toks=F.col("_ltoks")),

@@ -1943,7 +1943,8 @@ WITH t AS (
 SELECT d.doc_id,
        CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(s.sum_mb, 0) AS BIGINT) AS sum_logp_mb,
-       COALESCE(s.sum_mb, 0) >= -9000 * COALESCE(s.n_toks, 0) AS keep_lm
+       COALESCE(s.n_toks, 0) > 0
+         AND COALESCE(s.sum_mb, 0) >= -9000 * COALESCE(s.n_toks, 0) AS keep_lm
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 

@@ -194,3 +194,25 @@ def test_extra_gate_cols_conjoin_and_null_fails(spark):
         expect_flag = r["doc_id"] % 3 == 2
         assert r["ok_robots"] == expect_flag  # NULL coalesced to False
         assert r["keep"] == (base[r["doc_id"]] and expect_flag)
+
+
+def test_newline_framed_text_counts_match_oracle_semantics(spark):
+    """Review-found latent driver divergence: Spark counted empty boundary
+    tokens ('\\nhello world\\n' → 4) while the DuckDB oracle counts
+    filtered tokens (2). Both curate's n_tokens and chunk_documents now
+    use the filtered set."""
+    from pyspark.sql import functions as F
+
+    from gnosis_ocr_spark.functions.text import chunk_documents
+    from gnosis_ocr_spark.plans.curate import curate_corpus
+
+    df = spark.createDataFrame(
+        [(1, "\nhello world\n"), (2, "plain middle text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(df).collect()}
+    assert out[1]["n_tokens"] == 2
+    chunks = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    c1 = [c for c in chunks if c["doc_id"] == 1][0]
+    assert c1["n_tokens"] == 2
+    assert c1["chunk_text"] == "hello world"

@@ -730,7 +730,11 @@ def test_unigram_lm_score_matches_python_reference(spark):
         want_sum = sum(logp_mb[t] for t in toks)
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["sum_logp_mb"] == want_sum, f"doc {i}"
-        assert got[i]["keep_lm"] == (want_sum >= -9000 * len(toks))
+        # zero-token docs fail the gate (review fix: 0 >= -9000*0 was
+        # vacuously true, passing empty docs through the LM filter)
+        assert got[i]["keep_lm"] == (
+            len(toks) > 0 and want_sum >= -9000 * len(toks)
+        )
     # the common-vocabulary docs must outscore the gibberish one per token
     mean = lambda i: got[i]["sum_logp_mb"] / max(got[i]["n_tokens"], 1)  # noqa: E731
     assert mean(1) > mean(3) and mean(2) > mean(3)
