@@ -33,9 +33,19 @@ def salted_repartition(
     salt_factor: int | None = None,
 ) -> DataFrame:
     # salt cardinality must be ≥ the partition count, or a single hot size
-    # bucket (e.g. the giant-PDF bucket) can only reach salt_factor partitions
+    # bucket (e.g. the giant-PDF bucket) can only reach salt_factor
+    # partitions. When the caller doesn't pin num_partitions, the
+    # repartition below uses spark.sql.shuffle.partitions — size the salt
+    # from THAT (the default path previously salted 64 ways under a
+    # 200-partition shuffle, idling 2/3 of the cluster on the hot bucket)
     if salt_factor is None:
-        salt_factor = max(64, 4 * (num_partitions or 0))
+        if num_partitions:
+            salt_factor = max(64, 4 * num_partitions)
+        else:
+            target = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            salt_factor = max(64, 4 * target)
     bucket = size_bucket_col(html_col)
     salt = (F.crc32(F.col(url_col).cast("string")) % salt_factor).alias("salt")
     if num_partitions:

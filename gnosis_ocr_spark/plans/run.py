@@ -43,9 +43,10 @@ RESULTS_SCHEMA = (
 )
 
 
-def _with_partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
+def _with_partition_metrics(result: DataFrame) -> DataFrame:
     """Compute per-partition metrics in the same pass as the results
-    (mapInPandas with TaskContext), returning results + a metrics row tag."""
+    (mapInPandas with TaskContext), returning results + a metrics row tag.
+    (The run_id tag is applied by the caller via F.lit.)"""
     schema = (
         "url string, extracted_text string, n_pages int, route string, "
         "ocr_confidence double, partition_id int, elapsed_sec double"
@@ -84,16 +85,20 @@ def run_extraction(
     metrics_path = f"{out_dir}/metrics"
 
     todo = docs
+    n_done = 0
     if resume:
         done = tables.read_or_empty(spark, manifest_path, MANIFEST_SCHEMA).select("url")
-        # J2 anti-join: only unfinished urls are re-processed
+        # J2 anti-join: only unfinished urls are re-processed. The done
+        # side is the tiny manifest — count it for the return value (a
+        # partially-resumed run previously reported skipped_done=0, making
+        # the resume indistinguishable from a fresh run in the metrics)
+        n_done = done.distinct().count()
         todo = docs.join(done, "url", "left_anti")
 
     tagged = _with_partition_metrics(
         extract_corpus(
             todo, ocr_engine=ocr_engine, raster=raster, with_confidence=True
-        ),
-        run_id,
+        )
     )
     tagged = tagged.persist()
     try:
@@ -102,7 +107,7 @@ def run_extraction(
         # (round-1 review flagged the extra job)
         n_todo = tagged.count()
         if n_todo == 0:
-            return {"processed": 0, "skipped_done": docs.count()}
+            return {"processed": 0, "skipped_done": n_done or docs.count()}
         results = tagged.select(
             "url", "extracted_text", "n_pages", "route", F.lit(run_id).alias("run_id")
         )
@@ -146,7 +151,7 @@ def run_extraction(
         tables.append(manifest, manifest_path)
     finally:
         tagged.unpersist()
-    return {"processed": n_todo, "skipped_done": 0}
+    return {"processed": n_todo, "skipped_done": n_done}
 
 
 def canonical_results(spark: SparkSession, out_dir: str) -> DataFrame:

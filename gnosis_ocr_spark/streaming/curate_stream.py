@@ -54,7 +54,10 @@ def stateless_curation_columns(df: DataFrame) -> DataFrame:
     ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
     return df.withColumn("_ltoks", ltoks).select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
+        # filtered-token count — token_count() counts empty boundary
+        # tokens on newline-framed text; the batch plan (plans/curate.py)
+        # and its oracle count the filtered set, and the stream must agree
+        F.size(F.col("_ltoks")).cast("int").alias("n_tokens"),
         repetition_bp(F.col("text"), toks=F.col("_ltoks")).alias("rep2_bp"),
         *gopher_flags(F.col("text"), toks=F.col("_ltoks")),
         *quality_score_expr(F.col("_ltoks")),
@@ -88,8 +91,22 @@ def start_curation_stream(
         lm = unigram_lm_score_static(
             batch_df, lm_table, oov_mb, keep_mean_mb=keep_mean_mb
         ).select("doc_id", "sum_logp_mb", "keep_lm")
+        # the composed decision conjoins EVERY flag this stage computes
+        # — the Gopher gates were previously computed but not folded into
+        # keep, so gate-failing docs leaked through with keep=true. The
+        # batch plan additionally conjoins the full gopher_repetition caps
+        # and the dedup legs (doc-keyed aggregates; the stream's analog is
+        # near_dup_within_watermark) — documented scope difference.
+        ok_gates = (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines")
+            & F.col("ok_alpha_words")
+        )
         out = gated.join(lm, "doc_id").withColumn(
-            "keep", F.col("keep_model") & F.col("keep_lm")
+            "keep", ok_gates & F.col("keep_model") & F.col("keep_lm")
         )
         if lang_model is not None:
             from gnosis_ocr_spark.functions.classifier import lang_id_predict
@@ -128,11 +145,22 @@ def near_dup_within_watermark(
     bottom-s contract the batch verifier uses). Per-key state evicts as the
     event-time watermark passes — bounded memory at crawl scale."""
     ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
-    keyed = docs.withColumn("_ltoks", ltoks).withColumn(
-        "sk", row_sketch(F.col("_ltoks"), shingle_words, sketch_size)
+    keyed = (
+        docs.withColumn("_ltoks", ltoks)
+        # the second _ltoks reference is load-bearing: an alias referenced
+        # once is re-inlined by CollapseProject and the tokenizer would
+        # re-run per HOF element inside row_sketch (the repo's measured
+        # 44x quadratic gotcha)
+        .withColumn("_ntok", F.size("_ltoks"))
+        .withColumn("sk", row_sketch(F.col("_ltoks"), shingle_words, sketch_size))
     )
-    return (
-        keyed.withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["sk"])
-        .drop("_ltoks")
+    marked = keyed.withWatermark("warc_ts", watermark)
+    # docs too short to shingle (< shingle_words tokens, or NULL text) all
+    # share the EMPTY sketch — keying them through dropDuplicates would
+    # collapse every distinct short doc into one survivor. They bypass the
+    # near-dup filter (exact dedup is their instrument, as in batch).
+    deduped = marked.filter(F.size("sk") > 0).dropDuplicatesWithinWatermark(
+        ["sk"]
     )
+    short = marked.filter(F.size("sk") == 0)
+    return deduped.unionByName(short).drop("_ltoks", "_ntok")

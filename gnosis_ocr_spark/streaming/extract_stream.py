@@ -36,11 +36,20 @@ def html_extract_stream(docs: DataFrame) -> DataFrame:
     resume plan or a foreachBatch sink; HTML + office containers are the
     high-volume stateless paths on real crawls)."""
     from gnosis_ocr_spark.operators.office_extract import light_extract_udf
-    from gnosis_ocr_spark.operators.routing import ROUTE_FEED, ROUTE_OFFICE
+    from gnosis_ocr_spark.operators.routing import (
+        ROUTE_EMPTY,
+        ROUTE_FEED,
+        ROUTE_OFFICE,
+    )
 
     routed = with_route(docs)
+    # ROUTE_EMPTY rides the light branch exactly like batch extract_corpus
+    # — silently dropping those urls made the streamed output incomplete
+    # versus the batch plan for any completeness check keyed on url
     return (
-        routed.filter(F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED))
+        routed.filter(
+            F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED, ROUTE_EMPTY)
+        )
         .withColumn("_lx", light_extract_udf(F.col("html"), F.col("route")))
         .select(
             "url",
@@ -136,11 +145,14 @@ def start_dedup_stream(
     fp = F.when(
         F.col("text").isNotNull(), fingerprint(F.col("text"))
     ).otherwise(F.md5(F.col("html")))
-    deduped = (
-        docs.withColumn("fp", fp)
-        .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["fp"])
-    )
+    keyed = docs.withColumn("fp", fp).withWatermark("warc_ts", watermark)
+    # rows where BOTH text and html are NULL have a NULL fingerprint:
+    # dropDuplicates treats NULL keys as equal and would collapse every
+    # failed-fetch row into one survivor — they bypass instead, matching
+    # batch exact_duplicates' NULL contract (each survives, never a dup)
+    deduped = keyed.filter(F.col("fp").isNotNull()).dropDuplicatesWithinWatermark(
+        ["fp"]
+    ).unionByName(keyed.filter(F.col("fp").isNull()))
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)

@@ -150,6 +150,13 @@ def _curation_corpus(spark):
     # two exact near-dup pairs (identical content, later timestamps)
     rows.append((100, rows[1][1], base + dt.timedelta(minutes=40)))
     rows.append((101, rows[2][1], base + dt.timedelta(minutes=41)))
+    # one doc that passes EVERY gate (≥50 words, mean word length ≥3,
+    # distinct vocabulary) so the composed keep has a positive witness —
+    # the w0/w1 docs all fail ok_mean_word_len (2-char tokens)
+    rows.append(
+        (200, " ".join(f"word{j:02d}" for j in range(60)),
+         base + dt.timedelta(minutes=50))
+    )
     return spark.createDataFrame(
         rows, schema="doc_id long, text string, warc_ts timestamp"
     )
@@ -162,7 +169,7 @@ def test_quality_score_expr_matches_groupby_path(spark):
     from gnosis_ocr_spark.functions.text import tokens
 
     docs = _curation_corpus(spark).select("doc_id", "text").unionByName(
-        spark.createDataFrame([(200, ""), (201, "   ")], "doc_id long, text string")
+        spark.createDataFrame([(300, ""), (301, "   ")], "doc_id long, text string")
     )
     ltoks = F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
     got = {
@@ -251,7 +258,13 @@ def test_streaming_curation_reproduces_batch_decision(spark, tmp_path):
             ),
             "doc_id",
         )
-        .withColumn("keep", F.col("keep_model") & F.col("keep_lm"))
+        .withColumn(
+            "keep",
+            F.col("ok_word_count") & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
+            & F.col("keep_model") & F.col("keep_lm"),
+        )
     )
     want = {r["doc_id"]: r.asDict() for r in batch.collect()}
     assert got == want
@@ -286,7 +299,7 @@ def test_streaming_near_dup_within_watermark(spark, tmp_path):
     # docs 5/11/17/23 all carry the same "dup dup dup" body = one group
     for group in ({1, 100}, {2, 101}, {5, 11, 17, 23}):
         assert len(group & surviving) == 1, group
-    distinct = set(range(24)) - {1, 2, 5, 11, 17, 23}
+    distinct = (set(range(24)) - {1, 2, 5, 11, 17, 23}) | {200}
     assert distinct <= surviving
     assert len(surviving) == len(distinct) + 3
 
@@ -335,7 +348,13 @@ def test_streaming_curation_with_trained_lang_backend(spark, tmp_path):
             ),
             "doc_id",
         )
-        .withColumn("keep", F.col("keep_model") & F.col("keep_lm"))
+        .withColumn(
+            "keep",
+            F.col("ok_word_count") & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
+            & F.col("keep_model") & F.col("keep_lm"),
+        )
         .join(
             lang_id_predict(docs, lang_model).withColumnRenamed(
                 "lang_pred", "lang"

@@ -82,10 +82,14 @@ def test_streaming_extraction_available_now(spark, tmp_path):
     # the stateless stream carries html + office + feed routes (corpus
     # v11+ has office docs); expectation mirrors the batch light branch
     from gnosis_ocr_spark.operators.office_extract import light_extract_udf
-    from gnosis_ocr_spark.operators.routing import ROUTE_FEED, ROUTE_OFFICE
+    from gnosis_ocr_spark.operators.routing import (
+        ROUTE_EMPTY,
+        ROUTE_FEED,
+        ROUTE_OFFICE,
+    )
 
     batch = with_route(corpus_df(spark, n=40)).filter(
-        F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED)
+        F.col("route").isin(ROUTE_HTML, ROUTE_OFFICE, ROUTE_FEED, ROUTE_EMPTY)
     )
     expected = batch.select(
         "url",
