@@ -53,7 +53,16 @@ def ocr_results_map(page_texts: DataFrame) -> DataFrame:
 
     map_from_entries over sort-collected structs so map key order is
     deterministic page order."""
-    return page_texts.groupBy("session").agg(
+    # NULL page_no rows (parse-failure sentinels assemble_documents
+    # tolerates) and duplicate page rows (at-least-once retries) would
+    # RAISE inside map_from_entries (NULL_MAP_KEY / DUPLICATED_MAP_KEY):
+    # filter and latest-wins-dedup first
+    one_per_page = (
+        page_texts.filter(F.col("page_no").isNotNull())
+        .groupBy("session", "page_no")
+        .agg(F.max("text").alias("text"))
+    )
+    return one_per_page.groupBy("session").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("page_no", "text")))
         ).alias("ocr_results")
@@ -79,11 +88,16 @@ def running_high_water(events: DataFrame, key: str = "session", order: str = "ts
 def latest_sessions(sessions: DataFrame, k: int = 50) -> DataFrame:
     """A8/W2: latest-wins dedup per session, newest first, top-k
     (reference app/static/js/app.js:111-113)."""
-    w = Window.partitionBy("session").orderBy(F.desc("ts"))
+    # total order: ts ties (coarse timestamps) need a secondary key or
+    # both the per-session winner and the top-k boundary are
+    # nondeterministic run to run. WITHIN one session, rows tied on ts
+    # still need a caller-side unique column (the driver row tie-breaks
+    # on event_id); this library default at least pins the top-k boundary
+    w = Window.partitionBy("session").orderBy(F.desc("ts"), F.asc("session"))
     return (
         sessions.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .orderBy(F.desc("ts"))
+        .orderBy(F.desc("ts"), F.asc("session"))
         .limit(k)  # Spark executes as TakeOrderedAndProject — no full sort
     )

@@ -22,6 +22,9 @@ def missing_chunks(chunks: DataFrame) -> DataFrame:
     expected = (
         chunks.groupBy("doc")
         .agg(F.max("expected_total").alias("n"))
+        # sequence(0, n-1) DESCENDS for n=0 (the CLAUDE.md gotcha): a
+        # zero-chunk manifest would report phantom missing chunks [0, -1]
+        .filter(F.col("n") >= 1)
         .select("doc", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("chunk_no"))
     )
     received = chunks.select("doc", "chunk_no").distinct()
@@ -33,7 +36,16 @@ def complete_docs(chunks: DataFrame) -> DataFrame:
     return (
         chunks.groupBy("doc")
         .agg(
-            F.countDistinct("chunk_no").alias("got"),
+            # count only IN-RANGE indices: a stray chunk 99 must not stand
+            # in for a missing chunk 1 (completeness and missing_chunks
+            # would otherwise contradict each other on the same doc)
+            F.countDistinct(
+                F.when(
+                    (F.col("chunk_no") >= 0)
+                    & (F.col("chunk_no") < F.col("expected_total")),
+                    F.col("chunk_no"),
+                )
+            ).alias("got"),
             F.max("expected_total").alias("want"),
         )
         .filter(F.col("got") == F.col("want"))
@@ -54,7 +66,15 @@ def assemble_chunks(chunks: DataFrame) -> DataFrame:
 
     def concat(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (doc,) = key
-        ordered = pdf.sort_values("chunk_no")
+        # retried uploads duplicate (doc, chunk_no): keep ONE row per index
+        # (the reference's overwrite-by-filename semantics) or the blob
+        # would contain a chunk's bytes twice; NULL-data rows (failed
+        # placeholder writes) are skipped rather than crashing bytes(None)
+        ordered = (
+            pdf.dropna(subset=["data"])
+            .sort_values("chunk_no")
+            .drop_duplicates("chunk_no", keep="last")
+        )
         blob = b"".join(bytes(b) for b in ordered["data"])
         return pd.DataFrame(
             {"doc": [doc], "data": [blob], "n_chunks": [len(ordered)]}

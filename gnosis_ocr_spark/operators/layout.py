@@ -52,13 +52,24 @@ def assemble_documents(
         F.struct(F.col(page_col).alias("p"), F.col(text_col).alias("t")),
     )
     aggs = [
-        F.trim(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(entry)), lambda s: s.getField("t")
+        # Python-strip semantics (ALL whitespace, both ends) — F.trim
+        # strips only 0x20, so a document whose first/last page extracts
+        # empty kept its leading/trailing page separators, diverging from
+        # the reference's .strip() byte-identity on edge-empty-page docs
+        F.regexp_replace(
+            F.regexp_replace(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(entry)),
+                        lambda s: s.getField("t"),
+                    ),
+                    PAGE_SEP,
                 ),
-                PAGE_SEP,
-            )
+                r"^\s+",
+                "",
+            ),
+            r"\s+$",
+            "",
         ).alias(out_col),
         F.count(F.col(page_col)).cast("int").alias("n_pages"),
     ]

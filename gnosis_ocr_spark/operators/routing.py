@@ -58,13 +58,19 @@ def is_image_col(html: Column) -> Column:
     return (
         (F.substring(html, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
         | (F.substring(html, 1, 3) == F.lit(b"\xff\xd8\xff"))
-        | (F.substring(html, 1, 6) == F.lit(b"GIF87a"))
-        | (F.substring(html, 1, 6) == F.lit(b"GIF89a"))
+        | (F.substring(html, 1, 4) == F.lit(b"GIF8"))  # 4-byte magic,
+        # exactly like sniff_media_type — a 6-byte version check here
+        # routed GIF8-prefixed payloads html while the extractor called
+        # them image/gif (route and extractor must agree at the boundary)
         | (
             (F.substring(html, 1, 4) == F.lit(b"RIFF"))
             & (F.substring(html, 9, 4) == F.lit(b"WEBP"))
         )
-        | (F.substring(html, 1, 8) == F.lit(b"\x00\x00\x00\x0cjP  "))
+        | (
+            F.substring(html, 1, 12)
+            == F.lit(b"\x00\x00\x00\x0cjP  \r\n\x87\n")
+        )  # the FULL 12-byte JP2 signature box (sniff checks all 12; the
+        # 8-byte prefix admitted payloads the extractor then rejected)
         | (F.substring(html, 1, 4) == F.lit(b"\xff\x4f\xff\x51"))
         | (
             (F.substring(html, 1, 2) == F.lit(b"BM"))

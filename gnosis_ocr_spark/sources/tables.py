@@ -91,7 +91,10 @@ def delete_run(spark: SparkSession, path: str, run_id: str, schema: str) -> None
     if not _exists(path):
         return
     remaining = spark.read.schema(schema).parquet(path).filter(
-        F.col("run_id") != run_id
+        # null-safe: `run_id != x` is NULL for NULL run_id, and filter()
+        # drops NULL — rows belonging to NO run were silently destroyed
+        # when deleting an unrelated run
+        (F.col("run_id") != run_id) | F.col("run_id").isNull()
     )
     tmp = path.rstrip("/") + ".tmp"
     remaining.write.mode("overwrite").parquet(tmp)
@@ -145,12 +148,28 @@ def compact(
     the parquet-path seam: a long-running ingest leaves thousands of
     KB-sized files whose per-file open/footer costs dominate scans at
     scale. Rewrites the table into ``ceil(total_bytes / target)`` files and
-    returns the new file count. Uses a temp-dir swap so a crash mid-rewrite
-    never leaves the table half-overwritten (write new → swap dirs →
-    drop old)."""
+    returns the new file count.
+
+    Crash-safety contract (directory swaps are NOT atomic): the write goes
+    to .compact-tmp first, the live dir moves aside to .compact-old, the
+    tmp moves in, the old drops. A crash between the two moves leaves the
+    table only in .compact-old — the NEXT compact (or any caller invoking
+    this) RECOVERS it before doing anything else, and a stale
+    .compact-old/.compact-tmp from an earlier crash is cleared rather than
+    nesting the live table inside it (which a bare shutil.move would do,
+    followed by rmtree deleting real data)."""
     import math
     import os
     import shutil
+
+    old = path.rstrip("/") + ".compact-old"
+    tmp = path.rstrip("/") + ".compact-tmp"
+    if os.path.exists(old) and not os.path.exists(path):
+        shutil.move(old, path)  # recover a crash between the two swaps
+    elif os.path.exists(old):
+        shutil.rmtree(old)  # stale copy from a crash after the second swap
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite from an earlier crash
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -160,9 +179,7 @@ def compact(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact-tmp"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)

@@ -105,3 +105,67 @@ def test_ordered_text_concat(spark):
         schema="doc string, chunk_no int, text string",
     )
     assert ordered_text_concat(df).collect()[0]["assembled"] == "abc"
+
+
+def test_chunk_edge_cases_zero_total_duplicates_nulls(spark):
+    """Review fixes pinned: expected_total=0 emits no phantom [0,-1]
+    missing chunks; a retried duplicate chunk concatenates ONCE; a NULL
+    data chunk skips instead of crashing; out-of-range indices don't
+    satisfy completeness."""
+    from gnosis_ocr_spark.operators.chunks import (
+        assemble_chunks,
+        complete_docs,
+        missing_chunks,
+    )
+
+    rows = [
+        ("z", 0, 0, None),                 # zero-total manifest, null data
+        ("d", 0, 2, bytearray(b"AA")),
+        ("d", 1, 2, bytearray(b"BB")),
+        ("d", 1, 2, bytearray(b"BB")),     # retried duplicate
+        ("s", 0, 2, bytearray(b"XX")),
+        ("s", 99, 2, bytearray(b"YY")),    # stray out-of-range index
+    ]
+    df = spark.createDataFrame(
+        rows, "doc string, chunk_no int, expected_total int, data binary"
+    )
+    missing = {(r["doc"], r["chunk_no"]) for r in missing_chunks(df).collect()}
+    assert ("z", 0) not in missing and ("z", -1) not in missing
+    assert ("s", 1) in missing
+    complete = {r["doc"] for r in complete_docs(df).collect()}
+    # 'z' is vacuously complete (0 of 0); 's' is NOT — the stray
+    # out-of-range chunk 99 is no substitute for the missing chunk 1
+    assert complete == {"d", "z"}
+    blobs = {r["doc"]: bytes(r["data"]) for r in assemble_chunks(df).collect()}
+    assert blobs["d"] == b"AABB"  # duplicate concatenated once
+    assert blobs["z"] == b""      # null data skipped, no crash
+
+
+def test_ocr_results_map_tolerates_sentinels_and_retries(spark):
+    """NULL page_no sentinels and duplicate page rows must not raise
+    NULL_MAP_KEY / DUPLICATED_MAP_KEY out of map_from_entries."""
+    from gnosis_ocr_spark.operators.aggregates import ocr_results_map
+
+    df = spark.createDataFrame(
+        [("s1", 1, "one"), ("s1", 1, "one"), ("s1", 2, "two"),
+         ("s1", None, None)],
+        "session string, page_no int, text string",
+    )
+    out = ocr_results_map(df).collect()
+    assert len(out) == 1
+    assert out[0]["ocr_results"] == {1: "one", 2: "two"}
+
+
+def test_assemble_documents_strips_all_whitespace(spark):
+    """Python-strip semantics: a document whose first/last page extracts
+    empty must not keep leading/trailing page separators (F.trim strips
+    only 0x20)."""
+    from gnosis_ocr_spark.operators.layout import assemble_documents
+
+    df = spark.createDataFrame(
+        [("u", 1, ""), ("u", 2, "body text"), ("u", 3, "")],
+        "url string, page_no int, page_text string",
+    )
+    row = assemble_documents(df).collect()[0]
+    assert row["extracted_text"] == "body text"
+    assert row["n_pages"] == 3

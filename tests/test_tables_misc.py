@@ -267,3 +267,38 @@ def test_warc_gzip_member_expansion_bounded():
     legit = b"WARC/1.0\r\n" + b"x" * 5000
     co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
     assert _gunzip_members(co.compress(legit) + co.flush()) == legit
+
+
+def test_delete_run_preserves_null_run_rows(spark, tmp_path):
+    from gnosis_ocr_spark.sources.tables import delete_run
+
+    path = str(tmp_path / "t")
+    schema = "run_id string, v int"
+    spark.createDataFrame(
+        [("r1", 1), (None, 2), ("r2", 3)], schema
+    ).write.parquet(path)
+    delete_run(spark, path, "r1", schema)
+    got = {(r["run_id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(None, 2), ("r2", 3)}
+
+
+def test_compact_recovers_from_crash_artifacts(spark, tmp_path):
+    """A stale .compact-old (crash between the two swaps) is RECOVERED as
+    the live table; a stale .compact-tmp is cleared — neither nests nor
+    deletes real data."""
+    import os
+    import shutil
+
+    from gnosis_ocr_spark.sources.tables import compact
+
+    path = str(tmp_path / "t2")
+    spark.range(100).write.parquet(path)
+    # simulate a crash after `move(path, old)` and before `move(tmp, path)`
+    shutil.move(path, path + ".compact-old")
+    os.makedirs(path + ".compact-tmp")
+    n = compact(spark, path)
+    assert n >= 1
+    got = spark.read.parquet(path).count()
+    assert got == 100
+    assert not os.path.exists(path + ".compact-old")
+    assert not os.path.exists(path + ".compact-tmp")
