@@ -364,12 +364,21 @@ def decode_g4(
     ref: list[int] = []  # imaginary all-white reference line
     out_rows: list[np.ndarray] = []
     max_rows = rows if rows > 0 else max(1, MAX_PIXELS // columns)
+    eol = int(_EOL, 2)
     while len(out_rows) < max_rows:
         if byte_align:
+            # EncodedByteAlign aligns each ROW start, but EOFB is written
+            # UNALIGNED right after the last row (our encoder and the
+            # fax-world norm): aligning first swallowed EOFB's lead bits
+            # and raised on rows=0 streams. A pre-align 12-bit peek could
+            # false-match pad zeros + a 0001-prefixed row code, so the
+            # unaligned check requires the FULL 24-bit EOFB.
+            if not br.eof() and br.peek(24) == (eol << 12) | eol:
+                break
             br.align()
         if br.eof():
             break
-        if br.peek12() == int(_EOL, 2):  # EOFB (or stray EOL) terminates
+        if br.peek12() == eol:  # EOFB (or stray EOL) terminates
             break
         cur = _decode_2d_row(br, ref, columns)
         out_rows.append(_row_from_transitions(cur, columns))
@@ -454,8 +463,18 @@ def decode_g3_1d(
     while len(out_rows) < max_rows:
         if byte_align:
             br.align()
-        while not br.eof() and br.peek12() == eol:
-            br.skip(12)
+        # EOLs may carry FILL (zero bits) before them (T.4 §4.1.2 — the
+        # byte-aligned-EOL TIFF shape): no run code has 12 leading zeros,
+        # so an all-zero 12-bit window can only be fill — consume it bit
+        # by bit until the EOL (or data end) appears
+        while not br.eof():
+            p = br.peek12()
+            if p == eol:
+                br.skip(12)
+            elif p == 0:
+                br.skip(1)
+            else:
+                break
         if br.eof():
             break
         cur = _decode_1d_row(br, columns)

@@ -34,9 +34,15 @@ def trim_text(text: Column | str) -> Column:
 
 
 def url_extension(url: Column | str) -> Column:
-    """F5: lower-cased extension (reference app/config.py:93-94)."""
+    """F5: lower-cased extension (reference app/config.py:93-94 —
+    os.path.splitext semantics): query strings / fragments are stripped
+    first ('doc.pdf?download=1' previously yielded '.pdf?download=1',
+    misrouting every query-string crawl URL through content_type_for),
+    and a dotfile segment ('/.bashrc') has NO extension, exactly like
+    splitext."""
     col = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.regexp_extract(col, r"(\.[^./]+)$", 1))
+    path = F.regexp_replace(col, r"[?#].*$", "")
+    return F.lower(F.regexp_extract(path, r"[^./](\.[^./]+)$", 1))
 
 
 def utf8_decode(b: Column | str) -> Column:
@@ -54,8 +60,11 @@ def to_json_manifest(*cols: Column) -> Column:
 
 
 def progress_percent(done: Column, total: Column) -> Column:
-    """A4/F10: round(done/total*100), 0-safe (reference app/jobs.py:255,267)."""
-    return F.when(total > 0, F.round(done / total * 100).cast("int")).otherwise(
+    """A4/F10: round(done/total*100), 0-safe (reference app/jobs.py:255,267).
+    Python round() is banker's (HALF_EVEN): 1/8 → 12.5 → 12, not 13 —
+    F.bround matches it; F.round (HALF_UP) diverged on every exact-.5
+    percentage. The DuckDB oracles mirror with round_even."""
+    return F.when(total > 0, F.bround(done / total * 100).cast("int")).otherwise(
         F.lit(0)
     )
 

@@ -57,7 +57,15 @@ def url_path_depth(url: Column | str) -> Column:
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical URL as a single JVM expression (steps in module docstring)."""
-    u = F.regexp_replace(url, r"#.*$", "")
+    # trim FIRST: crawl URL fields carry framing whitespace, and Java's
+    # '$' matches before a final newline while RE2's does not — trimming
+    # keeps the Spark and DuckDB formulations value-identical on exactly
+    # the inputs where the anchor semantics diverge
+    stripped = F.regexp_replace(
+        F.regexp_replace(url, r"^\s+", ""), r"\s+$", ""
+    )  # NOT F.trim — it strips only 0x20, and a trailing \n is exactly
+    # where the Java-vs-RE2 '$' divergence bites
+    u = F.regexp_replace(stripped, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
     auth = F.regexp_replace(auth, r"^www\.", "")
@@ -99,7 +107,8 @@ def canon_cte_sql(url_expr: str, carry: str, source: str) -> str:
     (validate_oracles.py enforces equality)."""
     return f"""
 _u0 AS (
-  SELECT {carry}, regexp_replace({url_expr}, '#.*$', '') AS nofrag
+  SELECT {carry}, regexp_replace(regexp_replace(regexp_replace(
+           {url_expr}, '^\s+', ''), '\s+$', ''), '#.*$', '') AS nofrag
   FROM {source}
 ),
 _u1 AS (
@@ -141,7 +150,7 @@ def canonicalize_url_py(url: str) -> str:
     """Pure-Python reference (tests only — pins both SQL formulations)."""
     import re
 
-    u = re.sub(r"#.*$", "", url)
+    u = re.sub(r"#.*$", "", url.strip())
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$", u)
     if m:
         scheme = m.group(1).lower()

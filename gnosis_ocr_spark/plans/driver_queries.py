@@ -566,10 +566,10 @@ SELECT CAST(user_id AS VARCHAR) AS session,
        COUNT(*) FILTER (kind = 'page') AS pages_extracted,
        COUNT(*) FILTER (kind = 'result') AS ocr_completed,
        CASE WHEN MAX(total_pages) > 0
-            THEN CAST(ROUND(COUNT(*) FILTER (kind='page') * 100.0 / MAX(total_pages)) AS INT)
+            THEN CAST(round_even(COUNT(*) FILTER (kind='page') * 100.0 / MAX(total_pages), 0) AS INT)
             ELSE 0 END AS extraction_pct,
        CASE WHEN MAX(total_pages) > 0
-            THEN CAST(ROUND(COUNT(*) FILTER (kind='result') * 100.0 / MAX(total_pages)) AS INT)
+            THEN CAST(round_even(COUNT(*) FILTER (kind='result') * 100.0 / MAX(total_pages), 0) AS INT)
             ELSE 0 END AS ocr_pct,
        CASE WHEN MAX(total_pages) > 0 AND COUNT(*) FILTER (kind='result') = MAX(total_pages)
               THEN 'complete'
@@ -833,14 +833,15 @@ SELECT doc_id,
        substr(sha256(source), 1, 12) AS uhash,
        fname,
        CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS INT) AS parsed_no,
-       lower(regexp_extract(url, '(\\.[^./]+)$', 1)) AS ext,
+       lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+             '[^./](\\.[^./]+)$', 1)) AS ext,
        CASE lower(regexp_extract(url, '(\\.[^./]+)$', 1))
             WHEN '.pdf' THEN 'application/pdf'
             WHEN '.png' THEN 'image/png'
             WHEN '.md' THEN 'text/markdown'
             WHEN '.html' THEN 'text/html'
             ELSE 'application/octet-stream' END AS ctype,
-       CAST(ROUND((doc_id % 7) * 100.0 / 7) AS INT) AS pct
+       CAST(round_even((doc_id % 7) * 100.0 / 7, 0) AS INT) AS pct
 FROM u
 """
 

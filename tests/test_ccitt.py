@@ -342,3 +342,31 @@ def test_text_page_with_inline_image_keeps_text_layer():
     [(spans, imgs)] = P.extract_pages_with_images(pdf)
     assert P.page_text(spans) == "real text line"
     assert imgs == []
+
+
+def test_g4_byte_align_unknown_rows_terminates_at_eofb():
+    """EncodedByteAlign + rows=0: EOFB sits UNALIGNED right after the last
+    row; aligning before the check swallowed its lead bits and raised
+    (review repro). The unaligned check requires the full 24-bit EOFB so
+    pad zeros + a 0001-prefixed row code can't false-match."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in ((40, 6), (63, 9), (8, 1)):
+        img = rng.random((h, w)) < 0.35
+        packed = np.packbits(~img, axis=1).tobytes()
+        enc = C.encode_g4(packed, w, h, byte_align=True)
+        assert C.decode_g4(enc, w, 0, byte_align=True) == packed, (w, h)
+
+
+def test_g3_1d_fill_bits_before_eol():
+    """T.4 §4.1.2 FILL: zero bits padding each EOL to a byte boundary (the
+    TIFF byte-aligned-EOL shape) must be consumed, not fed to the run
+    decoder (review repro: 'bad run code')."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    img = rng.random((6, 40)) < 0.3
+    packed = np.packbits(~img, axis=1).tobytes()
+    enc = C.encode_g3_1d(packed, 40, 6, eol=True, byte_align=True)
+    assert C.decode_g3_1d(enc, 40, 6) == packed

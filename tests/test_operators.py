@@ -162,3 +162,26 @@ def test_mid_document_split_failure_leaves_sentinel(monkeypatch):
     by_null = out["page_no"].isna()
     assert (~by_null).sum() == 2  # the partial pages survive
     assert by_null.sum() == 1     # plus the incompleteness sentinel
+
+
+def test_url_extension_query_strings_and_dotfiles(spark):
+    """splitext semantics (review fixes): query/fragment stripped before
+    the extension, dotfiles have none, and percentages round banker's
+    (Python round) on both engines."""
+    from gnosis_ocr_spark.functions.scalar import progress_percent, url_extension
+
+    rows = [
+        ("https://x.test/doc.pdf?download=1", ".pdf"),
+        ("https://x.test/a/page.HTML#sec", ".html"),
+        ("https://x.test/.bashrc", ""),
+        ("https://x.test/archive.tar.gz", ".gz"),
+        ("https://x.test/noext", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["e"] for r in df.select(url_extension("url").alias("e")).collect()]
+    assert got == [e for _, e in rows]
+    pct = spark.createDataFrame([(1, 8), (3, 8), (1, 40), (2, 8)], "d int, t int")
+    vals = [r["p"] for r in pct.select(
+        progress_percent(F.col("d"), F.col("t")).alias("p")).collect()]
+    assert vals == [round(1/8*100), round(3/8*100), round(1/40*100), round(2/8*100)]
+    assert vals == [12, 38, 2, 25]  # banker's: 12.5→12, 37.5→38, 2.5→2

@@ -137,3 +137,31 @@ def test_canonicalize_py_mirrors_sql_off_happy_path(spark):
     duck_got = dict(con.execute(sql).fetchall())
     for u in urls:
         assert spark_got[u] == canonicalize_url_py(u) == duck_got[u], u
+
+
+def test_newline_framed_url_identical_across_all_three_formulations(spark):
+    """Java '$' matches before a trailing newline, RE2's does not — the
+    entry trim keeps Spark, DuckDB, and the Python reference identical on
+    whitespace-framed crawl URL fields (review repro)."""
+    import duckdb
+    import pandas as pd
+
+    from gnosis_ocr_spark.functions.urls import (
+        canon_cte_sql,
+        canonicalize_url,
+        canonicalize_url_py,
+    )
+
+    urls = ["http://a.test/p/\n", "  https://b.test:443/x//y/#frag \n",
+            "http://www.c.test:80/q/?utm_source=z&k=1\n"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [r["c"] for r in
+                 df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls, "i": range(len(urls))}))
+    sql = "WITH " + canon_cte_sql("url", "i", "t") + \
+          " SELECT curl FROM _u3 ORDER BY i"
+    got_sql = [r[0] for r in con.execute(sql).fetchall()]
+    got_py = [canonicalize_url_py(u) for u in urls]
+    assert got_spark == got_sql == got_py
+    assert got_spark[0] == "http://a.test/p"
