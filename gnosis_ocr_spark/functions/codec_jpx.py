@@ -1690,6 +1690,12 @@ def _decode_jpx(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                 ssiz, xr, yr = struct.unpack_from(">BBB", body, 36 + 3 * c)
                 if xr not in (1, 2, 4) or yr not in (1, 2, 4):
                     raise ValueError("JPX: subsampling factor unsupported")
+                if (ssiz & 0x7F) + 1 > 31:
+                    # planes reconstruct as int32; a mutated SIZ declaring
+                    # more bits reaches (1 << (prec-1)) level shifts that
+                    # overflow numpy int64 ops (OverflowError escaped the
+                    # ValueError-only exception contract — r6 fuzz find)
+                    raise ValueError("JPX: component precision unsupported")
                 comps.append({
                     "prec": (ssiz & 0x7F) + 1,
                     "signed": bool(ssiz & 0x80),
