@@ -677,8 +677,23 @@ def connected_components(
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    # materialize the symmetrized edge set ONCE: every propagation round
+    # joins against `sym`, and only `labels` was checkpointed — each round
+    # re-executed the whole upstream edge-generation plan (for the dedup
+    # consumers that is minhash → LSH → sketch-verify over the full corpus,
+    # re-run once per round; measured r6 at sf0.1: dedup_clusters 9.0 s →
+    # 3.4 s, curate_compose near-dup leg similar). One extra materialization
+    # job, then every round reads the stored blocks.
+    sym, sym_ids = _save(sym)
+    # initial labels FUSE the first propagation round (r6): comp₀ =
+    # min(id, min neighbor) is exactly what one round of min-propagation
+    # over comp=id produces, computed here in the same groupBy that
+    # deduplicates node ids — every graph converges one round earlier
+    # (one fewer propagation join + checkpoint + fixpoint probe; star
+    # graphs — the dedup topology — now finish with a single loop round).
+    labels = sym.groupBy("src").agg(F.min("dst").alias("_m")).select(
+        F.col("src").alias("id"),
+        F.least(F.col("src"), F.col("_m")).alias("comp"),
     )
     def _comp_sum(df: DataFrame):
         # comp only ever decreases (least() over a static id set), so this
@@ -742,6 +757,9 @@ def connected_components(
             "(pointer-jumping covers diameter ~2^rounds — this indicates a bug "
             "or an adversarial graph, not normal dedup input)"
         )
+    # the final label table no longer references sym — drop its blocks now
+    # (same eager-cleanup rationale as the superseded label tables)
+    _unpersist(sym_ids)
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -129,7 +129,16 @@ def curate_corpus(
         )
         enriched = enriched.drop("lang").join(pred, "doc_id")
 
-    rep = gopher_repetition(base)
+    # r6 optimization (guide §2.3 — don't compute what you throw away):
+    # the keep decision reads ONLY the segment stats (always computed),
+    # top_2gram_bp and dup_5gram_bp, but the default gopher_repetition
+    # computed all nine gram sizes (top 2-4, dup 5-10) — the 9-struct
+    # explode and its windows were ~9× the gram-frame volume for columns
+    # no consumer of this plan reads (Catalyst prunes the agg columns but
+    # not the exploded rows). Measured at sf0.1 over docs ∪ copies:
+    # 8.4 s → 2.35 s for this leg. The standalone gopher_repetition
+    # operator/driver row keeps the full family.
+    rep = gopher_repetition(base, top_ns=(2,), dup_ns=(5,))
     # quality_score's decision column is also named `keep`; rename so the
     # composed decision can own the plain name
     model = quality_score(base).withColumnRenamed("keep", "keep_model")

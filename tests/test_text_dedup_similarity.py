@@ -357,6 +357,32 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 100 and set(got.values()) == {0}
 
 
+def test_connected_components_edge_plan_materialized_and_cleaned(spark):
+    """r6 optimization internals: the symmetrized edge set is checkpointed
+    ONCE (every propagation round used to re-execute the whole upstream
+    edge-generation plan), and its blocks are unpersisted on return — only
+    the final label table may stay pinned. Exercised through a non-trivial
+    lazy edge plan (join + union) over a multi-round graph."""
+    from gnosis_ocr_spark.functions.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc
+    before = {e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()}
+    left = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], schema="a long, b long"
+    )
+    names = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(25)], schema="a long, name string"
+    )
+    edges = left.join(names, "a").select("a", "b").unionByName(
+        spark.createDataFrame([(50, 51)], schema="a long, b long")
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 0 for i in range(21)) and got[51] == 50
+    after = {e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()}
+    # at most the final label table survives this call
+    assert len(after - before) <= 1
+
+
 def test_lang_id_extended_languages(spark):
     """es/it markers added round 2, pt/nl/sv/pl/tr round 3; the generated
     oracle CASE shares the marker table, so one sample sentence per language
