@@ -30,6 +30,60 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ── SQL-text builders for literal-heavy expressions (r6 optimization) ──────
+# Building a codebook-sized expression through the PySpark Column API costs
+# thousands of py4j round trips PER QUERY CONSTRUCTION (measured: 1.3 s of
+# driver-side build time for the 16×64 IVF scores array, every invocation —
+# guide §5, the driver should do almost no work). Rendering the SAME
+# expression as SQL text and parsing it with ONE F.expr() call drops that to
+# ~0.2 s. The text mirrors the Column formulation exactly — same
+# aggregate/zip_with fold order, same double literals — so results are
+# bit-identical (verified value-for-value at sf0.1 and by the 50-oracle
+# gate). A fully unrolled get()-per-element form was ALSO tried and is
+# catastrophically slower at dim 64 (codegen blowup: 47-99 s/query vs
+# 0.9 s) — keep the HOF shape, build it cheaply.
+
+
+def _lit_d(x: float) -> str:
+    """Shortest round-tripping SQL double literal (repr → parseDouble is
+    exact for finite doubles)."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(ws: list[float]) -> str:
+    return "array(" + ",".join(_lit_d(w) for w in ws) + ")"
+
+
+def _dot_lit_sql(vec_sql: str, ws: list[float]) -> str:
+    """SQL text of ``dot(col, literal array)`` — parses to the exact tree
+    :func:`dot` builds (zip_with product, left-fold sum from 0.0)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(ws)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _cosine_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`cosine` over two NAMED array<double> columns —
+    the same dot/l2_norm/greatest tree, one F.expr parse instead of ~10
+    py4j-built HOFs."""
+    d = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def n(v: str) -> str:
+        return (
+            f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v * v))"
+        )
+
+    return (
+        f"({d} / (greatest({n(a_sql)}, 1.0E-12D) * "
+        f"greatest({n(b_sql)}, 1.0E-12D)))"
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -102,6 +156,21 @@ def signs_col(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _signs_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`signs_col` over an already-``array<double>``
+    NAMED column — the same CASE-per-plane sum, one F.expr parse (the
+    Column form costs n_planes × dim py4j literal calls per query build).
+    Bucket bits are exact integer comparisons, so the two forms agree
+    bit-for-bit."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for b, plane in enumerate(planes):
+        terms.append(
+            f"(CASE WHEN {_dot_lit_sql(vec_sql, plane)} >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,17 +188,17 @@ def lsh_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", signs_col(F.col("cv"), planes))
+    ).withColumn("bucket", F.expr(_signs_sql("cv", planes)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", signs_col(F.col("qv"), planes))
+    ).withColumn("bucket", F.expr(_signs_sql("qv", planes)))
     scored = (
         q.join(c, "bucket")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(F.expr(_cosine_sql("qv", "cv")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -168,18 +237,23 @@ def ivf_assign(
     # one scores array + argmax — NOT a chained when(): each chained branch
     # would re-embed every previous dot() subtree and the expression tree
     # grows exponentially in n_centroids (observed: analysis never finishes
-    # at 16 centroids × 64 dims)
-    scores = F.array(
-        *[
-            dot(v, F.array(*[F.lit(float(x)) for x in c]))
-            - F.lit(float(sum(x * x for x in c)) / 2.0)
-            for c in cents
-        ]
-    )
-    centroid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return corpus.select(
-        F.col(id_col).alias("vec_id"), v.alias("cv"), centroid.alias("centroid")
-    )
+    # at 16 centroids × 64 dims). The array is rendered as SQL text (one
+    # F.expr parse — the Column form cost ~1.3 s of py4j build per query at
+    # 16×64, r6) and MATERIALIZED as its own column: array_position +
+    # array_max reference it twice, and HOF trees are CodegenFallback with
+    # no subexpression elimination, so an inline scores array was evaluated
+    # twice per row. An alias referenced ≥2× survives CollapseProject.
+    scores_sql = "array(" + ",".join(
+        f"({_dot_lit_sql('cv', c)} - {_lit_d(float(sum(x * x for x in c)) / 2.0)})"
+        for c in cents
+    ) + ")"
+    with_s = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("cv")
+    ).withColumn("_s", F.expr(scores_sql))
+    centroid = (
+        F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1
+    ).cast("int")
+    return with_s.select("vec_id", "cv", centroid.alias("centroid"))
 
 
 def kmeans_centroids(
@@ -294,30 +368,26 @@ def ivf_cosine_topk(
     # (dot − ‖c‖²/2, the L2-argmin form): ranking probes by cosine while
     # assigning by L2 let a query's own cell fall outside its n_probe
     # list, breaking the replica-in-first-probe guarantee the oracle
-    # relies on
-    scores = F.array(
-        *[
-            dot(qv, F.array(*[F.lit(float(x)) for x in c]))
-            - F.lit(float(sum(x * x for x in c)) / 2.0)
-            for c in cents
-        ]
-    )
+    # relies on. Rendered as SQL text like ivf_assign's scores (one
+    # F.expr parse instead of py4j-building 16×64 literals per query).
+    scores_sql = "array(" + ",".join(
+        f"({_dot_lit_sql('qv', c)} - {_lit_d(float(sum(x * x for x in c)) / 2.0)})"
+        for c in cents
+    ) + ")"
     # indices of the n_probe best centroids: sort (score, idx) pairs desc
-    pairs = F.transform(
-        scores, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx"))
-    )
-    probes = F.slice(
-        F.transform(F.array_sort(pairs), lambda p: p.getField("idx")), 1, n_probe
+    probes_sql = (
+        f"slice(transform(array_sort(transform({scores_sql}, "
+        f"(s, i) -> struct(-s AS neg, i AS idx))), p -> p.idx), 1, {n_probe})"
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        qv.alias("qv"),
-        F.explode(probes).alias("centroid"),
+        F.col(query_id_col).alias("query_id"), qv.alias("qv")
+    ).select(
+        "query_id", "qv", F.explode(F.expr(probes_sql)).alias("centroid")
     )
     scored = q.join(assigned, "centroid").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        F.round(F.expr(_cosine_sql("qv", "cv")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -376,10 +446,10 @@ def embedding_near_duplicates(
         )
         reps = with_rep.filter(F.col("vec_id") == F.col("rep")).select(
             "vec_id", "v"
-        ).withColumn("bucket", signs_col(F.col("v"), planes))
+        ).withColumn("bucket", F.expr(_signs_sql("v", planes)))
     else:
         star = None
-        reps = c.withColumn("bucket", signs_col(F.col("v"), planes))
+        reps = c.withColumn("bucket", F.expr(_signs_sql("v", planes)))
     if max_bucket_size is not None:
         reps = cap_bucket_members(
             reps,
@@ -399,7 +469,7 @@ def embedding_near_duplicates(
         .select(
             F.col("l.vec_id").alias("a"),
             F.col("r.vec_id").alias("b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+            F.round(F.expr(_cosine_sql("l.v", "r.v")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
