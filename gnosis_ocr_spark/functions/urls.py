@@ -105,7 +105,7 @@ def canon_cte_sql(url_expr: str, carry: str, source: str) -> str:
     exposes ``carry`` plus ``curl`` (the canonical URL). Kept adjacent to
     the Spark expression so the two formulations evolve together
     (validate_oracles.py enforces equality)."""
-    return f"""
+    return rf"""
 _u0 AS (
   SELECT {carry}, regexp_replace(regexp_replace(regexp_replace(
            {url_expr}, '^\s+', ''), '\s+$', ''), '#.*$', '') AS nofrag
@@ -114,12 +114,12 @@ _u0 AS (
 _u1 AS (
   SELECT {carry}, nofrag,
          lower(regexp_extract(nofrag,
-           '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
          regexp_replace(lower(regexp_extract(nofrag,
-           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
-           '^www\\.', '') AS auth,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', '') AS auth,
          regexp_replace(nofrag,
-           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS rest
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
   FROM _u0
 ),
 _u2 AS (
@@ -131,7 +131,7 @@ _u2 AS (
              regexp_extract(rest, '^([^?]*)', 1), '/{{2,}}', '/', 'g'),
            '/+$', '') AS path_t,
          coalesce(array_to_string(list_sort(list_filter(
-             regexp_split_to_array(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+             regexp_split_to_array(regexp_extract(rest, '\?(.*)$', 1), '&'),
              x -> x <> '' AND NOT regexp_matches(
                     x, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid)='))), '&'),
            '') AS q2
