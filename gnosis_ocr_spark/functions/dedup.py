@@ -791,6 +791,92 @@ def duplicate_clusters(
     return connected_components(edges, checkpoint_dir=checkpoint_dir)
 
 
+def duplicate_clusters_seeded(
+    docs: DataFrame,
+    dup: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 1.0,
+    shingle_words: int = 3,
+    checkpoint_dir: str | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """:func:`duplicate_clusters` seeded from an exact-dedup table —
+    identical ``(id, component)`` output, with shingling/sketching run on
+    the EXACT-CANONICAL documents only (r6 optimization; VERDICT r5 #4).
+
+    ``dup`` is :func:`exact_duplicates`' output over the same ``docs``
+    (the composed curation plan already computes it). Why the outputs are
+    equal: the exact fingerprint is md5 of the whitespace-collapsed
+    lowercased text, so same fingerprint ⇒ same token sequence ⇒ same
+    shingle set ⇒ same bottom-s sketch — every member of an exact group
+    would collapse onto its group's sketch group anyway, landing in the
+    same component as its canonical. Therefore
+
+    - clustering the canonicals alone finds exactly the cross-group
+      structure, with the same component ids (each canonical IS its exact
+      group's min id, so component minima are unchanged);
+    - a member maps through its canonical: ``comp(d) =
+      comp_reps(canonical(d))`` when the canonical clustered with other
+      reps, else ``canonical(d)`` when the exact group has ≥ 2 SHINGLED
+      members (they form a clique by themselves), else absent —
+      mirroring the base operator's "singletons are not emitted" and
+      "docs with < shingle_words tokens never participate" contracts.
+
+    At 100 TB verbatim copies dominate duplicate mass; this removes their
+    entire shingle/hash/sketch cost rather than (as the star collapse
+    already does) just their pair blowup. Unit-tested equal to the base
+    operator on permuted-token equal-sets, short docs, NULL text and
+    mega-groups."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    d = dup.select("doc_id", "canonical_id")
+    # exact-group size and shingle participation (identical text ⇒ the
+    # canonical's token count speaks for every member)
+    grp = d.groupBy("canonical_id").agg(F.count("*").alias("_n"))
+    reps = base.join(
+        d.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    comp_reps = duplicate_clusters(
+        reps,
+        id_col="doc_id",
+        text_col="text",
+        threshold=threshold,
+        shingle_words=shingle_words,
+        checkpoint_dir=checkpoint_dir,
+        **minhash_kwargs,
+    )
+    shingled = base.select(
+        "doc_id",
+        (F.size(tokens(F.lower(F.col("text")))) >= shingle_words).alias(
+            "_sh"
+        ),
+    )
+    return (
+        d.join(grp, "canonical_id")
+        .join(shingled, "doc_id")
+        .join(
+            comp_reps.withColumnRenamed("id", "canonical_id"),
+            "canonical_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("component"),
+                F.when(
+                    (F.col("_n") >= 2) & F.col("_sh"), F.col("canonical_id")
+                ),
+            ).alias("component"),
+        )
+        .filter(F.col("component").isNotNull())
+        .select(F.col("doc_id").alias("id"), "component")
+    )
+
+
 # ---------------------------------------------------------------- jaccard (exact)
 
 

@@ -146,10 +146,16 @@ def curate_corpus(
     dup = exact_duplicates(base).select("doc_id", "canonical_id", "is_dup")
     near = None
     if near_dup:
-        from gnosis_ocr_spark.functions.dedup import duplicate_clusters
+        from gnosis_ocr_spark.functions.dedup import duplicate_clusters_seeded
 
-        clusters = duplicate_clusters(
-            base, threshold=near_dup_threshold
+        # r6: seed the near-dup clustering from the exact-dedup table the
+        # plan already computes — shingling/sketching runs on the exact-
+        # canonical documents only (verbatim copies, the dominant crawl
+        # duplicate mass, never enter the MinHash pipeline). Output proven
+        # identical to duplicate_clusters(base) — see the operator's
+        # docstring + test_duplicate_clusters_seeded_equals_base.
+        clusters = duplicate_clusters_seeded(
+            base, dup, threshold=near_dup_threshold
         ).select(
             F.col("id").alias("doc_id"),
             F.col("component").alias("near_dup_canonical"),

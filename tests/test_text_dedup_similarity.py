@@ -223,6 +223,56 @@ def test_duplicate_clusters_end_to_end(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_seeded_equals_base(spark):
+    """r6: the exact-dedup-seeded clustering (shingles run on canonicals
+    only) must emit exactly the base operator's (id, component) set — on a
+    corpus exercising every tricky regime: verbatim mega-group, exact
+    groups whose DISTINCT texts share one shingle set (token permutations
+    joining two exact groups into one component), short docs (< 3 tokens:
+    exact-dup territory, never near-dup), NULL text, whitespace-variant
+    copies (same fingerprint via normalization), and a unique doc."""
+    from gnosis_ocr_spark.functions.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_seeded,
+        exact_duplicates,
+    )
+
+    rows = [
+        # verbatim mega-group (5 members)
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),
+        (5, "alpha beta gamma delta epsilon"),
+        # two exact groups, different texts, SAME distinct shingle set:
+        # 'x y z x y z' and 'x y z x y z x y z' share {x y z, y z x, z x y}
+        (20, "x y z x y z"),
+        (21, "x y z x y z"),
+        (30, "x y z x y z x y z"),
+        # whitespace-variant copy: same fingerprint after normalization
+        (40, "one  two\tthree four"),
+        (41, "one two three four"),
+        # short docs (2 tokens): exact dups but never near-dups
+        (50, "hi there"),
+        (51, "hi there"),
+        # NULL text and a unique doc
+        (60, None),
+        (99, "completely unique document text here"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    dup = exact_duplicates(df)
+    base = {(r["id"], r["component"])
+            for r in duplicate_clusters(df).collect()}
+    seeded = {(r["id"], r["component"])
+              for r in duplicate_clusters_seeded(df, dup).collect()}
+    assert seeded == base
+    # sanity on the regimes themselves
+    comp = dict(base)
+    assert comp[20] == comp[21] == comp[30] == 20  # permutation merge
+    assert 50 not in comp and 51 not in comp       # short docs absent
+    assert 60 not in comp and 99 not in comp
+
+
 def test_pii_redaction_order_and_counts(spark):
     """A URL containing an @ must redact as one <URL> token (no dangling
     <EMAIL> fragment); standalone addresses redact separately."""
