@@ -3951,7 +3951,8 @@ class PdfImage:
 
 
 def _decode_image(
-    head: bytes, raw: bytes, resolve=None, obj_body=None
+    head: bytes, raw: bytes, resolve=None, obj_body=None,
+    defer_heavy: bool = False,
 ) -> PdfImage | None:
     """Shared image-decode core (XObject + inline): dimensions + sample
     metadata from the dict ``head``, filter chain applied to ``raw``
@@ -3975,6 +3976,57 @@ def _decode_image(
         bits, cspace = 1, "DeviceGray"
     names, parms = _filter_chain(head)
     for i, (name, parm) in enumerate(zip(names, parms)):
+        # r6 (guide §2.5/§8 — heavy work after the respread): when the
+        # bilevel entropy codec is the FINAL filter of a plain-DeviceGray
+        # XObject, carry it STILL-COMPRESSED with its parms folded into
+        # the codec tag — decode happens page-parallel in the fused
+        # raster+OCR stage (operators/pdf_split._gray_pixels), exactly
+        # like DCT/JPX always did. Previously CCITT/JBIG2 decoded here,
+        # i.e. in the SPLIT stage, serializing a skew document's whole
+        # fax decode on one task (measured: G3-2D was the single largest
+        # split-stage cost). The inline-image path keeps decode-in-place
+        # (defer_heavy=False): its EI end-resolution depends on the
+        # try-decode, and exotic colorspaces keep the inline reductions.
+        if (
+            defer_heavy
+            and i == len(names) - 1
+            and cspace == "DeviceGray"
+            and bits == 1  # spec-conformant bilevel only; degenerate
+            # heads (e.g. BPC 8 over CCITT) keep the old inline path
+            and name in (b"CCITTFaxDecode", b"JBIG2Decode")
+            and b"Predictor" not in parm  # predictors post-process the
+            # decoded bytes in the old path; don't defer that shape
+        ):
+            inv = 1 if _DECODE_INV_RE.search(head) else 0
+            if name == b"CCITTFaxDecode":
+                km = _CCITT_K_RE.search(parm)
+                cm = _CCITT_COLUMNS_RE.search(parm)
+                rm = _CCITT_ROWS_RE.search(parm)
+                bm2 = _CCITT_BLACKIS1_RE.search(parm)
+                am = _CCITT_ALIGN_RE.search(parm)
+                tag = (
+                    f"ccitt;k={int(km.group(1)) if km else 0}"
+                    f";c={int(cm.group(1)) if cm else 1728}"
+                    f";r={int(rm.group(1)) if rm else 0}"
+                    f";b={1 if (bm2 and bm2.group(1) == b'true') else 0}"
+                    f";a={1 if (am and am.group(1) == b'true') else 0}"
+                    f";i={inv}"
+                )
+                return PdfImage(width, height, 1, cspace, tag, raw)
+            gm = _JBIG2_GLOBALS_RE.search(parm)
+            gdata = b""
+            if gm:
+                if resolve is None:
+                    return None  # matches the non-deferred opaque carry
+                gdata = resolve(int(gm.group(1)))
+                if gdata is None:
+                    return None
+            payload = (
+                struct.pack(">I", len(gdata)) + gdata + raw
+            )
+            return PdfImage(
+                width, height, 1, cspace, f"jbig2;i={inv}", payload
+            )
         try:
             decoded = _apply_one_filter(name, parm, raw, resolve)
             if decoded is None:  # opaque image codec: carry bytes + metadata
@@ -4058,7 +4110,9 @@ def _image_from_obj(
             return None
         return _stream_bytes(body, _obj_dec(dec, num), objs)
 
-    return _decode_image(head, raw, resolve, lambda n: objs.get(n))
+    return _decode_image(
+        head, raw, resolve, lambda n: objs.get(n), defer_heavy=True
+    )
 
 
 # inline images (BI <dict> ID <data> EI — PDF spec §8.9.7): the dict uses

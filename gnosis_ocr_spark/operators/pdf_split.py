@@ -139,6 +139,64 @@ def _gray_pixels(img) -> tuple[bytes, int, int] | None:
             ).astype(np.uint8)
             return luma.tobytes(), img.width, img.height
         return None
+    if img.codec.startswith("ccitt;") or img.codec.startswith("jbig2;"):
+        # deferred bilevel entropy decode (r6): the split stage carries
+        # CCITT/JBIG2 still-compressed with parms in the codec tag (see
+        # codec_pdf._decode_image) so the heavy fax/arithmetic decode
+        # runs HERE, page-parallel after the respread — the same
+        # placement DCT/JPX always had. Output is byte-identical to the
+        # old split-stage decode: same decoders, same /Decode [1 0]
+        # inversion, then the existing packed-1-bit raw path.
+        try:
+            parms = dict(
+                kv.split("=") for kv in img.codec.split(";")[1:]
+            )
+            if img.codec.startswith("ccitt;"):
+                from gnosis_ocr_spark.functions.codec_ccitt import (
+                    decode_g3_1d,
+                    decode_g3_2d,
+                    decode_g4,
+                )
+
+                k = int(parms["k"])
+                args = (
+                    img.data,
+                    int(parms["c"]),
+                    int(parms["r"]),
+                    parms["b"] == "1",
+                    parms["a"] == "1",
+                )
+                if k < 0:
+                    data = decode_g4(*args)
+                elif k == 0:
+                    data = decode_g3_1d(*args)
+                else:
+                    data = decode_g3_2d(*args)
+            else:
+                import struct as _st
+
+                from gnosis_ocr_spark.functions.codec_jbig2 import (
+                    decode_jbig2,
+                )
+
+                (nglob,) = _st.unpack_from(">I", img.data, 0)
+                gdata = img.data[4 : 4 + nglob]
+                data = decode_jbig2(img.data[4 + nglob :], gdata)[2]
+            if parms.get("i") == "1":
+                from gnosis_ocr_spark.functions.codec_pdf import (
+                    _INVERT_TABLE,
+                )
+
+                data = data.translate(_INVERT_TABLE)
+            from gnosis_ocr_spark.functions.codec_pdf import PdfImage
+
+            return _gray_pixels(
+                PdfImage(
+                    img.width, img.height, 1, "DeviceGray", "raw", data
+                )
+            )
+        except Exception:
+            return None  # corrupt stream → blank strip (old degradation)
     if img.codec == "dct":
         try:
             from gnosis_ocr_spark.functions.codec_jpeg import decode_jpeg
