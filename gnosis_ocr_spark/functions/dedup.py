@@ -612,12 +612,11 @@ def connected_components(
     without that the iterative plan nests one join deeper per round and
     analysis cost grows without bound.
 
-    Convergence is detected WITHOUT a label⋈label comparison join: both
-    steps only ever lower ``comp`` (every update is ``least(comp, ...)``
-    over a static id set), so the label table changed iff ``sum(comp)``
-    changed — one scalar aggregate per table instead of a per-round
-    two-sided label join (summed as DECIMAL(38,0): 10^12 rows of int64
-    ids cannot overflow it). The check runs on the PROPAGATION result,
+    Convergence is detected WITHOUT a label⋈label comparison join: a
+    per-row changed flag (``new comp < old comp``) rides the propagation
+    projection and one integer count over the materialized result is the
+    probe (r6; previously two DECIMAL(38) label sums per round compared
+    totals across rounds). The check runs on the PROPAGATION result,
     before the pointer jump: a propagation fixpoint over the symmetrized
     edge set already implies full convergence (at fixpoint comp(v) ≤
     comp(u) for every edge both ways, so comps are equal across every
@@ -695,22 +694,20 @@ def connected_components(
         F.col("src").alias("id"),
         F.least(F.col("src"), F.col("_m")).alias("comp"),
     )
-    def _comp_sum(df: DataFrame):
-        # comp only ever decreases (least() over a static id set), so this
-        # scalar is a complete change detector: equal sums ⟺ identical
-        # table. DECIMAL(38,0) so 10^12 int64 ids cannot overflow the sum.
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
     labels, cur_ids = _save(labels)
-    prev_sum = _comp_sum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the change FLAG rides the propagation projection (r6): the
+        # fixpoint probe is one integer count over the materialized
+        # table — previously two DECIMAL(38) label-sum jobs per round
+        # compared totals across rounds. A propagation round that lowers
+        # ZERO labels IS the fixpoint (comp(v) ≤ comp(u) both ways
+        # across every edge ⇒ comps constant per component, and the
+        # component min keeps itself — the r5 proof), detected directly.
         stepped = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
@@ -718,14 +715,19 @@ def connected_components(
                 F.least(
                     labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
                 ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), labels["comp"])
+                 < labels["comp"]).alias("_chg"),
             )
         )
-        # materialize before the sum + self-join below: both the fixpoint
+        # materialize before the count + self-join below: the fixpoint
         # check and both sides of the pointer jump reference this plan and
         # would execute the propagation join repeatedly otherwise
         stepped, stepped_ids = _save(stepped)
-        stepped_sum = _comp_sum(stepped)
-        if stepped_sum == prev_sum:
+        n_changed = (
+            stepped.agg(F.sum(F.col("_chg").cast("int"))).collect()[0][0]
+        )
+        stepped = stepped.select("id", "comp")
+        if not n_changed:  # 0, or None on an empty edge set
             # propagation fixpoint ⇒ fully converged (docstring proof);
             # the pointer-jump join is pure acceleration and is skipped
             _unpersist(cur_ids)
@@ -746,9 +748,8 @@ def connected_components(
             )
         )
         new_labels, new_ids = _save(new_labels)
-        prev_sum = _comp_sum(new_labels)
         # this round's intermediate + the superseded label table are dead
-        # now that new_labels is materialized and its sum consumed
+        # now that new_labels is materialized
         _unpersist(stepped_ids | cur_ids)
         labels, cur_ids = new_labels, new_ids
     else:
