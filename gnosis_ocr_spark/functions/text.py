@@ -618,12 +618,21 @@ def gopher_repetition(
       paper's greedy left-to-right scan, so it parallelizes and has an
       exact SQL mirror.
 
-    Plan shape: one posexplode (Generate barrier defeats HOF re-evaluation),
-    one lead-window to form all gram sizes in a single pass, then
-    groupBy/window aggregations — every exchange is keyed by doc_id (+gram),
-    so partial aggregation applies and no key is global. Scales: a 10⁶-token
-    document fans out across partitions instead of pinning a task in a
-    per-row HOF.
+    Plan shape (r6): one posexplode (Generate barrier defeats HOF
+    re-evaluation), one lead-window forming all gram sizes in a single pass
+    (the running char prefix-sum rides the same Window spec), then — since
+    the lead-window's doc_id hash partitioning satisfies every downstream
+    (doc_id, …) grouping — ONLY complete aggregations and one gram-count
+    window, no further exchange. The top family deduplicates grams with a
+    sort-free groupBy count; the dup family collects just the DUPLICATED
+    occurrences per (doc_id, n) and one ``aggregate`` fold over the
+    pos-sorted list computes the interval-union char coverage from the
+    prefix sums (``cum[e] − cum[s−1]`` per merged island) — no per-position
+    explode, no distinct shuffle, no join back to the word-length frame.
+    Scales: a 10⁶-token document fans out across partitions instead of
+    pinning a task in a per-row HOF, and the per-(doc,n) collected list is
+    bounded by the doc's own token count (the same magnitude the upstream
+    ``_toks`` array already carries per row).
     """
     from pyspark.sql.window import Window
 
@@ -661,10 +670,16 @@ def gopher_repetition(
     )
 
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    # `_cum` = inclusive running char sum over the doc's tokens — same
+    # partition+order spec as the leads, so it evaluates in the SAME
+    # Window pass (no extra sort). It gives every gram occurrence its
+    # char-interval bounds by construction: start = cum[pos−1]
+    # (= cum − len(word)), end = start + gram_chars = cum[pos+n−1].
     leads = words.select(
         "doc_id",
         "pos",
         "word",
+        F.sum(F.length("word")).over(w_ord).cast("long").alias("_cum"),
         *[
             F.lead("word", i).over(w_ord).alias(f"_l{i}")
             for i in range(1, max_n)
@@ -679,34 +694,32 @@ def gopher_repetition(
 
     # ONE Generate over an array of (n, gram) structs covering every gram
     # size — NOT a self-union (which would recompute the posexplode+lead
-    # subtree once per n), and NOT two separate frames for the two metric
-    # families: both consumers window/aggregate on (doc_id, n, gram), so a
-    # shared frame makes the two exchanges byte-identical and Spark's
-    # ReuseExchange computes the heavy explode+shuffle ONCE.
+    # subtree once per n). The lead-window's hash partitioning on doc_id
+    # satisfies every grouping/window below (subset key), so neither
+    # branch adds an exchange past this point.
     all_ns = tuple(sorted(set(top_ns) | set(dup_ns)))
     structs = F.array(
         *[F.struct(F.lit(n).alias("n"), gram(n).alias("gram")) for n in all_ns]
     )
     grams_all = (
-        leads.select("doc_id", "pos", F.explode(structs).alias("g"))
-        .select("doc_id", "pos", "g.n", "g.gram")
+        leads.select(
+            "doc_id",
+            "pos",
+            (F.col("_cum") - F.length("word")).cast("long").alias("_cs"),
+            F.explode(structs).alias("g"),
+        )
+        .select("doc_id", "pos", "_cs", "g.n", "g.gram")
         .filter(F.col("gram").isNotNull())
     )
-    w_gram = Window.partitionBy("doc_id", "n", "gram")
-    counted = grams_all.withColumn("cnt", F.count("*").over(w_gram))
 
     # ── top n-gram char fraction ────────────────────────────────────────────
-    # one representative row per distinct gram (min-pos row; same window
-    # partitioning — no extra shuffle), then the deterministic argmax
+    # distinct grams via a sort-free groupBy count (r6; the previous
+    # count-window + min-pos row_number dedup cost two full sorts of the
+    # gram frame), then the deterministic argmax
     gcnt = (
-        counted.filter(F.col("n").isin(list(top_ns)))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id", "n", "gram").orderBy("pos")
-            ),
-        )
-        .filter(F.col("rn") == 1)
+        grams_all.filter(F.col("n").isin(list(top_ns)))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
     )
     gchars = (F.length("gram") - (F.col("n") - 1)).alias("gram_chars")
     w_top = Window.partitionBy("doc_id", "n").orderBy(
@@ -730,19 +743,55 @@ def gopher_repetition(
     )
 
     # ── duplicate n-gram char coverage (interval union) ─────────────────────
-    covered = (
-        counted.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") > 1))
+    # occurrence counts via the gram window (no per-gram allocation), then
+    # ONLY the duplicated occurrences collect per (doc_id, n) — each with
+    # its prefix-sum char bounds — and one ``aggregate`` fold over the
+    # pos-sorted list computes the union coverage: a new island adds
+    # ce − cs (its own chars); an overlap extension adds ce − state.ce
+    # (ends strictly increase with pos at fixed n, tokens are non-empty).
+    # This replaces the former per-position explode + distinct shuffle +
+    # join back to the word-length frame (a third tokenize pass) with a
+    # per-(doc,n) list bounded by the doc's own token count.
+    w_gram = Window.partitionBy("doc_id", "n", "gram")
+    dups = (
+        grams_all.filter(F.col("n").isin(list(dup_ns)))
+        .withColumn("cnt", F.count("*").over(w_gram))
+        .filter(F.col("cnt") > 1)
         .select(
             "doc_id",
             "n",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-            ).alias("pos"),
+            F.struct(
+                F.col("pos").alias("p"),
+                F.col("_cs").alias("cs"),
+                (F.col("_cs") + F.length("gram") - (F.col("n") - 1))
+                .cast("long")
+                .alias("ce"),
+            ).alias("_o"),
         )
-        .distinct()
-        .join(wlen, ["doc_id", "pos"])
-        .groupBy("doc_id", "n")
-        .agg(F.sum("wlen").alias("cov_chars"))
+    )
+    fold = F.aggregate(
+        F.array_sort(F.col("_occ")),
+        F.struct(
+            F.lit(-1).alias("ep"),
+            F.lit(0).cast("long").alias("ce"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda s, r: F.struct(
+            (r["p"] + F.col("n") - 1).alias("ep"),
+            r["ce"].alias("ce"),
+            (
+                s["acc"]
+                + F.when(r["p"] > s["ep"], r["ce"] - r["cs"]).otherwise(
+                    r["ce"] - s["ce"]
+                )
+            ).alias("acc"),
+        ),
+        lambda s: s["acc"],
+    )
+    covered = (
+        dups.groupBy("doc_id", "n")
+        .agg(F.collect_list("_o").alias("_occ"))
+        .select("doc_id", "n", fold.alias("cov_chars"))
     )
     cov_w = covered.groupBy("doc_id").agg(
         *[

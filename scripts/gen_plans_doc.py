@@ -170,10 +170,17 @@ def main() -> None:
             "distinct — no explode, no quadratic per-element scan). The gram\n"
             "families share ONE posexplode + ONE lead-window pass building\n"
             "all nine gram sizes at once (a per-n self-union would recompute\n"
-            "the exploded subtree nine times); top-gram and dup-coverage then\n"
-            "aggregate on (doc_id, n, gram) — every exchange carries doc_id,\n"
-            "so partial aggregation applies and a 10⁶-token document fans\n"
-            "out across partitions instead of pinning a task in a HOF.",
+            "the exploded subtree nine times); the running char prefix-sum\n"
+            "rides the same Window spec. The lead-window's doc_id hash\n"
+            "partitioning satisfies every downstream grouping (subset key),\n"
+            "so past that exchange the branches add NONE: top-gram\n"
+            "deduplicates with a sort-free groupBy count, and dup-coverage\n"
+            "collects only the duplicated occurrences per (doc_id, n) and\n"
+            "folds the pos-sorted list into interval-union chars from the\n"
+            "prefix sums (r6; previously a per-position explode + distinct\n"
+            "shuffle + join back to the word-length frame). A 10⁶-token\n"
+            "document fans out across partitions instead of pinning a task\n"
+            "in a HOF.",
         ),
     ]
 

@@ -659,6 +659,35 @@ def test_gopher_repetition_matches_python_reference(spark):
         assert got[i] == _gopher_py(text), f"doc {i}: {got[i]} vs {_gopher_py(text)}"
 
 
+def test_gopher_repetition_interval_union_fold(spark):
+    """Pin the r6 prefix-sum interval-union fold (dup_{n}gram_bp) against
+    the plain-Python position-marking reference on island shapes the fold
+    must merge correctly: overlapping occurrences (spliced repeats),
+    adjacent islands (tail repeat meets head), heavy periodic repetition
+    (every position covered), and multi-word-length tokens (char weights
+    differ per position)."""
+    import random
+
+    from gnosis_ocr_spark.functions.text import gopher_repetition
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dddd", "w", "xy", "longword", "z9"]
+    docs = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 50))]
+        if i % 2 == 0 and len(words) >= 12:
+            words[6:12] = words[0:6]  # overlapping dup occurrences
+        if i % 3 == 0 and len(words) >= 8:
+            words = words + words[:8]  # adjacent islands at the seam
+        if i % 5 == 0:
+            words = words[:4] * 7  # periodic: one island covers the doc
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: list(r)[1:] for r in gopher_repetition(df).collect()}
+    for i, text in docs:
+        assert got[i] == _gopher_py(text), f"doc {i}: {got[i]} vs {_gopher_py(text)}"
+
+
 def test_gopher_repetition_hand_values(spark):
     from gnosis_ocr_spark.functions.text import gopher_repetition
 
