@@ -360,6 +360,7 @@ def minhash_near_duplicates(
     shingle_words: int = 3,
     sketch_size: int = 1024,
     max_bucket_size: int | None = None,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → bottom-s Jaccard verification.
 
@@ -375,11 +376,17 @@ def minhash_near_duplicates(
     never wrong pairs). Verification row width is bounded at ``sketch_size``
     bigints per side (the full-``collect_set`` join was unbounded in document
     length). ``max_bucket_size`` caps hot-bucket pair output (logged, never
-    silent); the clustering consumer should prefer :func:`minhash_star_edges`."""
+    silent); the clustering consumer should prefer :func:`minhash_star_edges`.
+
+    ``sketches``: optionally inject a precomputed (ideally materialized)
+    :func:`shingle_sketches` frame over the SAME docs/params — the verify
+    step references it twice, so a caller that checkpoints it (as
+    :func:`duplicate_clusters` does) pays the sketch plan once."""
     assert bands * rows == k
     sigs = minhash_signature(docs, id_col, text_col, k, shingle_words)
     cands = lsh_candidate_pairs(sigs, bands, rows, max_bucket_size=max_bucket_size)
-    sketches = shingle_sketches(docs, id_col, text_col, shingle_words, sketch_size)
+    if sketches is None:
+        sketches = shingle_sketches(docs, id_col, text_col, shingle_words, sketch_size)
     return _verify_pairs(cands, sketches, threshold, sketch_size)
 
 
@@ -393,6 +400,7 @@ def minhash_star_edges(
     threshold: float = 0.7,
     shingle_words: int = 3,
     sketch_size: int = 1024,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) verified STAR edges for the clustering consumer —
     O(B) edges where the pair API emits O(B²), with identical connected
@@ -424,9 +432,18 @@ def minhash_star_edges(
     linkage is approximate in BOTH modes (LSH recall), and the driver-oracle
     regime (threshold=1.0, verbatim copies) is provably identical. See
     VERDICT r2 "What's wrong #1".
+
+    ``sketches``: optionally inject a precomputed (ideally materialized)
+    :func:`shingle_sketches` frame over the SAME docs/params. This plan
+    references the sketch frame three times (star collapse + both verify
+    sides); a caller that checkpoints it first — :func:`duplicate_clusters`
+    does, with eager cleanup — pays the sketch plan once instead of
+    re-deriving it per reference (r6; measured 2.3 s/reference at sf0.1
+    over the curate corpus).
     """
     assert bands * rows == k
-    sketches = shingle_sketches(docs, id_col, text_col, shingle_words, sketch_size)
+    if sketches is None:
+        sketches = shingle_sketches(docs, id_col, text_col, shingle_words, sketch_size)
     # sketch-group collapse with a NARROW exchange key (round-4): the
     # shuffle partitions on xxhash64(sk) — 8 bytes — while the GROUPING
     # stays on the exact array, so equality is never hash-approximate.
@@ -591,6 +608,21 @@ def simhash_near_duplicates(
 
 
 # ---------------------------------------------------------------- clustering
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs — the before/after diff attributes
+    blocks created by an eager localCheckpoint to the enclosing call (same
+    single-writer assumption as connected_components' _save)."""
+    jsc = sc._jsc
+    return {e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    jsc = sc._jsc
+    for e in jsc.getPersistentRDDs().entrySet().toArray():
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
 
 
 def connected_components(
@@ -783,13 +815,40 @@ def duplicate_clusters(
     ``edge_mode='pairs'`` keeps the full pair graph (only safe on corpora
     without boilerplate mega-clusters). ``checkpoint_dir`` selects reliable
     checkpointing for the iterative components step (executor-loss-tolerant;
-    see :func:`connected_components`)."""
+    see :func:`connected_components`).
+
+    The shingle sketch frame is materialized ONCE here (r6) and injected
+    into the edge generator: the star-edge plan otherwise re-derives the
+    sketch pipeline (explode → distinct → bottom-s window → collect) per
+    reference — three times per call (star collapse + both verify sides;
+    measured 2.3 s/reference at sf0.1 over the curate corpus). Lifetime is
+    bounded inside this call: :func:`connected_components` materializes
+    the edge set eagerly as its first step, after which the sketch blocks
+    are dropped — the same eager-cleanup invariant (and single-writer
+    assumption) as the components step's own checkpoints."""
     gen = {"star": minhash_star_edges, "pairs": minhash_near_duplicates}[edge_mode]
+    sketches = shingle_sketches(
+        docs, id_col, text_col,
+        minhash_kwargs.get("shingle_words", 3),
+        minhash_kwargs.get("sketch_size", 1024),
+    )
+    sc = docs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+        sk, sk_ids = sketches.checkpoint(eager=True), set()
+    else:
+        before = _persistent_rdd_ids(sc)
+        sk = sketches.localCheckpoint(eager=True)
+        sk_ids = _persistent_rdd_ids(sc) - before
     edges = gen(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,
-        **minhash_kwargs,
+        sketches=sk, **minhash_kwargs,
     ).select("a", "b")
-    return connected_components(edges, checkpoint_dir=checkpoint_dir)
+    labels = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    # the label table no longer references the sketch frame (the edge set
+    # was materialized inside connected_components) — drop its blocks now
+    _unpersist_rdd_ids(sc, sk_ids)
+    return labels
 
 
 def duplicate_clusters_seeded(

@@ -433,6 +433,28 @@ def test_connected_components_edge_plan_materialized_and_cleaned(spark):
     assert len(after - before) <= 1
 
 
+def test_duplicate_clusters_sketch_checkpoint_cleaned(spark):
+    """r6 optimization internals: duplicate_clusters materializes the
+    shingle-sketch frame once (the star-edge plan references it three
+    times) and drops its blocks before returning — only the final label
+    table may stay pinned. Output equals the documented clustering
+    contract on a mixed corpus (mega-group + near pair + singleton)."""
+    from gnosis_ocr_spark.functions.dedup import duplicate_clusters
+
+    jsc = spark.sparkContext._jsc
+    before = {e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()}
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    rows += [(10, "one two three four five six"), (11, "one two three four five six")]
+    rows += [(20, "a lonely unrelated document body here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r["component"] for r in duplicate_clusters(df, threshold=1.0).collect()}
+    assert all(got[i] == 0 for i in range(6))
+    assert got[10] == 10 and got[11] == 10
+    assert 20 not in got  # singleton not emitted
+    after = {e.getKey() for e in jsc.getPersistentRDDs().entrySet().toArray()}
+    assert len(after - before) <= 1
+
+
 def test_lang_id_extended_languages(spark):
     """es/it markers added round 2, pt/nl/sv/pl/tr round 3; the generated
     oracle CASE shares the marker table, so one sample sentence per language
